@@ -1,0 +1,11 @@
+from pythonql_spark.sources.catalog import (
+    TABLES,
+    from_collection,
+    jdbc_table,
+    load_sf,
+    load_table,
+    write_partitioned,
+)
+
+__all__ = ["TABLES", "from_collection", "jdbc_table", "load_sf",
+           "load_table", "write_partitioned"]

@@ -1,0 +1,88 @@
+"""Data sources (reference ``pythonql/sources/*``).
+
+The reference wraps Python collections and RDBMS tables (MySQL /
+PostgreSQL with query pushdown via WrappedSubplan).  Spark-first
+equivalents:
+
+* files — ``spark.read.parquet/csv/json``; predicate + column
+  pushdown comes from Catalyst (verified in tests via explain).
+* collections — ``from_collection`` (createDataFrame).
+* RDBMS — ``jdbc_table``: Spark's JDBC source does column pruning and
+  predicate pushdown server-side, the same capability as the
+  reference's pushdown sources (sources/postgresql.py).  No JDBC
+  driver ships in this container, so it is exercised plan-only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a
+    # nanos-since-epoch long (spark.sql.legacy.parquet.nanosAsLong);
+    # convert to microsecond TimestampType, same truncation DuckDB does.
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint" and name == "events":
+            from pyspark.sql import functions as F
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_sf(spark: SparkSession, sf_dir: str | None = None,
+            register_views: bool = False) -> dict[str, DataFrame]:
+    """Load all benchmark tables from a scale-factor dir; optionally
+    register them as temp views for ``spark.sql``."""
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    out = {}
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            out[t] = load_table(spark, sf_dir, t)
+            if register_views:
+                out[t].createOrReplaceTempView(t)
+    return out
+
+
+def from_collection(spark: SparkSession, data, schema=None) -> DataFrame:
+    """Python collection → DataFrame (reference queries iterate plain
+    lists/dicts; dicts of identical shape infer a struct schema)."""
+    return spark.createDataFrame(data, schema=schema)
+
+
+def jdbc_table(spark: SparkSession, url: str, table: str,
+               partition_column: str | None = None,
+               lower_bound=None, upper_bound=None,
+               num_partitions: int | None = None,
+               **options) -> DataFrame:
+    """RDBMS source with parallel partitioned reads.  At scale, always
+    pass partition_column/bounds/num_partitions so the read fans out
+    across executors instead of a single JDBC cursor."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (reader.option("partitionColumn", partition_column)
+                  .option("lowerBound", str(lower_bound))
+                  .option("upperBound", str(upper_bound))
+                  .option("numPartitions", str(num_partitions or 32)))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_partitioned(df: DataFrame, path: str, fmt: str = "parquet",
+                      partition_by: list[str] | None = None,
+                      mode: str = "overwrite") -> None:
+    """Partitioned sink; partition_by keys become directory partitions
+    so downstream reads get partition pruning."""
+    w = df.write.format(fmt).mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
