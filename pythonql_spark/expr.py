@@ -54,15 +54,22 @@ def split_conjuncts(e: str) -> list[str]:
     """Split on top-level ``and``/``AND`` (outside parens/strings)."""
     masked = strip_strings(e)
     parts, depth, last = [], 0, 0
-    for m in re.finditer(r"[()\[\]]|\band\b", masked, flags=re.IGNORECASE):
-        tok = m.group(0)
+    pending_between = 0  # the AND of "x BETWEEN a AND b" is not a conjunction
+    for m in re.finditer(r"[()\[\]]|\bbetween\b|\band\b", masked, flags=re.IGNORECASE):
+        tok = m.group(0).lower()
         if tok in "([":
             depth += 1
         elif tok in ")]":
             depth -= 1
+        elif tok == "between":
+            if depth == 0:
+                pending_between += 1
         elif depth == 0:
-            parts.append(e[last:m.start()].strip())
-            last = m.end()
+            if pending_between:
+                pending_between -= 1
+            else:
+                parts.append(e[last:m.start()].strip())
+                last = m.end()
     parts.append(e[last:].strip())
     return [p for p in parts if p]
 

@@ -252,7 +252,13 @@ class _Compiler:
 
     def _c_count(self, i: int, c: dict):
         if c["order"]:
-            w = W.orderBy(self._expr(c["order"]))
+            cols = []
+            for spec in [s.strip() for s in c["order"].split(",")]:
+                m = re.match(r"(.*?)\s+(asc|desc)\s*$", spec, flags=re.IGNORECASE)
+                e, d = (m.group(1), m.group(2).lower()) if m else (spec, "asc")
+                col = self._expr(e)
+                cols.append(col.desc() if d == "desc" else col.asc())
+            w = W.orderBy(*cols)
             self.df = self.df.withColumn(c["var"], F.row_number().over(w) - 1)
         else:
             self.df = self.df.withColumn(c["var"], F.monotonically_increasing_id())
