@@ -314,3 +314,353 @@ def tpch_q6(spark, sf):
             .group_by("1 as one")
             .select(dsum("l.l_extendedprice * l.l_discount") + " as revenue")
             .df())
+
+
+# ------------------------------------------------- §2.2 path / try-except
+
+@q("path_child", """
+SELECT event_id, json_extract_string(props, '$.k') AS k_val
+FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+""")
+def path_child(spark, sf):
+    from pyspark.sql import functions as F
+    from pythonql_spark.functions import json_child
+    ev = load_table(spark, sf, "events")
+    return (ev.select("event_id", F.explode(json_child("props", "k")).alias("k_val")))
+
+
+@q("path_descendants", """
+SELECT event_id, json_extract_string(props, '$.k') AS k_val
+FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+""")
+def path_descendants(spark, sf):
+    # props is flat, so ``.// k`` ≡ ``./ k`` here; deep-walk semantics
+    # (lists of dicts, recursive keys) are asserted in
+    # tests/test_tutorial_parity.py::test_q8 against the reference's
+    # own expected counts.
+    from pyspark.sql import functions as F
+    from pythonql_spark.functions import json_descendants
+    ev = load_table(spark, sf, "events")
+    return (ev.select("event_id", F.explode(json_descendants("props", "k")).alias("k_val")))
+
+
+@q("try_except", """
+SELECT doc_id, coalesce(try_cast(substr(text, 1, 3) AS DOUBLE), 0.0) AS n
+FROM documents
+""")
+def try_except(spark, sf):
+    from pythonql_spark.functions import try_number
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", try_number("substr(text, 1, 3)", 0.0).alias("n"))
+
+
+# ------------------------------------------------------- §2.1 match clause
+
+@q("match_partial", """
+SELECT event_id, json_extract_string(props, '$.k') AS k
+FROM events
+WHERE try_cast(json_extract_string(props, '$.k') AS INTEGER) > 50
+""")
+def match_partial(spark, sf):
+    from pythonql_spark.operators import match_pattern
+    from pythonql_spark.operators.match_clause import Bind
+    ev = load_table(spark, sf, "events")
+    m = match_pattern(ev, "props", {"k": Bind("k")})
+    return m.filter("cast(k as int) > 50").select("event_id", "k")
+
+
+@q("match_exact", """
+SELECT event_id, json_extract_string(props, '$.k') AS k
+FROM events
+WHERE json_keys(props::JSON) = ['k']
+  AND try_cast(json_extract_string(props, '$.k') AS INTEGER) <= 50
+""")
+def match_exact(spark, sf):
+    from pythonql_spark.operators import match_pattern
+    from pythonql_spark.operators.match_clause import Bind
+    ev = load_table(spark, sf, "events")
+    m = match_pattern(ev, "props",
+                      {"k": Bind("k", where=lambda v: isinstance(v, int) and v <= 50)},
+                      exact=True)
+    return m.select("event_id", "k")
+
+
+# ------------------------------------------------- §2.4 event-time windows
+
+@q("window_sliding_fixed", """
+WITH r AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+  FROM events),
+w AS (
+  SELECT user_id, rn AS s_at,
+         sum(cast(value AS DECIMAL(38,6)))
+           OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS s,
+         count(*) OVER (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS c
+  FROM r)
+SELECT user_id, s_at, cast(s AS DOUBLE) AS sum_value FROM w WHERE c = 3
+""")
+def window_sliding_fixed(spark, sf):
+    # reference q11 shape: sliding window, start always, close at size 3
+    from pyspark.sql import functions as F
+    from pythonql_spark.operators import predicate_windows
+    ev = load_table(spark, sf, "events")
+    w = predicate_windows(ev, order_by=["ts", "event_id"],
+                          start_when=lambda c, a, p, n: True,
+                          end_when=lambda c, a, p, n, sc, sa: a - sa == 2,
+                          partition_by="user_id", only_end=True)
+    return w.select(
+        "user_id", "s_at",
+        F.expr("cast(aggregate(window, cast(0 as decimal(38,6)), "
+               "(acc, x) -> acc + cast(x.value as decimal(38,6))) as double)"
+               ).alias("sum_value"))
+
+
+@q("window_tumbling_count", """
+WITH r AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+  FROM events)
+SELECT user_id, min(rn) AS s_at, count(*) AS n,
+       cast(sum(cast(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM r GROUP BY user_id, floor(rn / 4) HAVING count(*) = 4
+""")
+def window_tumbling_count(spark, sf):
+    # tumbling window of exactly 4 events per user
+    from pyspark.sql import functions as F
+    from pythonql_spark.operators import predicate_windows
+    ev = load_table(spark, sf, "events")
+    w = predicate_windows(ev, order_by=["ts", "event_id"],
+                          start_when=lambda c, a, p, n: True,
+                          end_when=lambda c, a, p, n, sc, sa: a - sa == 3,
+                          partition_by="user_id", tumbling=True, only_end=True)
+    return w.select(
+        "user_id", "s_at", F.expr("cast(size(window) as bigint)").alias("n"),
+        F.expr("cast(aggregate(window, cast(0 as decimal(38,6)), "
+               "(acc, x) -> acc + cast(x.value as decimal(38,6))) as double)"
+               ).alias("sum_value"))
+
+
+@q("window_predicate")
+def window_predicate(spark, sf):
+    # arbitrary predicate windows (start on high value, end on low) —
+    # not SQL-expressible; rows-only gate + unit tests
+    from pyspark.sql import functions as F
+    from pythonql_spark.operators import predicate_windows
+    ev = load_table(spark, sf, "events")
+    w = predicate_windows(ev, order_by=["ts", "event_id"],
+                          start_when=lambda c, a, p, n: c["value"] > 150,
+                          end_when=lambda c, a, p, n, sc, sa: c["value"] < 50,
+                          partition_by="user_id", only_end=True)
+    return w.select("user_id", "s_at", "e_at")
+
+
+@q("sessionize", """
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, value
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       cast(sum(cast(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid
+""")
+def sessionize(spark, sf):
+    from pyspark.sql import functions as F
+    from pythonql_spark.streaming import session_agg
+    ev = load_table(spark, sf, "events")
+    return session_agg(
+        ev, "30 minutes", keys=["user_id"],
+        aggs={"n_events": F.count(F.lit(1)),
+              "sum_value": F.expr("cast(sum(cast(value as decimal(38,6))) as double)")},
+    ).select("user_id", "session_start", "n_events", "sum_value")
+
+
+@q("stream_tumbling", """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       cast(sum(cast(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def stream_tumbling(spark, sf):
+    from pyspark.sql import functions as F
+    from pythonql_spark.streaming import tumbling_agg
+    ev = load_table(spark, sf, "events")
+    return tumbling_agg(
+        ev, "1 hour", keys=["event_type"],
+        aggs={"n_events": F.count(F.lit(1)),
+              "sum_value": F.expr("cast(sum(cast(value as decimal(38,6))) as double)")},
+    ).select("window_start", "event_type", "n_events", "sum_value")
+
+
+@q("stream_sliding", """
+SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS window_start,
+       count(*) AS n_events
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) u
+GROUP BY 1
+""")
+def stream_sliding(spark, sf):
+    from pyspark.sql import functions as F
+    from pythonql_spark.streaming import sliding_agg
+    ev = load_table(spark, sf, "events")
+    return sliding_agg(ev, "1 hour", "30 minutes",
+                       aggs={"n_events": F.count(F.lit(1))}
+                       ).select("window_start", "n_events")
+
+
+# --------------------------------------------------- §2.5 text analysis
+
+def _text_oracle():
+    from pythonql_spark.operators import text as TX
+    return TX
+
+
+@q("text_tokens", None)
+def text_tokens(spark, sf):
+    from pythonql_spark.operators import text as TX
+    docs = load_table(spark, sf, "documents")
+    return docs.selectExpr("doc_id",
+                           TX.token_count("text") + " as n_tokens",
+                           TX.bpe_token_count("text") + " as n_bpe")
+
+
+@q("text_langid", None)
+def text_langid(spark, sf):
+    from pythonql_spark.operators import text as TX
+    docs = load_table(spark, sf, "documents")
+    return docs.selectExpr("doc_id", "lang",
+                           TX.lang_id("text") + " as pred_lang")
+
+
+@q("text_quality", None)
+def text_quality(spark, sf):
+    from pythonql_spark.operators import text as TX
+    docs = load_table(spark, sf, "documents")
+    return docs.selectExpr("doc_id", TX.quality_score("text") + " as quality")
+
+
+@q("text_fingerprint", None)
+def text_fingerprint(spark, sf):
+    from pythonql_spark.operators import text as TX
+    docs = load_table(spark, sf, "documents")
+    return docs.selectExpr("doc_id", TX.fingerprint("text") + " as fp")
+
+
+# -------------------------------------------------------- §2.5 dedup
+
+@q("dedup_exact", None)
+def dedup_exact(spark, sf):
+    from pythonql_spark.operators.dedup import exact_dedup
+    docs = load_table(spark, sf, "documents")
+    return exact_dedup(docs)
+
+
+@q("dedup_jaccard", None)
+def dedup_jaccard(spark, sf):
+    from pythonql_spark.operators.dedup import ngram_jaccard_pairs
+    docs = load_table(spark, sf, "documents")
+    return ngram_jaccard_pairs(docs, ["source"], ngram=1, threshold=0.5)
+
+
+@q("dedup_minhash")
+def dedup_minhash(spark, sf):
+    from pythonql_spark.operators.dedup import minhash_lsh_pairs
+    docs = load_table(spark, sf, "documents")
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+
+
+@q("dedup_simhash")
+def dedup_simhash(spark, sf):
+    from pythonql_spark.operators.dedup import simhash_pairs
+    docs = load_table(spark, sf, "documents")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+# ---------------------------------------------------- §2.5 similarity
+
+@q("neardup_cosine", None)
+def neardup_cosine(spark, sf):
+    from pythonql_spark.operators.similarity import cosine_pairs
+    emb = load_table(spark, sf, "embeddings")
+    return cosine_pairs(emb, "label", 0.8)
+
+
+@q("ann_topk", None)
+def ann_topk(spark, sf):
+    from pythonql_spark.operators.similarity import brute_topk
+    emb = load_table(spark, sf, "embeddings")
+    return brute_topk(emb, query_ids=list(range(10)), k=5)
+
+
+@q("ann_lsh")
+def ann_lsh(spark, sf):
+    from pythonql_spark.operators.similarity import lsh_topk
+    emb = load_table(spark, sf, "embeddings")
+    return lsh_topk(emb, query_ids=list(range(10)), k=5)
+
+
+# text/dedup/similarity oracles are generated from the same formula
+# definitions (dialect='duck'); register them post-hoc:
+
+def _register_generated_oracles():
+    from pythonql_spark.operators import text as TX
+    from pythonql_spark.operators.similarity import cosine_expr, dot_expr, norm_expr
+
+    ORACLE["text_tokens"] = (
+        f"SELECT doc_id, {TX.token_count('text', 'duck')} AS n_tokens, "
+        f"{TX.bpe_token_count('text', 'duck')} AS n_bpe FROM documents")
+    ORACLE["text_langid"] = (
+        f"SELECT doc_id, lang, {TX.lang_id('text', 'duck')} AS pred_lang "
+        f"FROM documents")
+    ORACLE["text_quality"] = (
+        f"SELECT doc_id, {TX.quality_score('text', 'duck')} AS quality "
+        f"FROM documents")
+    ORACLE["text_fingerprint"] = (
+        f"SELECT doc_id, {TX.fingerprint('text', 'duck')} AS fp FROM documents")
+    ORACLE["dedup_exact"] = (
+        f"SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents "
+        f"GROUP BY {TX.fingerprint('text', 'duck')}")
+
+    jac = ("cast(len(list_filter(a.grams, x -> list_contains(b.grams, x))) as double) / "
+           "cast(len(a.grams) + len(b.grams) "
+           "- len(list_filter(a.grams, x -> list_contains(b.grams, x))) as double)")
+    ORACLE["dedup_jaccard"] = f"""
+WITH side AS (
+  SELECT doc_id AS id, source,
+         list_sort(list_distinct(str_split_regex(trim(lower(text)), '\\s+'))) AS grams
+  FROM documents)
+SELECT a.id AS id_a, b.id AS id_b, round({jac}, 6) AS jaccard
+FROM side a JOIN side b ON a.source = b.source AND a.id < b.id
+WHERE {jac} >= 0.5
+"""
+
+    cos = cosine_expr("a.embedding", "b.embedding", 64, base=1)
+    ORACLE["neardup_cosine"] = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {cos} >= 0.8
+"""
+
+    qcos = cosine_expr("q.embedding", "c.embedding", 64, base=1)
+    ORACLE["ann_topk"] = f"""
+WITH s AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id, {qcos} AS cosine
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10)
+SELECT q_id, n_id, cosine, rank FROM (
+  SELECT q_id, n_id, cosine,
+         cast(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, n_id) AS INTEGER) AS rank
+  FROM s) WHERE rank <= 5
+"""
+
+
+_register_generated_oracles()

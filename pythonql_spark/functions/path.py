@@ -1,0 +1,127 @@
+"""XPath-style path steps over semi-structured data.
+
+Reference semantics (Grammar.md path expressions; Executor.py:47-104
+PQChildPath / PQDescPath):
+
+* child step ``data ./ k``   — values under key ``k`` of the value
+  itself (if an object) or of each object inside the value (if a
+  list); ``_`` matches any key.
+* descendants step ``data .// k`` — values under key ``k`` at ANY
+  depth (objects inside lists included); ``_`` yields every value.
+
+Spark mapping: both steps return an ``array<string>`` column (scalar
+values raw, complex values JSON-encoded, same convention as DuckDB's
+``json_extract_string`` for scalars); compose with ``F.explode`` for
+the reference's iteration semantics (``for x in data ./ 'k'``).
+
+For the common flat case ``json_child`` with a key on a JSON object
+is also expressible as ``get_json_object(col, '$.k')`` — prefer that
+in hot paths; these functions cover the general shape (wildcards,
+arrays of objects, recursive walks) as Arrow-batched pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _encode(v: Any) -> str:
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (dict, list)):
+        return json.dumps(v, sort_keys=True)
+    return json.dumps(v)
+
+
+def _parse(v: Any) -> Any:
+    if isinstance(v, str):
+        try:
+            return json.loads(v)
+        except (ValueError, TypeError):
+            return None
+    if hasattr(v, "asDict"):
+        return v.asDict(recursive=True)
+    return v
+
+
+def _flatten(x: Any):
+    """Reference helpers.py:flatten — deep-flatten nested lists."""
+    if isinstance(x, list):
+        for i in x:
+            yield from _flatten(i)
+    else:
+        yield x
+
+
+def _child(obj: Any, key: str | None) -> list:
+    out = []
+    if isinstance(obj, list):
+        for i in _flatten(obj):
+            if isinstance(i, dict):
+                for k, v in i.items():
+                    if key is None or k == key:
+                        out.append(v)
+    elif isinstance(obj, dict):
+        for k, v in obj.items():
+            if key is None or k == key:
+                out.append(v)
+    return out
+
+
+def _desc(obj: Any, key: str | None) -> list:
+    out = []
+    stack: list[tuple[str | None, Any]] = []
+
+    def push(o: Any):
+        if isinstance(o, list):
+            for i in _flatten(o):
+                push(i)
+        elif isinstance(o, dict):
+            stack.extend((k, v) for k, v in o.items())
+
+    push(obj)
+    while stack:
+        k, v = stack.pop()
+        if key is None or k == key:
+            out.append(v)
+        push(v)
+    return out
+
+
+def _make_udf(step):
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def udf(col: pd.Series, key: pd.Series) -> pd.Series:
+        ks = key.iloc[0] if len(key) else None
+        k = None if ks in (None, "_") else ks
+        return col.map(lambda v: [_encode(x) for x in step(_parse(v), k)])
+    return udf
+
+
+_child_udf = None
+_desc_udf = None
+
+
+def json_child(col: str | Column, key: str | None = "_") -> Column:
+    """``col ./ key`` — array of child values (``'_'``/None = any key)."""
+    global _child_udf
+    if _child_udf is None:
+        _child_udf = _make_udf(_child)
+    c = F.col(col) if isinstance(col, str) else col
+    return _child_udf(c, F.lit(key if key is not None else "_"))
+
+
+def json_descendants(col: str | Column, key: str | None = "_") -> Column:
+    """``col .// key`` — array of descendant values at any depth."""
+    global _desc_udf
+    if _desc_udf is None:
+        _desc_udf = _make_udf(_desc)
+    c = F.col(col) if isinstance(col, str) else col
+    return _desc_udf(c, F.lit(key if key is not None else "_"))

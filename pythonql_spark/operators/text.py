@@ -1,0 +1,107 @@
+"""Text-analysis operators for training-data pipelines.
+
+All of these are pure JVM-side column expressions (whole-stage
+codegen, no Python in the hot path).  Every formula is emitted in two
+dialects — ``spark`` and ``duck`` — from the same definition, so the
+driver's DuckDB oracle hash-matches values exactly.  Dialect deltas:
+``size``/``len``, ``array_contains``/``list_contains``, regex escapes
+and DuckDB's explicit ``'g'`` flag on regexp_replace.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deterministic per-language stopword lists for the stopword-hit
+# language-ID heuristic (ASCII, lower-case)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "une", "que"],
+    "de": ["der", "die", "und", "das", "von", "zu", "den", "mit", "auf", "ist"],
+}
+
+# BPE-ish token regex: letter runs, single digits, punctuation marks
+_TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def _ws(dialect: str) -> str:
+    # whitespace regex as it must appear inside a SQL string literal
+    return "\\\\s+" if dialect == "spark" else "\\s+"
+
+
+def words(col: str = "text", dialect: str = "spark") -> str:
+    if dialect == "spark":
+        return f"split(trim({col}), '{_ws(dialect)}')"
+    return f"str_split_regex(trim({col}), '{_ws(dialect)}')"
+
+
+def token_count(col: str = "text", dialect: str = "spark") -> str:
+    """Whitespace token count (bigint in both dialects)."""
+    fn = "size" if dialect == "spark" else "len"
+    return f"cast({fn}({words(col, dialect)}) as bigint)"
+
+
+def bpe_token_count(col: str = "text", dialect: str = "spark") -> str:
+    """BPE-ish token estimate via regex extraction."""
+    if dialect == "spark":
+        return f"cast(size(regexp_extract_all({col}, '{_TOKEN_RE}', 0)) as bigint)"
+    return f"cast(len(regexp_extract_all({col}, '{_TOKEN_RE}')) as bigint)"
+
+
+def stopword_hits(col: str, lang: str, dialect: str = "spark") -> str:
+    """Count of the language's stopwords present (per-word containment
+    sum — no set-semantics pitfalls)."""
+    contains = "array_contains" if dialect == "spark" else "list_contains"
+    w = words(col, dialect)
+    terms = " + ".join(
+        f"cast({contains}({w}, '{s}') as int)" for s in STOPWORDS[lang])
+    return f"({terms})"
+
+
+def lang_id(col: str = "text", dialect: str = "spark") -> str:
+    """Argmax of per-language stopword hits; ties go to the first
+    language code in sorted order; 'und' when nothing matches."""
+    scores = {lang: stopword_hits(col, lang, dialect)
+              for lang in sorted(STOPWORDS)}
+    best = f"greatest({', '.join(scores.values())})"
+    return (f"CASE WHEN {best} = 0 THEN 'und' "
+            + " ".join(f"WHEN {scores[lang]} = {best} THEN '{lang}'"
+                       for lang in sorted(STOPWORDS))
+            + " ELSE 'und' END")
+
+
+def _regexp_replace(col: str, pat: str, rep: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"regexp_replace({col}, '{pat}', '{rep}')"
+    return f"regexp_replace({col}, '{pat}', '{rep}', 'g')"
+
+
+def quality_score(col: str = "text", dialect: str = "spark") -> str:
+    """Heuristic quality in [0,1]: length factor, word-count factor,
+    alpha ratio, English-stopword factor.  Single deterministic double
+    ops in a fixed order — bit-identical across engines."""
+    n_chars = f"length({col})"
+    n_words = token_count(col, dialect)
+    alpha = f"length({_regexp_replace(col, '[^A-Za-z]', '', dialect)})"
+    stop = stopword_hits(col, "en", dialect)
+    return (
+        f"cast(round("
+        f"0.25 * least(cast({n_chars} as double) / 500.0, 1.0) + "
+        f"0.25 * least(cast({n_words} as double) / 100.0, 1.0) + "
+        f"0.25 * (cast({alpha} as double) / cast(greatest({n_chars}, 1) as double)) + "
+        f"0.25 * least(cast({stop} as double) / 5.0, 1.0)"
+        f", 6) as double)"
+    )
+
+
+def fingerprint(col: str = "text", dialect: str = "spark") -> str:
+    """Document fingerprint: md5 of case-folded, whitespace-collapsed
+    text (the exact-dedup key)."""
+    inner = _regexp_replace(col, _ws(dialect), " ", dialect)
+    return f"md5(lower(trim({inner})))"
+
+
+def as_col(e: str) -> Column:
+    return F.expr(e)

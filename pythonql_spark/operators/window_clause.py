@@ -1,0 +1,100 @@
+"""Predicate-driven sliding / tumbling windows.
+
+Reference semantics (Executor.py:568-638 processWindowClause +
+Grammar.md `window`): scan an ordered sequence; open a window when
+``start_when`` holds (tumbling: only if no window is open); every open
+window absorbs each element; close it when ``end_when`` holds; with
+``only_end`` unclosed windows are dropped, otherwise they are emitted
+at end-of-sequence.  Start/end conditions see the current element, its
+index, and its neighbours (the reference's s_curr/s_at/s_prev/s_next
+and e_* variables).
+
+Spark-first shape: the sequence is a DataFrame partitioned by
+``partition_by`` (one logical sequence per key — e.g. one per user)
+and ordered by ``order_by`` within the key.  Each key's sequence is
+processed in one Arrow batch via ``applyInPandas`` — distributed
+across executors by key, never collected to the driver.  For a single
+global sequence pass ``partition_by=None`` (all rows flow to one
+task; fine for bounded sequences, document the skew).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def predicate_windows(
+    df: DataFrame,
+    order_by: str | list[str],
+    start_when: Callable,
+    end_when: Callable | None = None,
+    *,
+    partition_by: str | list[str] | None = None,
+    tumbling: bool = False,
+    only_end: bool = False,
+) -> DataFrame:
+    """Returns one row per window: partition keys, ``window`` (array of
+    structs of the non-partition columns, in order), ``s_at``/``e_at``
+    (0-based indexes into the key's sequence) and ``closed``.
+
+    ``start_when(curr, at, prev, nxt)`` and
+    ``end_when(curr, at, prev, nxt, s_curr, s_at)`` receive dict rows
+    (or the bare value if the sequence has a single value column).
+    """
+    part = [partition_by] if isinstance(partition_by, str) else (partition_by or [])
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+
+    value_fields = [f for f in df.schema.fields if f.name not in part]
+    value_names = [f.name for f in value_fields]
+    single = value_names[0] if len(value_names) == 1 else None
+
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name in part]
+        + [
+            T.StructField("window", T.ArrayType(T.StructType(value_fields))),
+            T.StructField("s_at", T.LongType()),
+            T.StructField("e_at", T.LongType()),
+            T.StructField("closed", T.BooleanType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        keys = {k: pdf.iloc[0][k] for k in part} if part else {}
+        rows = pdf[value_names].to_dict("records")
+        vals = [r[single] if single else r for r in rows]
+        n = len(vals)
+        out = []
+        open_ws: list[dict] = []
+        for i in range(n):
+            prev = vals[i - 1] if i > 0 else None
+            nxt = vals[i + 1] if i + 1 < n else None
+            if not tumbling or not open_ws:
+                if start_when(vals[i], i, prev, nxt):
+                    open_ws.append({"rows": [], "s_at": i, "s_curr": vals[i]})
+            still = []
+            for w in open_ws:
+                w["rows"].append(rows[i])
+                if end_when and end_when(vals[i], i, prev, nxt,
+                                         w["s_curr"], w["s_at"]):
+                    out.append({**keys, "window": w["rows"],
+                                "s_at": w["s_at"], "e_at": i, "closed": True})
+                else:
+                    still.append(w)
+            open_ws = still
+        if not only_end:
+            for w in open_ws:
+                out.append({**keys, "window": w["rows"],
+                            "s_at": w["s_at"], "e_at": n - 1, "closed": False})
+        return pd.DataFrame(out, columns=[*part, "window", "s_at", "e_at", "closed"])
+
+    if part:
+        return df.groupBy(*part).applyInPandas(run, out_schema)
+    # single global sequence: one group (bounded-size sequences only)
+    return (df.withColumn("__g", F.lit(1)).groupBy("__g")
+            .applyInPandas(lambda pdf: run(pdf.drop(columns="__g")), out_schema))

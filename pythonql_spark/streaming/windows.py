@@ -1,0 +1,60 @@
+"""Event-time windows — the Spark-first upgrade of the reference's
+window clause (Grammar.md `window`; Executor.py:568-638).
+
+The reference scans an in-memory sequence; at 100 TB the same
+semantics are event-time windows over a (possibly unbounded) stream.
+These helpers work identically on batch DataFrames and on
+``readStream`` DataFrames — the functions only declare the plan, so
+the same code path is used by the batch oracle queries and the
+streaming tests (with watermarks for state eviction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_watermark(df: DataFrame, ts_col: str = "ts",
+                   delay: str = "10 minutes") -> DataFrame:
+    """Late-data bound; on a stream this also bounds window state."""
+    return df.withWatermark(ts_col, delay) if df.isStreaming else df
+
+
+def _aggs(aggs: dict[str, Column] | None) -> list[Column]:
+    aggs = aggs or {"n_events": F.count(F.lit(1))}
+    return [c.alias(n) for n, c in aggs.items()]
+
+
+def tumbling_agg(df: DataFrame, duration: str, ts_col: str = "ts",
+                 keys: list[str] | None = None,
+                 aggs: dict[str, Column] | None = None) -> DataFrame:
+    """Non-overlapping event-time windows (epoch-aligned)."""
+    w = F.window(F.col(ts_col), duration)
+    return (df.groupBy(w, *(keys or []))
+            .agg(*_aggs(aggs))
+            .withColumn("window_start", F.col("window.start"))
+            .drop("window"))
+
+
+def sliding_agg(df: DataFrame, duration: str, slide: str,
+                ts_col: str = "ts", keys: list[str] | None = None,
+                aggs: dict[str, Column] | None = None) -> DataFrame:
+    """Overlapping windows: each event lands in duration/slide windows."""
+    w = F.window(F.col(ts_col), duration, slide)
+    return (df.groupBy(w, *(keys or []))
+            .agg(*_aggs(aggs))
+            .withColumn("window_start", F.col("window.start"))
+            .drop("window"))
+
+
+def session_agg(df: DataFrame, gap: str, ts_col: str = "ts",
+                keys: list[str] | None = None,
+                aggs: dict[str, Column] | None = None) -> DataFrame:
+    """Gap-based session windows (a new session starts when the gap
+    since the previous event reaches ``gap``)."""
+    w = F.session_window(F.col(ts_col), gap)
+    return (df.groupBy(w, *(keys or []))
+            .agg(*_aggs(aggs))
+            .withColumn("session_start", F.col("session_window.start"))
+            .drop("session_window"))
