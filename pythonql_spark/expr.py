@@ -16,7 +16,8 @@ from __future__ import annotations
 import re
 
 AGG_FNS = ("sum", "count", "avg", "min", "max", "len", "list", "count_distinct",
-           "stddev", "variance", "first", "last", "collect_set")
+           "stddev", "variance", "first", "last", "collect_set",
+           "min_by", "max_by", "any_value", "median", "mode")
 
 # Spark-native name for parity aliases the reference allows in clause
 # expressions (Python builtins over grouped lists).

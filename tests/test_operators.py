@@ -1,0 +1,138 @@
+"""Unit tests: dedup, similarity, text, multimodal operators."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pythonql_spark.operators import multimodal as MM
+from pythonql_spark.operators import text as TX
+from pythonql_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from pythonql_spark.operators.similarity import brute_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "a"),
+        (1, "the quick brown fox jumps over the lazy dog", "a"),   # exact dup
+        (2, "the quick brown fox leaps over the lazy dog", "a"),   # near dup
+        (3, "completely different text about spark engines", "a"),
+        (4, "THE QUICK  BROWN fox jumps over the lazy dog", "a"),  # case/ws dup
+        (5, "yet another unrelated document entirely here", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup(docs):
+    kept = exact_dedup(docs)
+    rows = {r.doc_id: r.dup_count for r in kept.collect()}
+    # 0,1,4 collapse (case/whitespace-insensitive); min id 0 kept
+    assert rows[0] == 3
+    assert set(rows) == {0, 2, 3, 5}
+
+
+def test_minhash_finds_near_dups(docs):
+    # word-level shingles: the one-word edit keeps jaccard ≈ 0.78
+    pairs = minhash_lsh_pairs(docs, ngram=1, jaccard_threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got           # identical
+    assert (0, 2) in got           # near dup
+    assert all(a < b for a, b in got)
+
+
+def test_simhash_pairs(docs):
+    pairs = simhash_pairs(docs, max_hamming=10)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert (0, 5) not in got
+
+
+def test_ngram_jaccard(docs):
+    pairs = ngram_jaccard_pairs(docs, ["source"], ngram=1, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 2)] == pytest.approx(round(7 / 9, 6), abs=1e-6)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import numpy as np
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 8).astype("float32")
+    base[1] = base[0] + 0.01 * rng.randn(8)      # near-dup of 0
+    rows = [(i, [float(x) for x in base[i]], int(i % 2)) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_topk(vecs):
+    top = brute_topk(vecs, query_ids=[0], k=3)
+    rows = sorted(top.collect(), key=lambda r: r.rank)
+    assert rows[0].n_id == 1            # the planted near-duplicate
+    assert rows[0].cosine > 0.99
+    assert [r.rank for r in rows] == [1, 2, 3]
+
+
+def test_lsh_topk_recall(vecs):
+    exact = {r.n_id for r in brute_topk(vecs, [0], k=3).collect()}
+    approx = {r.n_id for r in lsh_topk(vecs, [0], k=3, n_planes=8,
+                                       probe_hamming=3).collect()}
+    # hamming-probe LSH should recover most of the true top-k
+    assert len(exact & approx) >= 2
+
+
+def test_text_expressions(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog, in a house!"),
+         (1, "el que de la y en los del las por")], "doc_id long, text string")
+    out = df.selectExpr(
+        TX.token_count("text") + " as n",
+        TX.bpe_token_count("text") + " as nb",
+        TX.lang_id("text") + " as lang",
+        TX.quality_score("text") + " as q",
+        TX.fingerprint("text") + " as fp").collect()
+    assert out[0]["n"] == 8
+    assert out[0]["lang"] == "en" and out[1]["lang"] == "es"
+    assert 0.0 <= out[0]["q"] <= 1.0
+    assert len(out[0]["fp"]) == 32
+    # fingerprint invariant to case/whitespace
+    df2 = spark.createDataFrame([(0, "THE CAT  and the DOG, in a house!")],
+                                "doc_id long, text string")
+    fp2 = df2.selectExpr(TX.fingerprint("text") + " as fp").first().fp
+    assert fp2 == out[0]["fp"]
+
+
+def test_multimodal_roundtrip(spark):
+    rows = [(i, bytes(range(i, i + 32)), 64 + i, 48, 400) for i in range(4)]
+    df = (spark.createDataFrame(rows, "id long, data binary, w int, h int, dur int")
+          .select("id", MM.make_media("data", "image", "png", F.col("w"),
+                                      F.col("h"), F.col("dur")).alias("media")))
+    dec = MM.decode_image(df, fake=True)
+    got = dec.select("id", "pixels_sample", "mean_intensity").collect()
+    assert len(got) == 4
+    assert all(len(r.pixels_sample) == 16 for r in got)
+    # deterministic: same bytes → same features
+    again = MM.decode_image(df, fake=True).select("mean_intensity").collect()
+    assert [r.mean_intensity for r in again] == [r.mean_intensity for r in got]
+
+    resized = MM.resize_image(df, 32, 24, fake=True)
+    m = resized.select("media.meta.width", "media.meta.height").first()
+    assert (m[0], m[1]) == (32, 24)
+
+    frames = MM.sample_frames(df, every_ms=100, fake=True)
+    per = frames.groupBy("id").count().collect()
+    assert all(r["count"] == 4 for r in per)   # 400ms / 100ms
+
+
+def test_multimodal_real_decode_raises(spark):
+    df = (spark.createDataFrame([(0, b"xx", 1, 1, 1)],
+                                "id long, data binary, w int, h int, dur int")
+          .select(MM.make_media("data", "image", "png", F.col("w"),
+                                F.col("h"), F.col("dur")).alias("media")))
+    with pytest.raises(Exception):
+        MM.decode_image(df).collect()

@@ -1,0 +1,31 @@
+"""The driver's correctness gate, run in-repo: every ``queries()``
+entry vs its ``oracle_sql()`` at sf0.001 (row count + sorted-column
+order-insensitive value hash via DuckDB)."""
+
+import pytest
+
+import __spark_entry__ as entry
+from pythonql_spark.oracle_check import compare
+
+QUERIES = entry.queries()
+ORACLES = entry.oracle_sql()
+
+
+def test_every_oracle_key_has_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query(name, spark, sf_dir):
+    fn = QUERIES[name]
+    if name not in ORACLES:
+        # rows-only gate for non-SQL-expressible ops
+        assert fn(spark, sf_dir).count() >= 0
+        return
+    res = compare(fn(spark, sf_dir), ORACLES[name], sf_dir)
+    assert res["ok"], res
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    assert df.count() > 0
