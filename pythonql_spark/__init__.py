@@ -20,6 +20,7 @@ Public API:
 
 from pythonql_spark.session import get_spark
 from pythonql_spark.query import Query
+from pythonql_spark import helpers
 
-__all__ = ["Query", "get_spark"]
+__all__ = ["Query", "get_spark", "helpers"]
 __version__ = "0.1.0"

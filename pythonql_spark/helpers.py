@@ -1,0 +1,62 @@
+"""Parity helpers (reference pythonql/helpers.py, pandas_lib.py).
+
+The reference's helpers operate on in-memory tuple generators; here
+they are DataFrame-shaped:
+
+* ``flatten_deep``  — deep-flatten nested array columns (helpers.py:18
+  ``flatten``); fixed-depth JVM expression, no Python.
+* ``outer``         — reference helpers.py:11: empty sequence → [None]
+  so the following ``for`` keeps the row.  In the DSL this is
+  ``for_(var, expr, outer=True)`` (explode_outer); the helper exists
+  for standalone use.
+* ``empty``         — predicate for "sequence has no rows".
+* ``to_df`` / ``print_table`` — pandas bridge / pretty print
+  (pandas_lib.py:to_df, helpers.py:print_table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def flatten_deep(df: DataFrame, col: str) -> DataFrame:
+    """Deep-flatten a nested array column to a single level, driven by
+    the actual schema (arrays in Spark are finitely typed, so the loop
+    terminates).  Each step is the JVM ``flatten``; no Python."""
+    from pyspark.sql import types as T
+
+    def nesting(dt) -> int:
+        n = 0
+        while isinstance(dt, T.ArrayType):
+            n += 1
+            dt = dt.elementType
+        return n
+
+    dt = df.schema[col].dataType
+    for _ in range(nesting(dt) - 1):
+        df = df.withColumn(col, F.flatten(F.col(col)))
+    return df
+
+
+def outer(col: str | Column) -> Column:
+    """Empty/null array → array(null), so explode keeps the row.
+    Equivalent to using explode_outer."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isNull() | (F.size(c) == 0),
+                  F.array(F.lit(None))).otherwise(c)
+
+
+def empty(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNull() | (F.size(c) == 0)
+
+
+def to_df(df: DataFrame, limit: int | None = None):
+    """DataFrame → pandas (reference pandas_lib.to_df)."""
+    return (df.limit(limit) if limit else df).toPandas()
+
+
+def print_table(df: DataFrame, n: int = 20, max_len: int = 0) -> None:
+    """Pretty-print (reference helpers.print_table)."""
+    df.show(n, truncate=max_len if max_len else True)

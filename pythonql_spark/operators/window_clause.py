@@ -37,6 +37,7 @@ def predicate_windows(
     partition_by: str | list[str] | None = None,
     tumbling: bool = False,
     only_end: bool = False,
+    exclude_from_window: list[str] | None = None,
 ) -> DataFrame:
     """Returns one row per window: partition keys, ``window`` (array of
     structs of the non-partition columns, in order), ``s_at``/``e_at``
@@ -48,8 +49,10 @@ def predicate_windows(
     """
     part = [partition_by] if isinstance(partition_by, str) else (partition_by or [])
     order = [order_by] if isinstance(order_by, str) else list(order_by)
+    hidden = set(exclude_from_window or [])
 
-    value_fields = [f for f in df.schema.fields if f.name not in part]
+    value_fields = [f for f in df.schema.fields
+                    if f.name not in part and f.name not in hidden]
     value_names = [f.name for f in value_fields]
     single = value_names[0] if len(value_names) == 1 else None
 

@@ -94,6 +94,19 @@ class Query:
         ``order`` expression is required for a deterministic index."""
         return self._add(kind="count", var=var, order=order)
 
+    def window_(self, var: str, *, order_by, start_when, end_when=None,
+                partition_by=None, tumbling: bool = False,
+                only_end: bool = False) -> "Query":
+        """Predicate-window clause (reference Grammar.md `window`):
+        consumes the current binding sequence (per ``partition_by``
+        key, ordered by ``order_by`` expressions) and binds ``var`` to
+        each window (array of structs) plus ``s_at``/``e_at``/``closed``
+        columns.  See operators.window_clause.predicate_windows."""
+        return self._add(kind="window", var=var, order_by=order_by,
+                         start_when=start_when, end_when=end_when,
+                         partition_by=partition_by, tumbling=tumbling,
+                         only_end=only_end)
+
     def group_by(self, *keys: str) -> "Query":
         """``group by expr as alias, ...``; non-key variables follow
         the implicit-list semantics (see module docstring)."""
@@ -367,6 +380,27 @@ class _Compiler:
             cj[name][int(n)] = new_text
         else:
             cj[field] = new_text
+
+    def _c_window(self, i: int, c: dict):
+        from pythonql_spark.operators.window_clause import predicate_windows
+        order = c["order_by"]
+        order = [order] if isinstance(order, str) else list(order)
+        part = c["partition_by"]
+        part = [part] if isinstance(part, str) else list(part or [])
+        # order expressions may reference struct fields — materialize
+        # them as hidden sort columns excluded from the window structs
+        ord_cols = []
+        for k, e in enumerate(order):
+            name = f"__ord{k}"
+            self.df = self.df.withColumn(name, self._expr(e))
+            ord_cols.append(name)
+        out = predicate_windows(
+            self.df, order_by=ord_cols,
+            start_when=c["start_when"], end_when=c["end_when"],
+            partition_by=part or None, tumbling=c["tumbling"],
+            only_end=c["only_end"], exclude_from_window=ord_cols)
+        self.df = out.withColumnRenamed("window", c["var"])
+        self.visible = set(self.df.columns)
 
     def _c_orderby(self, i: int, c: dict):
         cols = []

@@ -1,0 +1,61 @@
+"""Clause-level DSL tests beyond the tutorial ports: window clause
+integration, join lifting plan shape, helpers."""
+
+from pyspark.sql import functions as F
+
+from pythonql_spark import Query, helpers
+
+
+def test_window_clause_in_dsl(spark, tables):
+    q = (Query(spark)
+         .for_("e", tables["events"])
+         .let_("user_id", "e.user_id")
+         .window_("w", order_by=["e.ts", "e.event_id"], partition_by="user_id",
+                  start_when=lambda c, a, p, n: True,
+                  end_when=lambda c, a, p, n, sc, sa: a - sa == 2,
+                  only_end=True)
+         .group_by("user_id")
+         .select("user_id", "count(w) as n_windows"))
+    rows = q.df().collect()
+    assert len(rows) > 0 and all(r.n_windows > 0 for r in rows)
+
+
+def test_join_lifting_produces_equi_join(spark, tables):
+    q = (Query(spark)
+         .for_("c", tables["customer"])
+         .for_("o", tables["orders"])
+         .where("c.c_custkey == o.o_custkey")
+         .select("c.c_custkey", "o.o_orderkey"))
+    plan = q.df()._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join Inner" in plan
+    assert "Cross" not in plan
+
+
+def test_filter_pushdown_through_struct_pack(spark, tables):
+    q = (Query(spark)
+         .for_("l", tables["lineitem"])
+         .where("l.l_quantity > 49")
+         .select("l.l_orderkey"))
+    plan = q.df()._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,49.0)]" in plan
+
+
+def test_result_shapes(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (1, "a")], "k int, v string")
+    q = Query(spark).for_("r", df).select("r.k", "r.v")
+    assert len(q.to_list()) == 3
+    assert q.to_set() == {(1, "a"), (2, "b")}
+    assert Query(spark).for_("r", df).select("r.k", "r.v").distinct().to_map() \
+        == {1: "a", 2: "b"}
+
+
+def test_helpers(spark):
+    df = spark.createDataFrame([([[1, 2], [3]],), ([[4]],)], "a array<array<int>>")
+    flat = helpers.flatten_deep(df, "a")
+    assert sorted(flat.select(F.explode("a")).rdd.map(lambda r: r[0]).collect()) \
+        == [1, 2, 3, 4]
+    df2 = spark.createDataFrame([([],), ([1],)], "a array<int>")
+    kept = df2.select(F.explode(helpers.outer("a")).alias("x"))
+    assert kept.count() == 2  # empty array kept as NULL row
+    assert df2.select(helpers.empty("a").alias("e")).rdd.map(lambda r: r[0]).collect() \
+        == [True, False]
