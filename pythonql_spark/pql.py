@@ -1,0 +1,434 @@
+"""PythonQL query-expression *string* front-end.
+
+The reference embeds queries in Python source via a codec/preprocessor
+(``#coding: pythonql`` → parser/Preprocessor.py).  Here the same query
+surface is accepted as a plain string — near-verbatim reference syntax
+(Grammar.md query_expression) — and compiled onto the ``Query`` DSL:
+
+    res = pql(spark, '''
+        select (x, sum(y) as sum)
+        for x in xs, y in ys
+        where x % 2 == 0 and y % 2 != 0 and x > y
+        group by x
+    ''', env={"xs": range(1, 8), "ys": range(1, 7)})
+
+Clauses: select · for (incl. ``for sliding|tumbling window``) · let ·
+where/if · count · group by · order by · match [exact].
+
+Expression translation (Python → Spark SQL): ``**`` → power, ``is
+[not] None`` → IS [NOT] NULL, ``try E except D`` → try_cast-based
+fallback with ``int()``/``float()`` coercions.  Window ``when``
+conditions and match ``where`` conditions are evaluated as Python
+(same as the reference's eval-based executor) with the declared
+window/bind variables in scope.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pythonql_spark import expr as X
+from pythonql_spark.query import Query, _split_as
+
+_CLAUSE_RE = re.compile(
+    r"\b(select|for|let|where|if|count|group\s+by|order\s+by|match)\b",
+    re.IGNORECASE)
+
+
+class AttrDict(dict):
+    """Row dict with attribute access, so reference-style conditions
+    like ``s.y % 2 == 1`` work on window elements."""
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+
+def _attr(v):
+    return AttrDict(v) if isinstance(v, dict) else v
+
+
+# ------------------------------------------------------------- tokenizing
+
+def _top_level_spans(s: str, pattern: re.Pattern) -> list[re.Match]:
+    """Matches of ``pattern`` at paren/bracket/brace depth 0."""
+    masked = X.strip_strings(s)
+    out, depth = [], 0
+    i = 0
+    while i < len(masked):
+        ch = masked[i]
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif depth == 0:
+            m = pattern.match(masked, i)
+            if m and (i == 0 or not masked[i - 1].isalnum() and masked[i - 1] != "_"):
+                out.append(m)
+                i = m.end()
+                continue
+        i += 1
+    return out
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    masked = X.strip_strings(s)
+    parts, depth, last = [], 0, 0
+    for i, ch in enumerate(masked):
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(s[last:i].strip())
+            last = i + 1
+    parts.append(s[last:].strip())
+    return [p for p in parts if p]
+
+
+def _clauses(q: str) -> list[tuple[str, str]]:
+    """Split the query text into (keyword, body) clauses."""
+    q = q.strip()
+    ms = _top_level_spans(q, _CLAUSE_RE)
+    if not ms:
+        raise ValueError("no query clauses found")
+    out = []
+    for i, m in enumerate(ms):
+        kw = re.sub(r"\s+", " ", m.group(1).lower())
+        end = ms[i + 1].start() if i + 1 < len(ms) else len(q)
+        out.append((kw, q[m.end():end].strip().rstrip(",")))
+    return out
+
+
+# ---------------------------------------------------------- translation
+
+def _translate_py(e: str) -> str:
+    """Python-isms → Spark SQL (beyond expr.translate)."""
+    # try E except D
+    m = re.search(r"\btry\b(.*)\bexcept\b(.*)", X.strip_strings(e), re.DOTALL)
+    if m:
+        body = e[m.start(1):m.end(1)].strip()
+        default = e[m.start(2):m.end(2)].strip()
+        body = _coerce_casts(body)
+        e = f"coalesce(try_cast({body} as double), {default})"
+    # x ** k → power(x, k)
+    e = re.sub(r"(\w+(?:\.\w+)*|\([^()]*\))\s*\*\*\s*(\w+(?:\.\w+)*)",
+               r"power(\1, \2)", e)
+    return e
+
+
+def _coerce_casts(e: str) -> str:
+    """int(x) / float(x) inside a ``try`` body → try_cast (a plain
+    cast would raise under ANSI before the outer handler sees it)."""
+    for fn, t in (("int", "bigint"), ("float", "double"), ("str", "string")):
+        while True:
+            m = re.search(rf"\b{fn}\s*\(", e)
+            if not m:
+                break
+            depth, i = 1, m.end()
+            while i < len(e) and depth:
+                depth += e[i] == "("
+                depth -= e[i] == ")"
+                i += 1
+            inner = e[m.end():i - 1]
+            e = e[:m.start()] + f"try_cast({inner} as {t})" + e[i:]
+    return e
+
+
+def _tuple_ctor(body: str) -> list[str]:
+    """``(a, f(b) as n)`` → select expression list; bare expr passes
+    through (single-column select)."""
+    body = body.strip()
+    if body.startswith("(") and body.endswith(")"):
+        inner = body[1:-1]
+        items = _split_top(inner)
+        if len(items) > 1 or re.search(r"\bas\b", X.strip_strings(inner)):
+            return [_translate_py(it) for it in items]
+    return [_translate_py(body)]
+
+
+# -------------------------------------------------------------- sources
+
+def _sql_type(v) -> str:
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "bigint"
+    if isinstance(v, float):
+        return "double"
+    return "string"
+
+
+def _as_df(spark: SparkSession, val: Any, var: str,
+           with_pos: bool = False) -> tuple[DataFrame | None, bool]:
+    """(df, scalar?).  ``with_pos`` adds a ``__pos`` input-order column
+    (window sources need the sequence order the reference iterates in;
+    DataFrame sources carry their own ordering columns instead)."""
+    if isinstance(val, DataFrame):
+        return val, False
+    if isinstance(val, Query):
+        return val.df(), False
+    if isinstance(val, range):
+        val = list(val)
+    if isinstance(val, (list, tuple)) and len(val):
+        first = val[0]
+        if isinstance(first, dict) or hasattr(first, "_fields"):
+            df = spark.createDataFrame(
+                [{**(v if isinstance(v, dict) else v._asdict()), "__pos": i}
+                 for i, v in enumerate(val)]) if with_pos \
+                else spark.createDataFrame(list(val))
+            return df, False
+        if isinstance(first, (list, tuple)):
+            return spark.createDataFrame(list(val)), False
+        t = _sql_type(first)
+        if with_pos:
+            return spark.createDataFrame(
+                [(i, v) for i, v in enumerate(val)],
+                f"__pos bigint, {var} {t}"), True
+        return spark.createDataFrame([(v,) for v in val], f"{var} {t}"), True
+    return None, False
+
+
+# ------------------------------------------------------------- windows
+
+_WIN_RE = re.compile(
+    r"^(sliding|tumbling)\s+window\s+(\w+)\s+in\s+(.*?)"
+    r"\bstart\b(.*?)\bwhen\b(.*?)(?:(\bonly\b)?\s*\bend\b(.*?)\bwhen\b(.*))?$",
+    re.IGNORECASE | re.DOTALL)
+
+_WVARS_RE = re.compile(
+    r"^\s*(\w+)?\s*(?:\bat\s+(\w+))?\s*(?:\bprevious\s+(\w+))?\s*"
+    r"(?:\bfollowing\s+(\w+))?\s*$", re.IGNORECASE)
+
+
+def _cond_fn(cond: str, names: dict[str, str]):
+    """Compile a reference window ``when`` condition to a Python
+    callable over (curr, at, prev, nxt[, s_curr, s_at])."""
+    code = compile(cond.strip() or "True", "<pql-when>", "eval")
+
+    def fn(*args):
+        if len(args) == 4:
+            curr, at, prev, nxt = args
+            sc = sa = None
+        else:
+            curr, at, prev, nxt, sc, sa = args
+        env = {}
+        for role, name in names.items():
+            if not name:
+                continue
+            env[name] = {"curr": _attr(curr), "at": at, "prev": _attr(prev),
+                         "next": _attr(nxt), "s_curr": _attr(sc), "s_at": sa}[role]
+        return bool(eval(code, {"__builtins__": {}}, env))
+    return fn
+
+
+# --------------------------------------------------------------- match
+
+def _parse_match_pattern(src: str) -> tuple[dict, int]:
+    """Parse ``{ "key" : spec, ... }`` starting at src[0]=='{'.
+    spec: string/number literal | as NAME [where cond] | nested {}."""
+    from pythonql_spark.operators.match_clause import Bind
+    assert src[0] == "{"
+    i, pat = 1, {}
+    while True:
+        while i < len(src) and src[i] in " \t\n,":
+            i += 1
+        if src[i] == "}":
+            return pat, i + 1
+        m = re.match(r'"((?:[^"\\]|\\.)*)"\s*:', src[i:])
+        if not m:
+            raise ValueError(f"bad match pattern near: {src[i:i+40]!r}")
+        key = m.group(1)
+        i += m.end()
+        while src[i] in " \t\n":
+            i += 1
+        if src[i] == "{":
+            sub, used = _parse_match_pattern(src[i:])
+            pat[key] = sub
+            i += used
+        elif src[i:].lstrip().startswith("as "):
+            m2 = re.match(r"\s*as\s+(\w+)\s*(?:\bwhere\b([^,}]*))?", src[i:])
+            name, cond = m2.group(1), m2.group(2)
+            if cond:
+                code = compile(cond.strip(), "<pql-match>", "eval")
+                pat[key] = Bind(name, where=lambda v, _c=code, _n=name:
+                                bool(eval(_c, {"__builtins__": {}}, {_n: v})))
+            else:
+                pat[key] = Bind(name)
+            i += m2.end()
+        else:
+            m3 = re.match(r'"((?:[^"\\]|\\.)*)"|(-?\d+\.?\d*)|\b(true|false)\b',
+                          src[i:])
+            if not m3:
+                raise ValueError(f"bad match const near: {src[i:i+40]!r}")
+            if m3.group(1) is not None:
+                pat[key] = m3.group(1)
+            elif m3.group(2) is not None:
+                v = m3.group(2)
+                pat[key] = float(v) if "." in v else int(v)
+            else:
+                pat[key] = m3.group(3) == "true"
+            i += m3.end()
+
+
+# ----------------------------------------------------------------- main
+
+def _rewrite_seq_aggs(e: str, seq_vars: set[str]) -> str:
+    """Aggregate calls over window-clause variables fold the array:
+    ``sum(w)`` → aggregate(w, 0, +) etc. (reference evaluates Python
+    ``sum`` over the materialized window list)."""
+    folds = {
+        "sum": "aggregate({v}, cast(0 as double), (acc, x) -> acc + x)",
+        "len": "size({v})", "count": "size({v})",
+        "min": "array_min({v})", "max": "array_max({v})",
+        "avg": "(aggregate({v}, cast(0 as double), (acc, x) -> acc + x) / size({v}))",
+    }
+    for s, t, fn, inner in sorted(X.find_agg_spans(e), reverse=True):
+        if inner in seq_vars and fn in folds:
+            e = e[:s] + folds[fn].format(v=inner) + e[t:]
+    return e
+
+
+def pql(spark: SparkSession, query: str,
+        env: dict[str, Any] | None = None) -> DataFrame:
+    """Compile and run a PythonQL query-expression string; returns a
+    DataFrame (use .collect()/.toPandas() for materialization)."""
+    env = env or {}
+    clauses = _clauses(query)
+    q = Query(spark)
+    select_body: str | None = None
+    seq_vars: set[str] = set()   # window vars (array columns)
+
+    def tr(e: str) -> str:
+        return _rewrite_seq_aggs(_translate_py(e), seq_vars)
+
+    for kw, body in clauses:
+        if kw == "select":
+            select_body = body
+        elif kw == "for":
+            wm = _WIN_RE.match(body.strip())
+            if wm:
+                seq_vars.add(_window_clause(spark, q, wm, env))
+                continue
+            for item in _split_top(body):
+                m = re.match(r"^\(?([\w\s,]+?)\)?\s+in\s+(.*)$", item, re.DOTALL)
+                if not m:
+                    raise ValueError(f"bad for clause: {item!r}")
+                var, src = m.group(1).strip(), m.group(2).strip()
+                val = env.get(src)
+                if val is None and re.fullmatch(r"range\([\d\s,+-]*\)", src):
+                    val = eval(src, {"__builtins__": {}}, {"range": range})
+                df, scalar = (_as_df(spark, val, var)
+                              if val is not None else (None, False))
+                if df is not None:
+                    if "," in var:
+                        names = [v.strip() for v in var.split(",")]
+                        df = df.toDF(*names)
+                        q.raw_for_(df)
+                    else:
+                        q.for_(var, df, scalar=scalar)
+                else:
+                    q.for_(var, tr(src))
+        elif kw == "let":
+            for item in _split_top(body):
+                var, e = item.split("=", 1)
+                q.let_(var.strip(), tr(e.strip()))
+        elif kw in ("where", "if"):
+            q.where(tr(body))
+        elif kw == "count":
+            q.count_(body.strip())
+        elif kw == "group by":
+            keys = []
+            for item in _split_top(body):
+                e, alias = _split_as(item)
+                e = tr(e)
+                keys.append(f"{e} as {alias}" if alias else e)
+            q.group_by(*keys)
+        elif kw == "order by":
+            q.order_by(*[tr(s) for s in _split_top(body)])
+        elif kw == "match":
+            _match_clause(spark, q, body, env)
+        else:
+            raise ValueError(f"unsupported clause: {kw}")
+
+    if select_body is None:
+        raise ValueError("query must have a select clause")
+    q.select(*[_rewrite_seq_aggs(e, seq_vars) for e in _tuple_ctor(select_body)])
+    return q.df()
+
+
+def _window_clause(spark, q: Query, wm: re.Match, env) -> str:
+    """Standalone window clause over an env-provided sequence.
+    Returns the window variable name (an array column downstream)."""
+    kind, wvar, src = wm.group(1).lower(), wm.group(2), wm.group(3).strip()
+    s_vars, s_when = wm.group(4), wm.group(5)
+    only = bool(wm.group(6))
+    e_vars, e_when = wm.group(7), wm.group(8)
+
+    sv = _WVARS_RE.match((s_vars or "").strip())
+    s_names = {"curr": sv.group(1), "at": sv.group(2),
+               "prev": sv.group(3), "next": sv.group(4)}
+    start_fn = _cond_fn(s_when, s_names)
+
+    end_fn, e_names = None, {}
+    if e_when is not None:
+        ev = _WVARS_RE.match((e_vars or "").strip())
+        e_names = {"curr": ev.group(1), "at": ev.group(2),
+                   "prev": ev.group(3), "next": ev.group(4),
+                   "s_curr": s_names["curr"], "s_at": s_names["at"]}
+        end_fn = _cond_fn(e_when, e_names)
+
+    if src not in env:
+        raise ValueError(f"window source {src!r} not found in env")
+    seq, scalar = _as_df(spark, env[src], "v", with_pos=True)
+    if seq is None:
+        raise ValueError(f"window source {src!r} is empty or unsupported")
+    if "__pos" not in seq.columns:
+        from pyspark.sql import functions as F
+        seq = seq.withColumn("__pos", F.monotonically_increasing_id())
+
+    from pythonql_spark.operators.window_clause import predicate_windows
+    wdf = predicate_windows(seq, order_by="__pos",
+                            start_when=start_fn, end_when=end_fn,
+                            tumbling=(kind == "tumbling"), only_end=only,
+                            exclude_from_window=["__pos"])
+    # rename/derive the user's declared window variables
+    value_cols = [c for c in seq.columns if c != "__pos"]
+    single = value_cols[0] if len(value_cols) == 1 else None
+    from pyspark.sql import functions as F
+    if single and scalar:
+        wdf = wdf.withColumn("window", F.expr(f"transform(window, x -> x.{single})"))
+    wdf = wdf.withColumnRenamed("window", wvar)
+    if s_names["curr"]:
+        wdf = wdf.withColumn(s_names["curr"], F.expr(f"{wvar}[0]"))
+    if s_names["at"]:
+        wdf = wdf.withColumnRenamed("s_at", s_names["at"])
+    if e_names.get("curr"):
+        wdf = wdf.withColumn(e_names["curr"], F.expr(f"element_at({wvar}, -1)"))
+    if e_names.get("at"):
+        wdf = wdf.withColumnRenamed("e_at", e_names["at"])
+    q.raw_for_(wdf)
+    return wvar
+
+
+def _match_clause(spark, q: Query, body: str, env) -> None:
+    from pythonql_spark.operators.match_clause import match_pattern
+    m = re.match(r"^(exact\s+)?(\{.*\})\s*(?:as\s+(\w+)\s+)?in\s+(\w+)\s*$",
+                 body.strip(), re.DOTALL)
+    if not m:
+        raise ValueError(f"bad match clause: {body[:60]!r}")
+    exact, pat_src, parent, src = (bool(m.group(1)), m.group(2),
+                                   m.group(3), m.group(4))
+    pattern, _ = _parse_match_pattern(pat_src.strip())
+    val = env[src]
+    if not isinstance(val, DataFrame):
+        import json
+        val = spark.createDataFrame(
+            [(json.dumps(v, sort_keys=True),) for v in val],
+            f"{parent or 'z'} string")
+    matched = match_pattern(val, val.columns[0], pattern, exact=exact)
+    q.raw_for_(matched)

@@ -74,13 +74,23 @@ class Query:
         return self
 
     # ---- clauses -------------------------------------------------
-    def for_(self, var, source, outer: bool = False, hint: str | None = None) -> "Query":
+    def for_(self, var, source, outer: bool = False, hint: str | None = None,
+             scalar: bool = False) -> "Query":
         """``for var in source``.  source: DataFrame (scan, packed as a
         struct column) or an expression string over visible variables
         (correlated iteration → lateral explode).  ``outer=True`` on a
         lateral keeps rows with empty sequences (reference
-        helpers.py:outer).  ``hint='broadcast'`` marks a small dim."""
-        return self._add(kind="for", var=var, source=source, outer=outer, hint=hint)
+        helpers.py:outer).  ``hint='broadcast'`` marks a small dim.
+        ``scalar=True``: source is a single-column table whose values
+        bind directly to ``var`` (no struct pack) — the reference's
+        ``for x in [1,2,3]`` shape."""
+        return self._add(kind="for", var=var, source=source, outer=outer,
+                         hint=hint, scalar=scalar)
+
+    def raw_for_(self, df) -> "Query":
+        """Bind a DataFrame's columns directly as visible variables
+        (used by operator front-ends like pql windows/match)."""
+        return self._add(kind="raw", df=df)
 
     def let_(self, var: str, expression) -> "Query":
         return self._add(kind="let", var=var, expression=expression)
@@ -197,7 +207,11 @@ class _Compiler:
         if isinstance(src, Query):
             src = src.df()
         if isinstance(src, DataFrame):
-            packed = _pack(src, var)
+            if c.get("scalar"):
+                assert len(src.columns) == 1, "scalar for_ needs 1 column"
+                packed = src.select(F.col(src.columns[0]).alias(var))
+            else:
+                packed = _pack(src, var)
             if c.get("hint") == "broadcast":
                 packed = F.broadcast(packed)
             if self.df is None:
@@ -210,6 +224,11 @@ class _Compiler:
                     self.df = self.df.crossJoin(packed)
         else:
             # correlated lateral: explode an expression over prior vars
+            if self.df is None:
+                raise ValueError(
+                    f"for_({var!r}, {src!r}): source is not a DataFrame and "
+                    f"no prior clause binds variables to iterate over — "
+                    f"unknown table/collection name?")
             fn = F.explode_outer if c.get("outer") else F.explode
             self.df = self.df.withColumn(var, fn(self._expr(src)))
         self.visible.add(var)
@@ -380,6 +399,11 @@ class _Compiler:
             cj[name][int(n)] = new_text
         else:
             cj[field] = new_text
+
+    def _c_raw(self, i: int, c: dict):
+        df = c["df"]
+        self.df = df if self.df is None else self.df.crossJoin(df)
+        self.visible |= set(df.columns)
 
     def _c_window(self, i: int, c: dict):
         from pythonql_spark.operators.window_clause import predicate_windows

@@ -1,0 +1,134 @@
+"""The pql() string front-end runs the reference's own queries in
+near-verbatim syntax (reference tests/tutorial_tests.py and
+tests/match_clause_test.py)."""
+
+import json
+from collections import namedtuple
+
+from pythonql_spark.pql import pql
+
+
+def test_q1(spark):
+    r = pql(spark, """
+      select (x, y)
+      for x in range(1,8), y in range(1,7)
+      if x % 2 == 0 and y % 2 != 0 and x > y
+      order by x, y
+    """).collect()
+    assert (r[0].x, r[0].y) == (2, 1)
+
+
+def test_q2_group_agg(spark):
+    r = pql(spark, """
+      select (x, sum(y) as sum)
+      for x in range(1,8), y in range(1,7)
+      if x % 2 == 0 and y % 2 != 0 and x > y
+      group by x
+      order by x
+    """).collect()
+    assert (r[0].x, r[0].sum) == (2, 1.0)
+
+
+def test_q3_having(spark):
+    r = pql(spark, """
+      select (x, sum_y)
+      for x in range(1,8), y in range(1,7)
+      where x % 2 == 0 and y % 2 != 0 and x > y
+      group by x
+      let sum_y = sum(y)
+      where sum_y % 2 != 0
+      order by x
+    """).collect()
+    assert (r[0].x, r[0].sum_y) == (2, 1.0)
+    assert (r[1].x, r[1].sum_y) == (6, 9.0)
+
+
+def test_q6_group_by_power(spark):
+    r = pql(spark, """
+      select (x_squared, y)
+      for x in range(1,5), y in range(1,5)
+      where x > y
+      group by x ** 2 as x_squared
+      order by x_squared
+    """).collect()
+    assert r[2].x_squared == 16.0 and sorted(r[2].y) == [1, 2, 3]
+
+
+def test_q9_try_except(spark):
+    data = [15, 25, None, 80, 34, "34", "twenty", "[12]", 54, 12]
+    r = pql(spark, """
+      select num
+      for item in data
+      let num = try int(item) except 0
+    """, env={"data": [str(d) if d is not None else None for d in data]}).collect()
+    assert sum(x.num for x in r) == 254
+
+
+def test_q11_window(spark):
+    r = pql(spark, """
+      select (y, sum(w) as sum)
+      for sliding window w in x
+      start y at s when True
+      end at e when e - s == 2
+      order by s
+    """, env={"x": [1, 2, 3, 4, 5, 6, 7]}).collect()
+    assert [(t.y, t.sum) for t in r][:3] == [(1, 6.0), (2, 9.0), (3, 12.0)]
+
+
+def test_q12_window_predicates(spark):
+    r = pql(spark, """
+      select (y, sum(w) as sum)
+      for sliding window w in x
+      start y when y % 2 == 0
+      end z when z - y > 2
+      order by y
+    """, env={"x": [1, 2, 3, 4, 5, 6, 7]}).collect()
+    assert [(t.y, t.sum) for t in r] == [(2, 14.0), (4, 22.0), (6, 13.0)]
+
+
+def test_q13_tuple_window_only_end(spark):
+    P = namedtuple("P", ["y", "z"])
+    r = pql(spark, """
+      select (s, x)
+      for sliding window x in pairs
+      start s when s.y % 2 == 1
+      only end e when e.y - s.y >= 2
+      order by s
+    """, env={"pairs": [P(i, i) for i in range(1, 7)]}).collect()
+    assert r[0].s.y == 1 and r[0].s.z == 1
+    assert r[1].s.y == 3 and r[1].s.z == 3
+
+
+PEOPLE = [
+    {"first": "daniela", "last": "f", "age": 45, "zip_code": {"number": 123}},
+    {"first": "daniela", "last": "k", "age": 50, "zip_code": {"number": 999}},
+    {"first": "daniela", "last": "j", "age": 50, "extra_field": True,
+     "zip_code": {"number": 999}},
+    {"first": "john", "last": "wayne", "age": 50, "extra_field": True,
+     "zip_code": {"number": 999}},
+    {"first": "daniela", "last": "s", "age": 55,
+     "zip_code": {"number": 999, "extra_field": True}},
+]
+
+MATCH_BODY = """
+  { "last" : as x,
+    "first" : "daniela",
+    "age" : as y where y > 40,
+    "zip_code" : { "number" : as w }
+  } as z in people
+  order by x
+"""
+
+
+def test_match_exact(spark):
+    r = pql(spark, "select z match exact" + MATCH_BODY,
+            env={"people": PEOPLE}).collect()
+    assert len(r) == 2
+    assert json.loads(r[0].z)["age"] == 45
+
+
+def test_match_partial(spark):
+    r = pql(spark, "select z match" + MATCH_BODY,
+            env={"people": PEOPLE}).collect()
+    assert len(r) == 4
+    assert json.loads(r[3].z)["age"] == 55
