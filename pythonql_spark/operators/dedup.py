@@ -57,13 +57,21 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", *,
                       num_hashes: int = 64, bands: int = 16,
                       ngram: int = 3,
-                      jaccard_threshold: float | None = 0.5) -> DataFrame:
+                      jaccard_threshold: float | None = 0.5,
+                      max_bucket_size: int = 500) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) via banded MinHash
     LSH, optionally verified with exact n-gram Jaccard.
 
     Plan shape: scan → signature (no shuffle) → explode bands (×bands)
     → shuffle on (band, band_hash) via self-join → pairs; candidate
-    count is data-dependent, never O(n²)."""
+    count is data-dependent, never O(n²).
+
+    ``max_bucket_size`` is the skew guard that keeps it that way:
+    degenerate buckets (boilerplate/empty shingle sets hashing
+    together) otherwise produce quadratic within-bucket pairs — the
+    classic LSH-dedup failure at corpus scale.  Oversized buckets are
+    dropped (their members still pair up via their other, more
+    selective bands)."""
     r = num_hashes // bands
     sig = minhash_signature(text_col, num_hashes, ngram)
     buckets = (df
@@ -76,8 +84,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                            f"xxhash64(concat_ws(',', slice(sig, b * {r} + 1, {r})), 777) as h))"
                        )).alias("bk"))
                .select("id", "bk.band", "bk.h"))
-    pairs = (buckets.alias("a")
-             .join(buckets.alias("b"),
+    from pyspark.sql.window import Window as W
+    bucket_sz = (buckets
+                 .withColumn("__sz", F.count(F.lit(1)).over(
+                     W.partitionBy("band", "h")))
+                 .filter((F.col("__sz") >= 2) & (F.col("__sz") <= max_bucket_size))
+                 .drop("__sz"))
+    pairs = (bucket_sz.alias("a")
+             .join(bucket_sz.alias("b"),
                    on=[F.col("a.band") == F.col("b.band"),
                        F.col("a.h") == F.col("b.h"),
                        F.col("a.id") < F.col("b.id")])
@@ -114,10 +128,13 @@ def simhash_expr(text_col: str, bits: int = 64) -> str:
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", *,
                   band_bits: int = 16,
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  max_bucket_size: int = 500) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit hash into 64/band_bits
     buckets (a pair within hamming ≤ bands-1 shares ≥1 exact band),
-    join on (band, band_value), verify with bit_count(xor)."""
+    join on (band, band_value), verify with bit_count(xor).
+    ``max_bucket_size`` guards degenerate buckets (see
+    minhash_lsh_pairs)."""
     n_bands = 64 // band_bits
     sim = (df.select(F.col(id_col).alias("id"),
                      F.expr(simhash_expr(text_col)).alias("sh")))
@@ -128,6 +145,11 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
             f"b -> struct(b as band, "
             f"shiftright(sh, b * {band_bits}) & {(1 << band_bits) - 1} as v))"
         )).alias("bk")).select("id", "sh", "bk.band", "bk.v")
+    from pyspark.sql.window import Window as W
+    banded = (banded
+              .withColumn("__sz", F.count(F.lit(1)).over(W.partitionBy("band", "v")))
+              .filter((F.col("__sz") >= 2) & (F.col("__sz") <= max_bucket_size))
+              .drop("__sz"))
     return (banded.alias("a")
             .join(banded.alias("b"),
                   on=[F.col("a.band") == F.col("b.band"),

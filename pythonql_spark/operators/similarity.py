@@ -49,14 +49,19 @@ def brute_topk(df: DataFrame, query_ids, k: int = 5,
     per-query top-k.  At 100 TB the corpus side streams; the only
     shuffle is the final per-query top-k (tiny)."""
     dim = _dim(df, vec_col)
+    # norms once per vector (not per pair): the per-pair work drops to
+    # one dot product + one divide
     qs = F.broadcast(
         df.filter(F.col(id_col).isin(list(query_ids)))
-          .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")))
-    scored = (df.alias("c").crossJoin(qs.alias("q"))
-              .filter(F.col("q_id") != F.col(id_col))
-              .select(F.col("q_id"),
-                      F.col(id_col).alias("n_id"),
-                      F.expr(cosine_expr("q_vec", vec_col, dim)).alias("cosine")))
+          .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+                  F.expr(norm_expr(vec_col, dim)).alias("q_norm")))
+    corpus = df.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"),
+                       F.expr(norm_expr(vec_col, dim)).alias("c_norm"))
+    scored = (corpus.crossJoin(qs)
+              .filter(F.col("q_id") != F.col("n_id"))
+              .select(F.col("q_id"), F.col("n_id"),
+                      F.expr(f"round({dot_expr('q_vec', 'c_vec', dim)} / "
+                             f"(q_norm * c_norm), 6)").alias("cosine")))
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -68,13 +73,15 @@ def cosine_pairs(df: DataFrame, block_col: str, threshold: float,
     """Near-duplicate embedding pairs within a blocking key."""
     dim = _dim(df, vec_col)
     side = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                     F.col(block_col).alias("blk"))
+                     F.col(block_col).alias("blk"),
+                     F.expr(norm_expr(vec_col, dim)).alias("nrm"))
     return (side.alias("a")
             .join(side.alias("b"),
                   on=[F.col("a.blk") == F.col("b.blk"),
                       F.col("a.id") < F.col("b.id")])
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.expr(cosine_expr("a.v", "b.v", dim)).alias("cosine"))
+                    F.expr(f"round({dot_expr('a.v', 'b.v', dim)} / "
+                           f"(a.nrm * b.nrm), 6)").alias("cosine"))
             .filter(F.col("cosine") >= threshold))
 
 
@@ -102,17 +109,20 @@ def lsh_topk(df: DataFrame, query_ids, k: int = 5, *,
     dim = _dim(df, vec_col)
     sig = F.expr(lsh_signature_expr(vec_col, dim, n_planes))
     corpus = df.select(F.col(id_col).alias("n_id"),
-                       F.col(vec_col).alias("c_vec"), sig.alias("c_sig"))
+                       F.col(vec_col).alias("c_vec"), sig.alias("c_sig"),
+                       F.expr(norm_expr(vec_col, dim)).alias("c_norm"))
     qs = F.broadcast(
         df.filter(F.col(id_col).isin(list(query_ids)))
           .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
-                  sig.alias("q_sig")))
+                  sig.alias("q_sig"),
+                  F.expr(norm_expr(vec_col, dim)).alias("q_norm")))
     cand = (corpus.join(qs,
                         F.expr(f"bit_count(c_sig ^ q_sig) <= {probe_hamming}")
                         & (F.col("n_id") != F.col("q_id"))))
     scored = cand.select(
         "q_id", "n_id",
-        F.expr(cosine_expr("q_vec", "c_vec", dim)).alias("cosine"))
+        F.expr(f"round({dot_expr('q_vec', 'c_vec', dim)} / "
+               f"(q_norm * c_norm), 6)").alias("cosine"))
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
