@@ -45,12 +45,24 @@ def word_ngrams(text_col: str, n: int = 3) -> str:
             f"i -> concat_ws(' ', slice({w}, i, {n}))) END")
 
 
-def minhash_signature(text_col: str, num_hashes: int = 64, n: int = 3) -> str:
-    """MinHash signature as array<bigint>: for seed i, min over
-    shingles of xxhash64(shingle, i)."""
-    sh = word_ngrams(text_col, n)
-    return (f"transform(sequence(0, {num_hashes - 1}), "
-            f"i -> array_min(transform({sh}, s -> xxhash64(s, i))))")
+def _bucket_pairs(buckets: DataFrame, key_cols: list[str],
+                  max_bucket_size: int,
+                  elem_struct: str, pair_expr: str) -> DataFrame:
+    """Shared LSH bucket→pairs step: ONE shuffle (groupBy bucket key,
+    map-side partial collect), size-capped, pairs generated in-bucket.
+
+    Replaces the window-count + self-join shape (shuffle+sort, then a
+    second shuffle for the join) with a single aggregation; the cap
+    bounds in-bucket pair generation to max_bucket_size²/2."""
+    return (buckets
+            .groupBy(*key_cols)
+            .agg(F.expr(f"array_sort(collect_list({elem_struct}))").alias("xs"))
+            .filter((F.size("xs") >= 2) & (F.size("xs") <= max_bucket_size))
+            .select(F.explode(F.expr(
+                "flatten(transform(sequence(1, size(xs) - 1), "
+                f"j -> transform(sequence(0, j - 1), i -> {pair_expr})))"
+            )).alias("p"))
+            .select("p.*"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -62,41 +74,45 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     """Near-duplicate candidate pairs (id_a < id_b) via banded MinHash
     LSH, optionally verified with exact n-gram Jaccard.
 
-    Plan shape: scan → signature (no shuffle) → explode bands (×bands)
-    → shuffle on (band, band_hash) via self-join → pairs; candidate
-    count is data-dependent, never O(n²).
+    Plan shape: scan → explode shingles → hash each shingle ONCE →
+    groupBy(id) with num_hashes codegen'd min-aggregates (map-side
+    partial agg: the shuffle carries id → 64 longs, not text) →
+    band hashes → ONE shuffle on (band, band_hash) → in-bucket pairs.
+    Candidate count is data-dependent, never O(n²).
 
-    ``max_bucket_size`` is the skew guard that keeps it that way:
-    degenerate buckets (boilerplate/empty shingle sets hashing
-    together) otherwise produce quadratic within-bucket pairs — the
-    classic LSH-dedup failure at corpus scale.  Oversized buckets are
-    dropped (their members still pair up via their other, more
-    selective bands)."""
+    This shape exists because the tempting alternative — nested
+    higher-order array functions computing the signature in one
+    expression — is interpreted (no whole-stage codegen) and Catalyst's
+    projection collapse re-inlines the shingle construction into every
+    band lambda: ~1000 re-evaluations per row, 100× slower.
+
+    ``max_bucket_size`` is the skew guard: degenerate buckets
+    (boilerplate/empty shingle sets hashing together) otherwise
+    produce quadratic within-bucket pairs — the classic LSH-dedup
+    failure at corpus scale.  Oversized buckets are dropped (their
+    members still pair up via their other, more selective bands)."""
     r = num_hashes // bands
-    sig = minhash_signature(text_col, num_hashes, ngram)
-    buckets = (df
-               .select(F.col(id_col).alias("id"),
-                       F.expr(sig).alias("sig"))
-               .select("id",
-                       F.explode(F.expr(
-                           f"transform(sequence(0, {bands - 1}), "
-                           f"b -> struct(b as band, "
-                           f"xxhash64(concat_ws(',', slice(sig, b * {r} + 1, {r})), 777) as h))"
-                       )).alias("bk"))
+    shingles = (df.select(F.col(id_col).alias("id"),
+                          F.explode(F.expr(
+                              f"array_distinct({word_ngrams(text_col, ngram)})"
+                          )).alias("gram"))
+                .select("id", F.expr("xxhash64(gram)").alias("gh")))
+    # signature: min over shingles of a cheap long re-hash per seed
+    sig = shingles.groupBy("id").agg(
+        *[F.min(F.expr(f"xxhash64(gh, {i})")).alias(f"m{i}")
+          for i in range(num_hashes)])
+    band_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.expr("xxhash64(" +
+                        ", ".join(f"m{b * r + j}" for j in range(r)) +
+                        ", 777)").alias("h"))
+        for b in range(bands)])
+    buckets = (sig.select("id", F.explode(band_arr).alias("bk"))
                .select("id", "bk.band", "bk.h"))
-    from pyspark.sql.window import Window as W
-    bucket_sz = (buckets
-                 .withColumn("__sz", F.count(F.lit(1)).over(
-                     W.partitionBy("band", "h")))
-                 .filter((F.col("__sz") >= 2) & (F.col("__sz") <= max_bucket_size))
-                 .drop("__sz"))
-    pairs = (bucket_sz.alias("a")
-             .join(bucket_sz.alias("b"),
-                   on=[F.col("a.band") == F.col("b.band"),
-                       F.col("a.h") == F.col("b.h"),
-                       F.col("a.id") < F.col("b.id")])
-             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-             .distinct())
+    pairs = _bucket_pairs(
+        buckets, ["band", "h"], max_bucket_size,
+        elem_struct="id",
+        pair_expr="struct(xs[i] as id_a, xs[j] as id_b)").distinct()
     if jaccard_threshold is None:
         return pairs
     # verify pass on candidates only
@@ -114,15 +130,24 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
-def simhash_expr(text_col: str, bits: int = 64) -> str:
-    """64-bit SimHash over word hashes, pure JVM: for each bit b, sum
-    ±1 across word hashes; bit set iff the sum is positive."""
-    w = f"array_distinct(split(trim(lower({text_col})), '\\\\s+'))"
-    # bit b contribution of word s: sign of bit b of xxhash64(s)
-    return (f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), "
-            f"(acc, b) -> acc + CASE WHEN "
-            f"aggregate({w}, 0, (c, s) -> c + CASE WHEN (shiftright(xxhash64(s), b) & 1) = 1 "
-            f"THEN 1 ELSE -1 END) > 0 THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)")
+def simhash_df(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", bits: int = 64) -> DataFrame:
+    """(id, sh): 64-bit SimHash per doc.  Explode words → hash each
+    word ONCE → per-bit ±1 sums as codegen'd aggregates (map-side
+    partial agg), bit b set iff its sum is positive.  The obvious
+    single-expression nested-aggregate form re-hashes every word per
+    bit, interpreted — ~100× slower."""
+    words = (df.select(F.col(id_col).alias("id"),
+                       F.explode(F.expr(
+                           f"array_distinct(split(trim(lower({text_col})), '\\\\s+'))"
+                       )).alias("w"))
+             .select("id", F.expr("xxhash64(w)").alias("wh")))
+    per_bit = words.groupBy("id").agg(
+        *[F.sum(F.expr(f"int(shiftright(wh, {b}) & 1) * 2 - 1")).alias(f"s{b}")
+          for b in range(bits)])
+    sh = " + ".join(
+        f"shiftleft(cast(s{b} > 0 as bigint), {b})" for b in range(bits))
+    return per_bit.select("id", F.expr(sh).alias("sh"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -132,12 +157,11 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   max_bucket_size: int = 500) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit hash into 64/band_bits
     buckets (a pair within hamming ≤ bands-1 shares ≥1 exact band),
-    join on (band, band_value), verify with bit_count(xor).
+    ONE shuffle on (band, band_value), verify with bit_count(xor).
     ``max_bucket_size`` guards degenerate buckets (see
     minhash_lsh_pairs)."""
     n_bands = 64 // band_bits
-    sim = (df.select(F.col(id_col).alias("id"),
-                     F.expr(simhash_expr(text_col)).alias("sh")))
+    sim = simhash_df(df, id_col, text_col)
     banded = sim.select(
         "id", "sh",
         F.explode(F.expr(
@@ -145,18 +169,11 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
             f"b -> struct(b as band, "
             f"shiftright(sh, b * {band_bits}) & {(1 << band_bits) - 1} as v))"
         )).alias("bk")).select("id", "sh", "bk.band", "bk.v")
-    from pyspark.sql.window import Window as W
-    banded = (banded
-              .withColumn("__sz", F.count(F.lit(1)).over(W.partitionBy("band", "v")))
-              .filter((F.col("__sz") >= 2) & (F.col("__sz") <= max_bucket_size))
-              .drop("__sz"))
-    return (banded.alias("a")
-            .join(banded.alias("b"),
-                  on=[F.col("a.band") == F.col("b.band"),
-                      F.col("a.v") == F.col("b.v"),
-                      F.col("a.id") < F.col("b.id")])
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.expr("bit_count(a.sh ^ b.sh)").alias("hamming"))
+    return (_bucket_pairs(
+                banded, ["band", "v"], max_bucket_size,
+                elem_struct="struct(id, sh)",
+                pair_expr=("struct(xs[i].id as id_a, xs[j].id as id_b, "
+                           "bit_count(xs[i].sh ^ xs[j].sh) as hamming)"))
             .distinct()
             .filter(F.col("hamming") <= max_hamming))
 
