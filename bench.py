@@ -27,8 +27,9 @@ def main() -> None:
     headline = [n for n in (
         "group_agg", "join_multi", "join_equi", "tpch_q6", "order_multi",
         "lateral_explode", "join_left_outer", "join_semi", "group_lists",
-        "dedup_exact", "dedup_minhash", "ann_topk", "text_quality",
-        "sessionize",
+        "dedup_exact", "dedup_minhash", "dedup_simhash", "ann_topk",
+        "ann_lsh", "text_quality", "text_langid", "window_sliding_fixed",
+        "stream_tumbling", "sessionize",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers with a trivial action
