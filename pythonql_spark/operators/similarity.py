@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -85,44 +87,114 @@ def cosine_pairs(df: DataFrame, block_col: str, threshold: float,
             .filter(F.col("cosine") >= threshold))
 
 
-def lsh_signature_expr(vec_col: str, dim: int, n_planes: int = 16) -> str:
+def lsh_signature_expr(vec_col: str, dim: int, n_planes: int = 16,
+                       plane_base: int = 0) -> str:
     """Random-hyperplane signature: bit p = sign of <v, h_p> where
     h_p[i] = ±1 derived from xxhash64(p, i) — deterministic, no
-    stored projection matrix, computable at read time anywhere."""
+    stored projection matrix, computable at read time anywhere.
+    ``plane_base`` offsets the plane seeds so independent hash tables
+    get independent hyperplanes."""
     terms = lambda p: " + ".join(
-        f"CASE WHEN (shiftright(xxhash64(cast({p} as bigint)), {i % 63}) & 1) = 1 "
+        f"CASE WHEN (shiftright(xxhash64(cast({p} as bigint), {i // 63}), {i % 63}) & 1) = 1 "
         f"THEN cast({vec_col}[{i}] as double) ELSE -cast({vec_col}[{i}] as double) END"
         for i in range(dim))
     return ("(" + " + ".join(
-        f"CASE WHEN ({terms(p)}) > 0 THEN {1 << p} ELSE 0 END"
+        f"CASE WHEN ({terms(plane_base + p)}) > 0 THEN {1 << p} ELSE 0 END"
         for p in range(n_planes)) + ")")
 
 
+def _probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
+    """All bit masks over n_planes bits with popcount ≤ probe_hamming."""
+    from itertools import combinations
+    masks = []
+    for h in range(probe_hamming + 1):
+        for bits in combinations(range(n_planes), h):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
+def _lsh_sigs_col(vec_col: str, dim: int, n_planes: int, n_tables: int,
+                  seed: int = 11):
+    """array<long> of n_tables signatures per vector, via an
+    Arrow-batched Pandas UDF: ONE BLAS matmul (batch×dim @ dim×(L·P))
+    per batch, then sign + bit-pack.  Dense float math is the one
+    place a vectorized UDF beats built-in expressions: the unrolled
+    per-element CASE expression (planes×tables×dim terms) blows past
+    codegen method limits and runs interpreted, ~10× slower.  The
+    hyperplane matrix is re-derived from the seed on every executor —
+    no broadcast state."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def sigs(v: pd.Series) -> pd.Series:
+        H = np.random.RandomState(seed).standard_normal(
+            (dim, n_planes * n_tables))
+        weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.vstack(v.to_numpy())
+        bits = (X @ H) > 0
+        S = (bits.reshape(len(X), n_tables, n_planes) * weights).sum(axis=2)
+        return pd.Series([row.tolist() for row in S])
+
+    return sigs(F.col(vec_col))
+
+
 def lsh_topk(df: DataFrame, query_ids, k: int = 5, *,
-             n_planes: int = 12, probe_hamming: int = 2,
+             n_planes: int = 10, probe_hamming: int = 2,
+             n_tables: int = 6,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: candidates = corpus vectors whose LSH
-    signature is within ``probe_hamming`` bits of the query signature
-    (bucket join on signature would miss near-boundary vectors; the
-    hamming probe trades a wider candidate set for recall), then
-    exact cosine re-rank."""
+    """Approximate top-k via multi-table, multiprobe random-hyperplane
+    LSH — the scale path next to brute_topk.
+
+    ``n_tables`` independent signature tables (independent hyperplane
+    sets); a corpus vector is a candidate for a query if, in ANY
+    table, its signature is within ``probe_hamming`` bits of the
+    query's.  Instead of a hamming-distance join predicate (a
+    nested-loop scan of the corpus per query), each query expands
+    driver-side into its C(n_planes, ≤probe_hamming) probe signatures
+    per table (79 for 12/2; the query set is small and is the
+    broadcast side regardless), and candidates come from an EQUI-join
+    on (table, exact signature) — a broadcast hash join the corpus
+    streams through once.  Candidates are deduped across tables, then
+    exact-cosine re-ranked.  No shuffle touches the corpus; only the
+    candidate set (data-dependent, small) is shuffled for dedup +
+    per-query top-k."""
     dim = _dim(df, vec_col)
-    sig = F.expr(lsh_signature_expr(vec_col, dim, n_planes))
-    corpus = df.select(F.col(id_col).alias("n_id"),
-                       F.col(vec_col).alias("c_vec"), sig.alias("c_sig"),
-                       F.expr(norm_expr(vec_col, dim)).alias("c_norm"))
-    qs = F.broadcast(
-        df.filter(F.col(id_col).isin(list(query_ids)))
-          .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
-                  sig.alias("q_sig"),
-                  F.expr(norm_expr(vec_col, dim)).alias("q_norm")))
-    cand = (corpus.join(qs,
-                        F.expr(f"bit_count(c_sig ^ q_sig) <= {probe_hamming}")
-                        & (F.col("n_id") != F.col("q_id"))))
-    scored = cand.select(
-        "q_id", "n_id",
-        F.expr(f"round({dot_expr('q_vec', 'c_vec', dim)} / "
-               f"(q_norm * c_norm), 6)").alias("cosine"))
+    sigs = _lsh_sigs_col(vec_col, dim, n_planes, n_tables)
+    corpus = (df.select(F.col(id_col).alias("n_id"),
+                        F.col(vec_col).alias("c_vec"),
+                        F.expr(norm_expr(vec_col, dim)).alias("c_norm"),
+                        F.posexplode(sigs).alias("t", "sig")))
+    # query side: a handful of rows — compute signatures once, collect,
+    # expand probes in Python, re-create as the broadcast build side
+    qrows = (df.filter(F.col(id_col).isin(list(query_ids)))
+             .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+                     F.expr(norm_expr(vec_col, dim)).alias("q_norm"),
+                     sigs.alias("sigs"))
+             .collect())
+    masks = _probe_masks(n_planes, probe_hamming)
+    spark = df.sparkSession
+    probes = spark.createDataFrame(
+        [(r.q_id, t, int(s) ^ m) for r in qrows
+         for t, s in enumerate(r.sigs) for m in masks],
+        "q_id long, t int, probe_sig long")
+    qvecs = F.broadcast(spark.createDataFrame(
+        [(r.q_id, [float(x) for x in r.q_vec], float(r.q_norm))
+         for r in qrows],
+        "q_id long, q_vec array<double>, q_norm double"))
+    cand = (corpus.join(F.broadcast(probes),
+                        (corpus.t == probes.t)
+                        & (corpus.sig == probes.probe_sig)
+                        & (corpus.n_id != probes.q_id))
+            .dropDuplicates(["q_id", "n_id"]))
+    scored = (cand.join(qvecs, "q_id")
+              .select("q_id", "n_id",
+                      F.expr(f"round({dot_expr('q_vec', 'c_vec', dim)} / "
+                             f"(q_norm * c_norm), 6)").alias("cosine")))
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
