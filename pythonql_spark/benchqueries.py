@@ -405,12 +405,10 @@ SELECT user_id, s_at, cast(s AS DOUBLE) AS sum_value FROM w WHERE c = 3
 def window_sliding_fixed(spark, sf):
     # reference q11 shape: sliding window, start always, close at size 3
     from pyspark.sql import functions as F
-    from pythonql_spark.operators import predicate_windows
+    from pythonql_spark.operators import fixed_windows
     ev = load_table(spark, sf, "events")
-    w = predicate_windows(ev, order_by=["ts", "event_id"],
-                          start_when=lambda c, a, p, n: True,
-                          end_when=lambda c, a, p, n, sc, sa: a - sa == 2,
-                          partition_by="user_id", only_end=True)
+    w = fixed_windows(ev, order_by=["ts", "event_id"], size=3,
+                      partition_by="user_id", only_full=True)
     return w.select(
         "user_id", "s_at",
         F.expr("cast(aggregate(window, cast(0 as decimal(38,6)), "
@@ -430,12 +428,10 @@ FROM r GROUP BY user_id, floor(rn / 4) HAVING count(*) = 4
 def window_tumbling_count(spark, sf):
     # tumbling window of exactly 4 events per user
     from pyspark.sql import functions as F
-    from pythonql_spark.operators import predicate_windows
+    from pythonql_spark.operators import fixed_windows
     ev = load_table(spark, sf, "events")
-    w = predicate_windows(ev, order_by=["ts", "event_id"],
-                          start_when=lambda c, a, p, n: True,
-                          end_when=lambda c, a, p, n, sc, sa: a - sa == 3,
-                          partition_by="user_id", tumbling=True, only_end=True)
+    w = fixed_windows(ev, order_by=["ts", "event_id"], size=4,
+                      partition_by="user_id", tumbling=True, only_full=True)
     return w.select(
         "user_id", "s_at", F.expr("cast(size(window) as bigint)").alias("n"),
         F.expr("cast(aggregate(window, cast(0 as decimal(38,6)), "

@@ -104,16 +104,25 @@ class Query:
         ``order`` expression is required for a deterministic index."""
         return self._add(kind="count", var=var, order=order)
 
-    def window_(self, var: str, *, order_by, start_when, end_when=None,
+    def window_(self, var: str, *, order_by, start_when=None, end_when=None,
+                size: int | None = None,
                 partition_by=None, tumbling: bool = False,
                 only_end: bool = False) -> "Query":
         """Predicate-window clause (reference Grammar.md `window`):
         consumes the current binding sequence (per ``partition_by``
         key, ordered by ``order_by`` expressions) and binds ``var`` to
         each window (array of structs) plus ``s_at``/``e_at``/``closed``
-        columns.  See operators.window_clause.predicate_windows."""
+        columns.  See operators.window_clause.predicate_windows.
+
+        Pass ``size=`` (instead of predicates) for count-based
+        windows: these compile to native JVM window frames
+        (operators.window_clause.fixed_windows) — no Python in the
+        plan."""
+        if size is None and start_when is None:
+            raise ValueError("window_ needs either size= or start_when=")
         return self._add(kind="window", var=var, order_by=order_by,
                          start_when=start_when, end_when=end_when,
+                         size=size,
                          partition_by=partition_by, tumbling=tumbling,
                          only_end=only_end)
 
@@ -418,11 +427,25 @@ class _Compiler:
             name = f"__ord{k}"
             self.df = self.df.withColumn(name, self._expr(e))
             ord_cols.append(name)
-        out = predicate_windows(
-            self.df, order_by=ord_cols,
-            start_when=c["start_when"], end_when=c["end_when"],
-            partition_by=part or None, tumbling=c["tumbling"],
-            only_end=c["only_end"], exclude_from_window=ord_cols)
+        # same for partition keys: "e.user_id" materializes as a
+        # top-level "user_id" column (kept in the output)
+        for k, e in enumerate(part):
+            if e not in self.df.columns:
+                name = e.split(".")[-1]
+                self.df = self.df.withColumn(name, self._expr(e))
+                part[k] = name
+        if c.get("size") is not None:
+            from pythonql_spark.operators.window_clause import fixed_windows
+            out = fixed_windows(
+                self.df, order_by=ord_cols, size=c["size"],
+                partition_by=part or None, tumbling=c["tumbling"],
+                only_full=c["only_end"], exclude_from_window=ord_cols)
+        else:
+            out = predicate_windows(
+                self.df, order_by=ord_cols,
+                start_when=c["start_when"], end_when=c["end_when"],
+                partition_by=part or None, tumbling=c["tumbling"],
+                only_end=c["only_end"], exclude_from_window=ord_cols)
         self.df = out.withColumnRenamed("window", c["var"])
         self.visible = set(self.df.columns)
 
