@@ -603,6 +603,31 @@ def ann_lsh(spark, sf):
     return lsh_topk(emb, query_ids=list(range(10)), k=5)
 
 
+@q("doc_pipeline", None)  # oracle generated below from the same formulas
+def doc_pipeline(spark, sf):
+    """Composite training-data pipeline: quality-filter → exact dedup
+    (keep min id per fingerprint) → per-predicted-language corpus
+    stats.  One scan computes all per-doc features; the dedup groupBy
+    is the only wide shuffle; the keep-list joins back on doc_id."""
+    from pyspark.sql import functions as F
+    from pythonql_spark.operators import text as TX
+    docs = load_table(spark, sf, "documents")
+    scored = docs.selectExpr(
+        "doc_id",
+        TX.fingerprint("text") + " as fp",
+        TX.lang_id("text") + " as pred_lang",
+        TX.quality_score("text") + " as quality",
+        TX.token_count("text") + " as n_tokens")
+    kept = (scored.filter("quality >= 0.5")
+            .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+    return (scored.join(kept, "doc_id")
+            .groupBy("pred_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.expr(davg("quality")).alias("avg_quality")))
+
+
 # text/dedup/similarity oracles are generated from the same formula
 # definitions (dialect='duck'); register them post-hoc:
 
@@ -624,6 +649,19 @@ def _register_generated_oracles():
     ORACLE["dedup_exact"] = (
         f"SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents "
         f"GROUP BY {TX.fingerprint('text', 'duck')}")
+    ORACLE["doc_pipeline"] = f"""
+WITH scored AS (
+  SELECT doc_id, {TX.fingerprint('text', 'duck')} AS fp,
+         {TX.lang_id('text', 'duck')} AS pred_lang,
+         {TX.quality_score('text', 'duck')} AS quality,
+         {TX.token_count('text', 'duck')} AS n_tokens
+  FROM documents),
+kept AS (
+  SELECT min(doc_id) AS doc_id FROM scored WHERE quality >= 0.5 GROUP BY fp)
+SELECT pred_lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       {davg('quality')} AS avg_quality
+FROM scored JOIN kept USING (doc_id) GROUP BY pred_lang
+"""
 
     jac = ("cast(len(list_filter(a.grams, x -> list_contains(b.grams, x))) as double) / "
            "cast(len(a.grams) + len(b.grams) "
