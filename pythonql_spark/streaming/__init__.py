@@ -4,5 +4,7 @@ from pythonql_spark.streaming.windows import (
     tumbling_agg,
     with_watermark,
 )
+from pythonql_spark.streaming.stateful import stateful_sessionize
 
-__all__ = ["session_agg", "sliding_agg", "tumbling_agg", "with_watermark"]
+__all__ = ["session_agg", "sliding_agg", "tumbling_agg",
+           "with_watermark", "stateful_sessionize"]

@@ -44,3 +44,53 @@ def test_stream_smoke(spark):
         q.stop()
     # schema contract held on a live stream
     assert "window_start" in spark.table("t_smoke").columns
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tables, tmp_path):
+    """applyInPandasWithState sessions on a REAL stream (file source,
+    availableNow, memory sink) must equal batch sessionization.  A
+    session is closed either by a later event of the same key (gap
+    elapsed in data) or by the event-time timeout once the watermark
+    passes its last event + gap — in a finite run the watermark ends
+    at max(ts), so final sessions older than that are closed too."""
+    from pyspark.sql.window import Window as W
+
+    from pythonql_spark.streaming import stateful_sessionize, with_watermark
+
+    gap_s = 30 * 60
+    ev = tables["events"].select("user_id", "ts", "value")
+    src = str(tmp_path / "ev")
+    ev.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    sessions = stateful_sessionize(
+        with_watermark(stream, "ts", "0 seconds"), gap_ms=gap_s * 1000)
+    q = (sessions.writeStream.format("memory").queryName("t_sessions")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.session_start, r.n_events, round(r.sum_value, 6))
+           for r in spark.table("t_sessions").collect()}
+
+    wk = W.partitionBy("user_id").orderBy("ts", "value")
+    lagged = ev.withColumn(
+        "new_s",
+        F.when(F.lag("ts").over(wk).isNull()
+               | (F.col("ts").cast("long") - F.lag("ts").over(wk).cast("long")
+                  >= gap_s), 1).otherwise(0))
+    sid = lagged.withColumn(
+        "sid", F.sum("new_s").over(
+            wk.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    batch = (sid.groupBy("user_id", "sid")
+             .agg(F.min("ts").alias("session_start"),
+                  F.count(F.lit(1)).alias("n_events"),
+                  F.sum("value").alias("sum_value"),
+                  F.max("ts").alias("last_ts")))
+    global_max = ev.agg(F.max("ts")).first()[0]
+    last = batch.groupBy("user_id").agg(F.max("sid").alias("_last"))
+    closed = (batch.join(last, "user_id")
+              .filter((F.col("sid") != F.col("_last"))
+                      | (F.col("last_ts").cast("long") + gap_s
+                         <= F.lit(global_max).cast("timestamp").cast("long"))))
+    want = {(r.user_id, r.session_start, r.n_events, round(r.sum_value, 6))
+            for r in closed.collect()}
+    assert got == want
