@@ -4,8 +4,9 @@ from pythonql_spark.sources.catalog import (
     jdbc_table,
     load_sf,
     load_table,
+    write_bucketed,
     write_partitioned,
 )
 
 __all__ = ["TABLES", "from_collection", "jdbc_table", "load_sf",
-           "load_table", "write_partitioned"]
+           "load_table", "write_bucketed", "write_partitioned"]

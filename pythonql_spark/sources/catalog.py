@@ -86,3 +86,19 @@ def write_partitioned(df: DataFrame, path: str, fmt: str = "parquet",
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int = 64, sort_cols: list[str] | None = None,
+                   fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Bucketed sink (hash-bucketed saveAsTable): rows are
+    pre-partitioned by hash(bucket_cols) into n_buckets files per
+    write task.  Joins/aggregations between tables bucketed the same
+    way on the join key run WITHOUT a shuffle Exchange — the 100 TB
+    answer for repeatedly-joined fact/dim tables.  ``sort_cols``
+    additionally sorts within buckets so sort-merge joins skip the
+    sort."""
+    w = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
