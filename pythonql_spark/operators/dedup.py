@@ -92,11 +92,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     failure at corpus scale.  Oversized buckets are dropped (their
     members still pair up via their other, more selective bands)."""
     r = num_hashes // bands
+    # Shingle hashes without building shingle STRINGS: hash each word
+    # once, then a shingle hash is xxhash64 over n consecutive word
+    # hashes (longs).  The outer single-element transform(array(..))
+    # binds the word-hash array ONCE as a lambda variable — without
+    # it, projection collapse re-inlines the split+hash pass into
+    # every element_at (the HOF re-evaluation trap; ~8× slower).
+    wh = f"transform(split(trim(lower({text_col})), '\\\\s+'), w -> xxhash64(w))"
+    idx = ", ".join(
+        f"element_at(ws, least(i + {j}, size(ws)))" for j in range(ngram))
+    gh_list = (f"transform(array({wh}), ws -> "
+               f"transform(sequence(1, greatest(size(ws) - {ngram - 1}, 1)), "
+               f"i -> xxhash64({idx})))[0]")
     shingles = (df.select(F.col(id_col).alias("id"),
-                          F.explode(F.expr(
-                              f"array_distinct({word_ngrams(text_col, ngram)})"
-                          )).alias("gram"))
-                .select("id", F.expr("xxhash64(gram)").alias("gh")))
+                          F.explode(F.expr(gh_list)).alias("gh")))
     # signature: min over shingles of a cheap long re-hash per seed
     sig = shingles.groupBy("id").agg(
         *[F.min(F.expr(f"xxhash64(gh, {i})")).alias(f"m{i}")
@@ -115,8 +124,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         pair_expr="struct(xs[i] as id_a, xs[j] as id_b)").distinct()
     if jaccard_threshold is None:
         return pairs
-    # verify pass on candidates only
-    grams = F.expr(f"array_distinct({word_ngrams(text_col, ngram)})")
+    # verify pass on candidates only — Jaccard over the HASHED shingle
+    # sets (set intersection is hash-collision-insensitive at 64 bits,
+    # and longs skip rebuilding shingle strings)
+    grams = F.expr(f"array_distinct({gh_list})")
     docs = df.select(F.col(id_col).alias("id"), grams.alias("grams"))
     return (pairs
             .join(docs.withColumnRenamed("id", "id_a")
