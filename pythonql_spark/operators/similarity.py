@@ -116,6 +116,23 @@ def _probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
     return masks
 
 
+def _hyperplanes(dim: int, n_planes: int, n_tables: int,
+                 seed: int = 11) -> "np.ndarray":
+    """Deterministic gaussian hyperplane matrix — re-derived from the
+    seed wherever needed (executors, driver), no broadcast state."""
+    return np.random.RandomState(seed).standard_normal(
+        (dim, n_planes * n_tables))
+
+
+def _pack_sigs(X: "np.ndarray", H: "np.ndarray",
+               n_planes: int, n_tables: int) -> "np.ndarray":
+    """(rows, n_tables) int64 signatures: sign bits of X @ H, packed
+    per table."""
+    bits = (X @ H) > 0
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+    return (bits.reshape(len(X), n_tables, n_planes) * weights).sum(axis=2)
+
+
 def _lsh_sigs_col(vec_col: str, dim: int, n_planes: int, n_tables: int,
                   seed: int = 11):
     """array<long> of n_tables signatures per vector, via an
@@ -123,21 +140,15 @@ def _lsh_sigs_col(vec_col: str, dim: int, n_planes: int, n_tables: int,
     per batch, then sign + bit-pack.  Dense float math is the one
     place a vectorized UDF beats built-in expressions: the unrolled
     per-element CASE expression (planes×tables×dim terms) blows past
-    codegen method limits and runs interpreted, ~10× slower.  The
-    hyperplane matrix is re-derived from the seed on every executor —
-    no broadcast state."""
+    codegen method limits and runs interpreted, ~10× slower."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<long>")
     def sigs(v: pd.Series) -> pd.Series:
-        H = np.random.RandomState(seed).standard_normal(
-            (dim, n_planes * n_tables))
-        weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        X = np.vstack(v.to_numpy())
-        bits = (X @ H) > 0
-        S = (bits.reshape(len(X), n_tables, n_planes) * weights).sum(axis=2)
+        H = _hyperplanes(dim, n_planes, n_tables, seed)
+        S = _pack_sigs(np.vstack(v.to_numpy()), H, n_planes, n_tables)
         return pd.Series([row.tolist() for row in S])
 
     return sigs(F.col(vec_col))
@@ -163,28 +174,33 @@ def lsh_topk(df: DataFrame, query_ids, k: int = 5, *,
     exact-cosine re-ranked.  No shuffle touches the corpus; only the
     candidate set (data-dependent, small) is shuffled for dedup +
     per-query top-k."""
-    dim = _dim(df, vec_col)
+    # query side first: a handful of rows — collect the raw vectors,
+    # compute signatures/norms driver-side with the SAME numpy code the
+    # executors run (one job total for the query side)
+    qrows = (df.filter(F.col(id_col).isin(list(query_ids)))
+             .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+             .collect())
+    if not qrows:
+        raise ValueError("no query_ids found in the corpus")
+    Q = np.array([[float(x) for x in r.q_vec] for r in qrows])
+    dim = Q.shape[1]
+    H = _hyperplanes(dim, n_planes, n_tables)
+    q_sigs = _pack_sigs(Q, H, n_planes, n_tables)
+    q_norms = (Q * Q).sum(axis=1) ** 0.5
     sigs = _lsh_sigs_col(vec_col, dim, n_planes, n_tables)
     corpus = (df.select(F.col(id_col).alias("n_id"),
                         F.col(vec_col).alias("c_vec"),
                         F.expr(norm_expr(vec_col, dim)).alias("c_norm"),
                         F.posexplode(sigs).alias("t", "sig")))
-    # query side: a handful of rows — compute signatures once, collect,
-    # expand probes in Python, re-create as the broadcast build side
-    qrows = (df.filter(F.col(id_col).isin(list(query_ids)))
-             .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
-                     F.expr(norm_expr(vec_col, dim)).alias("q_norm"),
-                     sigs.alias("sigs"))
-             .collect())
     masks = _probe_masks(n_planes, probe_hamming)
     spark = df.sparkSession
     probes = spark.createDataFrame(
-        [(r.q_id, t, int(s) ^ m) for r in qrows
-         for t, s in enumerate(r.sigs) for m in masks],
+        [(r.q_id, t, int(s) ^ m) for r, srow in zip(qrows, q_sigs)
+         for t, s in enumerate(srow) for m in masks],
         "q_id long, t int, probe_sig long")
     qvecs = F.broadcast(spark.createDataFrame(
-        [(r.q_id, [float(x) for x in r.q_vec], float(r.q_norm))
-         for r in qrows],
+        [(r.q_id, [float(x) for x in r.q_vec], float(nrm))
+         for r, nrm in zip(qrows, q_norms)],
         "q_id long, q_vec array<double>, q_norm double"))
     cand = (corpus.join(F.broadcast(probes),
                         (corpus.t == probes.t)
