@@ -114,11 +114,15 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 """)
 def join_multi(spark, sf):
-    # TPC-H Q5 shape: big fact joins + two broadcast-able dims
+    # TPC-H Q5 shape: big fact joins + two broadcast-able dims.
+    # Fact table FIRST so it's the probe side of every join: with
+    # customer-first clause order, AQE picks the 600k-row lineitem as
+    # a broadcast build side (the (c⨝o) estimate looks bigger) —
+    # backwards at any scale.
     return (Query(spark)
-            .for_("c", load_table(spark, sf, "customer"))
-            .for_("o", load_table(spark, sf, "orders"))
             .for_("l", load_table(spark, sf, "lineitem"))
+            .for_("o", load_table(spark, sf, "orders"))
+            .for_("c", load_table(spark, sf, "customer"))
             .for_("n", load_table(spark, sf, "nation"), hint="broadcast")
             .for_("r", load_table(spark, sf, "region"), hint="broadcast")
             .where("c.c_custkey == o.o_custkey and l.l_orderkey == o.o_orderkey "
@@ -439,10 +443,23 @@ def window_tumbling_count(spark, sf):
                ).alias("sum_value"))
 
 
-@q("window_predicate")
+@q("window_predicate", """
+WITH r AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+  FROM events),
+s AS (SELECT user_id, rn AS s_at FROM r WHERE value > 150),
+e AS (SELECT user_id, rn FROM r WHERE value < 50)
+SELECT s.user_id, s.s_at, min(e.rn) AS e_at
+FROM s JOIN e ON e.user_id = s.user_id AND e.rn >= s.s_at
+GROUP BY s.user_id, s.s_at
+""")
 def window_predicate(spark, sf):
-    # arbitrary predicate windows (start on high value, end on low) —
-    # not SQL-expressible; rows-only gate + unit tests
+    # predicate windows are general Python-predicate operators; THIS
+    # instance (start on high value, close at the first low value,
+    # only_end) is SQL-expressible as a range join, so it gets a full
+    # value-hash oracle: e_at = min following rn with the end
+    # predicate, inner join = only_end drop of unclosed windows
     from pyspark.sql import functions as F
     from pythonql_spark.operators import predicate_windows
     ev = load_table(spark, sf, "events")
