@@ -567,6 +567,34 @@ def text_fingerprint(spark, sf):
     return docs.selectExpr("doc_id", TX.fingerprint("text") + " as fp")
 
 
+@q("text_clean", None)
+def text_clean(spark, sf):
+    from pythonql_spark.operators import text as TX
+    docs = load_table(spark, sf, "documents")
+    return docs.selectExpr("doc_id", TX.clean_text("text") + " as cleaned")
+
+
+@q("text_repetition", None)
+def text_repetition(spark, sf):
+    from pythonql_spark.operators import text as TX
+    docs = load_table(spark, sf, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        TX.repetition_ratio("text", unit="word") + " as word_rep",
+        TX.repetition_ratio("text", unit="line") + " as line_rep")
+
+
+@q("decontaminate", None)
+def decontaminate_q(spark, sf):
+    # benchmark = every 50th doc, corpus = the rest (deterministic
+    # split of the one documents table)
+    from pythonql_spark.operators.decontam import decontaminate
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter("doc_id % 50 != 0")
+    bench = docs.filter("doc_id % 50 = 0")
+    return decontaminate(corpus, bench, ngram=5)
+
+
 # -------------------------------------------------------- §2.5 dedup
 
 @q("dedup_exact", None)
@@ -663,6 +691,27 @@ def _register_generated_oracles():
         f"FROM documents")
     ORACLE["text_fingerprint"] = (
         f"SELECT doc_id, {TX.fingerprint('text', 'duck')} AS fp FROM documents")
+    ORACLE["text_clean"] = (
+        f"SELECT doc_id, {TX.clean_text('text', 'duck')} AS cleaned "
+        f"FROM documents")
+    ORACLE["text_repetition"] = (
+        f"SELECT doc_id, "
+        f"{TX.repetition_ratio('text', 'duck', unit='word')} AS word_rep, "
+        f"{TX.repetition_ratio('text', 'duck', unit='line')} AS line_rep "
+        f"FROM documents")
+    grams5 = TX.ngram_list("text", 5, "duck")
+    ORACLE["decontaminate"] = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({grams5}) AS g FROM documents WHERE doc_id % 50 = 0),
+cg AS (
+  SELECT doc_id, unnest(list_distinct({grams5})) AS g
+  FROM documents WHERE doc_id % 50 <> 0)
+SELECT cg.doc_id, count(*) AS n_grams, count(b.g) AS n_matched,
+       round(cast(count(b.g) as double) / cast(count(*) as double), 6)
+         AS contamination
+FROM cg LEFT JOIN bench b ON cg.g = b.g
+GROUP BY cg.doc_id
+"""
     ORACLE["dedup_exact"] = (
         f"SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents "
         f"GROUP BY {TX.fingerprint('text', 'duck')}")

@@ -96,6 +96,73 @@ def quality_score(col: str = "text", dialect: str = "spark") -> str:
     )
 
 
+def _pat(p: str, dialect: str) -> str:
+    # a regex as it must appear inside a SQL string literal: Spark's
+    # parser consumes one level of backslash escaping, DuckDB's doesn't
+    return p.replace("\\", "\\\\") if dialect == "spark" else p
+
+
+def ngram_list(col: str = "text", n: int = 3, dialect: str = "spark") -> str:
+    """Word n-gram shingles of case-folded text as an array/list
+    expression (docs shorter than ``n`` words yield one whole-text
+    shingle).  The Spark form binds the word array once as a lambda
+    variable — higher-order functions run interpreted with no common
+    subexpression elimination, so a bare CASE referencing the split
+    four times would re-split per reference."""
+    if dialect == "spark":
+        body = (f"CASE WHEN size(w) < {n} THEN array(concat_ws(' ', w)) "
+                f"ELSE transform(sequence(1, size(w) - {n} + 1), "
+                f"i -> concat_ws(' ', slice(w, i, {n}))) END")
+        return (f"transform(array(split(trim(lower({col})), '{_ws('spark')}')), "
+                f"w -> {body})[0]")
+    w = f"str_split_regex(trim(lower({col})), '{_ws('duck')}')"
+    return (f"CASE WHEN len({w}) < {n} THEN [array_to_string({w}, ' ')] "
+            f"ELSE list_transform(range(1, len({w}) - {n} + 2), "
+            f"i -> array_to_string(list_slice({w}, i, i + {n} - 1), ' ')) END")
+
+
+# PII / noise patterns (plain regex; _pat handles literal escaping).
+# Kept to constructs with identical semantics in Java regex and RE2.
+_URL_PAT = "https?://[^\\s]+"
+_EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_PAT = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+
+def scrub_pii(col: str = "text", dialect: str = "spark") -> str:
+    """Mask emails and phone-number-shaped runs with typed tokens."""
+    e = _regexp_replace(col, _pat(_EMAIL_PAT, dialect), "<EMAIL>", dialect)
+    return _regexp_replace(e, _pat(_PHONE_PAT, dialect), "<PHONE>", dialect)
+
+
+def clean_text(col: str = "text", dialect: str = "spark") -> str:
+    """Pipeline normalization: drop URLs, mask PII, collapse
+    whitespace, trim."""
+    no_url = _regexp_replace(col, _pat(_URL_PAT, dialect), "", dialect)
+    scrubbed = scrub_pii(no_url, dialect)
+    collapsed = _regexp_replace(scrubbed, _ws(dialect), " ", dialect)
+    return f"trim({collapsed})"
+
+
+def repetition_ratio(col: str = "text", dialect: str = "spark",
+                     unit: str = "word") -> str:
+    """Repeated-content ratio in [0,1]: 1 - distinct/total over words
+    (case-folded) or lines.  High values flag boilerplate/spam docs."""
+    if unit == "word":
+        parts = words(f"lower({col})", dialect)
+    elif unit == "line":
+        nl = _pat("\\n+", dialect)
+        if dialect == "spark":
+            parts = f"split(trim({col}), '{nl}')"
+        else:
+            parts = f"str_split_regex(trim({col}), '{nl}')"
+    else:
+        raise ValueError(f"unit must be word|line, got {unit!r}")
+    fn = "size" if dialect == "spark" else "len"
+    distinct = "array_distinct" if dialect == "spark" else "list_distinct"
+    return (f"cast(round(1.0 - cast({fn}({distinct}({parts})) as double) / "
+            f"cast(greatest({fn}({parts}), 1) as double), 6) as double)")
+
+
 def fingerprint(col: str = "text", dialect: str = "spark") -> str:
     """Document fingerprint: md5 of case-folded, whitespace-collapsed
     text (the exact-dedup key)."""

@@ -107,6 +107,49 @@ def test_text_expressions(spark):
     assert fp2 == out[0]["fp"]
 
 
+def test_clean_text_and_pii(spark):
+    df = spark.createDataFrame(
+        [(0, "see https://example.com/x?q=1 and mail bob@site.org now"),
+         (1, "call +1 (555) 123-4567 today"),
+         (2, "plain   text    only")], "doc_id long, text string")
+    out = {r.doc_id: r.cleaned for r in df.selectExpr(
+        "doc_id", TX.clean_text("text") + " as cleaned").collect()}
+    assert out[0] == "see and mail <EMAIL> now"
+    assert out[1] == "call <PHONE> today"
+    assert out[2] == "plain text only"
+
+
+def test_repetition_ratio(spark):
+    df = spark.createDataFrame(
+        [(0, "spam spam spam spam"),
+         (1, "all words here differ"),
+         (2, "dup line\ndup line\nfresh line")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in df.selectExpr(
+        "doc_id",
+        TX.repetition_ratio("text", unit="word") + " as w",
+        TX.repetition_ratio("text", unit="line") + " as l").collect()}
+    assert rows[0].w == pytest.approx(0.75)
+    assert rows[1].w == 0.0
+    assert rows[2].l == pytest.approx(round(1 - 2 / 3, 6))
+
+
+def test_decontaminate(spark):
+    from pythonql_spark.operators import decontaminate
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"),      # contains bench 5-gram
+         (1, "one two three four five six seven"),        # disjoint
+         (2, "alpha beta gamma delta epsilon")],          # exactly a bench doc
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in decontaminate(corpus, bench, ngram=5).collect()}
+    # doc 0: 2 distinct 5-grams, 1 matches the single bench shingle
+    assert (rows[0].n_grams, rows[0].n_matched) == (2, 1)
+    assert rows[0].contamination == pytest.approx(0.5)
+    assert rows[1].n_matched == 0
+    assert rows[2].contamination == 1.0
+
+
 def test_multimodal_roundtrip(spark):
     rows = [(i, bytes(range(i, i + 32)), 64 + i, 48, 400) for i in range(4)]
     df = (spark.createDataFrame(rows, "id long, data binary, w int, h int, dur int")
