@@ -584,6 +584,30 @@ def text_repetition(spark, sf):
         TX.repetition_ratio("text", unit="line") + " as line_rep")
 
 
+@q("sample_stratified", None)
+def sample_stratified(spark, sf):
+    # keep 25% of English (the dominant stratum), all of the rest —
+    # deterministic id-hash buckets, no rand()
+    from pythonql_spark.operators.sampling import stratified_sample
+    docs = load_table(spark, sf, "documents")
+    return stratified_sample(docs, "lang", {"en": 0.25},
+                             default_fraction=1.0).select("doc_id", "lang")
+
+
+@q("chunk_docs", None)
+def chunk_docs(spark, sf):
+    from pythonql_spark.operators.packing import chunk_documents
+    docs = load_table(spark, sf, "documents")
+    return chunk_documents(docs, chunk=32, overlap=8)
+
+
+@q("pack_sequences", None)
+def pack_sequences_q(spark, sf):
+    from pythonql_spark.operators.packing import pack_sequences
+    docs = load_table(spark, sf, "documents")
+    return pack_sequences(docs, max_tokens=512, shard_col="source")
+
+
 @q("decontaminate", None)
 def decontaminate_q(spark, sf):
     # benchmark = every 50th doc, corpus = the rest (deterministic
@@ -699,6 +723,21 @@ def _register_generated_oracles():
         f"{TX.repetition_ratio('text', 'duck', unit='word')} AS word_rep, "
         f"{TX.repetition_ratio('text', 'duck', unit='line')} AS line_rep "
         f"FROM documents")
+    from pythonql_spark.operators.sampling import sample_oracle_where
+    from pythonql_spark.operators.packing import chunk_expr, pack_oracle_sql
+    ORACLE["sample_stratified"] = (
+        "SELECT doc_id, lang FROM documents WHERE "
+        + sample_oracle_where({"en": 0.25}, "lang", default_fraction=1.0))
+    ORACLE["chunk_docs"] = f"""
+WITH c AS (
+  SELECT doc_id, unnest({chunk_expr('text', 32, 8, 'duck')}) AS ch
+  FROM documents)
+SELECT doc_id, ch.chunk_idx AS chunk_idx, ch.chunk_text AS chunk_text,
+       {TX.token_count('ch.chunk_text', 'duck')} AS n_chunk_tokens
+FROM c
+"""
+    ORACLE["pack_sequences"] = pack_oracle_sql(512)
+
     grams5 = TX.ngram_list("text", 5, "duck")
     ORACLE["decontaminate"] = f"""
 WITH bench AS (

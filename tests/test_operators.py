@@ -150,6 +150,53 @@ def test_decontaminate(spark):
     assert rows[2].contamination == 1.0
 
 
+def test_sample_deterministic(spark):
+    from pythonql_spark.operators.sampling import sample_fraction, stratified_sample
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id") \
+        .withColumn("lang", F.expr("CASE WHEN doc_id % 4 = 0 THEN 'en' ELSE 'fr' END"))
+    s1 = {r.doc_id for r in sample_fraction(df, 0.3).collect()}
+    s2 = {r.doc_id for r in sample_fraction(df, 0.3).collect()}
+    assert s1 == s2                       # reproducible, not rand()
+    assert 0.2 < len(s1) / 1000 < 0.4
+    # a smaller fraction selects a subset of the larger one
+    s3 = {r.doc_id for r in sample_fraction(df, 0.1).collect()}
+    assert s3 <= s1
+    strat = stratified_sample(df, "lang", {"en": 1.0}, default_fraction=0.0)
+    assert {r.lang for r in strat.collect()} == {"en"}
+    assert strat.count() == 250
+
+
+def test_chunk_documents(spark):
+    from pythonql_spark.operators.packing import chunk_documents
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(0, words), (1, "tiny doc")],
+                               "doc_id long, text string")
+    rows = sorted(chunk_documents(df, chunk=4, overlap=1).collect(),
+                  key=lambda r: (r.doc_id, r.chunk_idx))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # stride 3: starts at w0, w3, w6 (w9 window would be past size-overlap)
+    assert [c.chunk_text for c in by_doc[0]] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"]
+    assert [c.chunk_idx for c in by_doc[0]] == [0, 1, 2]
+    assert by_doc[0][0].n_chunk_tokens == 4
+    assert [c.chunk_text for c in by_doc[1]] == ["tiny doc"]
+
+
+def test_pack_sequences(spark):
+    from pythonql_spark.operators.packing import pack_sequences
+    df = spark.createDataFrame(
+        [(i, "a", "x " * 40) for i in range(5)]      # 40 tokens each
+        + [(9, "b", "y y y")],
+        "doc_id long, source string, text string")
+    rows = {r.doc_id: r for r in pack_sequences(df, max_tokens=100).collect()}
+    # shard a stream: offsets 0,40,80,120,160 -> seqs 0,0,0,1,1
+    assert [rows[i].start_offset for i in range(5)] == [0, 40, 80, 120, 160]
+    assert [rows[i].seq_id for i in range(5)] == [0, 0, 0, 1, 1]
+    assert rows[9].start_offset == 0 and rows[9].seq_id == 0
+
+
 def test_multimodal_roundtrip(spark):
     rows = [(i, bytes(range(i, i + 32)), 64 + i, 48, 400) for i in range(4)]
     df = (spark.createDataFrame(rows, "id long, data binary, w int, h int, dur int")
