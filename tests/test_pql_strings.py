@@ -132,3 +132,16 @@ def test_match_partial(spark):
             env={"people": PEOPLE}).collect()
     assert len(r) == 4
     assert json.loads(r[3].z)["age"] == 55
+
+
+def test_cli_runner(spark, tmp_path, capsys):
+    # parity with the reference's RunPYQL.py command-line entry
+    from pythonql_spark.run import main
+    qf = tmp_path / "q.pql"
+    qf.write_text(
+        "select (pri, count(o) as n) for o in orders "
+        "group by o.o_orderpriority as pri order by pri")
+    main([str(qf), "--sf-dir", "/root/testdata/sf0.001", "-n", "10"])
+    out = capsys.readouterr().out
+    assert "1-URGENT" in out
+    assert "----Time: compile=" in out
