@@ -29,7 +29,8 @@ def main() -> None:
         "lateral_explode", "join_left_outer", "join_semi", "group_lists",
         "dedup_exact", "dedup_minhash", "dedup_simhash", "ann_topk",
         "ann_lsh", "text_quality", "text_langid", "window_sliding_fixed",
-        "stream_tumbling", "sessionize", "doc_pipeline",
+        "stream_tumbling", "sessionize", "doc_pipeline", "decontaminate",
+        "sample_stratified", "chunk_docs", "pack_sequences",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers with a trivial action
