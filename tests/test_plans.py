@@ -85,3 +85,37 @@ def test_dedup_minhash_no_cartesian(spark, sf_dir):
     first_agg = plan.find("HashAggregate")
     first_exchange = plan.find("Exchange")
     assert -1 < first_agg < first_exchange
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    # the benchmark shingle set must be the broadcast side; the corpus
+    # must never shuffle except for its per-doc aggregation
+    plan = formatted_plan(QUERIES["decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin LeftOuter BuildRight" in plan
+    assert "CartesianProduct" not in plan
+    # per-doc count must be a partial→exchange→final agg sandwich
+    tree = plan.split("(1) Scan")[0]
+    assert re.search(r"HashAggregate.*\n.*Exchange.*\n.*HashAggregate", tree), tree
+
+
+def test_sample_is_narrow(spark, sf_dir):
+    # deterministic sampling is a pure filter: no Exchange anywhere
+    plan = formatted_plan(QUERIES["sample_stratified"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Filter" in plan
+
+
+def test_chunk_is_narrow(spark, sf_dir):
+    # chunking is scan → generate → project: no shuffle, no Python
+    plan = formatted_plan(QUERIES["chunk_docs"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" in plan and "explode" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_single_shuffle(spark, sf_dir):
+    # packing = ONE shuffle on the shard key, then a window sort
+    plan = formatted_plan(QUERIES["pack_sequences"](spark, sf_dir))
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "Window" in plan
