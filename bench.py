@@ -33,8 +33,13 @@ def main() -> None:
         "sample_stratified", "chunk_docs", "pack_sequences",
     ) if n in QUERIES]
 
-    # warm the JVM + parquet footers with a trivial action
+    # warm the JVM + parquet footers, and spin up the Python worker
+    # pool (daemon + Arrow channel startup is deployment cost, not
+    # query cost — on a real cluster workers are long-lived)
     QUERIES["group_agg"](spark, sf_dir).count()
+    from pyspark.sql import functions as F
+    spark.range(64).select(
+        F.pandas_udf(lambda s: s * 2, "long")(F.col("id"))).count()
 
     times: dict[str, float] = {}
     for name in headline:

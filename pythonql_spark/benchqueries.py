@@ -584,6 +584,34 @@ def text_repetition(spark, sf):
         TX.repetition_ratio("text", unit="line") + " as line_rep")
 
 
+@q("corpus_stats", None)
+def corpus_stats(spark, sf):
+    # exact per-language token-count quantiles through the DSL (at
+    # 100 TB swap percentile -> percentile_approx, same clause)
+    from pythonql_spark.operators import text as TX
+    return (Query(spark)
+            .for_("d", load_table(spark, sf, "documents"))
+            .let_("n_tokens", TX.token_count("d.text"))
+            .group_by("d.lang as lang")
+            .select("lang", "count(d) as n_docs",
+                    "percentile(n_tokens, 0.5) as p50_tokens",
+                    "percentile(n_tokens, 0.9) as p90_tokens")
+            .df())
+
+
+@q("rollup_stats", None)
+def rollup_stats(spark, sf):
+    # hierarchical corpus totals: (lang, source) + per-lang + grand
+    from pythonql_spark.operators import text as TX
+    return (Query(spark)
+            .for_("d", load_table(spark, sf, "documents"))
+            .let_("n_tokens", TX.token_count("d.text"))
+            .group_by("d.lang as lang", "d.source as source", rollup=True)
+            .select("lang", "source", "count(d) as n_docs",
+                    "cast(sum(n_tokens) as bigint) as total_tokens")
+            .df())
+
+
 @q("sample_stratified", None)
 def sample_stratified(spark, sf):
     # keep 25% of English (the dominant stratum), all of the rest —
@@ -723,6 +751,20 @@ def _register_generated_oracles():
         f"{TX.repetition_ratio('text', 'duck', unit='word')} AS word_rep, "
         f"{TX.repetition_ratio('text', 'duck', unit='line')} AS line_rep "
         f"FROM documents")
+    tc = TX.token_count("text", "duck")
+    ORACLE["corpus_stats"] = f"""
+SELECT lang, count(*) AS n_docs,
+       quantile_cont(n_tokens, 0.5) AS p50_tokens,
+       quantile_cont(n_tokens, 0.9) AS p90_tokens
+FROM (SELECT lang, {tc} AS n_tokens FROM documents) GROUP BY lang
+"""
+    ORACLE["rollup_stats"] = f"""
+SELECT lang, source, count(*) AS n_docs,
+       cast(sum(n_tokens) as bigint) AS total_tokens
+FROM (SELECT lang, source, {tc} AS n_tokens FROM documents)
+GROUP BY ROLLUP (lang, source)
+"""
+
     from pythonql_spark.operators.sampling import sample_oracle_where
     from pythonql_spark.operators.packing import chunk_expr, pack_oracle_sql
     ORACLE["sample_stratified"] = (

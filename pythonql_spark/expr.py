@@ -17,7 +17,8 @@ import re
 
 AGG_FNS = ("sum", "count", "avg", "min", "max", "len", "list", "count_distinct",
            "stddev", "variance", "first", "last", "collect_set",
-           "min_by", "max_by", "any_value", "median", "mode")
+           "min_by", "max_by", "any_value", "median", "mode",
+           "percentile", "percentile_approx", "approx_count_distinct")
 
 # Spark-native name for parity aliases the reference allows in clause
 # expressions (Python builtins over grouped lists).

@@ -126,10 +126,14 @@ class Query:
                          partition_by=partition_by, tumbling=tumbling,
                          only_end=only_end)
 
-    def group_by(self, *keys: str) -> "Query":
+    def group_by(self, *keys: str, rollup: bool = False) -> "Query":
         """``group by expr as alias, ...``; non-key variables follow
-        the implicit-list semantics (see module docstring)."""
-        return self._add(kind="groupby", keys=[_split_as(k) for k in keys])
+        the implicit-list semantics (see module docstring).  With
+        ``rollup=True`` the grouping is hierarchical (subtotals per key
+        prefix + grand total, keys NULL at coarser levels) — beyond the
+        reference, for corpus-stats rollups."""
+        return self._add(kind="groupby", keys=[_split_as(k) for k in keys],
+                         rollup=rollup)
 
     def order_by(self, *specs: str) -> "Query":
         return self._add(kind="orderby", specs=list(specs))
@@ -391,7 +395,9 @@ class _Compiler:
             if new_text != cur:
                 self._rewrite_clause(j, field, new_text)
 
-        if agg_cols or collect_cols:
+        if c.get("rollup"):
+            self.df = self.df.rollup(*key_cols).agg(*agg_cols, *collect_cols)
+        elif agg_cols or collect_cols:
             self.df = self.df.groupBy(*key_cols).agg(*agg_cols, *collect_cols)
         else:
             # pure key grouping — equivalent to DISTINCT over the keys

@@ -59,3 +59,22 @@ def test_helpers(spark):
     assert kept.count() == 2  # empty array kept as NULL row
     assert df2.select(helpers.empty("a").alias("e")).rdd.map(lambda r: r[0]).collect() \
         == [True, False]
+
+
+def test_rollup_and_percentile(spark):
+    df = spark.createDataFrame(
+        [("en", "web", 10), ("en", "web", 20), ("en", "book", 30),
+         ("fr", "web", 40)], "lang string, src string, n int")
+    rows = (Query(spark).for_("d", df)
+            .group_by("d.lang as lang", "d.src as src", rollup=True)
+            .select("lang", "src", "count(d) as c", "sum(d.n) as s")
+            .to_list())
+    got = {(r.lang, r.src): (r.c, r.s) for r in rows}
+    assert got[("en", "web")] == (2, 30)
+    assert got[("en", None)] == (3, 60)       # per-lang subtotal
+    assert got[(None, None)] == (4, 100)      # grand total
+    p = (Query(spark).for_("d", df)
+         .group_by("d.lang as lang")
+         .select("lang", "percentile(d.n, 0.5) as p50")
+         .to_list())
+    assert {r.lang: r.p50 for r in p} == {"en": 20.0, "fr": 40.0}
