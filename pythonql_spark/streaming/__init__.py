@@ -1,4 +1,5 @@
 from pythonql_spark.streaming.windows import (
+    dedup_stream,
     session_agg,
     sliding_agg,
     tumbling_agg,
@@ -6,5 +7,5 @@ from pythonql_spark.streaming.windows import (
 )
 from pythonql_spark.streaming.stateful import stateful_sessionize
 
-__all__ = ["session_agg", "sliding_agg", "tumbling_agg",
+__all__ = ["dedup_stream", "session_agg", "sliding_agg", "tumbling_agg",
            "with_watermark", "stateful_sessionize"]

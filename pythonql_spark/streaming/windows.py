@@ -21,6 +21,21 @@ def with_watermark(df: DataFrame, ts_col: str = "ts",
     return df.withWatermark(ts_col, delay) if df.isStreaming else df
 
 
+def dedup_stream(df: DataFrame, keys: list[str], ts_col: str = "ts",
+                 delay: str = "10 minutes") -> DataFrame:
+    """Exact dedup on an unbounded stream: keep the first arrival per
+    key, with per-key state evicted once the watermark passes arrival
+    time + ``delay`` (``dropDuplicatesWithinWatermark``) — so state is
+    bounded by the duplicate-arrival horizon, not corpus size.  On a
+    batch DataFrame the same call degrades to a global
+    ``dropDuplicates``.  Dedup-by-content: add a fingerprint column
+    first (operators.text.fingerprint) and pass it as the key."""
+    if df.isStreaming:
+        return (df.withWatermark(ts_col, delay)
+                .dropDuplicatesWithinWatermark(keys))
+    return df.dropDuplicates(keys)
+
+
 def _aggs(aggs: dict[str, Column] | None) -> list[Column]:
     aggs = aggs or {"n_events": F.count(F.lit(1))}
     return [c.alias(n) for n, c in aggs.items()]

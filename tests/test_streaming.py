@@ -94,3 +94,27 @@ def test_stateful_sessionize_stream_matches_batch(spark, tables, tmp_path):
     want = {(r.user_id, r.session_start, r.n_events, round(r.sum_value, 6))
             for r in closed.collect()}
     assert got == want
+
+
+def test_dedup_stream_matches_batch(spark, tables, tmp_path):
+    """dropDuplicatesWithinWatermark on a real file stream keeps one
+    row per key; matches batch dropDuplicates key set."""
+    from pythonql_spark.streaming import dedup_stream
+
+    ev = tables["events"].select("user_id", "event_type", "ts")
+    src = str(tmp_path / "evd")
+    ev.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = dedup_stream(stream, ["user_id", "event_type"], delay="1 minute")
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("t_dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.event_type)
+           for r in spark.table("t_dedup").collect()}
+    want = {(r.user_id, r.event_type)
+            for r in dedup_stream(ev, ["user_id", "event_type"]).collect()}
+    assert got == want
+    # one row per key on the stream side too
+    assert spark.table("t_dedup").count() == len(got)
