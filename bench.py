@@ -28,7 +28,7 @@ def main() -> None:
         "group_agg", "join_multi", "join_equi", "tpch_q6", "order_multi",
         "lateral_explode", "join_left_outer", "join_semi", "group_lists",
         "dedup_exact", "dedup_minhash", "dedup_simhash", "ann_topk",
-        "ann_lsh", "text_quality", "text_langid", "window_sliding_fixed",
+        "ann_lsh", "ann_ivf", "text_quality", "text_langid", "window_sliding_fixed",
         "stream_tumbling", "sessionize", "doc_pipeline", "decontaminate",
         "sample_stratified", "chunk_docs", "pack_sequences",
     ) if n in QUERIES]

@@ -700,6 +700,13 @@ def ann_lsh(spark, sf):
     return lsh_topk(emb, query_ids=list(range(10)), k=5)
 
 
+@q("ann_ivf")
+def ann_ivf(spark, sf):
+    from pythonql_spark.operators.similarity import ivf_topk
+    emb = load_table(spark, sf, "embeddings")
+    return ivf_topk(emb, query_ids=list(range(10)), k=5)
+
+
 @q("doc_pipeline", None)  # oracle generated below from the same formulas
 def doc_pipeline(spark, sf):
     """Composite training-data pipeline: quality-filter → exact dedup

@@ -86,6 +86,19 @@ def test_lsh_topk_recall(vecs):
     assert len(exact & approx) >= 2
 
 
+def test_ivf_topk(vecs):
+    from pythonql_spark.operators.similarity import ivf_topk
+    exact = {r.n_id for r in brute_topk(vecs, [0], k=3).collect()}
+    # probe every cell -> IVF must equal exact search
+    full = {r.n_id for r in ivf_topk(vecs, [0], k=3, n_centroids=4,
+                                     n_probe=4, train_sample=20).collect()}
+    assert full == exact
+    # partial probe still finds the planted near-dup (same cell as 0)
+    part = {r.n_id for r in ivf_topk(vecs, [0], k=3, n_centroids=4,
+                                     n_probe=1, train_sample=20).collect()}
+    assert 1 in part
+
+
 def test_text_expressions(spark):
     df = spark.createDataFrame(
         [(0, "the cat and the dog, in a house!"),
