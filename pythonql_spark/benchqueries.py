@@ -663,6 +663,28 @@ def dedup_jaccard(spark, sf):
     return ngram_jaccard_pairs(docs, ["source"], ngram=1, threshold=0.5)
 
 
+@q("dedup_clusters", None)
+def dedup_clusters(spark, sf):
+    """pairs → clusters: distributed connected components (pointer-
+    jumping label propagation) over the deterministic jaccard pairs,
+    singletons included.  DuckDB oracle: recursive-CTE reachability."""
+    from pythonql_spark.operators.dedup import (connected_components,
+                                                ngram_jaccard_pairs)
+    docs = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, ["source"], ngram=1, threshold=0.5)
+    return connected_components(pairs, nodes=docs.select("doc_id"))
+
+
+@q("dedup_corpus", None)
+def dedup_corpus(spark, sf):
+    """End-to-end dedup: near-dup pairs → components → keep min id per
+    cluster → surviving corpus rows."""
+    from pythonql_spark.operators.dedup import dedup_keep, ngram_jaccard_pairs
+    docs = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, ["source"], ngram=1, threshold=0.5)
+    return dedup_keep(docs, pairs).select("doc_id", "source", "lang")
+
+
 @q("dedup_minhash")
 def dedup_minhash(spark, sf):
     from pythonql_spark.operators.dedup import minhash_lsh_pairs
@@ -828,6 +850,36 @@ WITH side AS (
 SELECT a.id AS id_a, b.id AS id_b, round({jac}, 6) AS jaccard
 FROM side a JOIN side b ON a.source = b.source AND a.id < b.id
 WHERE {jac} >= 0.5
+"""
+
+    # connected components as recursive-CTE reachability: comp(v) =
+    # min over all nodes reachable from v (UNION dedups → terminates)
+    pairs_sql = f"""side AS (
+  SELECT doc_id AS id, source,
+         list_sort(list_distinct(str_split_regex(trim(lower(text)), '\\s+'))) AS grams
+  FROM documents),
+prs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM side a JOIN side b ON a.source = b.source AND a.id < b.id
+  WHERE {jac} >= 0.5),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM prs
+  UNION ALL SELECT id_b, id_a FROM prs),
+reach(src, dst) AS (
+  SELECT cast(doc_id as bigint), cast(doc_id as bigint) FROM documents
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+comp AS (
+  SELECT src AS id, min(dst) AS comp FROM reach GROUP BY src)"""
+    ORACLE["dedup_clusters"] = f"""
+WITH RECURSIVE {pairs_sql}
+SELECT id, comp FROM comp
+"""
+    ORACLE["dedup_corpus"] = f"""
+WITH RECURSIVE {pairs_sql}
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN comp ON cast(d.doc_id as bigint) = comp.id
+WHERE comp.id = comp.comp
 """
 
     cos = cosine_expr("a.embedding", "b.embedding", 64, base=1)

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 from pythonql_spark.operators import multimodal as MM
 from pythonql_spark.operators import text as TX
 from pythonql_spark.operators.dedup import (
+    connected_components,
+    dedup_keep,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -58,6 +60,36 @@ def test_ngram_jaccard(docs):
     got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
     assert got[(0, 1)] == 1.0
     assert got[(0, 2)] == pytest.approx(round(7 / 9, 6), abs=1e-6)
+
+
+def test_connected_components_chain(spark):
+    # a 6-node chain exercises pointer jumping (diameter > 1 round),
+    # plus a separate 2-clique and an isolated node via nodes=
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 6, 10, 11, 99]],
+                                  "doc_id long")
+    comp = {r.id: r.comp
+            for r in connected_components(pairs, nodes=nodes).collect()}
+    assert all(comp[i] == 1 for i in range(1, 7))
+    assert comp[10] == comp[11] == 10
+    assert comp[99] == 99
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(7,), (8,)], "doc_id long")
+    comp = {r.id: r.comp
+            for r in connected_components(pairs, nodes=nodes).collect()}
+    assert comp == {7: 7, 8: 8}
+
+
+def test_dedup_keep(docs):
+    pairs = ngram_jaccard_pairs(docs, ["source"], ngram=1, threshold=0.5)
+    kept = {r.doc_id for r in dedup_keep(docs, pairs).collect()}
+    # cluster {0,1,2,4} keeps 0; 3 and 5 are isolated
+    assert kept == {0, 3, 5}
 
 
 @pytest.fixture(scope="module")
