@@ -715,6 +715,16 @@ def ann_topk(spark, sf):
     return brute_topk(emb, query_ids=list(range(10)), k=5)
 
 
+@q("knn_join", None)
+def knn_join_q(spark, sf):
+    """Table-vs-table exact k-NN: probe set (every 97th vector) against
+    the rest of the corpus, partial top-k per Arrow batch."""
+    from pythonql_spark.operators.similarity import knn_join
+    emb = load_table(spark, sf, "embeddings")
+    return knn_join(emb.filter("vec_id % 97 = 0"),
+                    emb.filter("vec_id % 97 != 0"), k=5)
+
+
 @q("ann_lsh")
 def ann_lsh(spark, sf):
     from pythonql_spark.operators.similarity import lsh_topk
@@ -890,6 +900,17 @@ WHERE {cos} >= 0.8
 """
 
     qcos = cosine_expr("q.embedding", "c.embedding", 64, base=1)
+    ORACLE["knn_join"] = f"""
+WITH s AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id, {qcos} AS cosine
+  FROM embeddings q JOIN embeddings c ON c.vec_id % 97 <> 0
+  WHERE q.vec_id % 97 = 0)
+SELECT q_id, n_id, cosine, rank FROM (
+  SELECT q_id, n_id, cosine,
+         cast(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, n_id) AS INTEGER) AS rank
+  FROM s) WHERE rank <= 5
+"""
     ORACLE["ann_topk"] = f"""
 WITH s AS (
   SELECT q.vec_id AS q_id, c.vec_id AS n_id, {qcos} AS cosine

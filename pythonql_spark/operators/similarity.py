@@ -243,6 +243,64 @@ def ivf_topk(df: DataFrame, query_ids, k: int = 5, *,
             .select("q_id", "n_id", "cosine", "rank"))
 
 
+def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5, *,
+             q_id_col: str = "vec_id", c_id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine k-NN JOIN: every row of ``queries`` → its top-k
+    neighbours in ``corpus``.  Generalizes :func:`brute_topk` (fixed
+    query-id list, cross-join + full window) to table-vs-table.
+
+    Scale shape: the query side is collected and broadcast (it must be
+    the small side — probe sets, benchmark suites; for corpus-sized
+    query sides use :func:`lsh_topk`/:func:`ivf_topk` per chunk), and
+    the corpus side is consumed by ``mapInPandas`` computing a PARTIAL
+    top-k per Arrow batch with one BLAS matmul.  Only
+    k × |queries| × num_batches candidate rows ever reach the final
+    per-query top-k shuffle — the |Q|×|C| score matrix is never
+    materialized, which is what makes this survive a 100 TB corpus
+    where the cross-join + row_number shape shuffles every pair.
+
+    Ranking uses the ROUNDED cosine (6 dp) with id tiebreak so the
+    total order is engine-portable (DuckDB oracle ranks identically)."""
+    qrows = queries.select(F.col(q_id_col).alias("q"),
+                           F.col(vec_col).alias("v")).collect()
+    if not qrows:
+        raise ValueError("empty query side")
+    q_ids = np.array([int(r.q) for r in qrows], dtype=np.int64)
+    Q = np.array([[float(x) for x in r.v] for r in qrows])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, Qn))
+
+    def batch_topk(batches):
+        q_ids_, Qn_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            S = np.round(Qn_ @ Mn.T, 6)                    # q × batch
+            n_ids = pdf["__id"].to_numpy()
+            kk = min(k, S.shape[1])
+            out_q, out_n, out_c = [], [], []
+            for qi in range(S.shape[0]):
+                # total order: cosine desc, then neighbour id asc
+                idx = np.lexsort((n_ids, -S[qi]))[:kk]
+                out_q.append(np.full(kk, q_ids_[qi]))
+                out_n.append(n_ids[idx])
+                out_c.append(S[qi][idx])
+            yield pd.DataFrame({"q_id": np.concatenate(out_q),
+                                "n_id": np.concatenate(out_n),
+                                "cosine": np.concatenate(out_c)})
+
+    cand = (corpus.select(F.col(c_id_col).cast("long").alias("__id"),
+                          F.col(vec_col).alias("__v"))
+            .mapInPandas(batch_topk, "q_id long, n_id long, cosine double"))
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "cosine", "rank"))
+
+
 def lsh_topk(df: DataFrame, query_ids, k: int = 5, *,
              n_planes: int = 10, probe_hamming: int = 2,
              n_tables: int = 6,

@@ -15,7 +15,7 @@ from pythonql_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from pythonql_spark.operators.similarity import brute_topk, lsh_topk
+from pythonql_spark.operators.similarity import brute_topk, knn_join, lsh_topk
 
 
 @pytest.fixture(scope="module")
@@ -129,6 +129,21 @@ def test_ivf_topk(vecs):
     part = {r.n_id for r in ivf_topk(vecs, [0], k=3, n_centroids=4,
                                      n_probe=1, train_sample=20).collect()}
     assert 1 in part
+
+
+def test_knn_join_matches_brute(vecs):
+    # knn_join(probe, corpus-without-probe) must equal brute_topk,
+    # which excludes self-matches by id
+    got = knn_join(vecs.filter("vec_id = 0"), vecs.filter("vec_id != 0"),
+                   k=3, vec_col="embedding")
+    exact = brute_topk(vecs, query_ids=[0], k=3)
+    g = [(r.n_id, r.rank) for r in sorted(got.collect(), key=lambda r: r.rank)]
+    e = [(r.n_id, r.rank) for r in sorted(exact.collect(), key=lambda r: r.rank)]
+    assert g == e
+    # partial top-k survives multi-partition corpora
+    got4 = knn_join(vecs.filter("vec_id = 0"),
+                    vecs.filter("vec_id != 0").repartition(4), k=3)
+    assert sorted(r.n_id for r in got4.collect()) == sorted(n for n, _ in g)
 
 
 def test_text_expressions(spark):
