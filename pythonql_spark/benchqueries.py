@@ -320,6 +320,78 @@ def tpch_q6(spark, sf):
             .df())
 
 
+@q("tpch_q3", f"""
+SELECT l_orderkey, {dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""")
+def tpch_q3(spark, sf):
+    """TPC-H Q3 (shipping priority): fact-first multi-join, group,
+    order by computed aggregate, limit — the orderBy+limit compiles to
+    TakeOrderedAndProject (no full sort at any scale).  l_orderkey
+    tiebreak keeps the limit deterministic."""
+    return (Query(spark)
+            .for_("l", load_table(spark, sf, "lineitem"))
+            .for_("o", load_table(spark, sf, "orders"))
+            .for_("c", load_table(spark, sf, "customer"))
+            .where("l.l_orderkey == o.o_orderkey and c.c_custkey == o.o_custkey "
+                   "and c.c_mktsegment == 'BUILDING' "
+                   "and o.o_orderdate < timestamp'1995-03-15 00:00:00' "
+                   "and l.l_shipdate > timestamp'1995-03-15 00:00:00'")
+            .group_by("l.l_orderkey as l_orderkey",
+                      "o.o_orderdate as o_orderdate",
+                      "o.o_orderpriority as o_orderpriority")
+            .select("l_orderkey",
+                    dsum("l.l_extendedprice * (1 - l.l_discount)") + " as revenue",
+                    "o_orderdate", "o_orderpriority")
+            .order_by("revenue desc", "l_orderkey")
+            .limit(10)
+            .df())
+
+
+@q("tpch_q18", f"""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 250)
+SELECT o_custkey, o_orderkey, o_orderdate,
+       cast(o_totalprice as double) AS o_totalprice,
+       cast(sum(l_quantity) as double) AS total_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY o_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""")
+def tpch_q18(spark, sf):
+    """TPC-H Q18 (large-volume orders): aggregate subquery as a
+    semi-join filter (HAVING-style), then re-aggregate.  The big-order
+    keyset is data-dependent and small → AQE broadcasts the semi-join."""
+    li = load_table(spark, sf, "lineitem")
+    big = (Query(spark).for_("l", li)
+           .group_by("l.l_orderkey as l_orderkey")
+           .select("l_orderkey", "sum(l.l_quantity) as qty")
+           .df().filter("qty > 250").select("l_orderkey"))
+    return (Query(spark)
+            .for_("l", li)
+            .for_("o", load_table(spark, sf, "orders"))
+            .where("o.o_orderkey == l.l_orderkey")
+            .semi_join(big, on="o.o_orderkey == __semi.l_orderkey")
+            .group_by("o.o_custkey as o_custkey", "o.o_orderkey as o_orderkey",
+                      "o.o_orderdate as o_orderdate",
+                      "o.o_totalprice as o_totalprice")
+            .select("o_custkey", "o_orderkey", "o_orderdate",
+                    "cast(o_totalprice as double) as o_totalprice",
+                    "cast(sum(l.l_quantity) as double) as total_qty")
+            .order_by("o_totalprice desc", "o_orderkey")
+            .limit(100)
+            .df())
+
+
 # ------------------------------------------------- §2.2 path / try-except
 
 @q("path_child", """
