@@ -25,10 +25,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     headline = [n for n in (
-        "group_agg", "join_multi", "join_equi", "tpch_q6", "order_multi",
+        "group_agg", "join_multi", "join_equi", "tpch_q3", "tpch_q6",
+        "tpch_q18", "order_multi",
         "lateral_explode", "join_left_outer", "join_semi", "group_lists",
-        "dedup_exact", "dedup_minhash", "dedup_simhash", "ann_topk",
-        "ann_lsh", "ann_ivf", "text_quality", "text_langid", "window_sliding_fixed",
+        "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_corpus_minhash",
+        "ann_topk", "ann_lsh", "ann_ivf", "knn_join",
+        "text_quality", "text_langid", "window_sliding_fixed",
         "stream_tumbling", "sessionize", "doc_pipeline", "decontaminate",
         "sample_stratified", "chunk_docs", "pack_sequences",
     ) if n in QUERIES]
@@ -41,8 +43,13 @@ def main() -> None:
     spark.range(64).select(
         F.pandas_udf(lambda s: s * 2, "long")(F.col("id"))).count()
 
+    # steady-state methodology: each query runs once untimed (codegen
+    # compilation, broadcast construction, executor-side imports are
+    # per-shape one-offs amortized away on a long-lived cluster), and
+    # the SECOND full run — plan construction included — is recorded.
     times: dict[str, float] = {}
     for name in headline:
+        QUERIES[name](spark, sf_dir).count()
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
         n = df.count()
@@ -54,6 +61,7 @@ def main() -> None:
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
+        "methodology": "per-query warmup run, second run timed (steady-state)",
         "queries": times,
         "sf": sf,
     }))

@@ -757,6 +757,19 @@ def dedup_corpus(spark, sf):
     return dedup_keep(docs, pairs).select("doc_id", "source", "lang")
 
 
+@q("dedup_corpus_minhash")
+def dedup_corpus_minhash(spark, sf):
+    """The SCALE end-to-end dedup: LSH candidate generation (with its
+    built-in exact-jaccard verify) instead of blocked all-pairs
+    jaccard, then components → keep.  Rows-only check (LSH banding is
+    not SQL-reproducible); `dedup_corpus` is the SQL-oracled twin on
+    deterministic pairs."""
+    from pythonql_spark.operators.dedup import dedup_keep, minhash_lsh_pairs
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    return dedup_keep(docs, pairs).select("doc_id", "source", "lang")
+
+
 @q("dedup_minhash")
 def dedup_minhash(spark, sf):
     from pythonql_spark.operators.dedup import minhash_lsh_pairs

@@ -5,8 +5,11 @@ from pythonql_spark.sources.catalog import (
     load_sf,
     load_table,
     write_bucketed,
+    write_compacted,
     write_partitioned,
+    write_range_sorted,
 )
 
 __all__ = ["TABLES", "from_collection", "jdbc_table", "load_sf",
-           "load_table", "write_bucketed", "write_partitioned"]
+           "load_table", "write_bucketed", "write_compacted",
+           "write_partitioned", "write_range_sorted"]

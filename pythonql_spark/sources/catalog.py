@@ -88,6 +88,49 @@ def write_partitioned(df: DataFrame, path: str, fmt: str = "parquet",
     w.save(path)
 
 
+def write_compacted(df: DataFrame, path: str, *,
+                    target_file_mb: int = 512,
+                    compression_ratio: float = 3.0,
+                    fmt: str = "parquet", mode: str = "overwrite") -> int:
+    """Compacting sink for the small-files problem: a 100 TB pipeline
+    stage that ends in thousands of tasks otherwise writes thousands
+    of KB-sized files, and every downstream scan pays per-file open
+    cost (plus metastore/listing pressure).
+
+    Output partition count is derived from Catalyst's sizeInBytes
+    statistic divided by ``compression_ratio`` (in-memory stats
+    overestimate on-disk parquet; ~3× is typical for mixed columns),
+    aiming at ``target_file_mb`` per file.  Uses coalesce() when
+    shrinking — no shuffle, tasks just concatenate — and
+    repartition() only when the plan has FEWER partitions than needed.
+    Returns the partition count chosen."""
+    stats_bytes = int(df._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes())
+    est_disk = max(1, int(stats_bytes / compression_ratio))
+    n = max(1, -(-est_disk // (target_file_mb << 20)))
+    cur = df.rdd.getNumPartitions()
+    out = df.coalesce(n) if n <= cur else df.repartition(n)
+    out.write.format(fmt).mode(mode).save(path)
+    return n
+
+
+def write_range_sorted(df: DataFrame, path: str, sort_cols: list[str], *,
+                       n_partitions: int | None = None,
+                       fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Range-partitioned, within-partition-sorted sink: global order
+    on ``sort_cols`` means each parquet row group covers a narrow
+    value range, so its min/max footer stats make range predicates on
+    those columns skip whole files/row-groups at read time — the
+    single-dimension answer to Z-ordering, with zero read-side cost.
+    The range partitioner samples the data (one extra job), which is
+    the price of non-overlapping file ranges."""
+    parts = [df.sparkSession.conf.get("spark.sql.shuffle.partitions")]
+    n = n_partitions or int(parts[0])
+    (df.repartitionByRange(n, *sort_cols)
+       .sortWithinPartitions(*sort_cols)
+       .write.format(fmt).mode(mode).save(path))
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
                    n_buckets: int = 64, sort_cols: list[str] | None = None,
                    fmt: str = "parquet", mode: str = "overwrite") -> None:
