@@ -78,3 +78,21 @@ def test_rollup_and_percentile(spark):
          .select("lang", "percentile(d.n, 0.5) as p50")
          .to_list())
     assert {r.lang: r.p50 for r in p} == {"en": 20.0, "fr": 40.0}
+
+
+def test_percentile_approx_scale_path(spark, sf_dir):
+    """At 100 TB exact percentile sorts every group; the same clause
+    with percentile_approx streams in bounded memory (t-digest-style
+    sketch with controllable accuracy) and must agree closely."""
+    from pythonql_spark.operators import text as TX
+    from pythonql_spark.sources import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    both = (Query(spark).for_("d", docs)
+            .let_("n", TX.token_count("d.text"))
+            .group_by("d.lang as lang")
+            .select("lang", "percentile(n, 0.5) as exact_p50",
+                    "percentile_approx(n, 0.5, 10000) as approx_p50")
+            .to_list())
+    assert both
+    for r in both:
+        assert abs(r.approx_p50 - r.exact_p50) <= max(2.0, 0.05 * r.exact_p50)
