@@ -684,6 +684,19 @@ def rollup_stats(spark, sf):
             .df())
 
 
+@q("cube_stats", None)
+def cube_stats(spark, sf):
+    # cross-tab totals over every (lang, source) subset
+    from pythonql_spark.operators import text as TX
+    return (Query(spark)
+            .for_("d", load_table(spark, sf, "documents"))
+            .let_("n_tokens", TX.token_count("d.text"))
+            .group_by("d.lang as lang", "d.source as source", cube=True)
+            .select("lang", "source", "count(d) as n_docs",
+                    "cast(sum(n_tokens) as bigint) as total_tokens")
+            .df())
+
+
 @q("sample_stratified", None)
 def sample_stratified(spark, sf):
     # keep 25% of English (the dominant stratum), all of the rest —
@@ -887,6 +900,12 @@ SELECT lang, source, count(*) AS n_docs,
        cast(sum(n_tokens) as bigint) AS total_tokens
 FROM (SELECT lang, source, {tc} AS n_tokens FROM documents)
 GROUP BY ROLLUP (lang, source)
+"""
+    ORACLE["cube_stats"] = f"""
+SELECT lang, source, count(*) AS n_docs,
+       cast(sum(n_tokens) as bigint) AS total_tokens
+FROM (SELECT lang, source, {tc} AS n_tokens FROM documents)
+GROUP BY CUBE (lang, source)
 """
 
     from pythonql_spark.operators.sampling import sample_oracle_where

@@ -126,14 +126,18 @@ class Query:
                          partition_by=partition_by, tumbling=tumbling,
                          only_end=only_end)
 
-    def group_by(self, *keys: str, rollup: bool = False) -> "Query":
+    def group_by(self, *keys: str, rollup: bool = False,
+                 cube: bool = False) -> "Query":
         """``group by expr as alias, ...``; non-key variables follow
         the implicit-list semantics (see module docstring).  With
         ``rollup=True`` the grouping is hierarchical (subtotals per key
-        prefix + grand total, keys NULL at coarser levels) — beyond the
-        reference, for corpus-stats rollups."""
+        prefix + grand total, keys NULL at coarser levels);
+        ``cube=True`` aggregates over EVERY key subset — beyond the
+        reference, for corpus-stats rollups/cross-tabs."""
+        if rollup and cube:
+            raise ValueError("rollup and cube are mutually exclusive")
         return self._add(kind="groupby", keys=[_split_as(k) for k in keys],
-                         rollup=rollup)
+                         rollup=rollup, cube=cube)
 
     def order_by(self, *specs: str) -> "Query":
         return self._add(kind="orderby", specs=list(specs))
@@ -397,6 +401,8 @@ class _Compiler:
 
         if c.get("rollup"):
             self.df = self.df.rollup(*key_cols).agg(*agg_cols, *collect_cols)
+        elif c.get("cube"):
+            self.df = self.df.cube(*key_cols).agg(*agg_cols, *collect_cols)
         elif agg_cols or collect_cols:
             self.df = self.df.groupBy(*key_cols).agg(*agg_cols, *collect_cols)
         else:

@@ -54,7 +54,9 @@ def replicate_embs(spark, n: int, path: str) -> None:
 def main() -> None:
     spark = get_spark("scale-exp")
     spark.sparkContext.setLogLevel("ERROR")
-    from pythonql_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+    from pythonql_spark.operators.dedup import (dedup_keep,
+                                                minhash_lsh_pairs,
+                                                simhash_pairs)
     from pythonql_spark.operators.decontam import decontaminate
     from pythonql_spark.operators.similarity import brute_topk, lsh_topk
 
@@ -73,6 +75,10 @@ def main() -> None:
             "decontam": lambda: decontaminate(
                 docs.filter("doc_id % 50 != 0"),
                 docs.filter("doc_id % 50 = 0"), ngram=5).count(),
+            # full pipeline incl. connected components + anti-join:
+            # rounds grow with log(cluster diameter), not corpus size
+            "dedup_e2e": lambda: dedup_keep(
+                docs, minhash_lsh_pairs(docs, jaccard_threshold=0.5)).count(),
             "ann_brute": lambda: brute_topk(
                 embs, query_ids=list(range(10)), k=5,
                 id_col="vec_id", vec_col="embedding").count(),

@@ -119,3 +119,15 @@ def test_pack_single_shuffle(spark, sf_dir):
     tree = plan.split("(1) Scan")[0]
     assert tree.count("Exchange") == 1, tree
     assert "Window" in plan
+
+
+def test_knn_join_no_cross_product(spark, sf_dir):
+    # the query x corpus score matrix must never materialize: corpus
+    # flows through ONE Arrow-batched python stage (partial top-k),
+    # and the only shuffle carries candidate rows for the final window
+    plan = formatted_plan(QUERIES["knn_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("MapInPandas") == 1
+    assert tree.count("Exchange") == 1, tree

@@ -1,6 +1,7 @@
 """Clause-level DSL tests beyond the tutorial ports: window clause
 integration, join lifting plan shape, helpers."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from pythonql_spark import Query, helpers
@@ -78,6 +79,22 @@ def test_rollup_and_percentile(spark):
          .select("lang", "percentile(d.n, 0.5) as p50")
          .to_list())
     assert {r.lang: r.p50 for r in p} == {"en": 20.0, "fr": 40.0}
+
+
+def test_cube(spark):
+    df = spark.createDataFrame(
+        [("en", "web", 10), ("en", "book", 30), ("fr", "web", 40)],
+        "lang string, src string, n int")
+    rows = (Query(spark).for_("d", df)
+            .group_by("d.lang as lang", "d.src as src", cube=True)
+            .select("lang", "src", "sum(d.n) as s")
+            .to_list())
+    got = {(r.lang, r.src): r.s for r in rows}
+    assert got[(None, "web")] == 50          # per-src slice: rollup lacks this
+    assert got[("en", None)] == 40
+    assert got[(None, None)] == 80
+    with pytest.raises(ValueError):
+        Query(spark).for_("d", df).group_by("d.lang", rollup=True, cube=True)
 
 
 def test_percentile_approx_scale_path(spark, sf_dir):
