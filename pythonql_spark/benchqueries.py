@@ -837,6 +837,43 @@ def ann_ivf(spark, sf):
     return ivf_topk(emb, query_ids=list(range(10)), k=5)
 
 
+@q("training_pipeline", None)  # oracle generated below, CTE per stage
+def training_pipeline(spark, sf):
+    """Flagship composite: the WHOLE training-data preprocessing flow
+    as one composed DataFrame plan — clean+PII-scrub → quality filter
+    → exact dedup (keep min id per fingerprint) → benchmark
+    decontamination (broadcast shingles) → deterministic stratified
+    sampling → GPT-style sequence packing.  Catalyst sees one tree:
+    the clean/quality/fingerprint expressions all fuse into the scan
+    projection, and the only wide operations are the dedup groupBy,
+    the per-doc contamination agg, and the pack window — each keyed,
+    each scale-safe.  (The LSH near-dup stage lives in
+    `dedup_corpus_minhash`; adding it here would make the whole
+    pipeline rows-only checkable.)"""
+    from pyspark.sql import functions as F
+    from pythonql_spark.operators import text as TX
+    from pythonql_spark.operators.decontam import decontaminate
+    from pythonql_spark.operators.packing import pack_sequences
+    from pythonql_spark.operators.sampling import stratified_sample
+    docs = load_table(spark, sf, "documents")
+    cleaned = docs.selectExpr("doc_id", "source", "lang",
+                              TX.clean_text("text") + " as ctext")
+    scored = cleaned.selectExpr("*", TX.quality_score("ctext") + " as quality",
+                                TX.fingerprint("ctext") + " as fp")
+    good = scored.filter("quality >= 0.5")
+    keep = good.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = good.join(keep.select("doc_id"), "doc_id")
+    corpus = kept.filter("doc_id % 50 != 0")
+    bench = cleaned.filter("doc_id % 50 = 0")
+    cont = decontaminate(corpus, bench, text_col="ctext", ngram=5)
+    clean_corpus = corpus.join(
+        cont.filter("contamination < 0.2").select("doc_id"), "doc_id")
+    sampled = stratified_sample(clean_corpus, "lang", {"en": 0.5},
+                                default_fraction=1.0)
+    return pack_sequences(sampled, 512, shard_col="source",
+                          text_col="ctext")
+
+
 @q("doc_pipeline", None)  # oracle generated below from the same formulas
 def doc_pipeline(spark, sf):
     """Composite training-data pipeline: quality-filter → exact dedup
@@ -951,6 +988,46 @@ kept AS (
 SELECT pred_lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
        {davg('quality')} AS avg_quality
 FROM scored JOIN kept USING (doc_id) GROUP BY pred_lang
+"""
+
+    grams5c = TX.ngram_list("ctext", 5, "duck")
+    ORACLE["training_pipeline"] = f"""
+WITH cleaned AS (
+  SELECT doc_id, source, lang, {TX.clean_text('text', 'duck')} AS ctext
+  FROM documents),
+scored AS (
+  SELECT *, {TX.quality_score('ctext', 'duck')} AS quality,
+         {TX.fingerprint('ctext', 'duck')} AS fp
+  FROM cleaned),
+good AS (SELECT * FROM scored WHERE quality >= 0.5),
+keep AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY fp),
+kept AS (SELECT g.* FROM good g JOIN keep USING (doc_id)),
+corpus AS (SELECT * FROM kept WHERE doc_id % 50 <> 0),
+bench AS (
+  SELECT DISTINCT unnest({grams5c}) AS g FROM cleaned WHERE doc_id % 50 = 0),
+cg AS (
+  SELECT doc_id, unnest(list_distinct({grams5c})) AS g FROM corpus),
+cont AS (
+  SELECT cg.doc_id,
+         round(cast(count(b.g) as double) / cast(count(*) as double), 6)
+           AS contamination
+  FROM cg LEFT JOIN bench b ON cg.g = b.g GROUP BY cg.doc_id),
+cc AS (
+  SELECT c.* FROM corpus c JOIN cont USING (doc_id)
+  WHERE cont.contamination < 0.2),
+samp AS (
+  SELECT * FROM cc
+  WHERE {sample_oracle_where({'en': 0.5}, 'lang', default_fraction=1.0)}),
+t AS (
+  SELECT source, doc_id, {TX.token_count('ctext', 'duck')} AS n_tokens
+  FROM samp),
+o AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+  FROM t)
+SELECT source, doc_id, n_tokens, start_offset,
+       cast(floor(start_offset / 512) as bigint) AS seq_id
+FROM o
 """
 
     jac = ("cast(len(list_filter(a.grams, x -> list_contains(b.grams, x))) as double) / "

