@@ -31,7 +31,8 @@ def main() -> None:
         "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_corpus_minhash",
         "ann_topk", "ann_lsh", "ann_ivf", "knn_join",
         "text_quality", "text_langid", "window_sliding_fixed",
-        "stream_tumbling", "sessionize", "doc_pipeline", "decontaminate",
+        "stream_tumbling", "sessionize", "doc_pipeline", "training_pipeline",
+        "decontaminate",
         "sample_stratified", "chunk_docs", "pack_sequences",
     ) if n in QUERIES]
 

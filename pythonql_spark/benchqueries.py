@@ -858,6 +858,12 @@ def training_pipeline(spark, sf):
     docs = load_table(spark, sf, "documents")
     cleaned = docs.selectExpr("doc_id", "source", "lang",
                               TX.clean_text("text") + " as ctext")
+    # materialize the cleaned text ONCE: CollapseProject would inline
+    # the clean_text regex chain into every ctext reference in the
+    # quality/fingerprint expressions (~8 re-evaluations per row,
+    # measured 4s vs 0.3s at sf0.1).  At 100 TB this is the standard
+    # stage boundary — you persist the cleaned corpus anyway.
+    cleaned = cleaned.localCheckpoint(eager=False)
     scored = cleaned.selectExpr("*", TX.quality_score("ctext") + " as quality",
                                 TX.fingerprint("ctext") + " as fp")
     good = scored.filter("quality >= 0.5")
