@@ -684,6 +684,15 @@ def rollup_stats(spark, sf):
             .df())
 
 
+@q("shuffle_epoch", None)
+def shuffle_epoch(spark, sf):
+    """Seeded deterministic global shuffle (training-epoch ordering):
+    distributed zipWithIndex over a range-partitioned hash order."""
+    from pythonql_spark.operators.sampling import shuffle_rows
+    docs = load_table(spark, sf, "documents")
+    return shuffle_rows(docs, seed=1).select("doc_id", "shuffle_pos")
+
+
 @q("cube_stats", None)
 def cube_stats(spark, sf):
     # cross-tab totals over every (lang, source) subset
@@ -951,7 +960,15 @@ FROM (SELECT lang, source, {tc} AS n_tokens FROM documents)
 GROUP BY CUBE (lang, source)
 """
 
-    from pythonql_spark.operators.sampling import sample_oracle_where
+    from pythonql_spark.operators.sampling import (sample_oracle_where,
+                                                   shuffle_key)
+    ORACLE["shuffle_epoch"] = f"""
+SELECT doc_id,
+       cast(row_number() OVER (
+            ORDER BY {shuffle_key('doc_id', 1, 'duck')}, doc_id) - 1
+            as bigint) AS shuffle_pos
+FROM documents
+"""
     from pythonql_spark.operators.packing import chunk_expr, pack_oracle_sql
     ORACLE["sample_stratified"] = (
         "SELECT doc_id, lang FROM documents WHERE "

@@ -54,6 +54,71 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.filter(F.expr(f"{hash_bucket(id_col)} < {cut}"))
 
 
+def shuffle_key(id_col: str = "doc_id", seed: int = 0,
+                dialect: str = "spark") -> str:
+    """Deterministic per-epoch shuffle key: md5 of (seed, id).  Same
+    value in Spark SQL and DuckDB, so a shuffled ordering is
+    oracle-checkable."""
+    expr = (f"concat('{seed}:', cast({id_col} as string))" if dialect == "spark"
+            else f"'{seed}:' || cast({id_col} as varchar)")
+    return f"md5({expr})"
+
+
+def shuffle_rows(df: DataFrame, id_col: str = "doc_id",
+                 seed: int = 0, n_partitions: int | None = None) -> DataFrame:
+    """Seeded deterministic global shuffle for training-data epochs:
+    adds ``shuffle_pos`` (0-based position in the shuffled order).
+    Reproducible across runs and cluster layouts (no rand()); a new
+    ``seed`` yields an independent permutation for the next epoch.
+
+    Scale shape: a bare ``row_number() OVER (ORDER BY hash)`` funnels
+    every row through ONE task.  Instead: range-partition on the hash
+    key (one exchange, same cost as any global sort), number rows
+    LOCALLY per partition, and add each partition's starting offset
+    (a broadcast join against the tiny per-partition count table).
+    Positions are independent of the sampled range boundaries, so the
+    result is deterministic even though repartitionByRange samples."""
+    key = F.expr(shuffle_key(id_col, seed))
+    n = n_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    keyed = (df.withColumn("__k", key)
+             .repartitionByRange(n, F.col("__k"), F.col(id_col))
+             .sortWithinPartitions("__k", id_col)
+             .withColumn("__pid", F.spark_partition_id()))
+
+    # local numbering in ONE Arrow pass (a window PARTITION BY the
+    # partition id would re-shuffle the whole corpus a second time;
+    # this streams batches in partition order with a running counter).
+    # Copy the schema: df.schema is a cached object, and mutating it
+    # via .add() desyncs the Python-side column list from the plan.
+    from pyspark.sql.types import LongType, StructField, StructType
+    out_schema = StructType(keyed.schema.fields +
+                            [StructField("__rn", LongType())])
+
+    def number(batches):
+        i = 0
+        for pdf in batches:
+            pdf = pdf.assign(__rn=range(i, i + len(pdf)))
+            i += len(pdf)
+            yield pdf
+
+    local = keyed.mapInPandas(number, out_schema)
+    # per-partition starting offsets: the groupBy's map-side partial
+    # agg emits ONE row per partition, and Spark reuses the range
+    # exchange (ReusedExchange) instead of recomputing it
+    from pyspark.sql.window import Window as W
+    counts = (keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+              .withColumn("__off", F.coalesce(
+                  F.sum("__n").over(
+                      W.orderBy("__pid")
+                       .rowsBetween(W.unboundedPreceding, -1)),
+                  F.lit(0))))
+    return (local.join(F.broadcast(counts.select("__pid", "__off")), "__pid")
+            .withColumn("shuffle_pos",
+                        (F.col("__off") + F.col("__rn")).cast("bigint"))
+            .drop("__k", "__pid", "__rn", "__off"))
+
+
 def sample_oracle_where(fractions: dict[str, float] | float,
                         strata_col: str | None = None,
                         default_fraction: float = 0.0,

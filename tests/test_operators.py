@@ -146,6 +146,24 @@ def test_knn_join_matches_brute(vecs):
     assert sorted(r.n_id for r in got4.collect()) == sorted(n for n, _ in g)
 
 
+def test_shuffle_rows(spark):
+    from pythonql_spark.operators.sampling import shuffle_rows
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(500)],
+                               "doc_id long, text string")
+    out = {r.doc_id: r.shuffle_pos
+           for r in shuffle_rows(df, seed=3).collect()}
+    assert sorted(out.values()) == list(range(500))      # a permutation
+    assert out != {i: i for i in range(500)}             # actually shuffled
+    # deterministic across partition layouts
+    out2 = {r.doc_id: r.shuffle_pos
+            for r in shuffle_rows(df.repartition(7), seed=3).collect()}
+    assert out == out2
+    # a different seed gives a different permutation
+    out4 = {r.doc_id: r.shuffle_pos
+            for r in shuffle_rows(df, seed=4).collect()}
+    assert out4 != out
+
+
 def test_text_expressions(spark):
     df = spark.createDataFrame(
         [(0, "the cat and the dog, in a house!"),
