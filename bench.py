@@ -26,7 +26,7 @@ def main() -> None:
 
     headline = [n for n in (
         "group_agg", "join_multi", "join_equi", "tpch_q3", "tpch_q6",
-        "tpch_q18", "order_multi",
+        "tpch_q9", "tpch_q18", "order_multi", "shuffle_epoch",
         "lateral_explode", "join_left_outer", "join_semi", "group_lists",
         "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_corpus_minhash",
         "ann_topk", "ann_lsh", "ann_ivf", "knn_join",

@@ -355,6 +355,38 @@ def tpch_q3(spark, sf):
             .df())
 
 
+@q("tpch_q9", f"""
+SELECT n_name AS nation, cast(year(o_orderdate) as int) AS o_year,
+       {dsum('l_extendedprice * (1 - l_discount)')} AS profit
+FROM lineitem JOIN orders   ON o_orderkey = l_orderkey
+              JOIN part     ON p_partkey  = l_partkey
+              JOIN supplier ON s_suppkey  = l_suppkey
+              JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, cast(year(o_orderdate) as int)
+""")
+def tpch_q9(spark, sf):
+    """TPC-H Q9 shape (product-line profit; no partsupp table in the
+    testdata, so profit = discounted revenue): a 5-way star join —
+    lineitem fact first, part filtered before the join (pushdown),
+    supplier/nation broadcast."""
+    return (Query(spark)
+            .for_("l", load_table(spark, sf, "lineitem"))
+            .for_("o", load_table(spark, sf, "orders"))
+            .for_("p", load_table(spark, sf, "part"))
+            .for_("s", load_table(spark, sf, "supplier"), hint="broadcast")
+            .for_("n", load_table(spark, sf, "nation"), hint="broadcast")
+            .where("o.o_orderkey == l.l_orderkey and p.p_partkey == l.l_partkey "
+                   "and s.s_suppkey == l.l_suppkey "
+                   "and n.n_nationkey == s.s_nationkey "
+                   "and p.p_name like '%widget%'")
+            .group_by("n.n_name as nation",
+                      "cast(year(o.o_orderdate) as int) as o_year")
+            .select("nation", "o_year",
+                    dsum("l.l_extendedprice * (1 - l.l_discount)") + " as profit")
+            .df())
+
+
 @q("tpch_q18", f"""
 WITH big AS (
   SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
