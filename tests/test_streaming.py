@@ -96,6 +96,42 @@ def test_stateful_sessionize_stream_matches_batch(spark, tables, tmp_path):
     assert got == want
 
 
+def test_streaming_text_pipeline_matches_batch(spark, tables, tmp_path):
+    """The text operators are plain column expressions, so the same
+    quality-filter + windowed per-language counts run unchanged on a
+    real stream; append-mode output for every window the watermark
+    closed must equal the batch run over the same rows."""
+    from pythonql_spark.operators import text as TX
+
+    docs = (tables["documents"]
+            .selectExpr("doc_id", "lang", "text",
+                        "timestamp_micros(doc_id * 600000000) as ts"))
+    src = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(src)
+
+    def pipeline(df):
+        scored = df.selectExpr(
+            "lang", "ts", TX.quality_score("text") + " as quality")
+        return tumbling_agg(scored.filter("quality >= 0.5"),
+                            "1 hour", keys=["lang"], ts_col="ts")
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = pipeline(with_watermark(stream, "ts", "0 seconds"))
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("t_textpipe")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.lang, r.window_start, r.n_events)
+           for r in spark.table("t_textpipe").collect()}
+
+    # batch reference, minus windows still open at the final watermark
+    max_ts = docs.agg(F.max("ts")).first()[0]
+    batch = pipeline(docs).filter(
+        F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= F.lit(max_ts))
+    want = {(r.lang, r.window_start, r.n_events) for r in batch.collect()}
+    assert got == want and got
+
+
 def test_dedup_stream_matches_batch(spark, tables, tmp_path):
     """dropDuplicatesWithinWatermark on a real file stream keeps one
     row per key; matches batch dropDuplicates key set."""
