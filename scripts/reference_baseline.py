@@ -1,0 +1,145 @@
+"""Measure the reference engine's single-node throughput against ours
+on the same queries and the same data.
+
+The reference (pythonql/pythonql) is a tuple-at-a-time generator
+pipeline that evals compiled Python expressions per row
+(Executor.py:119-638).  Its parser needs `ply` (not installed), but
+the Executor itself is importable, and clause objects
+(algebra/operators.py) take plain Python expression strings — so we
+drive PyQuery directly with hand-built clause lists, exactly what its
+preprocessor would emit.  Nothing is copied; the reference runs from
+/root/reference.
+
+Two queries both engines support:
+  q1_groupby — TPC-H Q1 shape: filter lineitem, group by returnflag,
+               sum quantity (matches our `group_agg`-lite).
+  join_agg   — customer x orders equi-join, group by segment,
+               count + sum (matches our `join_equi`).
+
+Run: python scripts/reference_baseline.py [sf ...]   (default 0.001 0.01)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, "/root/reference")
+
+import duckdb
+
+
+def load_rows(sf_dir: str, table: str, cols: list[str]) -> list:
+    """Rows as namedtuples: the reference's Ast.py predates the
+    Python 3.9 subscript AST change, so dict access inside query
+    expressions breaks its rewriter — attribute access parses fine."""
+    from collections import namedtuple
+    Row = namedtuple(f"{table}_row", cols)
+    sel = ", ".join(cols)
+    rows = duckdb.sql(
+        f"select {sel} from '{sf_dir}/{table}.parquet'").fetchall()
+    return [Row(*r) for r in rows]
+
+
+def run_reference(sf_dir: str) -> dict[str, float]:
+    import datetime
+
+    from pythonql.Executor import PyQuery
+    from pythonql.algebra.operators import For, GroupBy, Select, Where
+
+    lineitem = load_rows(sf_dir, "lineitem",
+                         ["l_returnflag", "l_quantity", "l_shipdate"])
+    customer = load_rows(sf_dir, "customer",
+                         ["c_custkey", "c_mktsegment"])
+    orders = load_rows(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    env = {"lineitem": lineitem, "customer": customer, "orders": orders,
+           "cutoff": datetime.datetime(1998, 9, 2)}
+
+    out: dict[str, float] = {}
+    t0 = time.perf_counter()
+    res = PyQuery(
+        [For(["l"], False, "lineitem"),
+         Where("l.l_shipdate <= cutoff"),
+         GroupBy([("l.l_returnflag", "rf")]),
+         Select("(rf, sum([x.l_quantity for x in l]))")],
+        env, env, "list")
+    out["q1_groupby"] = time.perf_counter() - t0
+    out["q1_rows"] = len(res)
+
+    if len(customer) * len(orders) > 50_000_000:
+        # the reference executes this as a nested loop (one eval'd
+        # where-predicate per customer x order pair): 160s at sf0.01
+        # already, quadratic beyond — skip instead of burning hours
+        out["join_agg"] = float("nan")
+        return out
+
+    t0 = time.perf_counter()
+    res = PyQuery(
+        [For(["c"], False, "customer"),
+         For(["o"], False, "orders"),
+         Where("c.c_custkey == o.o_custkey "
+               "and o.o_totalprice > 100000"),
+         GroupBy([("c.c_mktsegment", "seg")]),
+         Select("(seg, len(o), sum([x.o_totalprice for x in o]))")],
+        env, env, "list")
+    out["join_agg"] = time.perf_counter() - t0
+    out["join_rows"] = len(res)
+    return out
+
+
+def run_ours(sf_dir: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from pythonql_spark import Query, get_spark
+    from pythonql_spark.sources import load_table
+
+    spark = get_spark("ref-baseline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def q1():
+        return (Query(spark)
+                .for_("l", load_table(spark, sf_dir, "lineitem"))
+                .where("l.l_shipdate <= timestamp'1998-09-02 00:00:00'")
+                .group_by("l.l_returnflag as rf")
+                .select("rf", "sum(l.l_quantity) as sum_qty").df())
+
+    def j():
+        return (Query(spark)
+                .for_("c", load_table(spark, sf_dir, "customer"))
+                .for_("o", load_table(spark, sf_dir, "orders"))
+                .where("c.c_custkey == o.o_custkey "
+                       "and o.o_totalprice > 100000")
+                .group_by("c.c_mktsegment as seg")
+                .select("seg", "count(o) as n",
+                        "sum(o.o_totalprice) as total").df())
+
+    out: dict[str, float] = {}
+    for name, fn in (("q1_groupby", q1), ("join_agg", j)):
+        fn().count()                      # warm the shape
+        t0 = time.perf_counter()
+        n = fn().count()
+        out[name] = time.perf_counter() - t0
+        out[name.split("_")[0] + "_rows"] = n
+    return out
+
+
+def main() -> None:
+    sfs = sys.argv[1:] or ["0.001", "0.01"]
+    for sf in sfs:
+        sf_dir = f"/root/testdata/sf{sf}"
+        ref = run_reference(sf_dir)
+        ours = run_ours(sf_dir)
+        for q in ("q1_groupby", "join_agg"):
+            r, o = ref[q], ours[q]
+            if r != r:                      # NaN: skipped as intractable
+                print(f"sf{sf:>5s} {q:<11s} reference= skipped "
+                      f"(nested loop intractable) ours={o:6.2f}s", flush=True)
+            else:
+                print(f"sf{sf:>5s} {q:<11s} reference={r:8.2f}s "
+                      f"ours={o:6.2f}s  speedup={r / o:7.1f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()
