@@ -131,3 +131,12 @@ def test_knn_join_no_cross_product(spark, sf_dir):
     tree = plan.split("(1) Scan")[0]
     assert tree.count("MapInPandas") == 1
     assert tree.count("Exchange") == 1, tree
+
+
+def test_tpch_q9_star_join_shape(spark, sf_dir):
+    # the part-name filter must reach the part scan (below the join),
+    # and the two tiny dims must broadcast, never shuffle the fact side
+    plan = formatted_plan(QUERIES["tpch_q9"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"PushedFilters:.*p_name", plan), plan[:600]
+    assert plan.count("BroadcastHashJoin") >= 2
