@@ -304,3 +304,25 @@ def test_multimodal_real_decode_raises(spark):
                                 F.col("h"), F.col("dur")).alias("media")))
     with pytest.raises(Exception):
         MM.decode_image(df).collect()
+
+
+def test_operators_on_empty_input(spark):
+    """Every pipeline operator must yield an empty (not crashing)
+    result on an empty corpus — partial files, over-filtered stages,
+    and fresh streams all produce empty inputs in practice."""
+    from pythonql_spark.operators.decontam import decontaminate
+    from pythonql_spark.operators.packing import chunk_documents, pack_sequences
+    from pythonql_spark.operators.sampling import shuffle_rows, stratified_sample
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, source string, lang string")
+    assert exact_dedup(empty).count() == 0
+    assert minhash_lsh_pairs(empty).count() == 0
+    assert simhash_pairs(empty).count() == 0
+    assert ngram_jaccard_pairs(empty, ["source"]).count() == 0
+    assert dedup_keep(empty, ngram_jaccard_pairs(empty, ["source"])).count() == 0
+    assert decontaminate(empty, empty).count() == 0
+    assert chunk_documents(empty, chunk=8).count() == 0
+    assert pack_sequences(empty, 128).count() == 0
+    assert stratified_sample(empty, "lang", {"en": 0.5}).count() == 0
+    assert shuffle_rows(empty).count() == 0
