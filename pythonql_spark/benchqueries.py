@@ -824,6 +824,19 @@ def dedup_corpus_minhash(spark, sf):
     return dedup_keep(docs, pairs).select("doc_id", "source", "lang")
 
 
+@q("dedup_increment")
+def dedup_increment_q(spark, sf):
+    """Incremental ingest: every 10th doc arrives as the 'new batch',
+    deduped within itself and against the standing corpus (bipartite
+    LSH — cost |new| + |corpus|, never the product).  Rows-only check
+    (LSH banding is not SQL-reproducible)."""
+    from pythonql_spark.operators.dedup import dedup_increment
+    docs = load_table(spark, sf, "documents")
+    return dedup_increment(docs.filter("doc_id % 10 = 0"),
+                           docs.filter("doc_id % 10 != 0"),
+                           jaccard_threshold=0.5).select("doc_id", "source")
+
+
 @q("dedup_minhash")
 def dedup_minhash(spark, sf):
     from pythonql_spark.operators.dedup import minhash_lsh_pairs

@@ -91,22 +91,43 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     produce quadratic within-bucket pairs — the classic LSH-dedup
     failure at corpus scale.  Oversized buckets are dropped (their
     members still pair up via their other, more selective bands)."""
-    r = num_hashes // bands
-    # Shingle hashes without building shingle STRINGS: hash each word
-    # once, then a shingle hash is xxhash64 over n consecutive word
-    # hashes (longs).  The outer single-element transform(array(..))
-    # binds the word-hash array ONCE as a lambda variable — without
-    # it, projection collapse re-inlines the split+hash pass into
-    # every element_at (the HOF re-evaluation trap; ~8× slower).
+    buckets = _minhash_band_buckets(df, id_col, text_col,
+                                    num_hashes, bands, ngram)
+    pairs = _bucket_pairs(
+        buckets, ["band", "h"], max_bucket_size,
+        elem_struct="id",
+        pair_expr="struct(xs[i] as id_a, xs[j] as id_b)").distinct()
+    if jaccard_threshold is None:
+        return pairs
+    return _jaccard_verify(pairs, df, df, id_col, text_col, ngram,
+                           jaccard_threshold)
+
+
+def _gh_list(text_col: str, ngram: int) -> str:
+    """Shingle hashes without building shingle STRINGS: hash each word
+    once, then a shingle hash is xxhash64 over n consecutive word
+    hashes (longs).  The outer single-element transform(array(..))
+    binds the word-hash array ONCE as a lambda variable — without it,
+    projection collapse re-inlines the split+hash pass into every
+    element_at (the HOF re-evaluation trap; ~8× slower)."""
     wh = f"transform(split(trim(lower({text_col})), '\\\\s+'), w -> xxhash64(w))"
     idx = ", ".join(
         f"element_at(ws, least(i + {j}, size(ws)))" for j in range(ngram))
-    gh_list = (f"transform(array({wh}), ws -> "
-               f"transform(sequence(1, greatest(size(ws) - {ngram - 1}, 1)), "
-               f"i -> xxhash64({idx})))[0]")
+    return (f"transform(array({wh}), ws -> "
+            f"transform(sequence(1, greatest(size(ws) - {ngram - 1}, 1)), "
+            f"i -> xxhash64({idx})))[0]")
+
+
+def _minhash_band_buckets(df: DataFrame, id_col: str, text_col: str,
+                          num_hashes: int, bands: int,
+                          ngram: int) -> DataFrame:
+    """(id, band, h): banded MinHash bucket keys per doc — explode
+    shingles, hash once, num_hashes codegen'd min-aggregates (map-side
+    partial agg: the shuffle carries id → 64 longs, not text)."""
+    r = num_hashes // bands
     shingles = (df.select(F.col(id_col).alias("id"),
-                          F.explode(F.expr(gh_list)).alias("gh")))
-    # signature: min over shingles of a cheap long re-hash per seed
+                          F.explode(F.expr(_gh_list(text_col, ngram)))
+                           .alias("gh")))
     sig = shingles.groupBy("id").agg(
         *[F.min(F.expr(f"xxhash64(gh, {i})")).alias(f"m{i}")
           for i in range(num_hashes)])
@@ -116,29 +137,79 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                         ", ".join(f"m{b * r + j}" for j in range(r)) +
                         ", 777)").alias("h"))
         for b in range(bands)])
-    buckets = (sig.select("id", F.explode(band_arr).alias("bk"))
-               .select("id", "bk.band", "bk.h"))
-    pairs = _bucket_pairs(
-        buckets, ["band", "h"], max_bucket_size,
-        elem_struct="id",
-        pair_expr="struct(xs[i] as id_a, xs[j] as id_b)").distinct()
-    if jaccard_threshold is None:
-        return pairs
-    # verify pass on candidates only — Jaccard over the HASHED shingle
-    # sets (set intersection is hash-collision-insensitive at 64 bits,
-    # and longs skip rebuilding shingle strings)
-    grams = F.expr(f"array_distinct({gh_list})")
-    docs = df.select(F.col(id_col).alias("id"), grams.alias("grams"))
-    return (pairs
-            .join(docs.withColumnRenamed("id", "id_a")
-                      .withColumnRenamed("grams", "grams_a"), "id_a")
-            .join(docs.withColumnRenamed("id", "id_b")
-                      .withColumnRenamed("grams", "grams_b"), "id_b")
+    return (sig.select("id", F.explode(band_arr).alias("bk"))
+            .select("id", "bk.band", "bk.h"))
+
+
+def _jaccard_verify(pairs: DataFrame, df_a: DataFrame, df_b: DataFrame,
+                    id_col: str, text_col: str, ngram: int,
+                    threshold: float) -> DataFrame:
+    """Exact-Jaccard verify pass on candidates only, over the HASHED
+    shingle sets (set intersection is hash-collision-insensitive at
+    64 bits, and longs skip rebuilding shingle strings)."""
+    grams = F.expr(f"array_distinct({_gh_list(text_col, ngram)})")
+    a = df_a.select(F.col(id_col).alias("id_a"), grams.alias("grams_a"))
+    b = df_b.select(F.col(id_col).alias("id_b"), grams.alias("grams_b"))
+    return (pairs.join(a, "id_a").join(b, "id_b")
             .withColumn("jaccard", F.expr(
                 "cast(size(array_intersect(grams_a, grams_b)) as double) / "
                 "cast(size(array_union(grams_a, grams_b)) as double)"))
-            .filter(F.col("jaccard") >= jaccard_threshold)
+            .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def minhash_lsh_pairs_bipartite(new: DataFrame, corpus: DataFrame,
+                                id_col: str = "doc_id",
+                                text_col: str = "text", *,
+                                num_hashes: int = 64, bands: int = 16,
+                                ngram: int = 3,
+                                jaccard_threshold: float | None = 0.5,
+                                max_bucket_size: int = 500) -> DataFrame:
+    """Cross-corpus near-dup pairs (id_a from ``new``, id_b from
+    ``corpus``): the incremental-ingest primitive — a day's batch is
+    checked against the accumulated corpus without ever re-pairing
+    the corpus with itself.
+
+    The corpus side groups into capped bucket arrays (ONE shuffle of
+    id+band keys, never text); the new side — typically orders of
+    magnitude smaller — joins those buckets on (band, h) and explodes.
+    Cost scales with |new| + |corpus|, not their product."""
+    nb = _minhash_band_buckets(new, id_col, text_col,
+                               num_hashes, bands, ngram)
+    cb = _minhash_band_buckets(corpus, id_col, text_col,
+                               num_hashes, bands, ngram)
+    grouped = (cb.groupBy("band", "h")
+               .agg(F.collect_list("id").alias("xs"))
+               .filter(F.size("xs") <= max_bucket_size))
+    pairs = (nb.join(grouped, ["band", "h"])
+             .select(F.col("id").alias("id_a"),
+                     F.explode("xs").alias("id_b"))
+             .distinct())
+    if jaccard_threshold is None:
+        return pairs
+    return _jaccard_verify(pairs, new, corpus, id_col, text_col, ngram,
+                           jaccard_threshold)
+
+
+def dedup_increment(new: DataFrame, corpus: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text", *,
+                    jaccard_threshold: float = 0.5,
+                    **lsh_kw) -> DataFrame:
+    """Incremental dedup for continuously-ingested corpora: rows of
+    ``new`` that are near-duplicates neither of ``corpus`` nor of an
+    earlier (min-id) row within the batch itself.  Within-batch dedup
+    runs first so the (more expensive) cross check only scores batch
+    survivors."""
+    within = dedup_keep(
+        new, minhash_lsh_pairs(new, id_col, text_col,
+                               jaccard_threshold=jaccard_threshold,
+                               **lsh_kw),
+        id_col)
+    cross = minhash_lsh_pairs_bipartite(
+        within, corpus, id_col, text_col,
+        jaccard_threshold=jaccard_threshold, **lsh_kw)
+    dupes = cross.select(F.col("id_a").alias(id_col)).distinct()
+    return within.join(dupes, id_col, "left_anti")
 
 
 def simhash_df(df: DataFrame, id_col: str = "doc_id",

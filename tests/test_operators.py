@@ -92,6 +92,28 @@ def test_dedup_keep(docs):
     assert kept == {0, 3, 5}
 
 
+def test_dedup_increment(spark, docs):
+    from pythonql_spark.operators.dedup import (dedup_increment,
+                                                minhash_lsh_pairs_bipartite)
+    new = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog", "a"),  # dup of corpus 0
+         (101, "a genuinely novel document about incremental ingest", "a"),
+         (102, "a genuinely novel document about incremental ingest!", "a"),  # dup of 101
+         (103, "the quick brown fox leaps over the lazy dog", "b")],  # near-dup of corpus 2
+        "doc_id long, text string, source string")
+    cross = minhash_lsh_pairs_bipartite(new, docs, ngram=1,
+                                        jaccard_threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in cross.collect()}
+    assert (100, 0) in got and (103, 2) in got
+    assert not any(a == 101 for a, _ in got)
+
+    kept = {r.doc_id
+            for r in dedup_increment(new, docs, ngram=1,
+                                     jaccard_threshold=0.5).collect()}
+    # 100/103 collide with the corpus; 102 loses to 101 within-batch
+    assert kept == {101}
+
+
 @pytest.fixture(scope="module")
 def vecs(spark):
     import numpy as np
