@@ -191,6 +191,51 @@ def minhash_lsh_pairs_bipartite(new: DataFrame, corpus: DataFrame,
                            jaccard_threshold)
 
 
+def build_minhash_index(corpus: DataFrame, table: str,
+                        id_col: str = "doc_id", text_col: str = "text", *,
+                        num_hashes: int = 64, bands: int = 16,
+                        ngram: int = 3, n_buckets: int = 64,
+                        max_bucket_size: int = 500) -> None:
+    """Persist the corpus's grouped LSH band buckets as a table
+    hash-bucketed on the probe key (band, h).  Signatures are computed
+    ONCE per corpus instead of once per incremental batch, and because
+    the storage bucketing matches the probe join key, every later
+    `probe_minhash_index` join reads the index with NO shuffle on the
+    corpus side — the amortization that matters when a 100 TB corpus
+    is probed daily by small batches."""
+    from pythonql_spark.sources import write_bucketed
+    cb = _minhash_band_buckets(corpus, id_col, text_col,
+                               num_hashes, bands, ngram)
+    grouped = (cb.groupBy("band", "h")
+               .agg(F.collect_list("id").alias("xs"))
+               .filter(F.size("xs") <= max_bucket_size))
+    write_bucketed(grouped, table, ["band", "h"], n_buckets=n_buckets)
+
+
+def probe_minhash_index(new: DataFrame, index_table: str,
+                        corpus: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text", *,
+                        num_hashes: int = 64, bands: int = 16,
+                        ngram: int = 3,
+                        jaccard_threshold: float | None = 0.5) -> DataFrame:
+    """Cross pairs of ``new`` against a persisted
+    :func:`build_minhash_index` table (same band parameters).  Only
+    the (small) new side shuffles to meet the index's bucketing;
+    ``corpus`` is needed just for the exact-Jaccard verify texts."""
+    spark = new.sparkSession
+    grouped = spark.table(index_table)
+    nb = _minhash_band_buckets(new, id_col, text_col,
+                               num_hashes, bands, ngram)
+    pairs = (nb.join(grouped, ["band", "h"])
+             .select(F.col("id").alias("id_a"),
+                     F.explode("xs").alias("id_b"))
+             .distinct())
+    if jaccard_threshold is None:
+        return pairs
+    return _jaccard_verify(pairs, new, corpus, id_col, text_col, ngram,
+                           jaccard_threshold)
+
+
 def dedup_increment(new: DataFrame, corpus: DataFrame,
                     id_col: str = "doc_id", text_col: str = "text", *,
                     jaccard_threshold: float = 0.5,

@@ -79,6 +79,45 @@ def test_write_range_sorted_skips_files(spark, sf_dir, tmp_path):
     assert len(boundary_files) <= max(2, len(all_files) // 4)
 
 
+def test_minhash_index_probe(spark, tmp_path):
+    import shutil
+
+    from pythonql_spark.operators.dedup import (build_minhash_index,
+                                                minhash_lsh_pairs_bipartite,
+                                                probe_minhash_index)
+    spark.sql("DROP TABLE IF EXISTS mh_index")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/mh_index", ignore_errors=True)
+
+    corpus = spark.createDataFrame(
+        [(i, f"shared prefix words here document number {i}", "a")
+         for i in range(50)],
+        "doc_id long, text string, source string")
+    new = spark.createDataFrame(
+        [(100, "shared prefix words here document number 7", "a"),   # dup of 7
+         (101, "entirely different content with no match at all", "a")],
+        "doc_id long, text string, source string")
+
+    build_minhash_index(corpus, "mh_index", ngram=1)
+    probed = probe_minhash_index(new, "mh_index", corpus, ngram=1,
+                                 jaccard_threshold=0.5)
+    direct = minhash_lsh_pairs_bipartite(new, corpus, ngram=1,
+                                         jaccard_threshold=0.5)
+    assert sorted(map(tuple, probed.collect())) == \
+        sorted(map(tuple, direct.collect()))
+    assert any(r.id_a == 100 and r.id_b == 7 for r in probed.collect())
+
+    # the persisted index must be READ bucketed: no exchange between
+    # the index scan and the probe join (defeat broadcast to see it)
+    nb_pairs = probe_minhash_index(
+        new, "mh_index", corpus, ngram=1, jaccard_threshold=None)
+    from pythonql_spark.benchqueries import QUERIES  # noqa: F401  (plan util)
+    plan = nb_pairs._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "Bucketed: true" in plan, plan[:1200]
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     import shutil
 
