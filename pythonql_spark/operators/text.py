@@ -170,5 +170,47 @@ def fingerprint(col: str = "text", dialect: str = "spark") -> str:
     return f"md5(lower(trim({inner})))"
 
 
+def remove_boilerplate(df, id_col: str = "doc_id",
+                       text_col: str = "text", *,
+                       min_doc_frac: float = 0.2,
+                       min_docs: int = 2,
+                       delim: str = "\n") -> "DataFrame":
+    """Corpus-level boilerplate removal (C4/RefinedWeb-style): drop
+    text segments (lines by default) that appear, normalized, in at
+    least ``min_doc_frac`` of docs (and ``min_docs`` absolutely) —
+    nav bars, cookie banners, license footers.
+
+    Scale shape: explode segments → per-segment distinct-doc count via
+    ONE groupBy on the segment hash (map-side partial agg; the
+    shuffle carries hashes, not text) → the frequent-segment set is
+    tiny and broadcasts back → each doc filters its own segment array
+    JVM-side.  Returns the df with ``text_col`` rewritten and a
+    ``n_removed`` count per doc."""
+    d = delim.replace("\\", "\\\\").replace("'", "\\'")
+    segs = f"split({text_col}, '{d}')"
+    seg_rows = (df.select(F.col(id_col).alias("__id"),
+                          F.explode(F.expr(segs)).alias("seg"))
+                .select("__id", F.expr(
+                    "xxhash64(lower(trim(seg)))").alias("sh"))
+                .distinct())
+    n_docs = df.count()
+    cut = max(int(min_doc_frac * n_docs), min_docs)
+    frequent = (seg_rows.groupBy("sh")
+                .agg(F.count(F.lit(1)).alias("nd"))
+                .filter(F.col("nd") >= cut)
+                .select("sh"))
+    freq_set = F.broadcast(
+        frequent.agg(F.collect_set("sh").alias("bad")))
+    return (df.crossJoin(freq_set)
+            .withColumn("__segs", F.expr(segs))
+            .withColumn("__kept", F.expr(
+                "filter(__segs, s -> NOT array_contains("
+                "bad, xxhash64(lower(trim(s)))))"))
+            .withColumn("n_removed",
+                        F.size("__segs") - F.size("__kept"))
+            .withColumn(text_col, F.array_join("__kept", delim))
+            .drop("bad", "__segs", "__kept"))
+
+
 def as_col(e: str) -> Column:
     return F.expr(e)

@@ -328,6 +328,23 @@ def test_multimodal_real_decode_raises(spark):
         MM.decode_image(df).collect()
 
 
+def test_remove_boilerplate(spark):
+    docs = spark.createDataFrame(
+        [(i, f"unique content line {i}\nCookie Policy: accept all\n"
+             f"more unique text {i}") for i in range(10)]
+        + [(99, "totally standalone document")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.text, r.n_removed)
+           for r in TX.remove_boilerplate(docs, min_doc_frac=0.5).collect()}
+    # the shared banner line is gone from every doc, unique lines stay
+    assert out[0][0] == "unique content line 0\nmore unique text 0"
+    assert out[0][1] == 1
+    assert out[99] == ("totally standalone document", 0)
+    # below-threshold corpus: nothing removed
+    none = TX.remove_boilerplate(docs, min_doc_frac=2.0)
+    assert none.agg(F.sum("n_removed")).first()[0] == 0
+
+
 def test_operators_on_empty_input(spark):
     """Every pipeline operator must yield an empty (not crashing)
     result on an empty corpus — partial files, over-filtered stages,
