@@ -282,6 +282,27 @@ def lateral_explode(spark, sf):
             .df())
 
 
+@q("vocab_stats", """
+SELECT lang, cast(count(DISTINCT w) as bigint) AS vocab,
+       count(w) AS total_words
+FROM (SELECT lang, unnest(str_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents) t
+GROUP BY lang
+""")
+def vocab_stats(spark, sf):
+    """Distinct aggregation: per-language vocabulary size.  Spark
+    plans count(DISTINCT) as a two-round expand+aggregate — partial
+    per (lang, w), then per lang — so the shuffle never carries raw
+    token rows."""
+    return (Query(spark)
+            .for_("d", load_table(spark, sf, "documents"))
+            .for_("w", "split(trim(lower(d.text)), '\\\\s+')")
+            .group_by("d.lang as lang")
+            .select("lang", "cast(count(distinct w) as bigint) as vocab",
+                    "count(w) as total_words")
+            .df())
+
+
 @q("subquery_in", f"""
 SELECT o_orderpriority, count(*) AS n
 FROM orders
