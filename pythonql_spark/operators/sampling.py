@@ -81,10 +81,15 @@ def shuffle_rows(df: DataFrame, id_col: str = "doc_id",
     key = F.expr(shuffle_key(id_col, seed))
     n = n_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # materialize the range partitioning ONCE: the numbering branch
+    # and the offsets branch below must see the SAME partition
+    # boundaries, and RangePartitioner's sampled split points are not
+    # contractually identical across re-executions of the exchange
     keyed = (df.withColumn("__k", key)
              .repartitionByRange(n, F.col("__k"), F.col(id_col))
              .sortWithinPartitions("__k", id_col)
-             .withColumn("__pid", F.spark_partition_id()))
+             .withColumn("__pid", F.spark_partition_id())
+             .localCheckpoint(eager=False))
 
     # local numbering in ONE Arrow pass (a window PARTITION BY the
     # partition id would re-shuffle the whole corpus a second time;
