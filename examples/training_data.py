@@ -1,0 +1,54 @@
+"""Training-data pipeline walkthrough: the operator set a 100 TB
+corpus build needs, composed on the synthetic documents/embeddings
+testdata.  Run:  python examples/training_data.py [SF_DIR]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pythonql_spark import get_spark
+from pythonql_spark.operators.dedup import dedup_keep, minhash_lsh_pairs
+from pythonql_spark.operators.decontam import decontaminate
+from pythonql_spark.operators.packing import pack_sequences
+from pythonql_spark.operators.sampling import shuffle_rows
+from pythonql_spark.operators.similarity import knn_join
+from pythonql_spark.sources import load_sf
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("examples-training")
+    spark.sparkContext.setLogLevel("ERROR")
+    t = load_sf(spark, sf_dir)
+    docs, emb = t["documents"], t["embeddings"]
+
+    # near-dup dedup: LSH candidates -> jaccard verify -> connected
+    # components -> keep one doc per cluster
+    deduped = dedup_keep(docs, minhash_lsh_pairs(docs, jaccard_threshold=0.5))
+    print(f"dedup: {docs.count()} -> {deduped.count()} docs")
+
+    # benchmark decontamination (every 50th doc stands in for a bench)
+    cont = decontaminate(deduped.filter("doc_id % 50 != 0"),
+                         docs.filter("doc_id % 50 = 0"), ngram=5)
+    clean = deduped.join(
+        cont.filter("contamination < 0.2").select("doc_id"), "doc_id")
+    print(f"decontaminate: -> {clean.count()} docs")
+
+    # deterministic epoch shuffle, then pack into training sequences
+    packed = pack_sequences(shuffle_rows(clean, seed=0),
+                            max_tokens=512, shard_col="source")
+    print("packed sequences per shard:")
+    packed.groupBy("source").max("seq_id").show()
+
+    # similarity search over the embedding table
+    knn = knn_join(emb.filter("vec_id < 3"), emb.filter("vec_id >= 3"), k=3)
+    print("3-NN for the first three vectors:")
+    knn.show()
+
+
+if __name__ == "__main__":
+    main()
