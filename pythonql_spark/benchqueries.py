@@ -737,6 +737,15 @@ def rollup_stats(spark, sf):
             .df())
 
 
+@q("corpus_profile", None)
+def corpus_profile(spark, sf):
+    """One-pass per-column stats over documents (count/nulls/distinct/
+    min/max) — the describe() class of capability, single aggregation."""
+    from pythonql_spark.operators.profile import table_profile
+    docs = load_table(spark, sf, "documents")
+    return table_profile(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
 @q("shuffle_epoch", None)
 def shuffle_epoch(spark, sf):
     """Seeded deterministic global shuffle (training-epoch ordering):
@@ -1025,6 +1034,10 @@ SELECT lang, source, count(*) AS n_docs,
 FROM (SELECT lang, source, {tc} AS n_tokens FROM documents)
 GROUP BY CUBE (lang, source)
 """
+
+    from pythonql_spark.operators.profile import profile_oracle_sql
+    ORACLE["corpus_profile"] = profile_oracle_sql(
+        ["doc_id", "lang", "source", "n_chars"])
 
     from pythonql_spark.operators.sampling import (sample_oracle_where,
                                                    shuffle_key)

@@ -345,6 +345,22 @@ def test_remove_boilerplate(spark):
     assert none.agg(F.sum("n_removed")).first()[0] == 0
 
 
+def test_table_profile(spark):
+    from pythonql_spark.operators.profile import table_profile
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "x int, s string")
+    prof = {r.column: r for r in table_profile(df).collect()}
+    assert prof["x"].n == 3 and prof["x"].n_null == 1
+    assert prof["x"].n_distinct == 3
+    assert (prof["x"].min_value, prof["x"].max_value) == ("1", "3")
+    assert prof["s"].n_distinct == 2 and prof["s"].n_null == 1
+    # HLL mode: exact on tiny cardinalities, never crashes
+    approx = {r.column: r.n_distinct
+              for r in table_profile(df, approx=True).collect()}
+    assert approx["s"] == 2
+
+
 def test_operators_on_empty_input(spark):
     """Every pipeline operator must yield an empty (not crashing)
     result on an empty corpus — partial files, over-filtered stages,
