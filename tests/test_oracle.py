@@ -29,3 +29,16 @@ def test_query(name, spark, sf_dir):
 def test_entry_smoke(spark):
     df = entry.entry(spark)
     assert df.count() > 0
+
+
+def test_survey_keys_exist():
+    """Every queries() key cited in SURVEY.md section 2 exists in the
+    registry, and every registry entry is cited somewhere in SURVEY —
+    the coverage table and the code can't drift apart."""
+    import re
+    from pythonql_spark.benchqueries import QUERIES
+    text = open("SURVEY.md").read()
+    sec2 = text.split("\n## §2")[1].split("\n## §3")[0]
+    cited = set(re.findall(r"`([a-z0-9_]+)`", sec2)) & set(QUERIES)
+    missing_in_survey = set(QUERIES) - cited
+    assert not missing_in_survey, missing_in_survey
