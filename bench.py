@@ -28,7 +28,7 @@ def main() -> None:
         "group_agg", "join_multi", "join_equi", "tpch_q3", "tpch_q6",
         "tpch_q9", "tpch_q18", "order_multi", "shuffle_epoch",
         "lateral_explode", "join_left_outer", "join_semi", "group_lists",
-        "vocab_stats", "corpus_profile",
+        "vocab_stats", "corpus_profile", "asof_join",
         "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_corpus_minhash",
         "ann_topk", "ann_lsh", "ann_ivf", "knn_join",
         "text_quality", "text_langid", "window_sliding_fixed",

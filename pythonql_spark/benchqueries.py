@@ -737,6 +737,27 @@ def rollup_stats(spark, sf):
             .df())
 
 
+@q("asof_join", """
+SELECT p.user_id, p.ts, cast(p.value as double) AS amount,
+       v.ts AS ts_r, cast(v.value as double) AS value_r
+FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+ON p.user_id = v.user_id AND p.ts >= v.ts
+""")
+def asof_join_q(spark, sf):
+    """Point-in-time join: each purchase matched to the user's most
+    recent prior (or simultaneous) view.  One sort-shuffle of
+    |left|+|right| rows — never a per-key range join."""
+    from pythonql_spark.operators.asof import asof_join
+    ev = load_table(spark, sf, "events")
+    purchases = (ev.filter("event_type = 'purchase'")
+                 .selectExpr("user_id", "ts", "cast(value as double) as amount"))
+    views = (ev.filter("event_type = 'view'")
+             .select("user_id", "ts", "value"))
+    return asof_join(purchases, views, "user_id")
+
+
 @q("corpus_profile", None)
 def corpus_profile(spark, sf):
     """One-pass per-column stats over documents (count/nulls/distinct/

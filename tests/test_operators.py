@@ -345,6 +345,23 @@ def test_remove_boilerplate(spark):
     assert none.agg(F.sum("n_removed")).first()[0] == 0
 
 
+def test_asof_join(spark):
+    from pythonql_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")],
+        "k long, ts long, lv string")
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 9, 900.0)],
+        "k long, ts long, rv double")
+    out = {(r.k, r.ts): (r.ts_r, r.rv_r)
+           for r in asof_join(left, right, "k").collect()}
+    assert out[(1, 10)] == (10, 100.0)       # equal ts matches (>=)
+    assert out[(1, 20)] == (15, 150.0)       # latest prior
+    assert out[(2, 5)] == (None, None)       # nothing prior -> nulls
+    inner = asof_join(left, right, "k", how="inner")
+    assert {(r.k, r.ts) for r in inner.collect()} == {(1, 10), (1, 20)}
+
+
 def test_table_profile(spark):
     from pythonql_spark.operators.profile import table_profile
     df = spark.createDataFrame(
