@@ -1010,6 +1010,225 @@ def doc_pipeline(spark, sf):
                  F.expr(davg("quality")).alias("avg_quality")))
 
 
+# ------------------------------------------------- §2.6 reshaping & analytics
+
+@q("range_join", """
+SELECT p.event_id AS purchase_id, COUNT(*) AS n_clicks,
+       MIN(c.ts) AS first_click
+FROM events p JOIN events c ON c.user_id = p.user_id
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND c.ts >= p.ts - INTERVAL 4 HOUR AND c.ts < p.ts
+GROUP BY p.event_id
+""")
+def range_join_q(spark, sf):
+    """Click→purchase attribution: every click in the 4h window before
+    a purchase by the same user.  Catalyst would plan the raw range
+    condition as an equi-join on user_id + per-pair filter (quadratic
+    in the hot user); the operator bins to 4h buckets so the join is
+    equi on (user, bucket) — see operators/rangejoin.py."""
+    from pyspark.sql import functions as F
+    from pythonql_spark.operators.rangejoin import range_join
+    e = load_table(spark, sf, "events")
+    purchases = e.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        (F.col("ts") - F.expr("INTERVAL 4 HOURS")).alias("w_start"),
+        F.col("ts").alias("w_end"))
+    clicks = e.filter("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("click_ts"))
+    j = range_join(clicks, purchases, point="click_ts",
+                   start="w_start", end="w_end",
+                   on="user_id", bin_width=4 * 3600)
+    return j.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.min("click_ts").alias("first_click"))
+
+
+@q("topk_group", """
+SELECT user_id, event_id, value, rank FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events WHERE event_type = 'purchase') t
+WHERE rank <= 3
+""")
+def topk_group(spark, sf):
+    """Top-3 purchases per user.  The row_number window + <=k filter
+    compiles with WindowGroupLimit: each map task ships at most k rows
+    per key, so the shuffle carries ~k·|users| rows, not the corpus
+    (tests/test_plans.py asserts the plan node)."""
+    from pyspark.sql import functions as F
+    from pythonql_spark.operators.topk import top_k_per_group
+    e = load_table(spark, sf, "events")
+    out = top_k_per_group(
+        e.filter("event_type = 'purchase'")
+         .select("user_id", "event_id", "value"),
+        "user_id", ["value desc", "event_id"], 3)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@q("tpch_q13", """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+       ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) t
+GROUP BY c_count
+""")
+def tpch_q13(spark, sf):
+    """TPC-H Q13 (customer order-count distribution): outer join with
+    a join-side filter, COUNT over the nullable side, then a second
+    aggregate over the count.  Both aggregates are native partial
+    aggs; the second groupBy's input is |customers| rows, so the
+    second shuffle is tiny."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        "o_orderpriority <> '1-URGENT'")
+    inner = (Query(spark)
+             .for_("c", c)
+             .left_join("o", o, on="c.c_custkey == o.o_custkey")
+             .group_by("c.c_custkey as ck")
+             .select("ck", "count(o.o_orderkey) as c_count"))
+    return (Query(spark)
+            .for_("x", inner)
+            .group_by("x.c_count as c_count")
+            .select("c_count", "count(x) as custdist")
+            .df())
+
+
+@q("tpch_q17", f"""
+SELECT {dsum('l_extendedprice')} / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1' AND p_size < 15
+  AND l_quantity < (SELECT 0.2 * {davg('l2.l_quantity')}
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""")
+def tpch_q17(spark, sf):
+    """TPC-H Q17 (small-quantity-order revenue): correlated scalar
+    subquery, decorrelated at compile time into a per-part aggregate
+    joined back on the correlation key — the classic rewrite; the
+    oracle keeps the correlated form to pin semantic equivalence.
+    The per-part threshold table is |parts| rows (shuffle-joined on
+    l_partkey; at 100 TB both sides hash-partition on the same key)."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    thr = (Query(spark)
+           .for_("l2", li)
+           .group_by("l2.l_partkey as pk")
+           .select("pk", "cast(0.2 * " + davg("l2.l_quantity")
+                   + " as double) as qty_thr"))
+    return (Query(spark)
+            .for_("l", li)
+            .for_("p", part, hint="broadcast")
+            .for_("t", thr)
+            .where("p.p_partkey == l.l_partkey and t.pk == l.l_partkey "
+                   "and p.p_brand == 'Brand#1' and p.p_size < 15 "
+                   "and l.l_quantity < t.qty_thr")
+            .group_by("1 as one")
+            .select(dsum("l.l_extendedprice") + " / 7.0 as avg_yearly")
+            .df())
+
+
+@q("pivot_status", f"""
+SELECT o_orderpriority,
+       {dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS "O",
+       {dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS "F",
+       {dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS "P"
+FROM orders GROUP BY o_orderpriority
+""")
+def pivot_status(spark, sf):
+    """Revenue pivoted to one column per order status.  The explicit
+    values list keeps it ONE hash aggregation (no distinct-discovery
+    job) — see operators/pivot.py."""
+    from pythonql_spark.operators.pivot import pivot_table
+    o = load_table(spark, sf, "orders")
+    return pivot_table(o, "o_orderpriority", "o_orderstatus",
+                       dsum("o_totalprice"), values=["O", "F", "P"])
+
+
+@q("unpivot_metrics", """
+SELECT l_orderkey, l_linenumber, metric, value FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+         cast(l_quantity as double) AS value FROM lineitem
+  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+         cast(l_extendedprice as double) FROM lineitem
+  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+         cast(l_discount as double) FROM lineitem) t
+WHERE l_orderkey < 100
+""")
+def unpivot_metrics(spark, sf):
+    """Wide→long reshaping: stack() is a pure projection (rows
+    multiply in place, no shuffle, one scan — vs the oracle's 3-scan
+    UNION ALL formulation)."""
+    from pythonql_spark.operators.pivot import unpivot
+    li = load_table(spark, sf, "lineitem").filter("l_orderkey < 100")
+    return unpivot(li, ["l_orderkey", "l_linenumber"],
+                   ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+@q("set_ops", """
+(SELECT o_custkey AS ck FROM orders WHERE o_orderpriority = '1-URGENT'
+ INTERSECT
+ SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 150000)
+EXCEPT
+SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'P'
+""")
+def set_ops(spark, sf):
+    """Distributed set algebra through the DSL (the reference computes
+    set results driver-side as Python sets — Executor.py:132-139):
+    INTERSECT/EXCEPT stay engine-side as hash semi/anti aggregations."""
+    o = load_table(spark, sf, "orders")
+    urgent = (Query(spark).for_("o", o)
+              .where("o.o_orderpriority == '1-URGENT'")
+              .select("o.o_custkey as ck"))
+    big = (Query(spark).for_("o", o)
+           .where("o.o_totalprice > 150000")
+           .select("o.o_custkey as ck"))
+    pending = (Query(spark).for_("o", o)
+               .where("o.o_orderstatus == 'P'")
+               .select("o.o_custkey as ck"))
+    return urgent.intersect_(big).except_(pending).df()
+
+
+@q("analytic_window", """
+SELECT event_id, user_id, value,
+       lag(value) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS prev_value,
+       cast(sum(cast(value as decimal(38,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            as double) AS running_total
+FROM events WHERE event_type = 'purchase'
+""")
+def analytic_window(spark, sf):
+    """SQL analytic windows (lag + running sum) straight through the
+    DSL's expression surface — ordered per-key frames, one shuffle on
+    user_id shared by both window functions."""
+    e = load_table(spark, sf, "events")
+    return (Query(spark)
+            .for_("e", e)
+            .where("e.event_type == 'purchase'")
+            .let_("prev_value", "lag(e.value) over "
+                  "(partition by e.user_id order by e.ts, e.event_id)")
+            .let_("running_total",
+                  "cast(sum(cast(e.value as decimal(38,6))) over "
+                  "(partition by e.user_id order by e.ts, e.event_id "
+                  "rows between unbounded preceding and current row) "
+                  "as double)")
+            .select("e.event_id", "e.user_id", "e.value",
+                    "prev_value", "running_total")
+            .df())
+
+
+@q("sample_weighted")
+def sample_weighted_q(spark, sf):
+    """Deterministic weighted sampling: keep probability proportional
+    to document length (longer docs over-sampled).  Oracle generated
+    below from the same dialect-neutral formula."""
+    from pythonql_spark.operators.sampling import sample_weighted
+    docs = load_table(spark, sf, "documents")
+    return sample_weighted(docs, "n_chars / 600.0", 0.5)
+
+
 # text/dedup/similarity oracles are generated from the same formula
 # definitions (dialect='duck'); register them post-hoc:
 
@@ -1073,6 +1292,11 @@ FROM documents
     ORACLE["sample_stratified"] = (
         "SELECT doc_id, lang FROM documents WHERE "
         + sample_oracle_where({"en": 0.25}, "lang", default_fraction=1.0))
+    from pythonql_spark.operators.sampling import hash_bucket, weighted_cut
+    ORACLE["sample_weighted"] = (
+        "SELECT * FROM documents WHERE "
+        + f"{hash_bucket('doc_id', 'duck')} < "
+        + weighted_cut("n_chars / 600.0", 0.5))
     ORACLE["chunk_docs"] = f"""
 WITH c AS (
   SELECT doc_id, unnest({chunk_expr('text', 32, 8, 'duck')}) AS ch

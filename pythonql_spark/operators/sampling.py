@@ -54,6 +54,25 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.filter(F.expr(f"{hash_bucket(id_col)} < {cut}"))
 
 
+def weighted_cut(weight_expr: str, rate: float) -> str:
+    """Keep-threshold for weighted Bernoulli sampling: row i survives
+    with probability min(1, rate * weight_i).  floor() (not round) so
+    Spark and DuckDB agree bit-for-bit at .5 boundaries; the formula
+    is dialect-neutral."""
+    return (f"least(cast(floor({rate} * ({weight_expr}) * {BUCKETS}) "
+            f"as bigint), {BUCKETS})")
+
+
+def sample_weighted(df: DataFrame, weight_expr: str, rate: float,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling: keep probability proportional
+    to ``weight_expr`` (capped at 1), reproducible across runs/engines
+    — e.g. upweight long or high-quality documents.  Narrow filter, no
+    shuffle, same hash-bucket mechanism as the other samplers."""
+    return df.filter(F.expr(
+        f"{hash_bucket(id_col)} < {weighted_cut(weight_expr, rate)}"))
+
+
 def shuffle_key(id_col: str = "doc_id", seed: int = 0,
                 dialect: str = "spark") -> str:
     """Deterministic per-epoch shuffle key: md5 of (seed, id).  Same

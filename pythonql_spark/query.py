@@ -167,6 +167,21 @@ class Query:
     def anti_join(self, source, on: str, var: str = "__anti") -> "Query":
         return self._add(kind="join", var=var, source=source, on=on, how="anti")
 
+    # ---- set operations (reference result-type `set` + Python-level
+    # list/set algebra over query results → engine-side SQL set ops,
+    # so the dedup/diff happens distributed, not on the driver)
+    def union_(self, other, all: bool = False) -> "Query":
+        """SQL UNION (distinct; ``all=True`` keeps duplicates) with a
+        compatible Query/DataFrame — matched by column NAME."""
+        return self._add(kind="setop", op="union_all" if all else "union",
+                         other=other)
+
+    def intersect_(self, other) -> "Query":
+        return self._add(kind="setop", op="intersect", other=other)
+
+    def except_(self, other) -> "Query":
+        return self._add(kind="setop", op="except", other=other)
+
     # ---- compilation ---------------------------------------------
     def df(self) -> DataFrame:
         return _Compiler(self.spark, self._clauses).run()
@@ -483,6 +498,22 @@ class _Compiler:
             col = self._expr(body)
             cols.append(col.alias(alias) if alias else col)
         self.df = self.df.select(*cols)
+        self.visible = set(self.df.columns)
+
+    def _c_setop(self, i: int, c: dict):
+        other = c["other"]
+        if isinstance(other, Query):
+            other = other.df()
+        assert self.df is not None, "set op needs a left-hand query"
+        op = c["op"]
+        if op == "union_all":
+            self.df = self.df.unionByName(other)
+        elif op == "union":
+            self.df = self.df.unionByName(other).distinct()
+        elif op == "intersect":
+            self.df = self.df.intersect(other)
+        else:  # except (distinct semantics, like SQL EXCEPT)
+            self.df = self.df.subtract(other)
         self.visible = set(self.df.columns)
 
     def _c_distinct(self, i: int, c: dict):

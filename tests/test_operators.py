@@ -398,3 +398,88 @@ def test_operators_on_empty_input(spark):
     assert pack_sequences(empty, 128).count() == 0
     assert stratified_sample(empty, "lang", {"en": 0.5}).count() == 0
     assert shuffle_rows(empty).count() == 0
+
+
+def test_range_join_semantics(spark):
+    """Points land in every containing interval; bounds semantics and
+    interval-spanning-multiple-bins both exact."""
+    from pythonql_spark.operators.rangejoin import band_join, range_join
+    pts = spark.createDataFrame(
+        [(1, 0.0), (2, 5.0), (3, 10.0), (4, 25.0)], "pid long, x double")
+    ivs = spark.createDataFrame(
+        [(10, 0.0, 10.0),    # spans several 3-wide bins
+         (20, 5.0, 5.0),     # degenerate single point
+         (30, 24.0, 26.0),
+         (40, 9.0, 3.0)],    # inverted → dropped
+        "iid long, lo double, hi double")
+    got = {(r.pid, r.iid) for r in range_join(
+        pts, ivs, point="x", start="lo", end="hi",
+        bin_width=3.0, bounds="[)").collect()}
+    assert got == {(1, 10), (2, 10), (4, 30)}  # x=10 excluded by ')'
+    got_closed = {(r.pid, r.iid) for r in range_join(
+        pts, ivs, point="x", start="lo", end="hi",
+        bin_width=3.0, bounds="[]").collect()}
+    assert got_closed == {(1, 10), (2, 10), (2, 20), (3, 10), (4, 30)}
+
+    # band join: |l.x - r.x| <= 2 within a key
+    l = spark.createDataFrame([(1, "a", 1.0), (2, "a", 8.0), (3, "b", 1.0)],
+                              "lid long, k string, x double")
+    r = spark.createDataFrame([(10, "a", 2.5), (20, "b", 9.0)],
+                              "rid long, k string, x double")
+    pairs = {(x.lid, x.rid) for x in band_join(
+        l, r, left_val="x", right_val="x", eps=2.0, on="k").collect()}
+    assert pairs == {(1, 10)}
+
+
+def test_range_join_keys_and_empty(spark):
+    from pythonql_spark.operators.rangejoin import range_join
+    pts = spark.createDataFrame([(1, "a", 5.0)], "pid long, k string, x double")
+    ivs = spark.createDataFrame([(10, "b", 0.0, 10.0)],
+                                "iid long, k string, lo double, hi double")
+    # same range, different key → no match
+    assert range_join(pts, ivs, point="x", start="lo", end="hi",
+                      bin_width=5.0, on="k").count() == 0
+    empty = spark.createDataFrame([], "iid long, k string, lo double, hi double")
+    assert range_join(pts, empty, point="x", start="lo", end="hi",
+                      bin_width=5.0, on="k").count() == 0
+
+
+def test_top_k_per_group(spark):
+    from pythonql_spark.operators.topk import top_k_per_group
+    df = spark.createDataFrame(
+        [("a", 1, 9.0), ("a", 2, 9.0), ("a", 3, 5.0), ("b", 4, 1.0)],
+        "k string, id long, v double")
+    got = {(r.k, r.id, r.rank) for r in top_k_per_group(
+        df, "k", ["v desc", "id"], 2).collect()}
+    assert got == {("a", 1, 1), ("a", 2, 2), ("b", 4, 1)}
+    # dense=True: ties share rank and can exceed k rows
+    dense = top_k_per_group(df, "k", ["v desc"], 1, dense=True)
+    assert {r.id for r in dense.collect()} == {1, 2, 4}
+    # rank_col=None drops the rank
+    assert "rank" not in top_k_per_group(df, "k", ["v desc", "id"], 1,
+                                         rank_col=None).columns
+
+
+def test_pivot_unpivot_roundtrip(spark):
+    from pythonql_spark.operators.pivot import pivot_table, unpivot
+    df = spark.createDataFrame(
+        [("p1", "O", 10.0), ("p1", "F", 5.0), ("p2", "O", 1.0)],
+        "pri string, st string, amt double")
+    wide = pivot_table(df, "pri", "st", "sum(amt)", values=["O", "F", "P"])
+    rows = {r.pri: (r.O, r.F, r.P) for r in wide.collect()}
+    assert rows == {"p1": (10.0, 5.0, None), "p2": (1.0, None, None)}
+    long = unpivot(wide, "pri", ["O", "F"], var_name="st", value_name="amt")
+    back = {(r.pri, r.st, r.amt) for r in long.collect()}
+    assert back == {("p1", "O", 10.0), ("p1", "F", 5.0),
+                    ("p2", "O", 1.0), ("p2", "F", None)}
+
+
+def test_sample_weighted(spark):
+    from pythonql_spark.operators.sampling import sample_weighted
+    df = spark.range(1000).selectExpr("id as doc_id", "id % 10 as w")
+    # weight 0 never kept; huge weight always kept; deterministic
+    assert sample_weighted(df, "0", 1.0).count() == 0
+    assert sample_weighted(df, "1000", 1.0).count() == 1000
+    a = sorted(r.doc_id for r in sample_weighted(df, "w / 10.0", 0.5).collect())
+    b = sorted(r.doc_id for r in sample_weighted(df, "w / 10.0", 0.5).collect())
+    assert a == b and 0 < len(a) < 1000

@@ -140,3 +140,26 @@ def test_tpch_q9_star_join_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert re.search(r"PushedFilters:.*p_name", plan), plan[:600]
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_topk_partial_limit_before_shuffle(spark, sf_dir):
+    """row_number top-k must plan a WindowGroupLimit (partial per-map
+    top-k): the shuffle carries ~k rows per key, not the corpus."""
+    p = formatted_plan(QUERIES["topk_group"](spark, sf_dir))
+    assert "WindowGroupLimit" in p, p
+
+
+def test_range_join_is_equi(spark, sf_dir):
+    """The binned range join must be a hash/sort-merge EQUI join with
+    the range as a residual — never a nested-loop or cartesian."""
+    p = formatted_plan(QUERIES["range_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_pivot_single_aggregation(spark, sf_dir):
+    """Explicit pivot values: one partial+final aggregation, no
+    distinct-discovery pass in the plan."""
+    p = formatted_plan(QUERIES["pivot_status"](spark, sf_dir))
+    assert p.find("HashAggregate") < p.find("Exchange"), p
+    assert "CartesianProduct" not in p

@@ -113,3 +113,21 @@ def test_percentile_approx_scale_path(spark, sf_dir):
     assert both
     for r in both:
         assert abs(r.approx_p50 - r.exact_p50) <= max(2.0, 0.05 * r.exact_p50)
+
+
+def test_set_operations(spark):
+    from pythonql_spark.query import Query
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], "x long")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "x long")
+    def qa():
+        return Query(spark).for_("t", a).select("t.x as x")
+    qb = Query(spark).for_("t", b).select("t.x as x")
+    assert sorted(r.x for r in qa().intersect_(qb).to_list()) == [2, 3]
+    assert sorted(r.x for r in qa().except_(qb).to_list()) == [1]
+    assert sorted(r.x for r in qa().union_(qb).to_list()) == [1, 2, 3, 4]
+    assert sorted(r.x for r in
+                  qa().union_(qb, all=True).to_list()) == [1, 2, 2, 2, 3, 3, 4]
+    # set ops compose with further clauses
+    q = (Query(spark).for_("t", a).select("t.x as x")
+         .intersect_(qb).distinct().order_by("x desc"))
+    assert [r.x for r in q.to_list()] == [3, 2]
