@@ -1128,6 +1128,81 @@ def tpch_q17(spark, sf):
             .df())
 
 
+@q("tpch_q4", """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""")
+def tpch_q4(spark, sf):
+    """TPC-H Q4 shape (orders with a late-shipping lineitem): EXISTS
+    with a mixed equi + range correlation → ONE left-semi join whose
+    condition carries both; the lineitem side never duplicates
+    orders, so no post-join distinct is needed."""
+    return (Query(spark)
+            .for_("o", load_table(spark, sf, "orders"))
+            .where("o.o_orderdate >= timestamp'1996-01-01 00:00:00' "
+                   "and o.o_orderdate < timestamp'1997-01-01 00:00:00'")
+            .semi_join(load_table(spark, sf, "lineitem"), var="l",
+                       on="l.l_orderkey == o.o_orderkey and "
+                          "l.l_shipdate > o.o_orderdate + interval 60 days")
+            .group_by("o.o_orderpriority as o_orderpriority")
+            .select("o_orderpriority", "count(o) as order_count")
+            .df())
+
+
+@q("grouping_sets_stats", f"""
+SELECT lang, source, COUNT(*) AS n_docs, {dsum('n_chars')} AS total_chars
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), ())
+""")
+def grouping_sets_stats(spark, sf):
+    """Explicit grouping sets (finer than rollup/cube: exactly the
+    subsets asked for): per (lang, source), per lang, and the grand
+    total in ONE aggregation pass — Spark expands the sets and keeps
+    the aggregate partial, so the corpus is still read once."""
+    return (Query(spark)
+            .for_("d", load_table(spark, sf, "documents"))
+            .group_by("d.lang as lang", "d.source as source",
+                      grouping_sets=[["lang", "source"], ["lang"], []])
+            .select("lang", "source", "count(d) as n_docs",
+                    dsum("d.n_chars") + " as total_chars")
+            .df())
+
+
+@q("stream_interval", """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.ts AS purchase_ts, c.ts AS click_ts
+FROM events p JOIN events c ON c.user_id = p.user_id
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND c.ts >= p.ts - INTERVAL 4 HOUR AND c.ts <= p.ts
+""")
+def stream_interval(spark, sf):
+    """The attribution interval join declared through the STREAMING
+    helper (streaming.joins.interval_join): identical code runs on
+    readStream inputs with watermark-bounded state; here the batch
+    plan is oracle-checked.  (tests/test_streaming.py runs the same
+    call on a real stream and asserts parity.)"""
+    from pyspark.sql import functions as F
+    from pythonql_spark.streaming import interval_join
+    e = load_table(spark, sf, "events")
+    purchases = e.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("purchase_ts"))
+    clicks = e.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"))
+    return interval_join(
+        purchases, clicks, on="user_id",
+        left_ts="purchase_ts", right_ts="click_ts",
+        lower=-4 * 3600, upper=0).select(
+            "purchase_id", "click_id", "purchase_ts", "click_ts")
+
+
 @q("pivot_status", f"""
 SELECT o_orderpriority,
        {dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS "O",

@@ -127,17 +127,22 @@ class Query:
                          only_end=only_end)
 
     def group_by(self, *keys: str, rollup: bool = False,
-                 cube: bool = False) -> "Query":
+                 cube: bool = False,
+                 grouping_sets: list[list[str]] | None = None) -> "Query":
         """``group by expr as alias, ...``; non-key variables follow
         the implicit-list semantics (see module docstring).  With
         ``rollup=True`` the grouping is hierarchical (subtotals per key
         prefix + grand total, keys NULL at coarser levels);
-        ``cube=True`` aggregates over EVERY key subset — beyond the
-        reference, for corpus-stats rollups/cross-tabs."""
-        if rollup and cube:
-            raise ValueError("rollup and cube are mutually exclusive")
+        ``cube=True`` aggregates over EVERY key subset;
+        ``grouping_sets=[[aliases...], ...]`` picks EXPLICIT subsets
+        (each entry lists key aliases; ``[]`` is the grand total) —
+        beyond the reference, for corpus-stats rollups/cross-tabs."""
+        if sum((rollup, cube, grouping_sets is not None)) > 1:
+            raise ValueError(
+                "rollup, cube and grouping_sets are mutually exclusive")
         return self._add(kind="groupby", keys=[_split_as(k) for k in keys],
-                         rollup=rollup, cube=cube)
+                         rollup=rollup, cube=cube,
+                         grouping_sets=grouping_sets)
 
     def order_by(self, *specs: str) -> "Query":
         return self._add(kind="orderby", specs=list(specs))
@@ -414,7 +419,19 @@ class _Compiler:
             if new_text != cur:
                 self._rewrite_clause(j, field, new_text)
 
-        if c.get("rollup"):
+        if c.get("grouping_sets") is not None:
+            # groupingSets matches set entries to grouping columns by
+            # expression — aliased exprs get fresh ids per use and
+            # never match, so materialize the keys as named columns
+            # first and reference both lists by name
+            for (kexpr, _), alias in zip(keys, key_aliases):
+                self.df = self.df.withColumn(alias, self._expr(kexpr))
+            sets = [[F.col(a) for a in entry]
+                    for entry in c["grouping_sets"]]
+            self.df = (self.df
+                       .groupingSets(sets, *[F.col(a) for a in key_aliases])
+                       .agg(*agg_cols, *collect_cols))
+        elif c.get("rollup"):
             self.df = self.df.rollup(*key_cols).agg(*agg_cols, *collect_cols)
         elif c.get("cube"):
             self.df = self.df.cube(*key_cols).agg(*agg_cols, *collect_cols)

@@ -6,6 +6,7 @@ from pythonql_spark.streaming.windows import (
     with_watermark,
 )
 from pythonql_spark.streaming.stateful import stateful_sessionize
+from pythonql_spark.streaming.joins import interval_join
 
 __all__ = ["dedup_stream", "session_agg", "sliding_agg", "tumbling_agg",
-           "with_watermark", "stateful_sessionize"]
+           "with_watermark", "stateful_sessionize", "interval_join"]

@@ -154,3 +154,39 @@ def test_dedup_stream_matches_batch(spark, tables, tmp_path):
     assert got == want
     # one row per key on the stream side too
     assert spark.table("t_dedup").count() == len(got)
+
+
+def test_interval_join_stream_matches_batch(spark, tables, tmp_path):
+    """Stream-stream interval join (click→purchase attribution) on
+    real file-source streams must equal the same declaration on batch
+    frames.  The event-time range condition is what lets Spark bound
+    both sides' join state at the watermark horizon."""
+    from pythonql_spark.streaming import interval_join
+
+    e = tables["events"]
+    p = e.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("purchase_ts"))
+    c = e.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"))
+    batch = {(r.purchase_id, r.click_id) for r in interval_join(
+        p, c, on="user_id", left_ts="purchase_ts", right_ts="click_ts",
+        lower=-4 * 3600, upper=0).collect()}
+    assert batch  # nonempty at sf0.001
+
+    pd_dir, cl_dir = str(tmp_path / "p"), str(tmp_path / "c")
+    p.coalesce(1).write.parquet(pd_dir)
+    c.coalesce(1).write.parquet(cl_dir)
+    sp = spark.readStream.schema(p.schema).parquet(pd_dir)
+    sc = spark.readStream.schema(c.schema).parquet(cl_dir)
+    out = interval_join(sp, sc, on="user_id",
+                        left_ts="purchase_ts", right_ts="click_ts",
+                        lower=-4 * 3600, upper=0, watermark="1 minute")
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("t_ivj")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.purchase_id, r.click_id)
+           for r in spark.table("t_ivj").collect()}
+    assert got == batch
