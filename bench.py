@@ -26,7 +26,9 @@ def main() -> None:
 
     headline = [n for n in (
         "group_agg", "join_multi", "join_equi", "tpch_q3", "tpch_q6",
-        "tpch_q9", "tpch_q18", "order_multi", "shuffle_epoch",
+        "tpch_q9", "tpch_q18", "tpch_q4", "tpch_q13", "tpch_q17",
+        "range_join", "topk_group", "pivot_status", "analytic_window",
+        "order_multi", "shuffle_epoch",
         "lateral_explode", "join_left_outer", "join_semi", "group_lists",
         "vocab_stats", "corpus_profile", "asof_join",
         "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_corpus_minhash",

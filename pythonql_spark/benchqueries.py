@@ -1155,6 +1155,125 @@ def tpch_q4(spark, sf):
             .df())
 
 
+@q("tpch_q10", f"""
+SELECT c_custkey, c_name, {dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       c_acctbal, n_name
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""")
+def tpch_q10(spark, sf):
+    """TPC-H Q10 (returned-item revenue, top 20 customers): fact-first
+    join chain, quarter-window + returnflag pushdown, top-N on the
+    aggregate → TakeOrderedAndProject, never a full sort."""
+    return (Query(spark)
+            .for_("l", load_table(spark, sf, "lineitem"))
+            .for_("o", load_table(spark, sf, "orders"))
+            .for_("c", load_table(spark, sf, "customer"))
+            .for_("n", load_table(spark, sf, "nation"), hint="broadcast")
+            .where("l.l_orderkey == o.o_orderkey "
+                   "and c.c_custkey == o.o_custkey "
+                   "and c.c_nationkey == n.n_nationkey "
+                   "and o.o_orderdate >= timestamp'1996-01-01 00:00:00' "
+                   "and o.o_orderdate < timestamp'1996-04-01 00:00:00' "
+                   "and l.l_returnflag == 'R'")
+            .group_by("c.c_custkey as c_custkey", "c.c_name as c_name",
+                      "c.c_acctbal as c_acctbal", "n.n_name as n_name")
+            .select("c_custkey", "c_name",
+                    dsum("l.l_extendedprice * (1 - l.l_discount)")
+                    + " as revenue", "c_acctbal", "n_name")
+            .order_by("revenue desc", "c_custkey")
+            .limit(20)
+            .df())
+
+
+@q("tpch_q14", f"""
+SELECT cast(100.0 * {dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) END")}
+            / {dsum('l_extendedprice * (1 - l_discount)')} as double) AS promo_revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+""")
+def tpch_q14(spark, sf):
+    """TPC-H Q14 (promo revenue share): conditional aggregate ratio in
+    one pass — both sums share the scan and the (broadcast) part join;
+    the month filter reaches the parquet reader."""
+    num = dsum("case when p.p_type like 'PROMO%' "
+               "then l.l_extendedprice * (1 - l.l_discount) end")
+    den = dsum("l.l_extendedprice * (1 - l.l_discount)")
+    return (Query(spark)
+            .for_("l", load_table(spark, sf, "lineitem"))
+            .for_("p", load_table(spark, sf, "part"), hint="broadcast")
+            .where("p.p_partkey == l.l_partkey "
+                   "and l.l_shipdate >= timestamp'1996-09-01 00:00:00' "
+                   "and l.l_shipdate < timestamp'1996-10-01 00:00:00'")
+            .group_by("1 as one")
+            .select(f"cast(100.0 * {num} / {den} as double) as promo_revenue")
+            .df())
+
+
+@q("tpch_q19", f"""
+SELECT {dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 20 AND 40)
+""")
+def tpch_q19(spark, sf):
+    """TPC-H Q19 shape (disjunctive predicates over a join): the
+    equi-key stays a single hash join; the OR-of-conjuncts block is a
+    post-join filter with per-side sub-predicates pushed to both scans
+    by Catalyst's constraint propagation."""
+    return (Query(spark)
+            .for_("l", load_table(spark, sf, "lineitem"))
+            .for_("p", load_table(spark, sf, "part"), hint="broadcast")
+            .where("p.p_partkey == l.l_partkey and "
+                   "((p.p_brand == 'Brand#1' and p.p_size between 1 and 15 "
+                   "  and l.l_quantity between 1 and 20) or "
+                   " (p.p_brand == 'Brand#2' and p.p_size between 10 and 30 "
+                   "  and l.l_quantity between 20 and 40))")
+            .group_by("1 as one")
+            .select(dsum("l.l_extendedprice * (1 - l.l_discount)")
+                    + " as revenue")
+            .df())
+
+
+@q("tpch_q22", f"""
+SELECT c_custkey, c_name, cast(c_acctbal as double) AS c_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT {davg('c_acctbal')} FROM customer)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+""")
+def tpch_q22(spark, sf):
+    """TPC-H Q22 shape (global-average scalar subquery + NOT EXISTS):
+    the 1-row average cross-joins onto every customer (broadcast
+    nested loop of ONE row — free), and the NOT EXISTS is a left-anti
+    join on the urgent-order keyset."""
+    cust = load_table(spark, sf, "customer")
+    avg_bal = (Query(spark)
+               .for_("c2", cust)
+               .group_by("1 as one")
+               .select(davg("c2.c_acctbal") + " as avg_bal"))
+    return (Query(spark)
+            .for_("c", cust)
+            .for_("t", avg_bal, scalar=False)
+            .where("c.c_acctbal > t.avg_bal")
+            .anti_join(load_table(spark, sf, "orders")
+                       .filter("o_orderpriority = '1-URGENT'"),
+                       var="o", on="o.o_custkey == c.c_custkey")
+            .select("c.c_custkey as c_custkey", "c.c_name as c_name",
+                    "cast(c.c_acctbal as double) as c_acctbal")
+            .df())
+
+
 @q("grouping_sets_stats", f"""
 SELECT lang, source, COUNT(*) AS n_docs, {dsum('n_chars')} AS total_chars
 FROM documents
