@@ -1423,6 +1423,47 @@ def sample_weighted_q(spark, sf):
     return sample_weighted(docs, "n_chars / 600.0", 0.5)
 
 
+@q("histogram_prices")
+def histogram_prices(spark, sf):
+    """Equi-width price histogram — one aggregation pass with a fixed
+    range, integer bin keys on the shuffle.  Oracle generated from the
+    same formula (registered below)."""
+    from pythonql_spark.operators.profile import histogram
+    o = load_table(spark, sf, "orders")
+    return histogram(o, "o_totalprice", 0.0, 400000.0, 20)
+
+
+def _corr_formula(n: str, x: str, y: str) -> str:
+    """Pearson r from decimal co-moment sums — bit-identical on Spark
+    and DuckDB because every accumulation is exact decimal and the
+    final arithmetic is the same IEEE expression."""
+    sx, sy = dsum(x), dsum(y)
+    sxx, syy = dsum(f"{x} * {x}"), dsum(f"{y} * {y}")
+    sxy = dsum(f"{x} * {y}")
+    return (f"cast(({n} * {sxy} - {sx} * {sy}) / "
+            f"(sqrt({n} * {sxx} - {sx} * {sx}) * "
+            f"sqrt({n} * {syy} - {sy} * {sy})) as double)")
+
+
+@q("corr_stats", f"""
+SELECT l_returnflag AS rf, COUNT(*) AS n,
+       {_corr_formula('COUNT(*)', 'l_quantity', 'l_extendedprice')} AS corr_qp
+FROM lineitem GROUP BY l_returnflag
+""")
+def corr_stats(spark, sf):
+    """Per-group Pearson correlation, computed from exact decimal
+    co-moments rather than the engines' streaming corr() (whose
+    float accumulation order differs run to run) — six partial
+    aggregates in one pass, deterministic at any parallelism."""
+    return (Query(spark)
+            .for_("l", load_table(spark, sf, "lineitem"))
+            .group_by("l.l_returnflag as rf")
+            .select("rf", "count(l) as n",
+                    _corr_formula("count(l)", "l.l_quantity",
+                                  "l.l_extendedprice") + " as corr_qp")
+            .df())
+
+
 # text/dedup/similarity oracles are generated from the same formula
 # definitions (dialect='duck'); register them post-hoc:
 
@@ -1486,6 +1527,9 @@ FROM documents
     ORACLE["sample_stratified"] = (
         "SELECT doc_id, lang FROM documents WHERE "
         + sample_oracle_where({"en": 0.25}, "lang", default_fraction=1.0))
+    from pythonql_spark.operators.profile import histogram_oracle_sql
+    ORACLE["histogram_prices"] = histogram_oracle_sql(
+        "o_totalprice", 0.0, 400000.0, 20, "orders")
     from pythonql_spark.operators.sampling import hash_bucket, weighted_cut
     ORACLE["sample_weighted"] = (
         "SELECT * FROM documents WHERE "

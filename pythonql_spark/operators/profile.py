@@ -41,6 +41,40 @@ def table_profile(df: DataFrame, cols: list[str] | None = None, *,
             .select("p.*"))
 
 
+def histogram(df: DataFrame, col: str, lo: float, hi: float,
+              nbins: int) -> DataFrame:
+    """Fixed-range equi-width histogram in ONE aggregation pass:
+    (bin, bin_lo, bin_hi, n) for values in [lo, hi] (x == hi lands in
+    the last bin; values outside the range are dropped).  Fixed edges
+    — not data-driven min/max — keep it a single scan; get the range
+    from `table_profile` first if unknown.  The bin id is an integer
+    groupBy key, so the shuffle carries nbins partial rows per map
+    task regardless of data size."""
+    if nbins <= 0 or hi <= lo:
+        raise ValueError("need nbins >= 1 and hi > lo")
+    w = (hi - lo) / nbins
+    bin_ = F.least(F.floor((F.col(col) - F.lit(lo)) / F.lit(w)),
+                   F.lit(nbins - 1)).cast("bigint")
+    return (df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+            .groupBy(bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("bin_lo", F.lit(lo) + F.col("bin") * F.lit(w))
+            .withColumn("bin_hi", F.lit(lo) + (F.col("bin") + 1) * F.lit(w))
+            .select("bin", "bin_lo", "bin_hi", "n"))
+
+
+def histogram_oracle_sql(col: str, lo: float, hi: float, nbins: int,
+                         table: str) -> str:
+    """DuckDB mirror of `histogram` — identical floor/least formula so
+    bin boundaries match bit-for-bit."""
+    w = (hi - lo) / nbins
+    b = f"cast(least(floor(({col} - {lo}) / {w}), {nbins - 1}) as bigint)"
+    return (f"SELECT {b} AS bin, {lo} + {b} * {w} AS bin_lo, "
+            f"{lo} + ({b} + 1) * {w} AS bin_hi, count(*) AS n "
+            f"FROM {table} WHERE {col} >= {lo} AND {col} <= {hi} "
+            f"GROUP BY 1, 2, 3")
+
+
 def profile_oracle_sql(cols: list[str], table: str = "documents") -> str:
     """DuckDB mirror: one SELECT per column, UNION ALL."""
     parts = []

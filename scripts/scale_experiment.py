@@ -51,6 +51,19 @@ def replicate_embs(spark, n: int, path: str) -> None:
      .write.mode("overwrite").parquet(path))
 
 
+def replicate_events(spark, n: int, path: str) -> None:
+    # distinct per-replica user spaces: per-key density stays constant
+    # as the corpus grows, which is how real event data scales
+    ev = load_table(spark, SF, "events")
+    reps = spark.range(n).withColumnRenamed("id", "rep")
+    (ev.crossJoin(F.broadcast(reps))
+     .select((F.col("event_id") * n + F.col("rep")).alias("event_id"),
+             "ts",
+             (F.col("user_id") * n + F.col("rep")).alias("user_id"),
+             "event_type", "value")
+     .write.mode("overwrite").parquet(path))
+
+
 def main() -> None:
     spark = get_spark("scale-exp")
     spark.sparkContext.setLogLevel("ERROR")
@@ -58,15 +71,29 @@ def main() -> None:
                                                 minhash_lsh_pairs,
                                                 simhash_pairs)
     from pythonql_spark.operators.decontam import decontaminate
+    from pythonql_spark.operators.rangejoin import range_join
     from pythonql_spark.operators.similarity import brute_topk, lsh_topk
+    from pythonql_spark.operators.topk import top_k_per_group
+
+    def attribution(ev):
+        p = ev.filter("event_type = 'purchase'").select(
+            F.col("event_id").alias("pid"), "user_id",
+            (F.col("ts") - F.expr("INTERVAL 4 HOURS")).alias("lo"),
+            F.col("ts").alias("hi"))
+        c = ev.filter("event_type = 'click'").select(
+            "user_id", F.col("ts").alias("cts"))
+        return range_join(c, p, point="cts", start="lo", end="hi",
+                          on="user_id", bin_width=4 * 3600)
 
     results = []
     for n in (1, 4, 16):
         d = SCRATCH / f"x{n}"
         replicate_docs(spark, n, str(d / "documents.parquet"))
         replicate_embs(spark, n, str(d / "embeddings.parquet"))
+        replicate_events(spark, n, str(d / "events.parquet"))
         docs = spark.read.parquet(str(d / "documents.parquet"))
         embs = spark.read.parquet(str(d / "embeddings.parquet"))
+        evs = spark.read.parquet(str(d / "events.parquet"))
         n_docs, n_vecs = docs.count(), embs.count()
 
         ops = {
@@ -85,6 +112,10 @@ def main() -> None:
             "ann_lsh": lambda: lsh_topk(
                 embs, query_ids=list(range(10)), k=5,
                 id_col="vec_id", vec_col="embedding").count(),
+            "range_join": lambda: attribution(evs).count(),
+            "topk_group": lambda: top_k_per_group(
+                evs.select("user_id", "event_id", "value"),
+                "user_id", ["value desc", "event_id"], 3).count(),
         }
         for name, fn in ops.items():
             t0 = time.perf_counter()
