@@ -1423,6 +1423,39 @@ def sample_weighted_q(spark, sf):
     return sample_weighted(docs, "n_chars / 600.0", 0.5)
 
 
+@q("cohort_retention", """
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+  FROM events GROUP BY user_id)
+SELECT cohort_day,
+       datediff('day', cast(cohort_day as date), cast(e.ts as date)) AS day_offset,
+       cast(count(DISTINCT e.user_id) as bigint) AS n_users
+FROM events e JOIN firsts f ON e.user_id = f.user_id
+GROUP BY 1, 2
+""")
+def cohort_retention(spark, sf):
+    """Cohort retention matrix: users grouped by first-seen day,
+    activity counted per day offset.  Two aggregations over one scan
+    — the firsts table is |users| rows (broadcast back onto events),
+    and the distinct count is the standard two-round expand —
+    both shuffles keyed, both partial-aggregated."""
+    ev = load_table(spark, sf, "events")
+    firsts = (Query(spark)
+              .for_("e", ev)
+              .group_by("e.user_id as user_id")
+              .select("user_id", "min(date_trunc('day', e.ts)) as cohort_day"))
+    return (Query(spark)
+            .for_("e", ev)
+            .for_("f", firsts, hint="broadcast")
+            .where("f.user_id == e.user_id")
+            .group_by("f.cohort_day as cohort_day",
+                      "cast(datediff(cast(e.ts as date), "
+                      "cast(f.cohort_day as date)) as bigint) as day_offset")
+            .select("cohort_day", "day_offset",
+                    "cast(count(distinct e.user_id) as bigint) as n_users")
+            .df())
+
+
 @q("histogram_prices")
 def histogram_prices(spark, sf):
     """Equi-width price histogram — one aggregation pass with a fixed
