@@ -51,6 +51,49 @@ def main() -> None:
     print("large orders by priority:")
     res.show()
 
+    # behavioral analytics: click→purchase attribution as a binned
+    # range join (equi on (user, 4h-bucket), never a nested loop)
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.operators import range_join, top_k_per_group
+    e = t["events"]
+    purchases = e.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        (F.col("ts") - F.expr("INTERVAL 4 HOURS")).alias("w_start"),
+        F.col("ts").alias("w_end"))
+    clicks = e.filter("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("click_ts"))
+    attributed = range_join(clicks, purchases, point="click_ts",
+                            start="w_start", end="w_end",
+                            on="user_id", bin_width=4 * 3600)
+    print("clicks attributed to a purchase within 4h:", attributed.count())
+
+    # top-3 purchases per user — WindowGroupLimit keeps the shuffle at
+    # ~k rows per key
+    top3 = top_k_per_group(
+        e.filter("event_type = 'purchase'")
+         .select("user_id", "event_id", "value"),
+        "user_id", ["value desc", "event_id"], 3)
+    top3.show(6)
+
+    # cohort retention: first-seen day x day offset, distinct actives
+    firsts = (Query(spark).for_("e", e)
+              .group_by("e.user_id as user_id")
+              .select("user_id", "min(date_trunc('day', e.ts)) as cohort_day"))
+    retention = (Query(spark)
+                 .for_("e", e)
+                 .for_("f", firsts, hint="broadcast")
+                 .where("f.user_id == e.user_id")
+                 .group_by("f.cohort_day as cohort_day",
+                           "cast(datediff(cast(e.ts as date), "
+                           "cast(f.cohort_day as date)) as bigint) as day_offset")
+                 .select("cohort_day", "day_offset",
+                         "count(distinct e.user_id) as n_users")
+                 .order_by("cohort_day", "day_offset")
+                 .limit(8))
+    print("cohort retention (first 8 cells):")
+    retention.df().show()
+
 
 if __name__ == "__main__":
     main()

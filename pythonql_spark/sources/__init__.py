@@ -4,6 +4,7 @@ from pythonql_spark.sources.catalog import (
     jdbc_table,
     load_sf,
     load_table,
+    read_files,
     write_bucketed,
     write_compacted,
     write_partitioned,
@@ -11,5 +12,5 @@ from pythonql_spark.sources.catalog import (
 )
 
 __all__ = ["TABLES", "from_collection", "jdbc_table", "load_sf",
-           "load_table", "write_bucketed", "write_compacted",
-           "write_partitioned", "write_range_sorted"]
+           "load_table", "read_files", "write_bucketed",
+           "write_compacted", "write_partitioned", "write_range_sorted"]

@@ -52,6 +52,36 @@ def load_sf(spark: SparkSession, sf_dir: str | None = None,
     return out
 
 
+def read_files(spark: SparkSession, path: str, fmt: str = "parquet",
+               schema=None, *, corrupt_col: str | None = None,
+               **options) -> DataFrame:
+    """Unified file source (parquet / json-lines / csv / orc / text).
+
+    At 100 TB two defaults matter and both are handled here:
+
+    * ALWAYS pass ``schema`` for json/csv — schema inference is a full
+      extra pass over the data before the real job starts.
+    * Semi-structured inputs contain malformed rows; failing the whole
+      job at hour N is not an option.  ``corrupt_col="_bad"`` selects
+      PERMISSIVE mode with the raw text of unparseable rows captured
+      in that column (filter `_bad IS NOT NULL` to quarantine them);
+      default is PERMISSIVE with nulls, pass mode='FAILFAST' to abort
+      on the first bad row instead.
+    """
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_col requires an explicit schema "
+                             "(the corrupt column must be part of it)")
+        reader = (reader.option("mode", "PERMISSIVE")
+                  .option("columnNameOfCorruptRecord", corrupt_col))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
 def from_collection(spark: SparkSession, data, schema=None) -> DataFrame:
     """Python collection → DataFrame (reference queries iterate plain
     lists/dicts; dicts of identical shape infer a struct schema)."""
