@@ -28,6 +28,8 @@ def main() -> None:
         "group_agg", "join_multi", "join_equi", "tpch_q3", "tpch_q6",
         "tpch_q9", "tpch_q18", "tpch_q4", "tpch_q13", "tpch_q17",
         "range_join", "topk_group", "pivot_status", "analytic_window",
+        "cohort_retention", "stream_interval", "histogram_prices",
+        "corr_stats", "grouping_sets_stats",
         "order_multi", "shuffle_epoch",
         "lateral_explode", "join_left_outer", "join_semi", "group_lists",
         "vocab_stats", "corpus_profile", "asof_join",

@@ -163,3 +163,18 @@ def test_pivot_single_aggregation(spark, sf_dir):
     p = formatted_plan(QUERIES["pivot_status"](spark, sf_dir))
     assert p.find("HashAggregate") < p.find("Exchange"), p
     assert "CartesianProduct" not in p
+
+
+def test_tpch_q10_topn_no_full_sort(spark, sf_dir):
+    """order-by-aggregate + limit must plan TakeOrderedAndProject —
+    a full global Sort of the aggregate output does not scale."""
+    p = formatted_plan(QUERIES["tpch_q10"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_tpch_q22_anti_join(spark, sf_dir):
+    """NOT EXISTS must stay a left-anti join; the global-average
+    scalar is a 1-row broadcast, never a per-row subquery."""
+    p = formatted_plan(QUERIES["tpch_q22"](spark, sf_dir))
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p

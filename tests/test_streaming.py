@@ -190,3 +190,29 @@ def test_interval_join_stream_matches_batch(spark, tables, tmp_path):
     got = {(r.purchase_id, r.click_id)
            for r in spark.table("t_ivj").collect()}
     assert got == batch
+
+
+def test_file_sink_exactly_once(spark, tables, tmp_path):
+    """Checkpointed file sink: a restart after a completed drain must
+    append NOTHING (offsets + sink commit log make re-runs no-ops);
+    new source files after restart are picked up incrementally."""
+    from pythonql_spark.streaming import run_to_completion, write_stream_files
+
+    ev = tables["events"].select("event_id", "user_id", "value")
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        run_to_completion(write_stream_files(stream, out, ckpt))
+
+    drain()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == ev.filter("event_id % 2 = 0").count()
+    # restart with no new data: exactly-once means no duplicates
+    drain()
+    assert spark.read.parquet(out).count() == n1
+    # add a new source file: only the delta lands
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert spark.read.parquet(out).count() == ev.count()
