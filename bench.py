@@ -29,7 +29,7 @@ def main() -> None:
         "tpch_q9", "tpch_q18", "tpch_q4", "tpch_q13", "tpch_q17",
         "range_join", "topk_group", "pivot_status", "analytic_window",
         "cohort_retention", "stream_interval", "histogram_prices",
-        "corr_stats", "grouping_sets_stats",
+        "corr_stats", "grouping_sets_stats", "funnel_sessions",
         "order_multi", "shuffle_epoch",
         "lateral_explode", "join_left_outer", "join_semi", "group_lists",
         "vocab_stats", "corpus_profile", "asof_join",

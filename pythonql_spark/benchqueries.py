@@ -622,6 +622,52 @@ def sessionize(spark, sf):
     ).select("user_id", "session_start", "n_events", "sum_value")
 
 
+@q("funnel_sessions", """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e),
+sess AS (
+  SELECT user_id, sid,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+  FROM s GROUP BY user_id, sid)
+SELECT cast(count(*) as bigint) AS n_sessions,
+       cast(sum(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_with_click,
+       cast(sum(CASE WHEN last_purchase IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_with_purchase,
+       cast(sum(CASE WHEN first_click < last_purchase THEN 1 ELSE 0 END) as bigint) AS n_converted
+FROM sess
+""")
+def funnel_sessions(spark, sf):
+    """Session funnel: 30-minute-gap sessions (native session_window,
+    one keyed shuffle), then a click→purchase conversion flag per
+    session and one global rollup row.  The conversion condition is
+    ordered WITHIN the session (first click strictly before last
+    purchase), the thing a plain groupBy-per-day funnel gets wrong."""
+    from pyspark.sql import functions as F
+    ev = load_table(spark, sf, "events")
+    sess = (ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.min(F.expr("case when event_type = 'click' then ts end"))
+                 .alias("first_click"),
+                 F.max(F.expr("case when event_type = 'purchase' then ts end"))
+                 .alias("last_purchase")))
+    return sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.expr("case when first_click is not null then 1 else 0 end"))
+         .cast("bigint").alias("n_with_click"),
+        F.sum(F.expr("case when last_purchase is not null then 1 else 0 end"))
+         .cast("bigint").alias("n_with_purchase"),
+        F.sum(F.expr("case when first_click < last_purchase then 1 else 0 end"))
+         .cast("bigint").alias("n_converted"))
+
+
 @q("stream_tumbling", """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
