@@ -30,6 +30,7 @@ def main() -> None:
         "range_join", "topk_group", "pivot_status", "analytic_window",
         "cohort_retention", "stream_interval", "histogram_prices",
         "corr_stats", "grouping_sets_stats", "funnel_sessions",
+        "resample_hourly", "text_logprob",
         "order_multi", "shuffle_epoch",
         "lateral_explode", "join_left_outer", "join_semi", "group_lists",
         "vocab_stats", "corpus_profile", "asof_join",

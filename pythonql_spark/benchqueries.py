@@ -1502,6 +1502,52 @@ def cohort_retention(spark, sf):
             .df())
 
 
+@q("text_logprob")
+def text_logprob(spark, sf):
+    """Cheap perplexity proxy: mean unigram log-prob per document
+    under the corpus's own unigram LM (oracle generated below from
+    the same formula)."""
+    from pythonql_spark.operators.text import unigram_logprob
+    return unigram_logprob(load_table(spark, sf, "documents"))
+
+
+@q("resample_hourly", f"""
+WITH spine AS (
+  SELECT et.event_type, t.ts AS bin_start
+  FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                       TIMESTAMP '2024-01-31 23:00:00',
+                       INTERVAL 1 HOUR) AS t(ts)
+  CROSS JOIN (SELECT DISTINCT event_type FROM events
+              WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+                AND ts <  TIMESTAMP '2024-02-01 00:00:00') et),
+agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bin_start,
+         count(*) AS n_events, {dsum('value')} AS sum_value
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+  GROUP BY 1, 2)
+SELECT s.event_type, s.bin_start,
+       cast(coalesce(a.n_events, 0) as bigint) AS n_events,
+       coalesce(a.sum_value, 0.0) AS sum_value
+FROM spine s LEFT JOIN agg a
+  ON s.event_type = a.event_type AND s.bin_start = a.bin_start
+""")
+def resample_hourly(spark, sf):
+    """Hourly per-type event counts with EMPTY BINS materialized
+    (zero-filled) over the full month — the generated spine never
+    collects to the driver; see operators/timeseries.py."""
+    from pyspark.sql import functions as F
+    from pythonql_spark.operators.timeseries import resample
+    ev = load_table(spark, sf, "events")
+    return resample(
+        ev, "ts", 3600,
+        start="2024-01-01 00:00:00", end="2024-02-01 00:00:00",
+        keys=["event_type"],
+        aggs={"n_events": F.count(F.lit(1)),
+              "sum_value": F.expr(dsum("value"))})
+
+
 @q("histogram_prices")
 def histogram_prices(spark, sf):
     """Equi-width price histogram — one aggregation pass with a fixed
@@ -1606,6 +1652,7 @@ FROM documents
     ORACLE["sample_stratified"] = (
         "SELECT doc_id, lang FROM documents WHERE "
         + sample_oracle_where({"en": 0.25}, "lang", default_fraction=1.0))
+    ORACLE["text_logprob"] = TX.unigram_logprob_oracle_sql()
     from pythonql_spark.operators.profile import histogram_oracle_sql
     ORACLE["histogram_prices"] = histogram_oracle_sql(
         "o_totalprice", 0.0, 400000.0, 20, "orders")

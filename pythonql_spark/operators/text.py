@@ -170,6 +170,56 @@ def fingerprint(col: str = "text", dialect: str = "spark") -> str:
     return f"md5(lower(trim({inner})))"
 
 
+def unigram_logprob(df, text_col: str = "text",
+                    id_col: str = "doc_id") -> "DataFrame":
+    """Per-document mean unigram log-probability under the corpus's
+    own unigram LM — the classic cheap perplexity proxy for quality
+    filtering (low = rare-token gibberish, high = common fluent text).
+
+    Spark shape: ONE explode of lowered whitespace tokens feeds both
+    the frequency table (groupBy token, map-side combined) and the
+    scoring join (shuffle on token, then groupBy doc).  All arithmetic
+    is JVM expressions; the per-token log-prob is rounded to
+    decimal(20,10) before the exact decimal sum so results are
+    bit-identical to the DuckDB oracle regardless of summation order
+    or libm ulp differences.
+    """
+    from pyspark.sql import functions as F
+    toks = (df.select(id_col, F.explode(
+        F.expr(words(f"lower({text_col})"))).alias("tok"))
+        .filter("tok != ''"))
+    toks = toks.localCheckpoint(eager=False)  # explode once, use twice
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    scored = (toks.join(freq, "tok")
+              .crossJoin(F.broadcast(total))
+              .select(id_col, F.expr(
+                  "cast(ln(cnt / total) as decimal(20,10))").alias("lp")))
+    return (scored.groupBy(id_col)
+            .agg(F.expr("cast(cast(sum(lp) as double) / count(lp) as double)")
+                 .alias("mean_logprob"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_tokens")))
+
+
+def unigram_logprob_oracle_sql(text_col: str = "text",
+                               id_col: str = "doc_id",
+                               table: str = "documents") -> str:
+    """DuckDB mirror of `unigram_logprob` (same rounding, exact sums)."""
+    w = words(f"lower({text_col})", "duck")
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest({w}) AS tok FROM {table}),
+t2 AS (SELECT * FROM toks WHERE tok <> ''),
+freq AS (SELECT tok, count(*) AS cnt FROM t2 GROUP BY tok),
+total AS (SELECT sum(cnt) AS total FROM freq),
+scored AS (
+  SELECT {id_col}, cast(ln(cnt / total) as decimal(20,10)) AS lp
+  FROM t2 JOIN freq USING (tok) CROSS JOIN total)
+SELECT {id_col}, cast(cast(sum(lp) as double) / count(lp) as double) AS mean_logprob,
+       cast(count(lp) as bigint) AS n_tokens
+FROM scored GROUP BY {id_col}"""
+
+
 def remove_boilerplate(df, id_col: str = "doc_id",
                        text_col: str = "text", *,
                        min_doc_frac: float = 0.2,

@@ -1,0 +1,65 @@
+"""Time-series resampling with gap fill — downsample events to a
+fixed grid and materialize EMPTY bins, the step dashboards and
+forecasting features need that a plain groupBy silently skips.
+
+Spark shape: the aggregation is one keyed shuffle on (key, bin); the
+bin spine is `spark.range(n_bins)` (generated, never collected) cross
+joined with the distinct key set — keys are the only data-derived
+side and they're aggregated before the (broadcast) cross join, so the
+spine costs |keys| × n_bins rows of generated data, no second scan of
+the input.  Explicit [start, end) bounds keep it single-pass; derive
+them from `table_profile` when unknown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def resample(df: DataFrame, ts_col: str, step_s: int, *,
+             start: str, end: str,
+             keys: list[str] | None = None,
+             aggs: dict[str, Column] | None = None,
+             fill: dict[str, float] | None = None) -> DataFrame:
+    """(keys..., bin_start, aggs...) with one row for EVERY step-sized
+    bin in [start, end) per key combination; bins with no events get
+    the ``fill`` value for each agg column (default 0).
+
+    start/end — ``'YYYY-MM-DD HH:MM:SS'`` timestamps; events outside
+    the range are dropped.  aggs default to ``{"n_events": count}``.
+    """
+    keys = list(keys or [])
+    aggs = aggs or {"n_events": F.count(F.lit(1))}
+    fill = fill or {}
+    spark = df.sparkSession
+
+    lo = F.unix_timestamp(F.lit(start))
+    n_bins = spark.range(1).select(
+        ((F.unix_timestamp(F.lit(end)) - F.unix_timestamp(F.lit(start)))
+         / step_s).cast("long")).first()[0]
+    if n_bins <= 0:
+        raise ValueError("end must be after start")
+
+    binned = (df.filter((F.col(ts_col) >= F.lit(start).cast("timestamp"))
+                        & (F.col(ts_col) < F.lit(end).cast("timestamp")))
+              .withColumn("__bin", F.floor(
+                  (F.unix_timestamp(F.col(ts_col)) - lo) / step_s))
+              .groupBy(*keys, "__bin")
+              .agg(*[c.alias(n) for n, c in aggs.items()]))
+
+    binned = binned.localCheckpoint(eager=False)  # key-set reuse below
+    spine = spark.range(n_bins).withColumnRenamed("id", "__bin")
+    if keys:
+        # key set comes from the ALREADY-AGGREGATED frame (tiny),
+        # not a second scan of the input
+        spine = spine.crossJoin(F.broadcast(binned.select(*keys).distinct()))
+
+    out = (spine.join(binned, [*keys, "__bin"], "left")
+           .select(*keys,
+                   F.timestamp_seconds(lo + F.col("__bin") * step_s)
+                    .alias("bin_start"),
+                   *[F.coalesce(F.col(n), F.lit(fill.get(n, 0))
+                                .cast(binned.schema[n].dataType)).alias(n)
+                     for n in aggs]))
+    return out

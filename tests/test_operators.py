@@ -483,3 +483,48 @@ def test_sample_weighted(spark):
     a = sorted(r.doc_id for r in sample_weighted(df, "w / 10.0", 0.5).collect())
     b = sorted(r.doc_id for r in sample_weighted(df, "w / 10.0", 0.5).collect())
     assert a == b and 0 < len(a) < 1000
+
+
+def test_resample_gap_fill(spark):
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.operators.timeseries import resample
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00", 1.0),
+         ("a", "2024-01-01 02:20:00", 2.0),   # hour 1 empty for a
+         ("b", "2024-01-01 01:30:00", 5.0)],
+        "k string, ts string, v double").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = resample(df, "ts", 3600,
+                   start="2024-01-01 00:00:00", end="2024-01-01 03:00:00",
+                   keys=["k"],
+                   aggs={"n": F.count(F.lit(1)), "s": F.sum("v")})
+    rows = {(r.k, str(r.bin_start), r.n, r.s) for r in out.collect()}
+    assert rows == {
+        ("a", "2024-01-01 00:00:00", 1, 1.0),
+        ("a", "2024-01-01 01:00:00", 0, 0.0),   # gap filled
+        ("a", "2024-01-01 02:00:00", 1, 2.0),
+        ("b", "2024-01-01 00:00:00", 0, 0.0),
+        ("b", "2024-01-01 01:00:00", 1, 5.0),
+        ("b", "2024-01-01 02:00:00", 0, 0.0),
+    }
+    # out-of-range events dropped; bad range rejected
+    import pytest
+    with pytest.raises(ValueError):
+        resample(df, "ts", 3600, start="2024-01-02 00:00:00",
+                 end="2024-01-01 00:00:00")
+
+
+def test_unigram_logprob(spark):
+    from pythonql_spark.operators.text import unigram_logprob
+    import math
+    df = spark.createDataFrame(
+        [(1, "the the cat"), (2, "the dog")], "doc_id long, text string")
+    # freqs: the=3, cat=1, dog=1; total=5
+    got = {r.doc_id: (r.mean_logprob, r.n_tokens)
+           for r in unigram_logprob(df).collect()}
+    lp = lambda c: round(math.log(c / 5), 10)
+    exp1 = (2 * lp(3) + lp(1)) / 3
+    exp2 = (lp(3) + lp(1)) / 2
+    assert got[1][1] == 3 and got[2][1] == 2
+    assert abs(got[1][0] - exp1) < 1e-9
+    assert abs(got[2][0] - exp2) < 1e-9
