@@ -1548,6 +1548,45 @@ def resample_hourly(spark, sf):
               "sum_value": F.expr(dsum("value"))})
 
 
+@q("resample_ffill", f"""
+WITH spine AS (
+  SELECT et.event_type, t.ts AS bin_start
+  FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                       TIMESTAMP '2024-01-31 23:00:00',
+                       INTERVAL 1 HOUR) AS t(ts)
+  CROSS JOIN (SELECT DISTINCT event_type FROM events
+              WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+                AND ts <  TIMESTAMP '2024-02-01 00:00:00') et),
+agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bin_start,
+         {davg('value')} AS avg_value
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+  GROUP BY 1, 2)
+SELECT event_type, bin_start,
+       last_value(avg_value IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bin_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value
+FROM spine LEFT JOIN agg USING (event_type, bin_start)
+""")
+def resample_ffill(spark, sf):
+    """Resample + forward fill: empty hourly bins stay NULL, then the
+    last observed per-type average carries forward — the standard
+    imputation for sensor/metric series."""
+    from pyspark.sql import functions as F
+    from pythonql_spark.operators.timeseries import forward_fill, resample
+    ev = load_table(spark, sf, "events")
+    r = resample(
+        ev, "ts", 3600,
+        start="2024-01-01 00:00:00", end="2024-02-01 00:00:00",
+        keys=["event_type"],
+        aggs={"avg_value": F.expr(davg("value"))},
+        fill={"avg_value": None})
+    return forward_fill(r, "avg_value", order_by="bin_start",
+                        keys=["event_type"])
+
+
 @q("histogram_prices")
 def histogram_prices(spark, sf):
     """Equi-width price histogram — one aggregation pass with a fixed

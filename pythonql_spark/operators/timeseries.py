@@ -24,7 +24,8 @@ def resample(df: DataFrame, ts_col: str, step_s: int, *,
              fill: dict[str, float] | None = None) -> DataFrame:
     """(keys..., bin_start, aggs...) with one row for EVERY step-sized
     bin in [start, end) per key combination; bins with no events get
-    the ``fill`` value for each agg column (default 0).
+    the ``fill`` value for each agg column (default 0; map a column to
+    ``None`` to leave empty bins NULL — e.g. to `forward_fill` after).
 
     start/end — ``'YYYY-MM-DD HH:MM:SS'`` timestamps; events outside
     the range are dropped.  aggs default to ``{"n_events": count}``.
@@ -59,7 +60,25 @@ def resample(df: DataFrame, ts_col: str, step_s: int, *,
            .select(*keys,
                    F.timestamp_seconds(lo + F.col("__bin") * step_s)
                     .alias("bin_start"),
-                   *[F.coalesce(F.col(n), F.lit(fill.get(n, 0))
-                                .cast(binned.schema[n].dataType)).alias(n)
-                     for n in aggs]))
+                   *[(F.col(n) if (n in fill and fill[n] is None)
+                      else F.coalesce(F.col(n), F.lit(fill.get(n, 0))
+                                      .cast(binned.schema[n].dataType)))
+                     .alias(n) for n in aggs]))
     return out
+
+
+def forward_fill(df: DataFrame, cols: list[str] | str, *,
+                 order_by: str, keys: list[str] | None = None) -> DataFrame:
+    """Replace NULLs with the most recent non-NULL value per key in
+    ``order_by`` order (classic time-series imputation after a
+    resample with ``fill={col: None}``).  One running
+    `last(ignorenulls)` frame per column — a single shuffle on the
+    keys shared by all filled columns; rows before the first
+    observation stay NULL."""
+    from pyspark.sql.window import Window as W
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    w = (W.partitionBy(*(keys or [])).orderBy(order_by)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    for c in cols:
+        df = df.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return df

@@ -528,3 +528,17 @@ def test_unigram_logprob(spark):
     assert got[1][1] == 3 and got[2][1] == 2
     assert abs(got[1][0] - exp1) < 1e-9
     assert abs(got[2][0] - exp2) < 1e-9
+
+
+def test_forward_fill(spark):
+    from pythonql_spark.operators.timeseries import forward_fill
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 3, None), ("a", 4, 7.0),
+         ("b", 1, None), ("b", 2, 3.0)],
+        "k string, t int, v double")
+    got = {(r.k, r.t): r.v for r in forward_fill(
+        df, "v", order_by="t", keys=["k"]).collect()}
+    assert got == {("a", 1): 10.0, ("a", 2): 10.0, ("a", 3): 10.0,
+                   ("a", 4): 7.0,
+                   ("b", 1): None,   # nothing observed yet stays NULL
+                   ("b", 2): 3.0}
