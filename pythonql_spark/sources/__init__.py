@@ -6,6 +6,8 @@ from pythonql_spark.sources.catalog import (
     load_table,
     read_files,
     write_bucketed,
+    write_zordered,
+    zorder_expr,
     write_compacted,
     write_partitioned,
     write_range_sorted,
@@ -13,4 +15,5 @@ from pythonql_spark.sources.catalog import (
 
 __all__ = ["TABLES", "from_collection", "jdbc_table", "load_sf",
            "load_table", "read_files", "write_bucketed",
-           "write_compacted", "write_partitioned", "write_range_sorted"]
+           "write_compacted", "write_partitioned", "write_range_sorted",
+           "write_zordered", "zorder_expr"]

@@ -161,6 +161,55 @@ def write_range_sorted(df: DataFrame, path: str, sort_cols: list[str], *,
        .write.format(fmt).mode(mode).save(path))
 
 
+def zorder_expr(cols: list[str], bounds: dict[str, tuple[float, float]],
+                bits: int = 21) -> str:
+    """Z-value (Morton code) of 2-3 numeric columns as a SQL
+    expression: each column is normalized to ``bits`` integer bits
+    within its [lo, hi) bounds, then the bits are interleaved — rows
+    close in Z-value are close in EVERY dimension."""
+    if not 2 <= len(cols) <= 3:
+        raise ValueError("zorder_expr takes 2 or 3 columns")
+    if bits * len(cols) > 63:
+        raise ValueError("bits * len(cols) must fit in a signed long")
+    norm = []
+    for c in cols:
+        lo, hi = bounds[c]
+        if hi <= lo:
+            raise ValueError(f"bounds for {c} must have hi > lo")
+        cells, top = 1 << bits, (1 << bits) - 1
+        norm.append(
+            f"least(greatest(cast(({c} - {lo}) / ({hi} - {lo}) * {cells} "
+            f"as bigint), 0), {top})")
+    k = len(cols)
+    terms = " | ".join(
+        f"((({n} >> i) & 1) << (i * {k} + {j}))" for j, n in enumerate(norm))
+    return (f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), "
+            f"(acc, i) -> acc | cast({terms} as bigint))")
+
+
+def write_zordered(df: DataFrame, path: str, cols: list[str],
+                   bounds: dict[str, tuple[float, float]], *,
+                   n_partitions: int | None = None, bits: int = 21,
+                   fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Multi-dimension data-skipping sink: range-partition + sort on
+    the Z-value of ``cols`` so each parquet file/row-group covers a
+    small hyper-rectangle — range predicates on ANY of the columns
+    skip most files via footer min/max stats.  The 1-D version of this
+    is `write_range_sorted`; use that when only one column is ever
+    filtered.  ``bounds`` maps each column to its (lo, hi) domain —
+    pass fixed domain knowledge or `table_profile` output; values
+    outside clamp to the edge cells."""
+    from pyspark.sql import functions as F
+    z = F.expr(zorder_expr(cols, bounds, bits))
+    parts = n_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    (df.withColumn("__z", z)
+       .repartitionByRange(parts, "__z")
+       .sortWithinPartitions("__z")
+       .drop("__z")
+       .write.format(fmt).mode(mode).save(path))
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
                    n_buckets: int = 64, sort_cols: list[str] | None = None,
                    fmt: str = "parquet", mode: str = "overwrite") -> None:
