@@ -1238,6 +1238,84 @@ def tpch_q10(spark, sf):
             .df())
 
 
+@q("tpch_q7", f"""
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       cast(year(l_shipdate) as bigint) AS l_year,
+       {dsum('l_extendedprice * (1 - l_discount)')} AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+""")
+def tpch_q7(spark, sf):
+    """TPC-H Q7 shape (cross-nation trade volume by year): six-table
+    join with the nation dim joined TWICE under different roles — the
+    fact chain shuffles once per big join, both nation sides and the
+    supplier dim broadcast."""
+    nation = load_table(spark, sf, "nation")
+    return (Query(spark)
+            .for_("l", load_table(spark, sf, "lineitem"))
+            .for_("o", load_table(spark, sf, "orders"))
+            .for_("c", load_table(spark, sf, "customer"))
+            .for_("n1", nation, hint="broadcast")
+            .for_("s", load_table(spark, sf, "supplier"), hint="broadcast")
+            .for_("n2", nation, hint="broadcast")
+            .where("l.l_orderkey == o.o_orderkey "
+                   "and c.c_custkey == o.o_custkey "
+                   "and c.c_nationkey == n1.n_nationkey "
+                   "and l.l_suppkey == s.s_suppkey "
+                   "and s.s_nationkey == n2.n_nationkey "
+                   "and n1.n_name != n2.n_name")
+            .group_by("n1.n_name as cust_nation", "n2.n_name as supp_nation",
+                      "cast(year(l.l_shipdate) as bigint) as l_year")
+            .select("cust_nation", "supp_nation", "l_year",
+                    dsum("l.l_extendedprice * (1 - l.l_discount)")
+                    + " as volume")
+            .df())
+
+
+@q("tpch_q15", f"""
+WITH rev AS (
+  SELECT l_suppkey, {dsum('l_extendedprice * (1 - l_discount)')} AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+""")
+def tpch_q15(spark, sf):
+    """TPC-H Q15 (top supplier): aggregate-of-aggregate scalar — the
+    quarter's per-supplier revenue table is built once and reused for
+    both the max and the final equality (exact-decimal sums make the
+    double equality safe across engines)."""
+    li = load_table(spark, sf, "lineitem")
+    rev = (Query(spark)
+           .for_("l", li)
+           .where("l.l_shipdate >= timestamp'1996-01-01 00:00:00' "
+                  "and l.l_shipdate < timestamp'1996-04-01 00:00:00'")
+           .group_by("l.l_suppkey as l_suppkey")
+           .select("l_suppkey",
+                   dsum("l.l_extendedprice * (1 - l.l_discount)")
+                   + " as total_rev").df())
+    rev = rev.localCheckpoint(eager=False)  # built once, used twice
+    mx = (Query(spark).for_("r2", rev).group_by("1 as one")
+          .select("max(r2.total_rev) as mx"))
+    return (Query(spark)
+            .for_("s", load_table(spark, sf, "supplier"))
+            .for_("r", rev)
+            .for_("t", mx, hint="broadcast")
+            .where("s.s_suppkey == r.l_suppkey and r.total_rev == t.mx")
+            .select("s.s_suppkey as s_suppkey", "s.s_name as s_name",
+                    "r.total_rev as total_rev")
+            .df())
+
+
 @q("tpch_q14", f"""
 SELECT cast(100.0 * {dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) END")}
             / {dsum('l_extendedprice * (1 - l_discount)')} as double) AS promo_revenue
