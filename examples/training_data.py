@@ -49,6 +49,13 @@ def main() -> None:
     print("3-NN for the first three vectors:")
     knn.show()
 
+    # perplexity-proxy quality signal: mean unigram log-prob under the
+    # corpus's own LM — low scores flag rare-token gibberish
+    from pythonql_spark.operators.text import unigram_logprob
+    lp = unigram_logprob(docs)
+    print("lowest-logprob (most suspicious) documents:")
+    lp.orderBy("mean_logprob").show(3)
+
 
 if __name__ == "__main__":
     main()
