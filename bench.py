@@ -27,7 +27,7 @@ def main() -> None:
     headline = [n for n in (
         "group_agg", "join_multi", "join_equi", "tpch_q3", "tpch_q6",
         "tpch_q9", "tpch_q18", "tpch_q4", "tpch_q13", "tpch_q17",
-        "tpch_q7", "tpch_q15",
+        "tpch_q7", "tpch_q8", "tpch_q15",
         "range_join", "topk_group", "pivot_status", "analytic_window",
         "cohort_retention", "stream_interval", "histogram_prices",
         "corr_stats", "grouping_sets_stats", "funnel_sessions",

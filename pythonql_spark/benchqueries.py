@@ -1278,6 +1278,52 @@ def tpch_q7(spark, sf):
             .df())
 
 
+@q("tpch_q8", f"""
+SELECT cast(year(o_orderdate) as bigint) AS o_year,
+       cast({dsum("CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) END")}
+            / {dsum('l_extendedprice * (1 - l_discount)')} as double) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN part     ON p_partkey = l_partkey
+WHERE r_name = 'ASIA' AND p_type LIKE 'ECONOMY%'
+GROUP BY 1
+""")
+def tpch_q8(spark, sf):
+    """TPC-H Q8 shape (national market share): eight-table star with
+    the nation dim in two roles, a region filter pushed through one of
+    them, and a conditional/total aggregate ratio per year — numerator
+    and denominator share the single grouped pass."""
+    nation = load_table(spark, sf, "nation")
+    num = dsum("case when n2.n_name = 'NATION_3' "
+               "then l.l_extendedprice * (1 - l.l_discount) end")
+    den = dsum("l.l_extendedprice * (1 - l.l_discount)")
+    return (Query(spark)
+            .for_("l", load_table(spark, sf, "lineitem"))
+            .for_("o", load_table(spark, sf, "orders"))
+            .for_("c", load_table(spark, sf, "customer"))
+            .for_("n1", nation, hint="broadcast")
+            .for_("r", load_table(spark, sf, "region"), hint="broadcast")
+            .for_("s", load_table(spark, sf, "supplier"), hint="broadcast")
+            .for_("n2", nation, hint="broadcast")
+            .for_("p", load_table(spark, sf, "part"), hint="broadcast")
+            .where("l.l_orderkey == o.o_orderkey "
+                   "and c.c_custkey == o.o_custkey "
+                   "and c.c_nationkey == n1.n_nationkey "
+                   "and n1.n_regionkey == r.r_regionkey "
+                   "and l.l_suppkey == s.s_suppkey "
+                   "and s.s_nationkey == n2.n_nationkey "
+                   "and p.p_partkey == l.l_partkey "
+                   "and r.r_name == 'ASIA' and p.p_type like 'ECONOMY%'")
+            .group_by("cast(year(o.o_orderdate) as bigint) as o_year")
+            .select("o_year", f"cast({num} / {den} as double) as mkt_share")
+            .df())
+
+
 @q("tpch_q15", f"""
 WITH rev AS (
   SELECT l_suppkey, {dsum('l_extendedprice * (1 - l_discount)')} AS total_rev
