@@ -29,6 +29,13 @@ def get_spark(app_name: str = "pythonql_spark", **extra_conf: str) -> SparkSessi
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # runtime bloom filters: a filtered dim side injects a bloom
+        # filter into the fact scan of a shuffle join — at 100 TB this
+        # prunes fact rows BEFORE the shuffle, the same effect
+        # dynamic partition pruning has for partitioned tables
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # min/max/count over plain parquet answer from footer stats
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # testdata events.ts is TIMESTAMP(NANOS); Spark rejects it
         # unless read as long (catalog.load_table converts back)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
