@@ -163,19 +163,23 @@ def group_agg(spark, sf):
 
 
 @q("group_lists", """
-SELECT o_custkey AS cust, list_sort(list(o_orderkey)) AS orderkeys,
+SELECT o_custkey AS cust,
+       array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
        count(*) AS n
 FROM orders WHERE o_totalprice > 250000
 GROUP BY o_custkey
 """)
 def group_lists(spark, sf):
-    # reference implicit-list semantics: non-key var -> per-group list
+    # reference implicit-list semantics: non-key var -> per-group list.
+    # The list is emitted canonically sorted and JOINED TO A STRING:
+    # the harness canonicalizer sorts rows by every output column and
+    # array columns are unsortable there (pandas lexsort on lists).
     return (Query(spark)
             .for_("o", load_table(spark, sf, "orders"))
             .where("o.o_totalprice > 250000")
             .let_("ok", "o.o_orderkey")
             .group_by("o.o_custkey as cust")
-            .select("cust", "sort_array(ok) as orderkeys",
+            .select("cust", "array_join(sort_array(ok), ',') as orderkeys",
                     "cast(len(ok) as bigint) as n")
             .df())
 

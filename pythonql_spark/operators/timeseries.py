@@ -36,9 +36,13 @@ def resample(df: DataFrame, ts_col: str, step_s: int, *,
     spark = df.sparkSession
 
     lo = F.unix_timestamp(F.lit(start))
+    # ceil, not truncate: when (end-start) is not a multiple of step_s
+    # the trailing PARTIAL bin still holds events that pass the
+    # ts < end filter — truncating n_bins would silently drop them
+    # from the spine join.  The last bin is simply shorter.
     n_bins = spark.range(1).select(
-        ((F.unix_timestamp(F.lit(end)) - F.unix_timestamp(F.lit(start)))
-         / step_s).cast("long")).first()[0]
+        F.ceil((F.unix_timestamp(F.lit(end)) - F.unix_timestamp(F.lit(start)))
+               / step_s).cast("long")).first()[0]
     if n_bins <= 0:
         raise ValueError("end must be after start")
 

@@ -527,10 +527,19 @@ class _Compiler:
             self.df = self.df.unionByName(other)
         elif op == "union":
             self.df = self.df.unionByName(other).distinct()
-        elif op == "intersect":
-            self.df = self.df.intersect(other)
-        else:  # except (distinct semantics, like SQL EXCEPT)
-            self.df = self.df.subtract(other)
+        else:
+            # DataFrame.intersect/subtract match columns by POSITION;
+            # make all three set ops name-matched like unionByName by
+            # reordering the right side to the left's column order.
+            missing = [c for c in self.df.columns if c not in other.columns]
+            if missing:
+                raise ValueError(
+                    f"set op '{op}': right side is missing columns {missing}")
+            other = other.select(*self.df.columns)
+            if op == "intersect":
+                self.df = self.df.intersect(other)
+            else:  # except (distinct semantics, like SQL EXCEPT)
+                self.df = self.df.subtract(other)
         self.visible = set(self.df.columns)
 
     def _c_distinct(self, i: int, c: dict):

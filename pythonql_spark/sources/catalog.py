@@ -26,10 +26,28 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a
-    # nanos-since-epoch long (spark.sql.legacy.parquet.nanosAsLong);
-    # convert to microsecond TimestampType, same truncation DuckDB does.
+    """Read one benchmark table, robust to the session's parquet
+    timestamp configuration.
+
+    Must work in ANY SparkSession, not just ``session.get_spark`` —
+    the correctness harness builds its own.  Two timestamp encodings
+    of ``events.ts`` have been observed in driver-generated testdata:
+
+    * TIMESTAMP(MICROS) — reads directly as TimestampNTZ/Timestamp.
+    * TIMESTAMP(NANOS)  — rejected by Spark unless
+      ``spark.sql.legacy.parquet.nanosAsLong`` is set, in which case it
+      arrives as a nanos-since-epoch long; we set the conf at runtime
+      on PARQUET_TYPE_ILLEGAL and convert back to microsecond
+      timestamps (the same truncation DuckDB applies).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        df = spark.read.parquet(path)
+    except Exception as e:  # AnalysisException: PARQUET_TYPE_ILLEGAL
+        if "PARQUET_TYPE_ILLEGAL" not in str(e):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint" and name == "events":
             from pyspark.sql import functions as F

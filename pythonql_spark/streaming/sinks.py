@@ -38,9 +38,16 @@ def write_stream_files(df: DataFrame, path: str, checkpoint: str, *,
 
 def run_to_completion(query: StreamingQuery, timeout_s: int = 300) -> None:
     """Await an availableNow-style bounded drain and surface any
-    streaming exception instead of a silent hang."""
+    streaming exception instead of a silent hang.  awaitTermination
+    returns False on timeout with the query still running — stop it
+    and raise rather than reporting a drain that never finished."""
     try:
-        query.awaitTermination(timeout_s)
+        finished = query.awaitTermination(timeout_s)
     finally:
         if query.exception() is not None:
             raise query.exception()
+    if not finished:
+        query.stop()
+        raise TimeoutError(
+            f"streaming query {query.name or query.id} still running "
+            f"after {timeout_s}s; stopped without completing the drain")

@@ -161,6 +161,7 @@ def test_pivot_single_aggregation(spark, sf_dir):
     """Explicit pivot values: one partial+final aggregation, no
     distinct-discovery pass in the plan."""
     p = formatted_plan(QUERIES["pivot_status"](spark, sf_dir))
+    assert "HashAggregate" in p and "Exchange" in p, p
     assert p.find("HashAggregate") < p.find("Exchange"), p
     assert "CartesianProduct" not in p
 
