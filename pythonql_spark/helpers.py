@@ -20,6 +20,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_event_time(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Normalize event-time columns to TimestampType.
+
+    Parquet written with ``isAdjustedToUTC=0`` surfaces as
+    TIMESTAMP_NTZ, which Spark's watermarks (EVENT_TIME_IS_NOT_ON_
+    TIMESTAMP_TYPE) and several casts reject.  The engine pins the
+    session time zone to UTC (session.py), so NTZ -> Timestamp is a
+    pure relabeling of the same instant.  ``cols=None`` converts every
+    NTZ column; otherwise only the named ones."""
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        if (cols is None or f.name in cols) and \
+                isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
+
+
 def flatten_deep(df: DataFrame, col: str) -> DataFrame:
     """Deep-flatten a nested array column to a single level, driven by
     the actual schema (arrays in Spark are finitely typed, so the loop

@@ -88,8 +88,8 @@ def pack_oracle_sql(max_tokens: int, shard_col: str = "source",
 WITH t AS (
   SELECT {shard_col}, {id_col}, {n_tok} AS n_tokens FROM {table}),
 o AS (
-  SELECT *, sum(n_tokens) OVER (PARTITION BY {shard_col} ORDER BY {id_col}
-              ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+  SELECT *, cast(sum(n_tokens) OVER (PARTITION BY {shard_col} ORDER BY {id_col}
+              ROWS UNBOUNDED PRECEDING) - n_tokens as bigint) AS start_offset
   FROM t)
 SELECT {shard_col}, {id_col}, n_tokens, start_offset,
        cast(floor(start_offset / {max_tokens}) as bigint) AS seq_id

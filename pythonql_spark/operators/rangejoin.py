@@ -32,9 +32,19 @@ from pyspark.sql import functions as F
 _BOUNDS = {"[)", "[]", "(]", "()"}
 
 
-def _num(col: Column) -> Column:
-    """Numeric view of a point/bound column (timestamp → epoch secs)."""
-    return col.cast("double")
+def _num(df: DataFrame, name: str) -> Column:
+    """Numeric view of a point/bound column (timestamp → epoch secs).
+
+    Branches on the column's dtype: TIMESTAMP / TIMESTAMP_NTZ / DATE
+    go through epoch micros (NTZ cast to timestamp first — session TZ
+    is UTC, see session.py — because Spark refuses a direct NTZ→double
+    cast); everything else casts to double directly.  Sub-second
+    precision is preserved (micros / 1e6)."""
+    dt = df.schema[name].dataType.simpleString()
+    c = F.col(name)
+    if dt in ("timestamp", "timestamp_ntz", "date"):
+        return F.unix_micros(c.cast("timestamp")) / F.lit(1e6)
+    return c.cast("double")
 
 
 def range_join(points: DataFrame, intervals: DataFrame, *,
@@ -56,14 +66,14 @@ def range_join(points: DataFrame, intervals: DataFrame, *,
     keys = [on] if isinstance(on, str) else list(on or [])
 
     w = F.lit(float(bin_width))
-    p = points.withColumn("__bin", F.floor(_num(F.col(point)) / w))
+    p = points.withColumn("__bin", F.floor(_num(points, point) / w))
     # drop inverted intervals, then explode into every bucket the
     # interval touches (sequence is inclusive on both ends)
     iv = (intervals
-          .filter(_num(F.col(end)) >= _num(F.col(start)))
+          .filter(_num(intervals, end) >= _num(intervals, start))
           .withColumn("__bin", F.explode(F.sequence(
-              F.floor(_num(F.col(start)) / w),
-              F.floor(_num(F.col(end)) / w)))))
+              F.floor(_num(intervals, start) / w),
+              F.floor(_num(intervals, end) / w)))))
 
     # disambiguate colliding interval-side columns (incl. equi keys)
     collide = {c for c in intervals.columns if c in points.columns}
@@ -91,9 +101,9 @@ def band_join(left: DataFrame, right: DataFrame, *,
     range join above does the rest — one equi shuffle, no nested loop.
     For timestamp columns `eps` is in seconds."""
     iv = (right
-          .withColumn("__lo", _num(F.col(right_val)) - F.lit(float(eps)))
-          .withColumn("__hi", _num(F.col(right_val)) + F.lit(float(eps))))
-    pts = left.withColumn("__pt", _num(F.col(left_val)))
+          .withColumn("__lo", _num(right, right_val) - F.lit(float(eps)))
+          .withColumn("__hi", _num(right, right_val) + F.lit(float(eps))))
+    pts = left.withColumn("__pt", _num(left, left_val))
     out = range_join(pts, iv, point="__pt", start="__lo", end="__hi",
                      bin_width=max(float(eps) * 2.0, 1e-12), on=on,
                      bounds="[]", suffix=suffix)

@@ -83,31 +83,35 @@ def shuffle_key(id_col: str = "doc_id", seed: int = 0,
     return f"md5({expr})"
 
 
-def shuffle_rows(df: DataFrame, id_col: str = "doc_id",
-                 seed: int = 0, n_partitions: int | None = None) -> DataFrame:
-    """Seeded deterministic global shuffle for training-data epochs:
-    adds ``shuffle_pos`` (0-based position in the shuffled order).
-    Reproducible across runs and cluster layouts (no rand()); a new
-    ``seed`` yields an independent permutation for the next epoch.
+def global_index(df: DataFrame, sort_cols=None, out_col: str = "pos",
+                 n_partitions: int | None = None) -> DataFrame:
+    """Dense 0-based global row index WITHOUT a single-task window.
 
-    Scale shape: a bare ``row_number() OVER (ORDER BY hash)`` funnels
-    every row through ONE task.  Instead: range-partition on the hash
+    Scale shape: a bare ``row_number() OVER (ORDER BY ...)`` funnels
+    every row through ONE task.  Instead: range-partition on the sort
     key (one exchange, same cost as any global sort), number rows
     LOCALLY per partition, and add each partition's starting offset
     (a broadcast join against the tiny per-partition count table).
     Positions are independent of the sampled range boundaries, so the
-    result is deterministic even though repartitionByRange samples."""
-    key = F.expr(shuffle_key(id_col, seed))
-    n = n_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    # materialize the range partitioning ONCE: the numbering branch
-    # and the offsets branch below must see the SAME partition
-    # boundaries, and RangePartitioner's sampled split points are not
-    # contractually identical across re-executions of the exchange
-    keyed = (df.withColumn("__k", key)
-             .repartitionByRange(n, F.col("__k"), F.col(id_col))
-             .sortWithinPartitions("__k", id_col)
-             .withColumn("__pid", F.spark_partition_id())
+    result is deterministic even though repartitionByRange samples —
+    provided ``sort_cols`` is a total order (add a unique tiebreak
+    column if not).
+
+    ``sort_cols=None`` numbers rows in the CURRENT partition layout
+    with no exchange at all — a dense arbitrary-order index (the
+    scale-safe replacement for monotonically_increasing_id when the
+    dense 0..n-1 contract matters)."""
+    keyed = df
+    if sort_cols is not None:
+        n = n_partitions or int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        keyed = (df.repartitionByRange(n, *sort_cols)
+                 .sortWithinPartitions(*sort_cols))
+    # materialize the partition layout ONCE: the numbering branch and
+    # the offsets branch below must see the SAME partition boundaries,
+    # and RangePartitioner's sampled split points are not contractually
+    # identical across re-executions of the exchange
+    keyed = (keyed.withColumn("__pid", F.spark_partition_id())
              .localCheckpoint(eager=False))
 
     # local numbering in ONE Arrow pass (a window PARTITION BY the
@@ -138,9 +142,24 @@ def shuffle_rows(df: DataFrame, id_col: str = "doc_id",
                        .rowsBetween(W.unboundedPreceding, -1)),
                   F.lit(0))))
     return (local.join(F.broadcast(counts.select("__pid", "__off")), "__pid")
-            .withColumn("shuffle_pos",
+            .withColumn(out_col,
                         (F.col("__off") + F.col("__rn")).cast("bigint"))
-            .drop("__k", "__pid", "__rn", "__off"))
+            .drop("__pid", "__rn", "__off"))
+
+
+def shuffle_rows(df: DataFrame, id_col: str = "doc_id",
+                 seed: int = 0, n_partitions: int | None = None) -> DataFrame:
+    """Seeded deterministic global shuffle for training-data epochs:
+    adds ``shuffle_pos`` (0-based position in the shuffled order).
+    Reproducible across runs and cluster layouts (no rand()); a new
+    ``seed`` yields an independent permutation for the next epoch.
+    The numbering runs through :func:`global_index` — range-partitioned
+    local numbering, never a single-task window."""
+    key = F.expr(shuffle_key(id_col, seed))
+    out = global_index(df.withColumn("__k", key),
+                       [F.col("__k"), F.col(id_col)],
+                       out_col="shuffle_pos", n_partitions=n_partitions)
+    return out.drop("__k")
 
 
 def sample_oracle_where(fractions: dict[str, float] | float,

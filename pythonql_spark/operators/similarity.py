@@ -45,6 +45,57 @@ def _dim(df: DataFrame, col: str) -> int:
     return int(row["d"])
 
 
+# Above this dimension the unrolled dot/norm expressions (dim terms
+# inline) overflow whole-stage codegen's 64KB method limit and Spark
+# silently falls back to interpreted evaluation (~10x slower) — at
+# real embedding dims (768–4096) the vectorized Arrow path below is
+# the only sane plan.  At or below the limit the unrolled form stays,
+# because its left-to-right accumulation is bit-identical to the
+# DuckDB oracle's.
+CODEGEN_DIM_LIMIT = 64
+
+
+def vector_norm(vec_col: str, dim: int):
+    """L2-norm Column, dim-thresholded: unrolled codegen expression at
+    small dims, one BLAS pass per Arrow batch above the limit."""
+    if dim <= CODEGEN_DIM_LIMIT:
+        return F.expr(norm_expr(vec_col, dim))
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def nrm(a: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.vstack(a.to_numpy()).astype(np.float64)
+        return pd.Series(np.linalg.norm(A, axis=1))
+
+    return nrm(F.col(vec_col))
+
+
+def cosine_score(a_col: str, b_col: str, a_norm: str, b_norm: str,
+                 dim: int):
+    """Rounded-6dp cosine Column from two vector columns and their
+    precomputed norms, dim-thresholded like :func:`vector_norm`.
+    Column names may be alias-qualified (``a.v``)."""
+    if dim <= CODEGEN_DIM_LIMIT:
+        return F.expr(f"round({dot_expr(a_col, b_col, dim)} / "
+                      f"({a_norm} * {b_norm}), 6)")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series, na: pd.Series,
+            nb: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.vstack(a.to_numpy()).astype(np.float64)
+        B = np.vstack(b.to_numpy()).astype(np.float64)
+        s = np.einsum("ij,ij->i", A, B)
+        return pd.Series(np.round(
+            s / (na.to_numpy() * nb.to_numpy()), 6))
+
+    return cos(F.col(a_col), F.col(b_col), F.col(a_norm), F.col(b_norm))
+
+
 def brute_topk(df: DataFrame, query_ids, k: int = 5,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k: queries × corpus (queries broadcast), then
@@ -56,14 +107,14 @@ def brute_topk(df: DataFrame, query_ids, k: int = 5,
     qs = F.broadcast(
         df.filter(F.col(id_col).isin(list(query_ids)))
           .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
-                  F.expr(norm_expr(vec_col, dim)).alias("q_norm")))
+                  vector_norm(vec_col, dim).alias("q_norm")))
     corpus = df.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"),
-                       F.expr(norm_expr(vec_col, dim)).alias("c_norm"))
+                       vector_norm(vec_col, dim).alias("c_norm"))
     scored = (corpus.crossJoin(qs)
               .filter(F.col("q_id") != F.col("n_id"))
               .select(F.col("q_id"), F.col("n_id"),
-                      F.expr(f"round({dot_expr('q_vec', 'c_vec', dim)} / "
-                             f"(q_norm * c_norm), 6)").alias("cosine")))
+                      cosine_score("q_vec", "c_vec", "q_norm", "c_norm",
+                                   dim).alias("cosine")))
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -76,14 +127,14 @@ def cosine_pairs(df: DataFrame, block_col: str, threshold: float,
     dim = _dim(df, vec_col)
     side = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                      F.col(block_col).alias("blk"),
-                     F.expr(norm_expr(vec_col, dim)).alias("nrm"))
+                     vector_norm(vec_col, dim).alias("nrm"))
     return (side.alias("a")
             .join(side.alias("b"),
                   on=[F.col("a.blk") == F.col("b.blk"),
                       F.col("a.id") < F.col("b.id")])
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.expr(f"round({dot_expr('a.v', 'b.v', dim)} / "
-                           f"(a.nrm * b.nrm), 6)").alias("cosine"))
+                    cosine_score("a.v", "b.v", "a.nrm", "b.nrm",
+                                 dim).alias("cosine"))
             .filter(F.col("cosine") >= threshold))
 
 
@@ -229,14 +280,14 @@ def ivf_topk(df: DataFrame, query_ids, k: int = 5, *,
 
     corpus = df.select(F.col(id_col).alias("n_id"),
                        F.col(vec_col).alias("c_vec"),
-                       F.expr(norm_expr(vec_col, dim)).alias("c_norm"),
+                       vector_norm(vec_col, dim).alias("c_norm"),
                        cell_of(F.col(vec_col)).alias("cell"))
     scored = (corpus.join(probes, "cell")
               .filter(F.col("n_id") != F.col("q_id"))
               .join(qvecs, "q_id")
               .select("q_id", "n_id",
-                      F.expr(f"round({dot_expr('q_vec', 'c_vec', dim)} / "
-                             f"(q_norm * c_norm), 6)").alias("cosine")))
+                      cosine_score("q_vec", "c_vec", "q_norm", "c_norm",
+                                   dim).alias("cosine")))
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -337,7 +388,7 @@ def lsh_topk(df: DataFrame, query_ids, k: int = 5, *,
     sigs = _lsh_sigs_col(vec_col, dim, n_planes, n_tables)
     corpus = (df.select(F.col(id_col).alias("n_id"),
                         F.col(vec_col).alias("c_vec"),
-                        F.expr(norm_expr(vec_col, dim)).alias("c_norm"),
+                        vector_norm(vec_col, dim).alias("c_norm"),
                         F.posexplode(sigs).alias("t", "sig")))
     masks = _probe_masks(n_planes, probe_hamming)
     spark = df.sparkSession
@@ -356,8 +407,8 @@ def lsh_topk(df: DataFrame, query_ids, k: int = 5, *,
             .dropDuplicates(["q_id", "n_id"]))
     scored = (cand.join(qvecs, "q_id")
               .select("q_id", "n_id",
-                      F.expr(f"round({dot_expr('q_vec', 'c_vec', dim)} / "
-                             f"(q_norm * c_norm), 6)").alias("cosine")))
+                      cosine_score("q_vec", "c_vec", "q_norm", "c_norm",
+                                   dim).alias("cosine")))
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

@@ -320,6 +320,12 @@ class _Compiler:
             self.df = self.df.filter(self._expr(" AND ".join(f"({r})" for r in remaining)))
 
     def _c_count(self, i: int, c: dict):
+        # reference count clause: dense 0..n-1 index.  Both forms go
+        # through sampling.global_index — range-partitioned local
+        # numbering — never a global single-task row_number window
+        # (and never monotonically_increasing_id, whose ids are dense
+        # only per-partition, breaking the reference's 0..n-1 contract)
+        from .operators.sampling import global_index
         if c["order"]:
             cols = []
             for spec in [s.strip() for s in c["order"].split(",")]:
@@ -327,10 +333,9 @@ class _Compiler:
                 e, d = (m.group(1), m.group(2).lower()) if m else (spec, "asc")
                 col = self._expr(e)
                 cols.append(col.desc() if d == "desc" else col.asc())
-            w = W.orderBy(*cols)
-            self.df = self.df.withColumn(c["var"], F.row_number().over(w) - 1)
+            self.df = global_index(self.df, cols, out_col=c["var"])
         else:
-            self.df = self.df.withColumn(c["var"], F.monotonically_increasing_id())
+            self.df = global_index(self.df, None, out_col=c["var"])
         self.visible.add(c["var"])
 
     def _c_groupby(self, i: int, c: dict):
@@ -532,9 +537,13 @@ class _Compiler:
             # make all three set ops name-matched like unionByName by
             # reordering the right side to the left's column order.
             missing = [c for c in self.df.columns if c not in other.columns]
-            if missing:
+            extra = [c for c in other.columns if c not in self.df.columns]
+            if missing or extra:
+                # same contract as unionByName: any column-set mismatch
+                # is an error, never a silent projection
                 raise ValueError(
-                    f"set op '{op}': right side is missing columns {missing}")
+                    f"set op '{op}': column sets differ "
+                    f"(right missing {missing}, right extra {extra})")
             other = other.select(*self.df.columns)
             if op == "intersect":
                 self.df = self.df.intersect(other)

@@ -33,13 +33,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the correctness harness builds its own.  Two timestamp encodings
     of ``events.ts`` have been observed in driver-generated testdata:
 
-    * TIMESTAMP(MICROS) — reads directly as TimestampNTZ/Timestamp.
+    * TIMESTAMP(MICROS, isAdjustedToUTC=0) — reads as TIMESTAMP_NTZ;
+      normalized to TimestampType here (session TZ is pinned UTC, so
+      the instant is unchanged) because watermarks and epoch casts
+      reject NTZ.
     * TIMESTAMP(NANOS)  — rejected by Spark unless
       ``spark.sql.legacy.parquet.nanosAsLong`` is set, in which case it
       arrives as a nanos-since-epoch long; we set the conf at runtime
       on PARQUET_TYPE_ILLEGAL and convert back to microsecond
-      timestamps (the same truncation DuckDB applies).
+      timestamps (the same truncation DuckDB applies).  The conversion
+      applies to ANY bigint ``ts`` column read under nanosAsLong, not
+      just the events table — the conf is session-wide once set.
     """
+    from ..helpers import ensure_event_time
+
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         df = spark.read.parquet(path)
@@ -48,11 +55,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
+    nanos_as_long = (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        == "true")
     for f in df.schema.fields:
-        if f.name == "ts" and f.dataType.simpleString() == "bigint" and name == "events":
+        if (f.name == "ts" and f.dataType.simpleString() == "bigint"
+                and nanos_as_long):
             from pyspark.sql import functions as F
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    return ensure_event_time(df)
 
 
 def load_sf(spark: SparkSession, sf_dir: str | None = None,

@@ -35,6 +35,11 @@ def interval_join(left: DataFrame, right: DataFrame, *,
         raise ValueError("upper must be >= lower")
     keys = [on] if isinstance(on, str) else list(on)
 
+    from ..helpers import ensure_event_time
+
+    left = ensure_event_time(left, [left_ts])
+    right = ensure_event_time(right, [right_ts])
+
     if watermark is not None:
         if left.isStreaming:
             left = left.withWatermark(left_ts, watermark)

@@ -47,6 +47,10 @@ def run_to_completion(query: StreamingQuery, timeout_s: int = 300) -> None:
         if query.exception() is not None:
             raise query.exception()
     if not finished:
+        # awaitTermination(timeout) returning False races with the
+        # drain completing; re-check before declaring a hang
+        if not query.isActive:
+            return
         query.stop()
         raise TimeoutError(
             f"streaming query {query.name or query.id} still running "

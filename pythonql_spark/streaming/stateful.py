@@ -33,6 +33,9 @@ def stateful_sessionize(events: DataFrame, *, gap_ms: int,
     equivalent lag/cumsum query (benchqueries.sessionize) — same
     results for closed sessions; this operator exists for unbounded
     input where that query's global window per key cannot run."""
+    from ..helpers import ensure_event_time
+
+    events = ensure_event_time(events, [ts_col])
     out_schema = (f"{key_col} long, session_start timestamp, "
                   f"n_events long, sum_value double")
     state_schema = "start long, last long, n long, s double"

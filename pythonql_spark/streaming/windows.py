@@ -17,7 +17,13 @@ from pyspark.sql import functions as F
 
 def with_watermark(df: DataFrame, ts_col: str = "ts",
                    delay: str = "10 minutes") -> DataFrame:
-    """Late-data bound; on a stream this also bounds window state."""
+    """Late-data bound; on a stream this also bounds window state.
+    TIMESTAMP_NTZ event-time columns are cast to TimestampType first —
+    withWatermark rejects NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)
+    and the session TZ is pinned UTC so the cast is instant-preserving."""
+    from ..helpers import ensure_event_time
+
+    df = ensure_event_time(df, [ts_col])
     return df.withWatermark(ts_col, delay) if df.isStreaming else df
 
 
@@ -30,6 +36,9 @@ def dedup_stream(df: DataFrame, keys: list[str], ts_col: str = "ts",
     batch DataFrame the same call degrades to a global
     ``dropDuplicates``.  Dedup-by-content: add a fingerprint column
     first (operators.text.fingerprint) and pass it as the key."""
+    from ..helpers import ensure_event_time
+
+    df = ensure_event_time(df, [ts_col])
     if df.isStreaming:
         return (df.withWatermark(ts_col, delay)
                 .dropDuplicatesWithinWatermark(keys))

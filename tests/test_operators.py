@@ -542,3 +542,33 @@ def test_forward_fill(spark):
                    ("a", 4): 7.0,
                    ("b", 1): None,   # nothing observed yet stays NULL
                    ("b", 2): 3.0}
+
+
+def test_highdim_vectorized_rerank(spark):
+    """At dim 768 the cosine/norm path must switch to the Arrow BLAS
+    UDF (the unrolled expression would overflow codegen and run
+    interpreted), and results must match a numpy reference exactly."""
+    import numpy as np
+    from pythonql_spark.operators.similarity import (CODEGEN_DIM_LIMIT,
+                                                     brute_topk)
+    dim = 768
+    assert dim > CODEGEN_DIM_LIMIT
+    rng = np.random.RandomState(3)
+    X = rng.randn(50, dim).astype("float32")
+    X[7] = X[0] + 0.01 * rng.randn(dim).astype("float32")
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    top = brute_topk(df, query_ids=[0], k=5)
+    # the scoring must run in ArrowEvalPython (pandas UDF), not an
+    # unrolled 768-term projection
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan[:2000]
+
+    got = sorted(top.collect(), key=lambda r: r.rank)
+    Xd = X.astype(np.float64)
+    sims = Xd @ Xd[0] / (np.linalg.norm(Xd, axis=1) * np.linalg.norm(Xd[0]))
+    sims[0] = -np.inf
+    expect = np.lexsort((np.arange(len(X)), -np.round(sims, 6)))[:5]
+    assert [r.n_id for r in got] == [int(i) for i in expect]
+    assert got[0].n_id == 7

@@ -179,3 +179,23 @@ def test_tpch_q22_anti_join(spark, sf_dir):
     p = formatted_plan(QUERIES["tpch_q22"](spark, sf_dir))
     assert "LeftAnti" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_count_clause_no_global_window(spark, sf_dir):
+    """The ordered count clause must NOT plan a single-task global
+    row_number window (Window with an empty partition spec funnels
+    every row through one task).  The global_index shape instead
+    range-partitions and numbers locally — the only Window allowed is
+    the per-partition-count offsets window, whose input is one row per
+    partition."""
+    df = QUERIES["count_clause"](spark, sf_dir)
+    p = formatted_plan(df)
+    # numbering happens in mapInPandas, never a row_number window
+    assert "row_number" not in p, p
+    # the only SinglePartition exchange allowed is the offsets branch,
+    # whose input was first reduced by the per-__pid partial_count
+    # aggregate to <= n_partitions rows
+    singles = [m.start() for m in re.finditer("Exchange SinglePartition", p)]
+    assert len(singles) <= 1, p
+    if singles:
+        assert "partial_count" in p[:singles[0]], p
