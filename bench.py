@@ -25,9 +25,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     headline = [n for n in (
-        "group_agg", "join_multi", "join_equi", "tpch_q3", "tpch_q6",
-        "tpch_q9", "tpch_q18", "tpch_q4", "tpch_q13", "tpch_q17",
-        "tpch_q7", "tpch_q8", "tpch_q15",
+        "group_agg", "join_multi", "join_equi", "tpch_q2", "tpch_q3",
+        "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q11", "tpch_q12",
+        "tpch_q16", "tpch_q18", "tpch_q20", "tpch_q21", "tpch_q4",
+        "tpch_q13", "tpch_q17", "tpch_q7", "tpch_q8", "tpch_q15",
         "range_join", "topk_group", "pivot_status", "analytic_window",
         "cohort_retention", "stream_interval", "histogram_prices",
         "corr_stats", "grouping_sets_stats", "funnel_sessions",
@@ -46,33 +47,46 @@ def main() -> None:
     # warm the JVM + parquet footers, and spin up the Python worker
     # pool (daemon + Arrow channel startup is deployment cost, not
     # query cost — on a real cluster workers are long-lived)
-    QUERIES["group_agg"](spark, sf_dir).count()
-    from pyspark.sql import functions as F
-    spark.range(64).select(
-        F.pandas_udf(lambda s: s * 2, "long")(F.col("id"))).count()
+    try:
+        QUERIES["group_agg"](spark, sf_dir).count()
+        from pyspark.sql import functions as F
+        spark.range(64).select(
+            F.pandas_udf(lambda s: s * 2, "long")(F.col("id"))).count()
+    except Exception as e:
+        print(f"# warmup failed (continuing): {e}", file=sys.stderr)
 
     # steady-state methodology: each query runs once untimed (codegen
     # compilation, broadcast construction, executor-side imports are
     # per-shape one-offs amortized away on a long-lived cluster), and
     # the SECOND full run — plan construction included — is recorded.
+    # one broken query must never zero the whole artifact: each query
+    # is fenced, failures are reported per-name and the run continues
     times: dict[str, float] = {}
+    failed: dict[str, str] = {}
     for name in headline:
-        QUERIES[name](spark, sf_dir).count()
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        try:
+            QUERIES[name](spark, sf_dir).count()
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            n = df.count()
+            times[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        except Exception as e:
+            failed[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+            print(f"# {name}: FAILED {failed[name]}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "methodology": "per-query warmup run, second run timed (steady-state)",
         "queries": times,
         "sf": sf,
-    }))
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -759,6 +759,25 @@ def text_repetition(spark, sf):
         TX.repetition_ratio("text", unit="line") + " as line_rep")
 
 
+@q("media_decode", None)  # rows-only: binary image decode is not SQL
+def media_decode(spark, sf):
+    """Real multimodal decode path: synthesize one PNG per document
+    (deterministic pixels from the doc's text hash), then run the
+    actual stdlib PNG decoder distributed via mapInPandas — no
+    fake= stub anywhere."""
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.operators import multimodal as MM
+
+    docs = (load_table(spark, sf, "documents")
+            .filter(F.col("doc_id") < 64)
+            .select("doc_id", MM.render_text_png("text").alias("img")))
+    media = docs.select(
+        "doc_id", MM.make_media("img", "image", "png", 8, 8).alias("media"))
+    return (MM.decode_image(media)
+            .select("doc_id", "pixels_sample", "mean_intensity"))
+
+
 @q("corpus_stats", None)
 def corpus_stats(spark, sf):
     # exact per-language token-count quantiles through the DSL (at
@@ -1445,6 +1464,294 @@ def tpch_q22(spark, sf):
                        var="o", on="o.o_custkey == c.c_custkey")
             .select("c.c_custkey as c_custkey", "c.c_name as c_name",
                     "cast(c.c_acctbal as double) as c_acctbal")
+            .df())
+
+
+@q("tpch_q5", f"""
+SELECT n_name, {dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON l_orderkey = o_orderkey
+     JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+     JOIN nation ON s_nationkey = n_nationkey
+     JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""")
+def tpch_q5(spark, sf):
+    """TPC-H Q5 (local supplier volume): the six-way join whose
+    distinguishing predicate is customer-nation == supplier-nation —
+    an extra equi condition BETWEEN two dimension paths, not a new
+    join.  Fact chain shuffles once; supplier/nation/region
+    broadcast; the region + date filters push to the scans."""
+    return (Query(spark)
+            .for_("l", load_table(spark, sf, "lineitem"))
+            .for_("o", load_table(spark, sf, "orders"))
+            .for_("c", load_table(spark, sf, "customer"))
+            .for_("s", load_table(spark, sf, "supplier"), hint="broadcast")
+            .for_("n", load_table(spark, sf, "nation"), hint="broadcast")
+            .for_("r", load_table(spark, sf, "region"), hint="broadcast")
+            .where("l.l_orderkey == o.o_orderkey and c.c_custkey == o.o_custkey "
+                   "and l.l_suppkey == s.s_suppkey "
+                   "and c.c_nationkey == s.s_nationkey "
+                   "and s.s_nationkey == n.n_nationkey "
+                   "and n.n_regionkey == r.r_regionkey "
+                   "and r.r_name == 'ASIA' "
+                   "and o.o_orderdate >= timestamp'1996-01-01 00:00:00' "
+                   "and o.o_orderdate < timestamp'1997-01-01 00:00:00'")
+            .group_by("n.n_name as n_name")
+            .select("n_name", dsum("l.l_extendedprice * (1 - l.l_discount)")
+                    + " as revenue")
+            .df())
+
+
+@q("tpch_q2", """
+WITH link AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+cand AS (
+  SELECT p_partkey, p_brand, s_name, s_acctbal, n_name
+  FROM part JOIN link ON p_partkey = l_partkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE' AND p_size = 15)
+SELECT cast(s_acctbal as double) AS s_acctbal, s_name, n_name,
+       p_partkey, p_brand
+FROM cand
+WHERE s_acctbal = (SELECT max(s_acctbal) FROM cand c2
+                   WHERE c2.p_partkey = cand.p_partkey)
+ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100
+""")
+def tpch_q2(spark, sf):
+    """TPC-H Q2 shape (best supplier per part; the testdata has no
+    partsupp table, so the part↔supplier relation is the DISTINCT
+    (l_partkey, l_suppkey) projection of lineitem and "best" = max
+    s_acctbal, mirroring min ps_supplycost).  The correlated max
+    subquery decorrelates into a per-part aggregate joined back on
+    the correlation key — same rewrite as tpch_q17.  Raw-column
+    equality (no arithmetic) keeps the double comparison exact."""
+    li = load_table(spark, sf, "lineitem")
+    link = (Query(spark).for_("l", li)
+            .select("l.l_partkey as l_partkey", "l.l_suppkey as l_suppkey")
+            .distinct())
+    cand = (Query(spark)
+            .for_("k", link)
+            .for_("p", load_table(spark, sf, "part"))
+            .for_("s", load_table(spark, sf, "supplier"), hint="broadcast")
+            .for_("n", load_table(spark, sf, "nation"), hint="broadcast")
+            .for_("r", load_table(spark, sf, "region"), hint="broadcast")
+            .where("p.p_partkey == k.l_partkey and s.s_suppkey == k.l_suppkey "
+                   "and n.n_nationkey == s.s_nationkey "
+                   "and r.r_regionkey == n.n_regionkey "
+                   "and r.r_name == 'EUROPE' and p.p_size == 15")
+            .select("p.p_partkey as p_partkey", "p.p_brand as p_brand",
+                    "s.s_name as s_name", "s.s_acctbal as s_acctbal",
+                    "n.n_name as n_name")
+            .df())
+    best = (Query(spark).for_("c2", cand)
+            .group_by("c2.p_partkey as pk")
+            .select("pk", "max(c2.s_acctbal) as best_bal").df())
+    return (Query(spark)
+            .for_("c", cand)
+            .for_("b", best)
+            .where("b.pk == c.p_partkey and c.s_acctbal == b.best_bal")
+            .select("cast(c.s_acctbal as double) as s_acctbal",
+                    "c.s_name as s_name", "c.n_name as n_name",
+                    "c.p_partkey as p_partkey", "c.p_brand as p_brand")
+            .order_by("s_acctbal desc", "p_partkey", "s_name")
+            .limit(100)
+            .df())
+
+
+@q("tpch_q11", f"""
+WITH v AS (
+  SELECT l_partkey AS p_partkey, {dsum('l_extendedprice')} AS val
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  GROUP BY l_partkey)
+SELECT p_partkey, val FROM v
+WHERE val > (SELECT {dsum('val')} * 0.001 FROM v)
+""")
+def tpch_q11(spark, sf):
+    """TPC-H Q11 shape (important parts by value; no partsupp, so
+    value = lineitem revenue from the chosen nations' suppliers).
+    The HAVING-against-global-fraction shape: the per-part table is
+    built once, its grand total is a 1-row broadcast, and the filter
+    compares each part against it — two aggregations, one corpus
+    scan."""
+    v = (Query(spark)
+         .for_("l", load_table(spark, sf, "lineitem"))
+         .for_("s", load_table(spark, sf, "supplier"), hint="broadcast")
+         .for_("n", load_table(spark, sf, "nation"), hint="broadcast")
+         .where("s.s_suppkey == l.l_suppkey "
+                "and n.n_nationkey == s.s_nationkey "
+                "and n.n_name in ('NATION_1', 'NATION_2', 'NATION_3')")
+         .group_by("l.l_partkey as p_partkey")
+         .select("p_partkey", dsum("l.l_extendedprice") + " as val")
+         .df())
+    tot = (Query(spark).for_("x", v).group_by("1 as one")
+           .select("cast(" + dsum("x.val") + " * 0.001 as double) as thr"))
+    return (Query(spark)
+            .for_("x", v)
+            .for_("t", tot, hint="broadcast")
+            .where("x.val > t.thr")
+            .select("x.p_partkey as p_partkey", "x.val as val")
+            .df())
+
+
+@q("tpch_q12", """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+""")
+def tpch_q12(spark, sf):
+    """TPC-H Q12 shape (priority class counts per shipping bucket;
+    the testdata has no l_shipmode, so lines bucket by l_linestatus).
+    Both CASE sums ride one join + one aggregation pass."""
+    hi = ("sum(case when o.o_orderpriority in ('1-URGENT', '2-HIGH') "
+          "then 1 else 0 end)")
+    lo = ("sum(case when o.o_orderpriority in ('1-URGENT', '2-HIGH') "
+          "then 0 else 1 end)")
+    return (Query(spark)
+            .for_("l", load_table(spark, sf, "lineitem"))
+            .for_("o", load_table(spark, sf, "orders"))
+            .where("o.o_orderkey == l.l_orderkey "
+                   "and l.l_shipdate >= timestamp'1996-01-01 00:00:00' "
+                   "and l.l_shipdate < timestamp'1997-01-01 00:00:00'")
+            .group_by("l.l_linestatus as l_linestatus")
+            .select("l_linestatus", hi + " as high_line_count",
+                    lo + " as low_line_count")
+            .df())
+
+
+@q("tpch_q16", """
+WITH link AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       cast(count(DISTINCT l_suppkey) as bigint) AS supplier_cnt
+FROM part JOIN link ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size BETWEEN 1 AND 5
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 500)
+GROUP BY p_brand, p_type, p_size
+""")
+def tpch_q16(spark, sf):
+    """TPC-H Q16 shape (supplier count per part descriptor; the
+    part↔supplier relation comes from lineitem as in tpch_q2, and the
+    excluded-supplier predicate is s_acctbal < 500 in place of the
+    comment LIKE).  NOT IN compiles to a left-anti join against the
+    (small, broadcast) excluded keyset; count(DISTINCT) plans as
+    Spark's two-round expand aggregate."""
+    li = load_table(spark, sf, "lineitem")
+    link = (Query(spark).for_("l", li)
+            .select("l.l_partkey as l_partkey", "l.l_suppkey as l_suppkey")
+            .distinct())
+    excluded = (load_table(spark, sf, "supplier")
+                .filter("s_acctbal < 500").select("s_suppkey"))
+    return (Query(spark)
+            .for_("k", link)
+            .for_("p", load_table(spark, sf, "part"))
+            .where("p.p_partkey == k.l_partkey "
+                   "and p.p_brand <> 'Brand#1' and p.p_size between 1 and 5")
+            .anti_join(excluded, var="x", on="x.s_suppkey == k.l_suppkey")
+            .group_by("p.p_brand as p_brand", "p.p_type as p_type",
+                      "p.p_size as p_size")
+            .select("p_brand", "p_type", "p_size",
+                    "cast(count(distinct k.l_suppkey) as bigint) as supplier_cnt")
+            .df())
+
+
+@q("tpch_q20", f"""
+WITH heavy AS (
+  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%widget%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey
+  HAVING sum(l_quantity) > 100)
+SELECT s_name, cast(s_acctbal as double) AS s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4', 'NATION_5')
+  AND s_suppkey IN (SELECT l_suppkey FROM heavy)
+""")
+def tpch_q20(spark, sf):
+    """TPC-H Q20 shape (suppliers who shipped a large volume of the
+    widget part family this year; the quantity HAVING stands in for
+    the partsupp availqty comparison).  Two-level nesting: the inner
+    part-filtered aggregate produces a small keyset that semi-joins
+    the nation-filtered supplier dim."""
+    heavy = (Query(spark)
+             .for_("l", load_table(spark, sf, "lineitem"))
+             .for_("p", load_table(spark, sf, "part"), hint="broadcast")
+             .where("p.p_partkey == l.l_partkey "
+                    "and p.p_name like '%widget%' "
+                    "and l.l_shipdate >= timestamp'1996-01-01 00:00:00' "
+                    "and l.l_shipdate < timestamp'1997-01-01 00:00:00'")
+             .group_by("l.l_suppkey as l_suppkey")
+             .select("l_suppkey", "sum(l.l_quantity) as qty")
+             .df().filter("qty > 100").select("l_suppkey"))
+    return (Query(spark)
+            .for_("s", load_table(spark, sf, "supplier"))
+            .for_("n", load_table(spark, sf, "nation"), hint="broadcast")
+            .where("n.n_nationkey == s.s_nationkey "
+                   "and n.n_name in ('NATION_1', 'NATION_2', 'NATION_3', "
+                   "'NATION_4', 'NATION_5')")
+            .semi_join(heavy, on="__semi.l_suppkey == s.s_suppkey")
+            .select("s.s_name as s_name",
+                    "cast(s.s_acctbal as double) as s_acctbal")
+            .df())
+
+
+@q("tpch_q21", """
+SELECT s_name, count(*) AS numwait
+FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+     JOIN orders ON o_orderkey = l1.l_orderkey
+     JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 100
+""")
+def tpch_q21(spark, sf):
+    """TPC-H Q21 shape (supplier solely at fault on a finished
+    multi-supplier order; l_returnflag = 'R' stands in for the
+    receipt-after-commit lateness predicate the testdata lacks).
+    The EXISTS / NOT EXISTS pair over the SAME fact table becomes one
+    left-semi plus one left-anti join, each correlated on the order
+    key with a supplier inequality — no distinct, no re-aggregation,
+    and the fact table is scanned once per role."""
+    li = load_table(spark, sf, "lineitem")
+    return (Query(spark)
+            .for_("l1", li)
+            .for_("o", load_table(spark, sf, "orders"))
+            .for_("s", load_table(spark, sf, "supplier"), hint="broadcast")
+            .for_("n", load_table(spark, sf, "nation"), hint="broadcast")
+            .where("o.o_orderkey == l1.l_orderkey "
+                   "and s.s_suppkey == l1.l_suppkey "
+                   "and n.n_nationkey == s.s_nationkey "
+                   "and o.o_orderstatus == 'F' and l1.l_returnflag == 'R'")
+            .semi_join(li, var="l2",
+                       on="l2.l_orderkey == l1.l_orderkey "
+                          "and l2.l_suppkey <> l1.l_suppkey")
+            .anti_join(li.filter("l_returnflag = 'R'"), var="l3",
+                       on="l3.l_orderkey == l1.l_orderkey "
+                          "and l3.l_suppkey <> l1.l_suppkey")
+            .group_by("s.s_name as s_name")
+            .select("s_name", "count(l1) as numwait")
+            .order_by("numwait desc", "s_name")
+            .limit(100)
             .df())
 
 

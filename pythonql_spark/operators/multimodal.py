@@ -2,11 +2,12 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing — schema contract, partition-preserving batch
-iteration, UDF signatures, output shapes — is real and tested.  The
-actual codec step is stubbed: this container ships no image/audio
-libraries, so ``decode`` raises ``NotImplementedError`` unless
-``fake=True``, which produces a *deterministic* synthetic decode from
-the bytes themselves (so pipelines and tests exercise the full path).
+iteration, UDF signatures, output shapes — is real and tested.  Image
+decoding is REAL for PNG (pure-stdlib codec, operators/png.py);
+other formats still need a library this container doesn't ship, so
+they raise ``NotImplementedError`` unless ``fake=True``, which
+produces a *deterministic* synthetic decode from the bytes themselves
+(so pipelines and tests exercise the full path for any format).
 
 Schema contract:
     media: struct<data: binary,
@@ -46,11 +47,13 @@ def _fake_pixels(data: bytes, n: int = 16) -> list[int]:
 
 def decode_image(df: DataFrame, media_col: str = "media", *,
                  fake: bool = False) -> DataFrame:
-    """binary image → features struct (mean intensity, sample pixels).
+    """binary image → features (mean intensity, first-16 pixel sample).
 
-    Real decoders (PIL/opencv) are not in this container; plug one in
-    by replacing the body of ``decode`` below.  ``fake=True`` runs the
-    full distributed path with the deterministic stub.
+    PNG decodes for real via the stdlib codec in operators/png.py
+    (zlib inflate + scanline unfilter).  Other formats need a library
+    this container doesn't ship: they raise ``NotImplementedError``
+    unless ``fake=True``, which substitutes the deterministic stub for
+    EVERY row (so mixed-format pipelines stay exercisable).
     """
     out_schema = T.StructType(
         list(df.schema.fields) + [
@@ -59,12 +62,17 @@ def decode_image(df: DataFrame, media_col: str = "media", *,
         ])
 
     def decode(data: bytes, meta) -> tuple[list[int], float]:
-        if not fake:
-            raise NotImplementedError(
-                "no image codec in this environment; pass fake=True or "
-                "plug a decoder (PIL.Image.open(io.BytesIO(data)))")
-        px = _fake_pixels(data)
-        return px, sum(px) / len(px)
+        if fake:
+            px = _fake_pixels(data)
+            return px, sum(px) / len(px)
+        from .png import decode_png, mean_intensity
+        if (data or b"").startswith(b"\x89PNG"):
+            _, _, ch, pixels = decode_png(data)
+            return list(pixels[:16]), mean_intensity(pixels, ch)
+        raise NotImplementedError(
+            f"no codec for format {meta['format']!r} in this "
+            "environment (PNG decodes natively); pass fake=True or "
+            "plug a decoder (PIL.Image.open(io.BytesIO(data)))")
 
     cols = df.columns
 
@@ -128,6 +136,29 @@ def sample_frames(df: DataFrame, every_ms: int,
             yield pd.DataFrame(rows, columns=cols + ["frame_ts_ms", "frame"])
 
     return df.mapInPandas(run, out_schema)
+
+
+def render_text_png(text_col, side: int = 8):
+    """binary Column: a deterministic ``side``×``side`` grayscale PNG
+    whose pixels derive from the sha256 of the text — a real, decodable
+    image synthesized per row (testdata ships no media column; this
+    gives the decode operators an honest distributed input)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .png import encode_png
+
+    @pandas_udf("binary")
+    def render(texts: pd.Series) -> pd.Series:
+        n = side * side
+        out = []
+        for t in texts:
+            seed = hashlib.sha256((t or "").encode()).digest()
+            out.append(encode_png(side, side, 1,
+                                  (seed * (n // len(seed) + 1))[:n]))
+        return pd.Series(out)
+
+    return render(text_col if isinstance(text_col, F.Column)
+                  else F.col(text_col))
 
 
 def make_media(data_col: str, kind: str, fmt: str,

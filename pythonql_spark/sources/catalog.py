@@ -9,8 +9,11 @@ equivalents:
 * collections — ``from_collection`` (createDataFrame).
 * RDBMS — ``jdbc_table``: Spark's JDBC source does column pruning and
   predicate pushdown server-side, the same capability as the
-  reference's pushdown sources (sources/postgresql.py).  No JDBC
-  driver ships in this container, so it is exercised plan-only.
+  reference's pushdown sources (sources/postgresql.py).  Exercised
+  LIVE against embedded Derby (ships in Spark's jars) in
+  tests/test_sources.py::test_jdbc_live_pushdown — the scan's
+  external query is asserted to carry the WHERE clause and the pruned
+  column list.
 """
 
 from __future__ import annotations

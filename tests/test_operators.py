@@ -572,3 +572,117 @@ def test_highdim_vectorized_rerank(spark):
     expect = np.lexsort((np.arange(len(X)), -np.round(sims, 6)))[:5]
     assert [r.n_id for r in got] == [int(i) for i in expect]
     assert got[0].n_id == 7
+
+
+def test_png_decode_roundtrip_pure():
+    """Pure-python round trip for every supported color type."""
+    import numpy as np
+    from pythonql_spark.operators import png
+
+    rng = np.random.RandomState(5)
+    for ch in (1, 2, 3, 4):
+        w, h = 13, 7          # odd sizes exercise stride handling
+        pix = bytes(rng.randint(0, 256, size=w * h * ch, dtype=np.uint8))
+        blob = png.encode_png(w, h, ch, pix)
+        W, H, C, out = png.decode_png(blob)
+        assert (W, H, C) == (w, h, ch)
+        assert bytes(out) == pix
+
+
+def test_png_decode_all_filter_types():
+    """Hand-build IDAT streams using filters 1-4 and verify the
+    unfilter recovers the original pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from pythonql_spark.operators import png
+
+    rng = np.random.RandomState(9)
+    w, h, ch = 6, 5, 3
+    pix = rng.randint(0, 256, size=(h, w * ch), dtype=np.int64)
+
+    def forward_filter(ftype, y):
+        line = pix[y]
+        prev = pix[y - 1] if y else np.zeros_like(line)
+        left = np.roll(line, ch)
+        left[:ch] = 0
+        upleft = np.roll(prev, ch)
+        upleft[:ch] = 0
+        if ftype == 0:
+            return line % 256
+        if ftype == 1:
+            return (line - left) % 256
+        if ftype == 2:
+            return (line - prev) % 256
+        if ftype == 3:
+            return (line - (left + prev) // 2) % 256
+        pa = [png._paeth(int(a), int(b), int(c))
+              for a, b, c in zip(left, prev, upleft)]
+        return (line - np.array(pa)) % 256
+
+    filters = [1, 2, 3, 4, 2]
+    raw = b"".join(bytes([f]) + bytes(forward_filter(f, y).astype(np.uint8))
+                   for y, f in enumerate(filters))
+
+    def chunk(tag, body):
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+    W, H, C, out = png.decode_png(blob)
+    assert (W, H, C) == (w, h, ch)
+    assert bytes(out) == bytes(pix.astype(np.uint8).reshape(-1))
+
+
+def test_png_palette_expands_to_rgb():
+    import struct
+    import zlib
+
+    from pythonql_spark.operators import png
+
+    w, h = 4, 2
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])   # R, G, B
+    idx = bytes([0, 1, 2, 0, 2, 2, 1, 0])
+    raw = b"\x00" + idx[:4] + b"\x00" + idx[4:]
+
+    def chunk(tag, body):
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", palette)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+    W, H, C, out = png.decode_png(blob)
+    assert (W, H, C) == (w, h, 3)
+    assert bytes(out[:6]) == bytes([255, 0, 0, 0, 255, 0])
+
+
+def test_multimodal_decodes_real_png(spark):
+    """decode_image must decode genuine PNG bytes distributed, without
+    fake=True, and report the true mean intensity."""
+    from pythonql_spark.operators import png
+
+    imgs = []
+    for i in range(3):
+        w, h, ch = 8, 4, 3
+        pix = bytes(((x * 37 + i * 11) % 256) for x in range(w * h * ch))
+        imgs.append((i, png.encode_png(w, h, ch, pix), w, h,
+                     sum(pix) / len(pix)))
+    df = (spark.createDataFrame(
+            [(i, blob, w, h) for i, blob, w, h, _ in imgs],
+            "id long, data binary, w int, h int")
+          .select("id", MM.make_media("data", "image", "png",
+                                      F.col("w"), F.col("h")).alias("media")))
+    got = {r.id: r for r in
+           MM.decode_image(df).select("id", "pixels_sample",
+                                      "mean_intensity").collect()}
+    for i, blob, w, h, mean in imgs:
+        assert abs(got[i].mean_intensity - mean) < 1e-9
+        _, _, _, out = png.decode_png(blob)
+        assert got[i].pixels_sample == list(out[:16])

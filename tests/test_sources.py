@@ -1,6 +1,10 @@
 """File sources: explicit-schema reads, malformed-row quarantine, and
 collection sources (reference sources/*.py surface)."""
 
+import re
+
+import pytest
+
 from pythonql_spark.sources import from_collection, read_files
 
 
@@ -73,3 +77,82 @@ def test_write_zordered_narrows_file_ranges(spark, tables, tmp_path):
     # average file spans well under the full domain on BOTH dimensions
     assert per_file.sc < 0.75 * (hi_c - lo_c), per_file
     assert per_file.sp < 0.75 * (hi_p - lo_p), per_file
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_events_timestamp_encoding_matrix(spark, tmp_path, unit):
+    """Driver testdata has shipped events.ts as TIMESTAMP(NANOS) (r1)
+    and TIMESTAMP(MICROS, isAdjustedToUTC=0) (r2); a re-encode must
+    never again break consumers.  Both encodings must surface from
+    load_table as plain TimestampType with identical instants, and an
+    NTZ event-time column must be accepted by the watermark path at
+    plan time."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pythonql_spark.sources import load_table
+    from pythonql_spark.streaming import tumbling_agg, with_watermark
+
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    ts = [base + dt.timedelta(minutes=7 * i) for i in range(8)]
+    tbl = pa.table({
+        "event_id": pa.array(range(8), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp(unit)),   # no tz => isAdjustedToUTC=0
+        "user_id": pa.array([i % 3 for i in range(8)], pa.int64()),
+    })
+    d = tmp_path / unit
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet",
+                   use_deprecated_int96_timestamps=False,
+                   coerce_timestamps=None)
+
+    df = load_table(spark, str(d), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = sorted(r.ts for r in df.select("ts").collect())
+    assert got == ts          # same wall-clock instants, any encoding
+
+    # watermark path accepts the (possibly NTZ) file schema at plan
+    # time; a nanos file reads as bigint (nanosAsLong) and takes the
+    # same explicit conversion load_table applies
+    raw_schema = spark.read.parquet(str(d / "events.parquet")).schema
+    stream = spark.readStream.schema(raw_schema).parquet(str(d))
+    if dict((f.name, f.dataType.simpleString())
+            for f in raw_schema.fields)["ts"] == "bigint":
+        from pyspark.sql import functions as F
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = tumbling_agg(with_watermark(stream, "ts", "1 minute"), "1 hour")
+    assert agg.isStreaming
+
+
+def test_jdbc_live_pushdown(spark, tmp_path):
+    """Live RDBMS round-trip against embedded Derby (ships in Spark's
+    jars): the reference pushes projections/predicates into the
+    database (sources/postgresql.py WrappedSubplan); Spark's JDBC
+    source must do the same — the scan's external query carries the
+    WHERE clause and only the selected columns, and the partitioned
+    read fans out."""
+    from pythonql_spark.sources import jdbc_table
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    (spark.range(100)
+     .selectExpr("id", "id * 2 as val", "cast(id % 7 as int) as grp")
+     .write.format("jdbc").option("url", url).option("dbtable", "t1")
+     .option("driver", drv).mode("overwrite").save())
+
+    r = jdbc_table(spark, url, "t1", partition_column="id",
+                   lower_bound=0, upper_bound=100, num_partitions=4,
+                   driver=drv)
+    q = r.filter("val > 50").select("id", "grp")
+    assert q.count() == 74                       # executed, not plan-only
+    assert q.rdd.getNumPartitions() == 4         # parallel partitioned read
+
+    jvm = spark._jvm
+    plan = q._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "GreaterThan(val,50)" in plan, plan   # predicate pushed
+    m = re.search(r"External engine query: (.*)", plan)
+    assert m and '"val" > 50' in m.group(1), plan    # ...into the DB's SQL
+    assert '"id","grp"' in m.group(1), plan      # column pruning server-side
