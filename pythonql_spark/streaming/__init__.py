@@ -5,10 +5,12 @@ from pythonql_spark.streaming.windows import (
     tumbling_agg,
     with_watermark,
 )
-from pythonql_spark.streaming.stateful import stateful_sessionize
+from pythonql_spark.streaming.stateful import (stateful_predicate_windows,
+                                               stateful_sessionize)
 from pythonql_spark.streaming.joins import interval_join
 from pythonql_spark.streaming.sinks import run_to_completion, write_stream_files
 
 __all__ = ["dedup_stream", "session_agg", "sliding_agg", "tumbling_agg",
-           "with_watermark", "stateful_sessionize", "interval_join",
+           "with_watermark", "stateful_sessionize",
+           "stateful_predicate_windows", "interval_join",
            "run_to_completion", "write_stream_files"]

@@ -17,6 +17,109 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def stateful_predicate_windows(
+        events: DataFrame, *,
+        start_when, end_when,
+        key_col: str = "user_id", ts_col: str = "ts",
+        value_col: str = "value",
+        only_end: bool = True,
+        sequence_gap_ms: int = 3600_000) -> DataFrame:
+    """The reference's TUMBLING predicate window clause
+    (window_clause.predicate_windows, Executor.py:568-638) on
+    UNBOUNDED input: per key, in event-time order, a window opens when
+    ``start_when`` holds (only if none is open), absorbs every element,
+    and closes when ``end_when`` holds.  Emits one row per closed
+    window: (key, s_at, e_at, s_ts, e_ts, n_events, sum_value), where
+    s_at/e_at are 0-based positions in the key's sequence.
+
+    Conditions receive the same arguments as the batch operator —
+    ``start_when(curr, at, prev, nxt)`` /
+    ``end_when(curr, at, prev, nxt, s_curr, s_at)`` — except that on a
+    stream ``nxt`` is always None (no lookahead) and rows are dicts
+    ``{"ts": int-microseconds, "value": float}``; conditions meant to
+    run identically on both paths should use ``value``/indexes only.
+
+    Scale shape: state per key is O(1) scalars (running aggregate,
+    never absorbed rows), keys hash-partition across executors, and an
+    event-time timeout ends a key's logical sequence once the
+    watermark passes its last event + ``sequence_gap_ms`` — unclosed
+    windows are then dropped (``only_end=True``, the reference's `only
+    end`) or emitted, and the state is freed.  Tumbling-only: sliding
+    predicate windows keep unbounded open-window sets per key, which is
+    exactly what an unbounded stream cannot state-bound."""
+    from ..helpers import ensure_event_time
+
+    events = ensure_event_time(events, [ts_col])
+    out_schema = (f"{key_col} long, s_at long, e_at long, "
+                  f"s_ts timestamp, e_ts timestamp, "
+                  f"n_events long, sum_value double")
+    state_schema = ("idx long, open boolean, s_at long, s_ts long, "
+                    "s_val double, n long, s double, "
+                    "prev_ts long, prev_val double, has_prev boolean")
+
+    def fn(key, pdfs, state: GroupState):
+        (k,) = key
+        if state.exists:
+            (idx, open_, s_at, s_ts, s_val, n, s,
+             prev_ts, prev_val, has_prev) = state.get
+        else:
+            idx, open_, s_at, s_ts, s_val, n, s = 0, False, 0, 0, 0.0, 0, 0.0
+            prev_ts, prev_val, has_prev = 0, 0.0, False
+        closed = []
+        rows = [pdf[[ts_col, value_col]] for pdf in pdfs]
+        if rows:
+            batch = pd.concat(rows).sort_values([ts_col, value_col],
+                                                kind="mergesort")
+            for ts, val in zip(batch[ts_col], batch[value_col]):
+                ts_us = int(ts.value // 1000)
+                curr = {"ts": ts_us, "value": float(val)}
+                prev = ({"ts": prev_ts, "value": prev_val}
+                        if has_prev else None)
+                if not open_ and start_when(curr, idx, prev, None):
+                    open_, s_at, s_ts, s_val = True, idx, ts_us, float(val)
+                    n, s = 0, 0.0
+                if open_:
+                    n += 1
+                    s += float(val)
+                    if end_when(curr, idx, prev, None,
+                                {"ts": s_ts, "value": s_val}, s_at):
+                        closed.append((s_at, idx, s_ts, ts_us, n, s))
+                        open_ = False
+                prev_ts, prev_val, has_prev = ts_us, float(val), True
+                idx += 1
+        if state.hasTimedOut:
+            # watermark passed last event + gap: the logical sequence
+            # ends — flush or drop the unclosed window, free the state
+            if open_ and not only_end:
+                closed.append((s_at, idx - 1, s_ts, prev_ts, n, s))
+            state.remove()
+        else:
+            state.update((idx, open_, s_at, s_ts, s_val, n, s,
+                          prev_ts, prev_val, has_prev))
+            state.setTimeoutTimestamp(prev_ts // 1000 + sequence_gap_ms)
+        if not closed:
+            yield pd.DataFrame(columns=[key_col, "s_at", "e_at", "s_ts",
+                                        "e_ts", "n_events", "sum_value"])
+            return
+        yield pd.DataFrame({
+            key_col: [k] * len(closed),
+            "s_at": [c[0] for c in closed],
+            "e_at": [c[1] for c in closed],
+            "s_ts": [pd.Timestamp(c[2] * 1000) for c in closed],
+            "e_ts": [pd.Timestamp(c[3] * 1000) for c in closed],
+            "n_events": [c[4] for c in closed],
+            "sum_value": [c[5] for c in closed],
+        })
+
+    return (events
+            .groupBy(key_col)
+            .applyInPandasWithState(
+                fn, out_schema, state_schema,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout
+                if events.isStreaming else GroupStateTimeout.NoTimeout))
+
+
 def stateful_sessionize(events: DataFrame, *, gap_ms: int,
                         key_col: str = "user_id", ts_col: str = "ts",
                         value_col: str = "value",

@@ -216,3 +216,43 @@ def test_file_sink_exactly_once(spark, tables, tmp_path):
     ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
     drain()
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_predicate_windows_stream_matches_batch(spark, tables, tmp_path):
+    """The reference's tumbling predicate window clause on a REAL
+    stream (applyInPandasWithState) must emit the same closed windows
+    as the batch operator: open on value >= 150, absorb, close on
+    value < 20, per user, in event-time order."""
+    from pythonql_spark.operators.window_clause import predicate_windows
+    from pythonql_spark.streaming import (stateful_predicate_windows,
+                                          with_watermark)
+
+    start = lambda curr, at, prev, nxt: curr["value"] >= 150
+    end = lambda curr, at, prev, nxt, s_curr, s_at: curr["value"] < 20
+
+    ev = tables["events"].select("user_id", "ts", "value")
+    src = str(tmp_path / "evw")
+    ev.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = stateful_predicate_windows(
+        with_watermark(stream, "ts", "0 seconds"),
+        start_when=start, end_when=end, only_end=True)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("t_predwin")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.s_at, r.e_at, r.n_events, round(r.sum_value, 6))
+           for r in spark.table("t_predwin").collect()}
+
+    batch = predicate_windows(
+        ev, order_by=["ts", "value"], partition_by="user_id",
+        tumbling=True, only_end=True,
+        start_when=lambda curr, at, prev, nxt: curr["value"] >= 150,
+        end_when=lambda curr, at, prev, nxt, s_curr, s_at:
+            curr["value"] < 20)
+    want = set()
+    for r in batch.collect():
+        want.add((r.user_id, r.s_at, r.e_at, len(r.window),
+                  round(sum(x["value"] for x in r.window), 6)))
+    assert got == want and got
