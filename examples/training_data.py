@@ -56,6 +56,16 @@ def main() -> None:
     print("lowest-logprob (most suspicious) documents:")
     lp.orderBy("mean_logprob").show(3)
 
+    # multimodal: binary image columns decoded distributed — REAL PNG
+    # decoding (stdlib codec), no image library needed
+    from pythonql_spark.operators import multimodal as MM
+    media = (docs.filter("doc_id < 8")
+             .select("doc_id", MM.render_text_png("text").alias("img"))
+             .select("doc_id", MM.make_media("img", "image", "png",
+                                             8, 8).alias("media")))
+    print("decoded image features:")
+    MM.decode_image(media).select("doc_id", "mean_intensity").show(4)
+
 
 if __name__ == "__main__":
     main()

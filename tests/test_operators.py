@@ -686,3 +686,30 @@ def test_multimodal_decodes_real_png(spark):
         assert abs(got[i].mean_intensity - mean) < 1e-9
         _, _, _, out = png.decode_png(blob)
         assert got[i].pixels_sample == list(out[:16])
+
+
+def test_band_join_on_timestamps(spark, tables):
+    """band_join with timestamp columns (eps in seconds): the dtype
+    branch in rangejoin._num must convert via epoch micros — this was
+    the round-2 TIMESTAMP_NTZ crash path.  Verified against a plain
+    SQL self-join on the same rows."""
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.operators.rangejoin import band_join
+
+    ev = tables["events"].select("event_id", "user_id", "ts") \
+        .filter("event_id < 400")
+    left = ev.select(F.col("event_id").alias("lid"), "user_id",
+                     F.col("ts").alias("lts"))
+    right = ev.select(F.col("event_id").alias("rid"), "user_id",
+                      F.col("ts").alias("rts"))
+    got = {(r.lid, r.rid) for r in band_join(
+        left, right, left_val="lts", right_val="rts",
+        eps=600.0, on="user_id").collect()}
+
+    want = {(r.lid, r.rid) for r in left.alias("a").join(
+        right.alias("b"),
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.abs(F.col("a.lts").cast("double")
+                 - F.col("b.rts").cast("double")) <= 600.0)).collect()}
+    assert got == want and got
