@@ -778,6 +778,23 @@ def media_decode(spark, sf):
             .select("doc_id", "pixels_sample", "mean_intensity"))
 
 
+@q("profile_sketch", None)  # rows-only: HLL estimates are engine-specific
+def profile_sketch(spark, sf):
+    """Incremental distinct-count profiling via mergeable HLL
+    sketches: two disjoint halves sketched independently, merged by
+    sketch algebra (no rescan), estimated per column — the append-only
+    100 TB profiling flow."""
+    from pythonql_spark.operators.sketch import (distinct_sketch,
+                                                 merge_sketches,
+                                                 sketch_estimates)
+    docs = load_table(spark, sf, "documents")
+    cols = ["doc_id", "lang", "source"]
+    merged = merge_sketches(
+        distinct_sketch(docs.filter("doc_id % 2 = 0"), cols),
+        distinct_sketch(docs.filter("doc_id % 2 = 1"), cols))
+    return sketch_estimates(merged)
+
+
 @q("corpus_stats", None)
 def corpus_stats(spark, sf):
     # exact per-language token-count quantiles through the DSL (at

@@ -1,0 +1,63 @@
+"""Mergeable cardinality sketches for incremental corpus profiling.
+
+`profile.table_profile(approx=True)` answers "how many distinct X"
+with one scan — but at 100 TB the corpus is append-only and rescanning
+history for every report is the real cost.  HyperLogLog sketches fix
+that: build a per-column sketch for each new partition/day (one scan
+of the DELTA only), persist the few-KB binary, and merge sketches at
+query time for any window's distinct count.  Spark ships the Apache
+DataSketches HLL implementation as SQL aggregates
+(``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``),
+so everything here is JVM-side expressions — no UDFs.
+
+Flow:
+    day1 = distinct_sketch(batch1_df, ["user_id", "doc_id"])
+    day2 = distinct_sketch(batch2_df, ["user_id", "doc_id"])
+    both = merge_sketches(day1, day2)     # sketch algebra, no rescan
+    sketch_estimates(both)                # column, n_distinct
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# log2 of HLL register count: 12 → ~1.6% relative standard error, 4KB
+DEFAULT_LG_K = 12
+
+
+def distinct_sketch(df: DataFrame, cols: list[str] | None = None,
+                    lg_k: int = DEFAULT_LG_K) -> DataFrame:
+    """One row per column: (column string, sketch binary).
+
+    ONE scan builds every column's sketch (the aggregates share the
+    pass); each sketch is a few KB regardless of input size, so the
+    result is a driver-safe profiling artifact that can be persisted
+    next to the data it summarizes."""
+    cols = cols or df.columns
+    row = df.agg(*[
+        F.hll_sketch_agg(F.col(c).cast("string"), F.lit(lg_k)).alias(c)
+        for c in cols])
+    # long → tall: (column, sketch) so merges join by column name
+    return row.select(F.explode(F.create_map(
+        *[x for c in cols for x in (F.lit(c), F.col(c))]
+    )).alias("column", "sketch"))
+
+
+def merge_sketches(*sketches: DataFrame) -> DataFrame:
+    """Union sketch tables by column name — pure sketch algebra
+    (hll_union_agg), never touching the original data."""
+    if not sketches:
+        raise ValueError("need at least one sketch table")
+    allof = sketches[0]
+    for s in sketches[1:]:
+        allof = allof.unionByName(s)
+    return (allof.groupBy("column")
+            .agg(F.hll_union_agg("sketch").alias("sketch")))
+
+
+def sketch_estimates(sketch_df: DataFrame) -> DataFrame:
+    """(column, n_distinct) from a sketch table."""
+    return sketch_df.select(
+        "column",
+        F.hll_sketch_estimate("sketch").alias("n_distinct"))

@@ -713,3 +713,34 @@ def test_band_join_on_timestamps(spark, tables):
         & (F.abs(F.col("a.lts").cast("double")
                  - F.col("b.rts").cast("double")) <= 600.0)).collect()}
     assert got == want and got
+
+
+def test_hll_sketch_incremental_profile(spark, tables):
+    """Sketches built on two disjoint halves and MERGED (pure sketch
+    algebra, no rescan) must estimate the full table's distinct counts
+    within HLL error (~2% at lg_k=12), and match a sketch built on the
+    whole table exactly."""
+    from pythonql_spark.operators.sketch import (distinct_sketch,
+                                                 merge_sketches,
+                                                 sketch_estimates)
+
+    docs = tables["documents"]
+    cols = ["doc_id", "lang", "source"]
+    half1 = docs.filter("doc_id % 2 = 0")
+    half2 = docs.filter("doc_id % 2 = 1")
+    merged = merge_sketches(distinct_sketch(half1, cols),
+                            distinct_sketch(half2, cols))
+    got = {r.column: r.n_distinct
+           for r in sketch_estimates(merged).collect()}
+
+    exact = docs.agg(*[F.countDistinct(c).alias(c) for c in cols]).first()
+    for c in cols:
+        assert abs(got[c] - exact[c]) <= max(2, 0.03 * exact[c]), (c, got, exact)
+
+    # merge-of-parts tracks sketch-of-whole (not bit-identical: union
+    # promotion order differs from single-pass build, but both are
+    # inside the same error envelope)
+    whole = {r.column: r.n_distinct for r in sketch_estimates(
+        distinct_sketch(docs, cols)).collect()}
+    for c in cols:
+        assert abs(got[c] - whole[c]) <= max(2, 0.02 * whole[c]), (c, got, whole)
