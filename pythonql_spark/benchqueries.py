@@ -778,6 +778,26 @@ def media_decode(spark, sf):
             .select("doc_id", "pixels_sample", "mean_intensity"))
 
 
+@q("sample_exact_n", None)  # oracle registered below (needs shuffle_key)
+def sample_exact_n_q(spark, sf):
+    """Deterministic exact-200 uniform sample (smallest seeded id
+    hashes) — TakeOrderedAndProject, no full sort."""
+    from pythonql_spark.operators.sampling import sample_exact_n
+    docs = load_table(spark, sf, "documents")
+    return sample_exact_n(docs.select("doc_id", "lang", "source"), 200)
+
+
+def _register_sample_exact_oracle():
+    from pythonql_spark.operators.sampling import shuffle_key
+    ORACLE["sample_exact_n"] = f"""
+SELECT doc_id, lang, source FROM documents
+ORDER BY {shuffle_key('doc_id', 0, 'duck')}, doc_id LIMIT 200
+"""
+
+
+_register_sample_exact_oracle()
+
+
 @q("profile_sketch", None)  # rows-only: HLL estimates are engine-specific
 def profile_sketch(spark, sf):
     """Incremental distinct-count profiling via mergeable HLL

@@ -73,6 +73,22 @@ def sample_weighted(df: DataFrame, weight_expr: str, rate: float,
         f"{hash_bucket(id_col)} < {weighted_cut(weight_expr, rate)}"))
 
 
+def sample_exact_n(df: DataFrame, n: int, id_col: str = "doc_id",
+                   seed: int = 0) -> DataFrame:
+    """Deterministic EXACT-size sample: the n rows with the smallest
+    seeded id-hash — a uniform sample that is reproducible across
+    runs, engines, and partition layouts (fraction sampling can't
+    promise an exact count; rand()-reservoirs can't promise
+    determinism).  Plans as TakeOrderedAndProject: each task keeps its
+    local n smallest, only n rows per task reach the driver-side
+    merge — never a full sort."""
+    key = F.expr(shuffle_key(id_col, seed))
+    return (df.withColumn("__sk", key)
+            .orderBy("__sk", id_col)
+            .limit(n)
+            .drop("__sk"))
+
+
 def shuffle_key(id_col: str = "doc_id", seed: int = 0,
                 dialect: str = "spark") -> str:
     """Deterministic per-epoch shuffle key: md5 of (seed, id).  Same

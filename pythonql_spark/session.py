@@ -34,7 +34,10 @@ def get_spark(app_name: str = "pythonql_spark", **extra_conf: str) -> SparkSessi
         # prunes fact rows BEFORE the shuffle, the same effect
         # dynamic partition pruning has for partitioned tables
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        # min/max/count over plain parquet answer from footer stats
+        # min/max/count over parquet answer from footer stats — takes
+        # effect on V2 reads (spark.sql.sources.useV1SourceList="");
+        # the engine default stays V1 for bucketing/legacy-conf
+        # compatibility, so profiling scans opt into V2 per-session
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # testdata events.ts is TIMESTAMP(NANOS); Spark rejects it
         # unless read as long (catalog.load_table converts back)

@@ -199,3 +199,26 @@ def test_count_clause_no_global_window(spark, sf_dir):
     assert len(singles) <= 1, p
     if singles:
         assert "partial_count" in p[:singles[0]], p
+
+
+def test_sample_exact_n_no_full_sort(spark, sf_dir):
+    """Exact-N sampling must plan TakeOrderedAndProject (per-task
+    partial top-n), never a global Sort of the corpus."""
+    p = formatted_plan(QUERIES["sample_exact_n"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_parquet_aggregate_pushdown(spark, sf_dir):
+    """min/max over a parquet scan must answer from footer statistics
+    (PushedAggregation) under the V2 reader — the fast path for
+    profiling scans; isolated in a newSession because V2 is not the
+    engine-wide default."""
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.sources.useV1SourceList", "")
+    ns.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    df = (ns.read.parquet(f"{sf_dir}/orders.parquet")
+          .agg({"o_totalprice": "max"}))
+    p = formatted_plan(df)
+    assert "PushedAggregation: [MAX(o_totalprice)]" in p, p
+    assert df.first()[0] == spark.read.parquet(
+        f"{sf_dir}/orders.parquet").agg({"o_totalprice": "max"}).first()[0]
