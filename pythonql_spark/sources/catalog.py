@@ -139,6 +139,34 @@ def jdbc_table(spark: SparkSession, url: str, table: str,
     return reader.load()
 
 
+def jdbc_catalog(spark: SparkSession, name: str, url: str,
+                 driver: str | None = None, **options) -> SparkSession:
+    """Register an RDBMS as a Spark V2 catalog and return a session
+    scoped to it — the full equivalent of the reference's
+    WrappedSubplan pushdown (sources/postgresql.py Rewriter.py:441-491):
+    under a V2 JDBC catalog Spark pushes not just filters and columns
+    but WHOLE AGGREGATIONS (SUM/COUNT/MIN/MAX + GROUP BY), limits, and
+    sorts into the database, so `spark.sql("SELECT k, sum(v) FROM
+    name.schema.tbl GROUP BY k")` ships one GROUP BY query to the DB
+    and reads back only the grouped rows.
+
+    Returns a NEW session (shared SparkContext, isolated conf) so the
+    catalog and its pushdown flags don't leak into the engine-wide
+    configuration."""
+    ns = spark.newSession()
+    prefix = f"spark.sql.catalog.{name}"
+    ns.conf.set(prefix, "org.apache.spark.sql.execution.datasources"
+                        ".v2.jdbc.JDBCTableCatalog")
+    ns.conf.set(f"{prefix}.url", url)
+    if driver:
+        ns.conf.set(f"{prefix}.driver", driver)
+    for flag in ("pushDownAggregate", "pushDownLimit", "pushDownOffset"):
+        ns.conf.set(f"{prefix}.{flag}", "true")
+    for k, v in options.items():
+        ns.conf.set(f"{prefix}.{k}", str(v))
+    return ns
+
+
 def write_partitioned(df: DataFrame, path: str, fmt: str = "parquet",
                       partition_by: list[str] | None = None,
                       mode: str = "overwrite") -> None:

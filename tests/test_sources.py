@@ -156,3 +156,39 @@ def test_jdbc_live_pushdown(spark, tmp_path):
     m = re.search(r"External engine query: (.*)", plan)
     assert m and '"val" > 50' in m.group(1), plan    # ...into the DB's SQL
     assert '"id","grp"' in m.group(1), plan      # column pruning server-side
+
+
+def test_jdbc_catalog_aggregate_pushdown(spark, tmp_path):
+    """Under a V2 JDBC catalog the WHOLE aggregation must execute in
+    the database (the reference's WrappedSubplan capability): the scan
+    shows pushed aggregates, group-by expressions, and filters, and
+    the result matches computing the same aggregate Spark-side."""
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.sources import jdbc_catalog
+
+    url = f"jdbc:derby:{tmp_path}/cdb;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    (spark.range(1000)
+     .selectExpr("id", "id % 7 as grp", "id * 1.5 as val")
+     .write.format("jdbc").option("url", url).option("dbtable", "t3")
+     .option("driver", drv).mode("overwrite").save())
+
+    ns = jdbc_catalog(spark, "db", url, driver=drv)
+    q = ns.sql("SELECT grp, sum(val) AS total, count(*) AS n "
+               "FROM db.APP.T3 WHERE id > 100 GROUP BY grp")
+    jvm = ns._jvm
+    p = q._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "PushedAggregates: [SUM(val), COUNT(*)]" in p, p
+    assert "PushedGroupByExpressions: [grp]" in p, p
+    assert re.search(r"PushedFilters:.*id > 100", p), p
+
+    got = {(r.grp, float(r.total), r.n) for r in q.collect()}
+    want = {(r.grp, float(r.total), r.n) for r in
+            (spark.range(1000).selectExpr("id", "id % 7 as grp",
+                                          "id * 1.5 as val")
+             .filter("id > 100").groupBy("grp")
+             .agg(F.sum("val").alias("total"),
+                  F.count(F.lit(1)).alias("n"))).collect()}
+    assert got == want
