@@ -968,6 +968,20 @@ def dedup_corpus(spark, sf):
     return dedup_keep(docs, pairs).select("doc_id", "source", "lang")
 
 
+@q("dedup_corpus_cosine", None)  # oracle registered below (recursive CTE)
+def dedup_corpus_cosine(spark, sf):
+    """Embedding-space end-to-end dedup: cosine near-dup pairs within
+    a blocking key → connected components → keep min vec_id per
+    cluster.  The same pairs→components→keep spine as the text paths,
+    driven by vector similarity; SQL-oracled because the rounded
+    cosine and the component labels are both engine-portable."""
+    from pythonql_spark.operators.dedup import dedup_keep
+    from pythonql_spark.operators.similarity import cosine_pairs
+    emb = load_table(spark, sf, "embeddings")
+    pairs = cosine_pairs(emb, "label", 0.8)
+    return dedup_keep(emb, pairs, id_col="vec_id").select("vec_id", "label")
+
+
 @q("dedup_corpus_minhash")
 def dedup_corpus_minhash(spark, sf):
     """The SCALE end-to-end dedup: LSH candidate generation (with its
@@ -2306,6 +2320,26 @@ WHERE comp.id = comp.comp
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
 FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {cos} >= 0.8
+"""
+
+    ORACLE["dedup_corpus_cosine"] = f"""
+WITH RECURSIVE prs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b
+       ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {cos} >= 0.8),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM prs
+  UNION ALL SELECT id_b, id_a FROM prs),
+reach(src, dst) AS (
+  SELECT cast(vec_id as bigint), cast(vec_id as bigint) FROM embeddings
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+comp AS (
+  SELECT src AS id, min(dst) AS comp FROM reach GROUP BY src)
+SELECT e.vec_id, e.label FROM embeddings e
+JOIN comp ON cast(e.vec_id as bigint) = comp.id
+WHERE comp.id = comp.comp
 """
 
     qcos = cosine_expr("q.embedding", "c.embedding", 64, base=1)

@@ -336,6 +336,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     e = pairs.select(F.col(id_a).cast("bigint").alias("u"),
                      F.col(id_b).cast("bigint").alias("v"))
     e = e.localCheckpoint(eager=True)
+    if e.limit(1).count() == 0:
+        # no edges: every node is its own component — skip the loop
+        # (each round is 2+ jobs; a clean corpus / incremental probe
+        # with no duplicates otherwise pays the full iteration floor)
+        empty = e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+        if nodes is not None:
+            return (nodes.select(
+                F.col(nodes.columns[0]).cast("bigint").alias("id"))
+                .select("id", F.col("id").alias("comp")))
+        return empty
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     comp = edges.select("u").distinct().select(
         F.col("u").alias("id"), F.col("u").alias("comp"))

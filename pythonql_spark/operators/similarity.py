@@ -45,14 +45,18 @@ def _dim(df: DataFrame, col: str) -> int:
     return int(row["d"])
 
 
-# Above this dimension the unrolled dot/norm expressions (dim terms
-# inline) overflow whole-stage codegen's 64KB method limit and Spark
-# silently falls back to interpreted evaluation (~10x slower) — at
-# real embedding dims (768–4096) the vectorized Arrow path below is
-# the only sane plan.  At or below the limit the unrolled form stays,
-# because its left-to-right accumulation is bit-identical to the
-# DuckDB oracle's.
-CODEGEN_DIM_LIMIT = 64
+# Above this dimension cosine/norm go through the vectorized Arrow
+# path.  Measured on this Spark: the unrolled expression falls out of
+# whole-stage codegen in join-side projections well before 64 dims
+# (zero codegen spans in the executed plan; ~22 µs/row interpreted vs
+# ~6 µs/row Arrow at dim 64 — 3.5×), and at real embedding dims
+# (768–4096) interpreted is the only possibility for it, ~10× worse.
+# The unrolled form is kept for tiny dims where its left-to-right
+# accumulation is bit-identical to the DuckDB oracle; above it the
+# 6-dp rounding of the cosine absorbs the ~1e-13 accumulation
+# difference (verified: all cosine-oracled keys hash-match on the
+# Arrow path at sf0.001 and sf0.01).
+CODEGEN_DIM_LIMIT = 16
 
 
 def vector_norm(vec_col: str, dim: int):

@@ -192,3 +192,18 @@ def test_jdbc_catalog_aggregate_pushdown(spark, tmp_path):
              .agg(F.sum("val").alias("total"),
                   F.count(F.lit(1)).alias("n"))).collect()}
     assert got == want
+
+
+def test_read_files_orc_and_text(spark, tmp_path):
+    """read_files handles every claimed format; orc round-trips typed
+    columns, text yields one row per line in a `value` column."""
+    df = spark.createDataFrame([(1, "alpha"), (2, "beta")], "id long, s string")
+    orc_dir = str(tmp_path / "o")
+    df.write.format("orc").save(orc_dir)
+    back = read_files(spark, orc_dir, "orc", "id long, s string")
+    assert sorted((r.id, r.s) for r in back.collect()) == [(1, "alpha"), (2, "beta")]
+
+    p = tmp_path / "lines.txt"
+    p.write_text("first line\nsecond line\n")
+    txt = read_files(spark, str(p), "text")
+    assert sorted(r.value for r in txt.collect()) == ["first line", "second line"]
