@@ -864,6 +864,32 @@ def asof_join_q(spark, sf):
     return asof_join(purchases, views, "user_id")
 
 
+@q("asof_forward", """
+WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+nxt AS (
+  SELECT p.user_id, p.ts, p.value, min(v.ts) AS m
+  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts >= p.ts
+  GROUP BY p.user_id, p.ts, p.value)
+SELECT n.user_id, n.ts, cast(n.value as double) AS amount,
+       n.m AS ts_r, cast(v2.value as double) AS value_r
+FROM nxt n LEFT JOIN v v2 ON v2.user_id = n.user_id AND v2.ts = n.m
+""")
+def asof_forward_q(spark, sf):
+    """Forward as-of: each purchase matched to the user's EARLIEST
+    view at-or-after it — the same single sort-shuffle as backward,
+    walked in descending order.  Oracle computes the next view
+    timestamp per purchase and joins it back (DuckDB ASOF is
+    backward-only)."""
+    from pythonql_spark.operators.asof import asof_join
+    ev = load_table(spark, sf, "events")
+    purchases = (ev.filter("event_type = 'purchase'")
+                 .selectExpr("user_id", "ts", "cast(value as double) as amount"))
+    views = (ev.filter("event_type = 'view'")
+             .select("user_id", "ts", "value"))
+    return asof_join(purchases, views, "user_id", direction="forward")
+
+
 @q("corpus_profile", None)
 def corpus_profile(spark, sf):
     """One-pass per-column stats over documents (count/nulls/distinct/

@@ -27,10 +27,19 @@ from pyspark.sql.window import Window as W
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str = "ts", right_ts: str = "ts", *,
-              suffix: str = "_r", how: str = "left") -> DataFrame:
-    """Backward as-of join.  Result: every `left` row (how='left'; use
+              suffix: str = "_r", how: str = "left",
+              direction: str = "backward") -> DataFrame:
+    """As-of join.  Result: every `left` row (how='left'; use
     how='inner' to drop unmatched), plus each `right` non-key column
-    as `<name><suffix>` (including the matched right timestamp)."""
+    as `<name><suffix>` (including the matched right timestamp).
+
+    ``direction``: 'backward' (most recent right_ts <= left_ts, the
+    default), 'forward' (earliest right_ts >= left_ts — the same
+    merged stream walked in descending order), or 'nearest' (whichever
+    of the two is closer; ties take the backward match).  'nearest'
+    runs both window passes — one Exchange, two local sorts."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be backward | forward | nearest")
     r_payload = [c for c in right.columns if c != on]
     l_tagged = left.select(
         F.col(on), F.col(left_ts).alias("__ts"), F.lit(1).alias("__is_l"),
@@ -45,12 +54,34 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
                         .alias("s")).schema["s"].dataType).alias("__lv"),
         F.struct(*r_payload).alias("__rv"))
     merged = l_tagged.unionByName(r_tagged)
-    # right rows sort BEFORE left rows at the same timestamp, so a
-    # right row at exactly left_ts is visible (>= semantics)
-    w = (W.partitionBy(on).orderBy("__ts", "__is_l")
-          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    carried = merged.withColumn(
-        "__m", F.last("__rv", ignorenulls=True).over(w))
+
+    # right rows sort BEFORE left rows at the same timestamp (in both
+    # walk directions), so a right row at exactly left_ts is visible
+    def carry(descending: bool):
+        order = [F.col("__ts").desc() if descending else F.col("__ts").asc(),
+                 F.col("__is_l").asc()]
+        w = (W.partitionBy(on).orderBy(*order)
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+        return F.last("__rv", ignorenulls=True).over(w)
+
+    if direction == "backward":
+        carried = merged.withColumn("__m", carry(False))
+    elif direction == "forward":
+        carried = merged.withColumn("__m", carry(True))
+    else:  # nearest
+        both = (merged.withColumn("__mb", carry(False))
+                .withColumn("__mf", carry(True)))
+        d_b = (F.col("__ts").cast("double")
+               - F.col(f"__mb.{right_ts}").cast("double"))
+        d_f = (F.col(f"__mf.{right_ts}").cast("double")
+               - F.col("__ts").cast("double"))
+        carried = (both.withColumn(
+            "__m",
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+             .when(F.col("__mf").isNull(), F.col("__mb"))
+             .when(d_f < d_b, F.col("__mf"))
+             .otherwise(F.col("__mb")))
+            .drop("__mb", "__mf"))
     base = carried.filter("__is_l = 1")
     if how == "inner":
         base = base.filter(F.col("__m").isNotNull())

@@ -744,3 +744,33 @@ def test_hll_sketch_incremental_profile(spark, tables):
         distinct_sketch(docs, cols)).collect()}
     for c in cols:
         assert abs(got[c] - whole[c]) <= max(2, 0.02 * whole[c]), (c, got, whole)
+
+
+def test_asof_join_directions(spark):
+    from pythonql_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (1, 14, "d")],
+        "k long, ts long, lv string")
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 9, 900.0)],
+        "k long, ts long, rv double")
+
+    fwd = {(r.k, r.ts): (r.ts_r, r.rv_r) for r in
+           asof_join(left, right, "k", direction="forward").collect()}
+    assert fwd[(1, 10)] == (10, 100.0)      # equal ts matches (>=)
+    assert fwd[(1, 14)] == (15, 150.0)      # earliest following
+    assert fwd[(1, 20)] == (None, None)     # nothing after -> nulls
+    assert fwd[(2, 5)] == (9, 900.0)
+
+    near = {(r.k, r.ts): (r.ts_r, r.rv_r) for r in
+            asof_join(left, right, "k", direction="nearest").collect()}
+    assert near[(1, 10)] == (10, 100.0)
+    assert near[(1, 14)] == (15, 150.0)     # |14-15| < |14-10|
+    assert near[(1, 20)] == (15, 150.0)     # only a prior row exists
+    assert near[(2, 5)] == (9, 900.0)       # only a following row
+
+    # tie: equidistant -> backward match wins
+    l2 = spark.createDataFrame([(1, 12)], "k long, ts long")
+    t2 = {r.ts_r for r in
+          asof_join(l2, right, "k", direction="nearest").collect()}
+    assert t2 == {10}
