@@ -25,13 +25,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
-def asof_join(left: DataFrame, right: DataFrame, on: str,
+def asof_join(left: DataFrame, right: DataFrame,
+              on: str | list[str],
               left_ts: str = "ts", right_ts: str = "ts", *,
               suffix: str = "_r", how: str = "left",
               direction: str = "backward") -> DataFrame:
     """As-of join.  Result: every `left` row (how='left'; use
     how='inner' to drop unmatched), plus each `right` non-key column
     as `<name><suffix>` (including the matched right timestamp).
+    ``on`` takes one key column name or a list (compound keys
+    partition the same single sort-shuffle; no extra cost).
 
     ``direction``: 'backward' (most recent right_ts <= left_ts, the
     default), 'forward' (earliest right_ts >= left_ts — the same
@@ -40,18 +43,22 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     runs both window passes — one Exchange, two local sorts."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be backward | forward | nearest")
-    r_payload = [c for c in right.columns if c != on]
+    keys = [on] if isinstance(on, str) else list(on)
+    r_payload = [c for c in right.columns if c not in keys]
+    l_payload = [c for c in left.columns if c not in keys]
     l_tagged = left.select(
-        F.col(on), F.col(left_ts).alias("__ts"), F.lit(1).alias("__is_l"),
-        F.struct(*[F.col(c) for c in left.columns if c != on]).alias("__lv"),
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"), F.lit(1).alias("__is_l"),
+        F.struct(*[F.col(c) for c in l_payload]).alias("__lv"),
         F.lit(None).cast(
             right.select(F.struct(*r_payload).alias("s")).schema["s"].dataType
         ).alias("__rv"))
     r_tagged = right.select(
-        F.col(on), F.col(right_ts).alias("__ts"), F.lit(0).alias("__is_l"),
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"), F.lit(0).alias("__is_l"),
         F.lit(None).cast(
-            left.select(F.struct(*[c for c in left.columns if c != on])
-                        .alias("s")).schema["s"].dataType).alias("__lv"),
+            left.select(F.struct(*l_payload).alias("s")).schema["s"].dataType
+        ).alias("__lv"),
         F.struct(*r_payload).alias("__rv"))
     merged = l_tagged.unionByName(r_tagged)
 
@@ -60,7 +67,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     def carry(descending: bool):
         order = [F.col("__ts").desc() if descending else F.col("__ts").asc(),
                  F.col("__is_l").asc()]
-        w = (W.partitionBy(on).orderBy(*order)
+        w = (W.partitionBy(*keys).orderBy(*order)
               .rowsBetween(W.unboundedPreceding, W.currentRow))
         return F.last("__rv", ignorenulls=True).over(w)
 
@@ -85,6 +92,6 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     base = carried.filter("__is_l = 1")
     if how == "inner":
         base = base.filter(F.col("__m").isNotNull())
-    return base.select(F.col(on), "__lv.*",
+    return base.select(*[F.col(k) for k in keys], "__lv.*",
                        *[F.col(f"__m.{c}").alias(f"{c}{suffix}")
                          for c in r_payload])

@@ -774,3 +774,17 @@ def test_asof_join_directions(spark):
     t2 = {r.ts_r for r in
           asof_join(l2, right, "k", direction="nearest").collect()}
     assert t2 == {10}
+
+
+def test_asof_join_compound_keys(spark):
+    from pythonql_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, "x", 10, "a"), (1, "y", 10, "b")],
+        "k long, g string, ts long, lv string")
+    right = spark.createDataFrame(
+        [(1, "x", 9, 1.0), (1, "y", 8, 2.0), (1, "x", 11, 3.0)],
+        "k long, g string, ts long, rv double")
+    out = {(r.k, r.g): (r.ts_r, r.rv_r) for r in
+           asof_join(left, right, ["k", "g"]).collect()}
+    assert out[(1, "x")] == (9, 1.0)     # (1,y) rows invisible to (1,x)
+    assert out[(1, "y")] == (8, 2.0)
