@@ -787,11 +787,30 @@ def sample_exact_n_q(spark, sf):
     return sample_exact_n(docs.select("doc_id", "lang", "source"), 200)
 
 
+@q("sample_exact_stratified", None)  # oracle registered below
+def sample_exact_stratified_q(spark, sf):
+    """Exact-30-per-language deterministic sample (WindowGroupLimit:
+    each map task ships at most 30 rows per language)."""
+    from pythonql_spark.operators.sampling import sample_exact_n_stratified
+    docs = load_table(spark, sf, "documents")
+    return sample_exact_n_stratified(
+        docs.select("doc_id", "lang", "source"), "lang", 30)
+
+
 def _register_sample_exact_oracle():
     from pythonql_spark.operators.sampling import shuffle_key
     ORACLE["sample_exact_n"] = f"""
 SELECT doc_id, lang, source FROM documents
 ORDER BY {shuffle_key('doc_id', 0, 'duck')}, doc_id LIMIT 200
+"""
+    ORACLE["sample_exact_stratified"] = f"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {shuffle_key('doc_id', 0, 'duck')},
+                                     doc_id) AS rn
+  FROM documents)
+WHERE rn <= 30
 """
 
 

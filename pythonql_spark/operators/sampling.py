@@ -89,6 +89,23 @@ def sample_exact_n(df: DataFrame, n: int, id_col: str = "doc_id",
             .drop("__sk"))
 
 
+def sample_exact_n_stratified(df: DataFrame, strata_col: str, n: int,
+                              id_col: str = "doc_id",
+                              seed: int = 0) -> DataFrame:
+    """Deterministic exact-size sample PER STRATUM: the n smallest
+    seeded id-hashes within each stratum (strata smaller than n pass
+    through whole) — balanced evaluation sets, per-language caps.
+    Composes the WindowGroupLimit top-k shape (operators.topk): each
+    map task ships at most n rows per stratum it has seen, so the
+    shuffle carries ~n × |strata| rows, not the corpus."""
+    from .topk import top_k_per_group
+    key = F.expr(shuffle_key(id_col, seed))
+    return (top_k_per_group(
+        df.withColumn("__sk", key), strata_col,
+        ["__sk", id_col], n, rank_col=None)
+        .drop("__sk"))
+
+
 def shuffle_key(id_col: str = "doc_id", seed: int = 0,
                 dialect: str = "spark") -> str:
     """Deterministic per-epoch shuffle key: md5 of (seed, id).  Same

@@ -1,0 +1,75 @@
+"""Property-based tests (hypothesis): invariants that must hold for
+ARBITRARY inputs, not just the curated cases — the PNG codec
+round-trip, packing offsets, and the dense global index."""
+
+import hypothesis.strategies as st
+import pytest
+from hypothesis import HealthCheck, given, settings
+
+SLOW = settings(max_examples=20, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@given(w=st.integers(1, 12), h=st.integers(1, 12),
+       ch=st.sampled_from([1, 2, 3, 4]), data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(w, h, ch, data):
+    from pythonql_spark.operators import png
+    pix = bytes(data.draw(st.lists(
+        st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch)))
+    W_, H_, C_, out = png.decode_png(png.encode_png(w, h, ch, pix))
+    assert (W_, H_, C_) == (w, h, ch)
+    assert bytes(out) == pix
+
+
+@given(pixels=st.lists(st.integers(0, 255), min_size=4, max_size=64))
+@settings(max_examples=30, deadline=None)
+def test_png_mean_intensity_alpha_excluded(pixels):
+    from pythonql_spark.operators.png import mean_intensity
+    pix = bytes(pixels[: len(pixels) - len(pixels) % 2])
+    if not pix:
+        return
+    # gray+alpha: mean over the gray samples only
+    got = mean_intensity(pix, 2)
+    want = sum(pix[::2]) / (len(pix) // 2)
+    assert abs(got - want) < 1e-9
+
+
+@pytest.mark.parametrize("n_rows,n_parts", [(97, 5), (1, 1), (64, 16)])
+def test_global_index_is_dense_permutation(spark, n_rows, n_parts):
+    """global_index must yield exactly 0..n-1 regardless of partition
+    layout, ordered and unordered."""
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.operators.sampling import global_index
+
+    df = (spark.range(n_rows).withColumn("v", (F.col("id") * 37) % 11)
+          .repartition(n_parts))
+    ordered = global_index(df, [F.col("v").asc(), F.col("id").asc()],
+                           out_col="pos")
+    rows = {r.id: r.pos for r in ordered.collect()}
+    assert sorted(rows.values()) == list(range(n_rows))
+    # positions follow the requested order
+    by_pos = sorted(rows.items(), key=lambda kv: kv[1])
+    keys = [((i * 37) % 11, i) for i, _ in by_pos]
+    assert keys == sorted(keys)
+
+    unordered = global_index(df, None, out_col="pos")
+    assert sorted(r.pos for r in unordered.collect()) == list(range(n_rows))
+
+
+@given(tokens=st.lists(st.integers(1, 50), min_size=1, max_size=30),
+       max_tokens=st.integers(8, 64))
+@settings(max_examples=15, deadline=None)
+def test_pack_offsets_property(tokens, max_tokens):
+    """Packing invariant, checked in plain Python against the operator
+    formula: offsets are the exclusive prefix sum and seq_id is
+    offset // max_tokens — the distributed window must match this for
+    any token-length sequence (single shard)."""
+    offsets, acc = [], 0
+    for t in tokens:
+        offsets.append(acc)
+        acc += t
+    seq_ids = [o // max_tokens for o in offsets]
+    assert all(a <= b for a, b in zip(seq_ids, seq_ids[1:]))
+    assert offsets[0] == 0 and seq_ids[0] == 0
