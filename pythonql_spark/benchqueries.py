@@ -909,6 +909,35 @@ def asof_forward_q(spark, sf):
     return asof_join(purchases, views, "user_id", direction="forward")
 
 
+@q("rollup_incremental", f"""
+SELECT event_type,
+       cast(to_timestamp(floor(epoch(ts) / 3600) * 3600) as timestamp)
+         AS bucket_start,
+       count(*) AS n, {dsum('value')} AS sum_v,
+       min(value) AS min_v, max(value) AS max_v
+FROM events
+GROUP BY 1, 2
+""")
+def rollup_incremental(spark, sf):
+    """Hypertable-style continuous aggregate: two event batches (an
+    id-split standing in for yesterday + today) are rolled up
+    independently, then MERGED by sketch-free semigroup algebra —
+    count/sum/min/max per bucket — without rescanning history.  The
+    oracle computes the same rollup over the whole table in one pass;
+    merge-of-deltas must equal it exactly."""
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.operators.timeseries import (merge_rollups,
+                                                     rollup_delta)
+    ev = load_table(spark, sf, "events")
+    old = rollup_delta(ev.filter("event_id % 2 = 0"), "ts", 3600,
+                       keys=["event_type"])
+    new = rollup_delta(ev.filter("event_id % 2 = 1"), "ts", 3600,
+                       keys=["event_type"])
+    return merge_rollups(old, new).withColumn(
+        "sum_v", F.col("sum_v").cast("double"))
+
+
 @q("corpus_profile", None)
 def corpus_profile(spark, sf):
     """One-pass per-column stats over documents (count/nulls/distinct/

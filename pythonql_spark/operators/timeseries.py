@@ -86,3 +86,45 @@ def forward_fill(df: DataFrame, cols: list[str] | str, *,
     for c in cols:
         df = df.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return df
+
+
+def rollup_delta(df: DataFrame, ts_col: str, step_s: int,
+                 keys: list[str] | None = None,
+                 value_col: str = "value") -> DataFrame:
+    """Mergeable per-bucket partial aggregate of ONE batch of events:
+    (keys..., bucket_start, n, sum_v, min_v, max_v).  Every column is
+    a semigroup (count/sum/min/max merge associatively), which is what
+    makes the rollup INCREMENTALLY maintainable — see
+    :func:`merge_rollups`."""
+    keys = list(keys or [])
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_s) * step_s)
+    # sum in decimal(38,6): exact and order-independent, so merging
+    # deltas in any order (or re-merging late data) reproduces the
+    # single-pass total bit-for-bit
+    return (df.groupBy(*keys, bucket.alias("bucket_start"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col(value_col).cast("decimal(38,6)")).alias("sum_v"),
+                 F.min(value_col).alias("min_v"),
+                 F.max(value_col).alias("max_v")))
+
+
+def merge_rollups(*rollups: DataFrame) -> DataFrame:
+    """Hypertable-style continuous aggregate maintenance: combine
+    stored rollups (yesterday's materialized buckets + today's delta
+    from :func:`rollup_delta`) WITHOUT rescanning raw history — the
+    merge is a groupBy over |buckets| rows, not |events|.  Late data
+    is just another delta; buckets it touches re-merge to the correct
+    totals because every column is associative.  avg = sum_v / n at
+    read time."""
+    if not rollups:
+        raise ValueError("need at least one rollup")
+    allof = rollups[0]
+    for r in rollups[1:]:
+        allof = allof.unionByName(r)
+    group_cols = [c for c in allof.columns
+                  if c not in ("n", "sum_v", "min_v", "max_v")]
+    return (allof.groupBy(*group_cols)
+            .agg(F.sum("n").alias("n"),
+                 F.sum("sum_v").cast("decimal(38,6)").alias("sum_v"),
+                 F.min("min_v").alias("min_v"), F.max("max_v").alias("max_v")))
