@@ -32,7 +32,8 @@ def main() -> None:
         "range_join", "topk_group", "pivot_status", "analytic_window",
         "cohort_retention", "stream_interval", "histogram_prices",
         "corr_stats", "grouping_sets_stats", "funnel_sessions",
-        "resample_hourly", "text_logprob",
+        "resample_hourly", "rollup_incremental", "text_logprob",
+        "sample_exact_stratified",
         "order_multi", "shuffle_epoch",
         "lateral_explode", "join_left_outer", "join_semi", "group_lists",
         "vocab_stats", "corpus_profile", "asof_join", "asof_forward",
