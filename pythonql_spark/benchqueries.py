@@ -834,6 +834,25 @@ def profile_sketch(spark, sf):
     return sketch_estimates(merged)
 
 
+@q("media_audio", None)  # rows-only: binary audio decode is not SQL
+def media_audio(spark, sf):
+    """Real audio decode path: synthesize one WAV tone per document
+    (frequency derived from doc_id), decode distributed with the
+    stdlib codec — no fake= stub."""
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.operators import multimodal as MM
+
+    docs = (load_table(spark, sf, "documents")
+            .filter(F.col("doc_id") < 64)
+            .select("doc_id", MM.render_tone_wav("doc_id").alias("snd")))
+    media = docs.select(
+        "doc_id", MM.make_media("snd", "audio", "wav").alias("media"))
+    return (MM.decode_audio(media)
+            .select("doc_id", "sample_rate", "audio_ms",
+                    "mean_abs_amplitude"))
+
+
 @q("corpus_stats", None)
 def corpus_stats(spark, sf):
     # exact per-language token-count quantiles through the DSL (at

@@ -87,6 +87,107 @@ def decode_image(df: DataFrame, media_col: str = "media", *,
     return df.mapInPandas(run, out_schema)
 
 
+def decode_audio(df: DataFrame, media_col: str = "media", *,
+                 fake: bool = False) -> DataFrame:
+    """binary audio → features (sample_rate, n_channels, duration_ms,
+    mean_abs_amplitude, first-16 samples).
+
+    WAV (RIFF PCM, 8/16-bit) decodes for REAL via the stdlib ``wave``
+    module; other formats raise ``NotImplementedError`` unless
+    ``fake=True`` (deterministic stub, same as decode_image)."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("audio_ms", T.IntegerType()),
+            T.StructField("mean_abs_amplitude", T.DoubleType()),
+            T.StructField("samples_head", T.ArrayType(T.IntegerType())),
+        ])
+
+    def decode(data: bytes, meta):
+        if fake:
+            px = _fake_pixels(data)
+            return 16000, 1, int(meta["duration_ms"] or 0), \
+                sum(px) / len(px), px
+        if not (data or b"").startswith(b"RIFF"):
+            raise NotImplementedError(
+                f"no codec for format {meta['format']!r} (WAV decodes "
+                "natively); pass fake=True or plug a decoder")
+        import io
+        import struct as _struct
+        import wave
+
+        with wave.open(io.BytesIO(data)) as w:
+            rate, ch, width = w.getframerate(), w.getnchannels(), \
+                w.getsampwidth()
+            n = w.getnframes()
+            raw = w.readframes(n)
+        if width == 2:
+            samples = _struct.unpack(f"<{len(raw) // 2}h", raw)
+        elif width == 1:                    # 8-bit WAV is unsigned
+            samples = [b - 128 for b in raw]
+        else:
+            raise NotImplementedError(f"{8 * width}-bit PCM unsupported")
+        mean_abs = (sum(abs(s) for s in samples) / len(samples)
+                    if samples else 0.0)
+        return rate, ch, int(n * 1000 / rate), mean_abs, \
+            list(samples[:16])
+
+    cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode(m["data"], m["meta"]) for m in pdf[media_col]]
+            pdf = pdf.copy()
+            for i, name in enumerate(("sample_rate", "n_channels",
+                                      "audio_ms", "mean_abs_amplitude",
+                                      "samples_head")):
+                pdf[name] = [f[i] for f in feats]
+            yield pdf[cols + ["sample_rate", "n_channels", "audio_ms",
+                              "mean_abs_amplitude", "samples_head"]]
+
+    return df.mapInPandas(run, out_schema)
+
+
+def encode_wav(samples, sample_rate: int = 16000,
+               n_channels: int = 1) -> bytes:
+    """Minimal 16-bit PCM WAV encoder (stdlib wave) so tests and the
+    benchmark query can synthesize real decodable audio."""
+    import io
+    import struct as _struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(_struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def render_tone_wav(id_col, rate: int = 8000, n_samples: int = 400):
+    """binary Column: a deterministic WAV sine tone whose frequency
+    derives from the id — real, decodable audio synthesized per row
+    (testdata ships no media column)."""
+    import math as _m
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def render(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            freq = 200 + (int(i) % 17) * 50
+            out.append(encode_wav(
+                [int(8000 * _m.sin(2 * _m.pi * freq * t / rate))
+                 for t in range(n_samples)], rate))
+        return pd.Series(out)
+
+    return render(id_col if isinstance(id_col, F.Column)
+                  else F.col(id_col))
+
+
 def resize_image(df: DataFrame, width: int, height: int,
                  media_col: str = "media", *, fake: bool = False) -> DataFrame:
     """Resize: binary → binary with updated meta.  Stub keeps bytes,

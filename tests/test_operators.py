@@ -788,3 +788,32 @@ def test_asof_join_compound_keys(spark):
            asof_join(left, right, ["k", "g"]).collect()}
     assert out[(1, "x")] == (9, 1.0)     # (1,y) rows invisible to (1,x)
     assert out[(1, "y")] == (8, 2.0)
+
+
+def test_multimodal_decodes_real_wav(spark):
+    """decode_audio must decode genuine 16-bit PCM WAV distributed,
+    without fake=True, reporting true rate/duration/amplitude."""
+    import math as m
+
+    rows = []
+    for i, (rate, secs) in enumerate([(8000, 0.25), (16000, 0.1)]):
+        n = int(rate * secs)
+        samples = [int(10000 * m.sin(2 * m.pi * 440 * t / rate))
+                   for t in range(n)]
+        rows.append((i, MM.encode_wav(samples, rate), rate, n,
+                     sum(abs(s) for s in samples) / n))
+    df = (spark.createDataFrame([(i, b) for i, b, *_ in rows],
+                                "id long, data binary")
+          .select("id", MM.make_media("data", "audio", "wav").alias("media")))
+    got = {r.id: r for r in MM.decode_audio(df).collect()}
+    for i, _, rate, n, mean_abs in rows:
+        assert got[i].sample_rate == rate
+        assert got[i].n_channels == 1
+        assert got[i].audio_ms == int(n * 1000 / rate)
+        assert abs(got[i].mean_abs_amplitude - mean_abs) < 1e-9
+        assert len(got[i].samples_head) == 16
+
+    bad = (spark.createDataFrame([(0, b"not audio")], "id long, data binary")
+           .select(MM.make_media("data", "audio", "mp3").alias("media")))
+    with pytest.raises(Exception):
+        MM.decode_audio(bad).collect()
