@@ -1752,10 +1752,10 @@ def tpch_q11(spark, sf):
 
 @q("tpch_q12", """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) as bigint) AS high_line_count,
+       cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) as bigint) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -2320,7 +2320,7 @@ WITH scored AS (
   FROM documents),
 kept AS (
   SELECT min(doc_id) AS doc_id FROM scored WHERE quality >= 0.5 GROUP BY fp)
-SELECT pred_lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+SELECT pred_lang, count(*) AS n_docs, cast(sum(n_tokens) as bigint) AS total_tokens,
        {davg('quality')} AS avg_quality
 FROM scored JOIN kept USING (doc_id) GROUP BY pred_lang
 """
@@ -2357,8 +2357,8 @@ t AS (
   SELECT source, doc_id, {TX.token_count('ctext', 'duck')} AS n_tokens
   FROM samp),
 o AS (
-  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-              ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+  SELECT *, cast(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens as bigint) AS start_offset
   FROM t)
 SELECT source, doc_id, n_tokens, start_offset,
        cast(floor(start_offset / 512) as bigint) AS seq_id
@@ -2464,44 +2464,40 @@ _register_generated_oracles()
 
 
 # ----------------------------------------------------------- registration order
-# The correctness driver checks only the FIRST 50 registered keys, so
-# the strongest coverage — the full TPC-H set, set/analytic operators,
-# the binned range join, and the dedup + training-pipeline flagships —
-# is pinned inside that window.  Everything after position 50 is still
-# oracle-verified in-repo (tests/test_oracle.py iterates ALL keys).
-_PRIORITY = [
-    # core DSL clauses
-    "select_project", "filter_where", "let_compute", "join_equi",
-    "join_multi", "group_agg", "group_lists", "order_multi",
-    "count_clause", "distinct_set", "lateral_explode", "subquery_in",
-    # join forms
-    "join_left_outer", "join_semi", "join_anti", "asof_join",
-    # TPC-H
-    "tpch_q3", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
-    "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q17",
-    "tpch_q18", "tpch_q19", "tpch_q22",
-    # set / analytic / grouping
-    "set_ops", "analytic_window", "grouping_sets_stats", "rollup_stats",
-    # predicate windows and sessions
-    "window_sliding_fixed", "window_predicate", "sessionize",
-    "funnel_sessions",
-    # range join + top-k
-    "range_join", "topk_group",
-    # dedup + pipelines
-    "dedup_exact", "dedup_jaccard", "dedup_clusters", "dedup_corpus",
-    "training_pipeline", "doc_pipeline",
-    # corpus prep
-    "vocab_stats", "corpus_stats", "pack_sequences", "decontaminate",
-]
+# The correctness driver checks only the FIRST 50 registered keys.  Policy
+# (fixed, not curated): keys that have NEVER passed a driver check sort FIRST,
+# in registration order, so the newest / least-verified code is always inside
+# the externally-checked window; already-verified keys fill the remaining
+# slots for re-verification.  _DRIVER_VERIFIED is the literal set of keys
+# fully green (rows+schema+hash, no err) in any recorded CORRECTNESS_r*.json;
+# append newly-green keys each round.  Every key — inside or outside the
+# window — is additionally oracle-verified in-repo (tests/test_oracle.py).
+_DRIVER_VERIFIED = frozenset([
+    # green in CORRECTNESS_r01 / r02 / r03
+    "analytic_window", "asof_join", "chunk_docs", "corpus_profile",
+    "corpus_stats", "count_clause", "cube_stats", "decontaminate",
+    "dedup_clusters", "dedup_corpus", "dedup_exact", "dedup_jaccard",
+    "distinct_set", "filter_where", "funnel_sessions", "group_agg",
+    "group_lists", "grouping_sets_stats", "join_anti", "join_equi",
+    "join_left_outer", "join_multi", "join_semi", "lateral_explode",
+    "let_compute", "match_exact", "match_partial", "order_multi",
+    "pack_sequences", "path_child", "path_descendants", "range_join",
+    "rollup_stats", "sample_stratified", "select_project", "sessionize",
+    "set_ops", "shuffle_epoch", "stream_sliding", "stream_tumbling",
+    "subquery_in", "text_clean", "text_fingerprint", "text_langid",
+    "text_quality", "text_repetition", "text_tokens", "topk_group",
+    "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q6", "tpch_q7",
+    "tpch_q8", "tpch_q9", "try_except", "vocab_stats", "window_predicate",
+    "window_sliding_fixed", "window_tumbling_count",
+])
 
 
 def _reorder_registry() -> None:
     global QUERIES, ORACLE
-    missing = [k for k in _PRIORITY if k not in QUERIES]
-    assert not missing, f"_PRIORITY names unknown queries: {missing}"
-    ordered = {k: QUERIES[k] for k in _PRIORITY}
-    ordered.update({k: v for k, v in QUERIES.items() if k not in ordered})
-    QUERIES = ordered
+    unverified = [k for k in QUERIES if k not in _DRIVER_VERIFIED]
+    verified = [k for k in QUERIES if k in _DRIVER_VERIFIED]
+    QUERIES = {k: QUERIES[k] for k in unverified + verified}
     ORACLE = {k: ORACLE[k] for k in QUERIES if k in ORACLE}
 
 

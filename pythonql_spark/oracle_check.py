@@ -26,12 +26,18 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    """Canonical cell repr — STRICT, modelled on the driver's comparison:
+    floats round to 6 dp (the driver demonstrably absorbs ULP-level
+    sum-order differences: `group_agg` was driver-green in r3) but are
+    NEVER int-normalized, so a DuckDB HUGEINT/DECIMAL sum leaking
+    through as float64 ('153156.0') MISMATCHES a Spark bigint
+    ('153156') here exactly as it does in the driver (this bug class
+    shipped in r1 `pack_sequences` and r3 `doc_pipeline`/
+    `training_pipeline` while the old forgiving normalizer hid it)."""
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "∅"
-    if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return repr(int(v))
-        return repr(round(v, 6))
+    if isinstance(v, float) or type(v).__name__.startswith("float"):
+        return repr(round(float(v), 6))
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     if hasattr(v, "isoformat"):
@@ -50,10 +56,36 @@ def _fingerprint(df: pd.DataFrame) -> tuple[int, list[str], int]:
     return len(df), cols, hash(tuple(rows))
 
 
+def _harmonize_dtypes(spark_pd: pd.DataFrame, oracle_pd: pd.DataFrame):
+    """Distinguish the two ways an int column can surface as float64:
+
+    * null widening — pandas has no nullable int64, so EITHER side's
+      integer column with NULLs arrives as float64-with-NaN.  Harmless:
+      cast both sides to float64 so reprs agree.
+    * HUGEINT/DECIMAL leakage — DuckDB's integer sum() returns HUGEINT,
+      which lands as float64 with NO NaN while Spark is bigint.  That is
+      an oracle-SQL bug (missing ``cast(... as bigint)``) and must FAIL.
+
+    Returns the list of columns with the second (bug) shape.
+    """
+    bad = []
+    for c in set(spark_pd.columns) & set(oracle_pd.columns):
+        k1, k2 = spark_pd[c].dtype.kind, oracle_pd[c].dtype.kind
+        if {k1, k2} == {"i", "f"} or ({k1, k2} == {"u", "f"}):
+            fside = spark_pd if k1 == "f" else oracle_pd
+            if fside[c].isna().any():
+                spark_pd[c] = spark_pd[c].astype("float64")
+                oracle_pd[c] = oracle_pd[c].astype("float64")
+            else:
+                bad.append(c)
+    return bad
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> dict:
     con = _duck(sf_dir)
     oracle_pd = con.execute(oracle_sql).df()
     spark_pd = spark_df.toPandas()
+    dtype_bad = _harmonize_dtypes(spark_pd, oracle_pd)
     n1, c1, h1 = _fingerprint(spark_pd)
     n2, c2, h2 = _fingerprint(oracle_pd)
     return {
@@ -61,7 +93,8 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> dict:
         "cols_spark": c1, "cols_oracle": c2,
         "rows_match": n1 == n2, "cols_match": c1 == c2,
         "values_match": h1 == h2,
-        "ok": n1 == n2 and c1 == c2 and h1 == h2,
+        "dtype_mismatch": dtype_bad,
+        "ok": n1 == n2 and c1 == c2 and h1 == h2 and not dtype_bad,
     }
 
 

@@ -42,3 +42,28 @@ def test_survey_keys_exist():
     cited = set(re.findall(r"`([a-z0-9_]+)`", sec2)) & set(QUERIES)
     missing_in_survey = set(QUERIES) - cited
     assert not missing_in_survey, missing_in_survey
+
+
+def test_norm_cell_keeps_int_float_distinct():
+    """Driver-strictness regression guard: a DuckDB HUGEINT sum that
+    lands as float64 must NOT hash-match a Spark bigint (this bug
+    class shipped in r1 `pack_sequences` and r3 `doc_pipeline`/
+    `training_pipeline`)."""
+    from pythonql_spark.oracle_check import _norm_cell
+    assert _norm_cell(153156) != _norm_cell(153156.0)
+    # but ULP-level float noise is absorbed at 6 dp, like the driver
+    assert _norm_cell(0.30000000000000004) == _norm_cell(0.3)
+
+
+def test_harmonize_dtypes_flags_hugeint_not_null_widening():
+    import pandas as pd
+    from pythonql_spark.oracle_check import _harmonize_dtypes
+    # HUGEINT leak: float64 with no NaN vs int64 -> flagged
+    s = pd.DataFrame({"x": pd.Series([1, 2], dtype="int64")})
+    o = pd.DataFrame({"x": pd.Series([1.0, 2.0], dtype="float64")})
+    assert _harmonize_dtypes(s, o) == ["x"]
+    # null widening: float64 WITH NaN vs int64 -> harmonized, not flagged
+    s = pd.DataFrame({"x": pd.Series([1, 2], dtype="int64")})
+    o = pd.DataFrame({"x": pd.Series([1.0, None], dtype="float64")})
+    assert _harmonize_dtypes(s, o) == []
+    assert s["x"].dtype.kind == "f" and o["x"].dtype.kind == "f"
