@@ -80,14 +80,19 @@ def main() -> None:
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_queries_total_time",
-        "value": total,
+        # a partially-failed run must never read as a FASTER run:
+        # value is null unless every headline query succeeded
+        "value": None if failed else total,
         "unit": "sec",
         "methodology": "per-query warmup run, second run timed (steady-state)",
         "queries": times,
+        "queries_ok": len(times),
+        "queries_failed": len(failed),
         "sf": sf,
     }
     if failed:
         out["failed"] = failed
+        out["partial_total"] = total
     print(json.dumps(out))
 
 

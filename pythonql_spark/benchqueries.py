@@ -626,6 +626,89 @@ def sessionize(spark, sf):
     ).select("user_id", "session_start", "n_events", "sum_value")
 
 
+@q("pql_window", """
+WITH r AS (
+  SELECT value, row_number() OVER (ORDER BY ts, value) - 1 AS rn
+  FROM events WHERE user_id = 1)
+SELECT a.rn AS s,
+       cast(sum(cast(b.value AS decimal(38,6))) as double) AS sum_w
+FROM r a JOIN r b ON b.rn BETWEEN a.rn AND a.rn + 2
+GROUP BY a.rn
+""")
+def pql_window(spark, sf):
+    """The reference's window-clause STRING syntax (tutorial q11,
+    reference tests/tutorial_tests.py) through the pql() front-end:
+    every position opens a sliding window, closed after 3 elements
+    (`end at e when e - s == 2`), trailing partial windows emitted
+    (no `only end`).  The sequence is ONE user's event values in
+    event-time order — a bounded per-key sequence (collected by the
+    same documented small-side contract as query vectors); the
+    distributed form of this operator is the window_predicate /
+    stream_predicate keys.  Oracle: self-join on position range."""
+    from pythonql_spark.pql import pql
+    ev = (load_table(spark, sf, "events")
+          .filter("user_id = 1").orderBy("ts", "value"))
+    seq = [float(r.value) for r in ev.select("value").collect()]
+    out = pql(spark, """
+      select (s, sum(w) as sum_w)
+      for sliding window w in x
+      start y at s when True
+      end at e when e - s == 2
+    """, env={"x": seq})
+    return out
+
+
+@q("stream_predicate", """
+WITH RECURSIVE
+r AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, value) - 1 AS rn
+  FROM events),
+win AS (
+  SELECT t.user_id, t.s_at,
+         (SELECT min(rn) FROM r e WHERE e.user_id = t.user_id
+            AND e.rn >= t.s_at AND e.value < 20) AS e_at
+  FROM (SELECT user_id, min(rn) AS s_at FROM r
+        WHERE value >= 150 GROUP BY user_id) t
+  UNION ALL
+  SELECT t.user_id, t.s_at,
+         (SELECT min(rn) FROM r e WHERE e.user_id = t.user_id
+            AND e.rn >= t.s_at AND e.value < 20) AS e_at
+  FROM (
+    SELECT w.user_id,
+           (SELECT min(rn) FROM r s WHERE s.user_id = w.user_id
+              AND s.rn > w.e_at AND s.value >= 150) AS s_at
+    FROM win w WHERE w.e_at IS NOT NULL) t
+  WHERE t.s_at IS NOT NULL)
+SELECT w.user_id, w.s_at, w.e_at,
+       cast(count(*) as bigint) AS n_events,
+       cast(sum(cast(r.value as decimal(38,6))) as double) AS sum_value
+FROM win w JOIN r ON r.user_id = w.user_id
+                 AND r.rn BETWEEN w.s_at AND w.e_at
+WHERE w.e_at IS NOT NULL
+GROUP BY w.user_id, w.s_at, w.e_at
+""")
+def stream_predicate(spark, sf):
+    """The reference's TUMBLING predicate window clause through the
+    UNIFIED stateful operator (streaming/stateful.py): open on
+    value >= 150 (only if none open), absorb, close on value < 20, per
+    user in event-time order.  On this batch input the operator
+    dispatches to the declarative predicate_windows plan; on a stream
+    the identical call runs applyInPandasWithState with O(1) per-key
+    state (stream == batch parity is pytest-gated in
+    tests/test_streaming.py).  The tumbling open/close recursion is
+    SQL-expressible as a recursive CTE walking start→end→next-start
+    per key, so this key carries a full value-hash oracle."""
+    from pythonql_spark.streaming import stateful_predicate_windows
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "value")
+    out = stateful_predicate_windows(
+        ev,
+        start_when=lambda c, a, p, n: c["value"] >= 150,
+        end_when=lambda c, a, p, n, sc, sa: c["value"] < 20,
+        only_end=True)
+    return out.select("user_id", "s_at", "e_at", "n_events", "sum_value")
+
+
 @q("funnel_sessions", """
 WITH e AS (
   SELECT user_id, ts, event_id, event_type,

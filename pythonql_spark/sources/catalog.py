@@ -44,9 +44,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       ``spark.sql.legacy.parquet.nanosAsLong`` is set, in which case it
       arrives as a nanos-since-epoch long; we set the conf at runtime
       on PARQUET_TYPE_ILLEGAL and convert back to microsecond
-      timestamps (the same truncation DuckDB applies).  The conversion
-      applies to ANY bigint ``ts`` column read under nanosAsLong, not
-      just the events table — the conf is session-wide once set.
+      timestamps (the same truncation DuckDB applies).  The conf is
+      session-wide once set, so the long→timestamp conversion is
+      scoped to columns whose parquet footer actually declares
+      TIMESTAMP(NANOS) (checked via pyarrow) — a genuine bigint column
+      that merely shares the name ``ts`` is left untouched.
     """
     from ..helpers import ensure_event_time
 
@@ -61,12 +63,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos_as_long = (
         spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
         == "true")
-    for f in df.schema.fields:
-        if (f.name == "ts" and f.dataType.simpleString() == "bigint"
-                and nanos_as_long):
-            from pyspark.sql import functions as F
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if nanos_as_long:
+        nanos_cols = _parquet_nanos_cols(path)
+        for f in df.schema.fields:
+            if f.name in nanos_cols and f.dataType.simpleString() == "bigint":
+                from pyspark.sql import functions as F
+                df = df.withColumn(
+                    f.name, F.expr(f"timestamp_micros({f.name} div 1000)"))
     return ensure_event_time(df)
+
+
+def _parquet_nanos_cols(path: str) -> set[str]:
+    """Column names the parquet footer declares as TIMESTAMP(NANOS).
+
+    Read from the file metadata (pyarrow), not the Spark schema —
+    under ``nanosAsLong`` Spark reports such columns as plain bigint,
+    indistinguishable from a genuine long column."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        if os.path.isdir(path):
+            parts = sorted(
+                os.path.join(path, f) for f in os.listdir(path)
+                if f.endswith(".parquet"))
+            if not parts:
+                return set()
+            path = parts[0]
+        schema = pq.read_schema(path)
+        return {f.name for f in schema
+                if pa.types.is_timestamp(f.type) and f.type.unit == "ns"}
+    except Exception:
+        return set()
 
 
 def load_sf(spark: SparkSession, sf_dir: str | None = None,

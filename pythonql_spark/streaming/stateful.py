@@ -46,10 +46,34 @@ def stateful_predicate_windows(
     windows are then dropped (``only_end=True``, the reference's `only
     end`) or emitted, and the state is freed.  Tumbling-only: sliding
     predicate windows keep unbounded open-window sets per key, which is
-    exactly what an unbounded stream cannot state-bound."""
+    exactly what an unbounded stream cannot state-bound.
+
+    BATCH input (Spark rejects applyInPandasWithState outside
+    streaming) dispatches to the batch ``predicate_windows`` operator
+    with identical semantics — end-of-input plays the role of the
+    timeout, so with ``only_end=False`` the trailing open window is
+    emitted, same as the stream's timeout flush.  Conditions written
+    against ``value``/indexes (per the contract above) behave
+    identically on both paths."""
     from ..helpers import ensure_event_time
 
     events = ensure_event_time(events, [ts_col])
+    if not events.isStreaming:
+        from ..operators.window_clause import predicate_windows
+        win = predicate_windows(
+            events.select(key_col, ts_col, value_col),
+            order_by=[ts_col, value_col], partition_by=key_col,
+            tumbling=True, only_end=only_end,
+            start_when=start_when, end_when=end_when)
+        return win.select(
+            F.col(key_col),
+            F.col("s_at"), F.col("e_at"),
+            F.element_at("window", 1)[ts_col].alias("s_ts"),
+            F.element_at("window", -1)[ts_col].alias("e_ts"),
+            F.size("window").cast("long").alias("n_events"),
+            F.aggregate("window", F.lit(0.0),
+                        lambda acc, x: acc + x[value_col].cast("double")
+                        ).alias("sum_value"))
     out_schema = (f"{key_col} long, s_at long, e_at long, "
                   f"s_ts timestamp, e_ts timestamp, "
                   f"n_events long, sum_value double")
@@ -132,10 +156,12 @@ def stateful_sessionize(events: DataFrame, *, gap_ms: int,
     (key, session_start, n_events, sum_value).
 
     Works on a streaming DataFrame (requires a watermark on
-    ``ts_col`` for the timeout path).  On a batch DataFrame use the
-    equivalent lag/cumsum query (benchqueries.sessionize) — same
-    results for closed sessions; this operator exists for unbounded
-    input where that query's global window per key cannot run."""
+    ``ts_col`` for the timeout path).  BATCH input (Spark rejects
+    applyInPandasWithState outside streaming) dispatches to the
+    equivalent lag/cumsum plan — pure JVM window functions, no Python
+    loop — where end-of-input plays the role of the timeout: with
+    ``emit_open_on_timeout`` every key's final session is emitted,
+    otherwise dropped, exactly mirroring the stream."""
     from ..helpers import ensure_event_time
 
     events = ensure_event_time(events, [ts_col])
@@ -143,6 +169,30 @@ def stateful_sessionize(events: DataFrame, *, gap_ms: int,
                   f"n_events long, sum_value double")
     state_schema = "start long, last long, n long, s double"
     gap_us = gap_ms * 1000
+
+    if not events.isStreaming:
+        from pyspark.sql.window import Window as W
+        wk = W.partitionBy(key_col).orderBy(ts_col, value_col)
+        us = F.unix_micros(F.col(ts_col))
+        lag_us = F.unix_micros(F.lag(ts_col).over(wk))
+        marked = events.withColumn(
+            "__new_s",
+            F.when(lag_us.isNull() | (us - lag_us >= gap_us), 1).otherwise(0))
+        sid = marked.withColumn(
+            "__sid", F.sum("__new_s").over(
+                wk.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        sess = (sid.groupBy(key_col, "__sid")
+                .agg(F.min(ts_col).alias("session_start"),
+                     F.count(F.lit(1)).alias("n_events"),
+                     F.sum(F.col(value_col).cast("double"))
+                      .alias("sum_value")))
+        if not emit_open_on_timeout:
+            # the stream never closes a key's final session without a
+            # timeout; mirror that by dropping the max-sid session
+            last = W.partitionBy(key_col)
+            sess = (sess.withColumn("__last", F.max("__sid").over(last))
+                    .filter(F.col("__sid") != F.col("__last")))
+        return sess.select(key_col, "session_start", "n_events", "sum_value")
 
     def fn(key, pdfs, state: GroupState):
         (k,) = key

@@ -207,3 +207,38 @@ def test_read_files_orc_and_text(spark, tmp_path):
     p.write_text("first line\nsecond line\n")
     txt = read_files(spark, str(p), "text")
     assert sorted(r.value for r in txt.collect()) == ["first line", "second line"]
+
+
+def test_genuine_bigint_ts_not_corrupted_by_nanos_fallback(spark, tmp_path):
+    """Once one nanos-encoded file flips nanosAsLong session-wide, a
+    table whose `ts` is a GENUINE long (an id / epoch-millis column)
+    must pass through load_table untouched — the long→timestamp
+    rewrite is scoped via the parquet footer's logical type."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pythonql_spark.sources import load_table
+
+    d = tmp_path / "mix"
+    d.mkdir()
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([base, base], pa.timestamp("ns")),
+    }), d / "events.parquet")
+    longs = [7, 1_700_000_000_123]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array(longs, pa.int64()),
+    }), d / "documents.parquet")
+
+    # trigger the nanos fallback (sets nanosAsLong for the session)
+    load_table(spark, str(d), "events").collect()
+    assert spark.conf.get(
+        "spark.sql.legacy.parquet.nanosAsLong", "false") == "true"
+
+    doc = load_table(spark, str(d), "documents")
+    assert dict(doc.dtypes)["ts"] == "bigint"
+    assert sorted(r.ts for r in doc.select("ts").collect()) == longs

@@ -256,3 +256,45 @@ def test_predicate_windows_stream_matches_batch(spark, tables, tmp_path):
         want.add((r.user_id, r.s_at, r.e_at, len(r.window),
                   round(sum(x["value"] for x in r.window), 6)))
     assert got == want and got
+
+
+def test_stateful_predicate_windows_batch_flushes_open_window(spark, tables):
+    """On BATCH input NoTimeout never fires, so the end-of-input path
+    must flush the trailing open window when only_end=False — same
+    contract as the batch operator's unclosed-window emission
+    (window_clause.predicate_windows, closed=False rows)."""
+    from pythonql_spark.operators.window_clause import predicate_windows
+    from pythonql_spark.streaming import stateful_predicate_windows
+
+    start = lambda curr, at, prev, nxt: curr["value"] >= 150
+    end = lambda curr, at, prev, nxt, s_curr, s_at: curr["value"] < 20
+
+    ev = tables["events"].select("user_id", "ts", "value")
+    out = stateful_predicate_windows(
+        ev, start_when=start, end_when=end, only_end=False)
+    got = {(r.user_id, r.s_at, r.e_at, r.n_events, round(r.sum_value, 6))
+           for r in out.collect()}
+
+    batch = predicate_windows(
+        ev, order_by=["ts", "value"], partition_by="user_id",
+        tumbling=True, only_end=False,
+        start_when=start, end_when=end)
+    want = set()
+    for r in batch.collect():
+        want.add((r.user_id, r.s_at, r.e_at, len(r.window),
+                  round(sum(x["value"] for x in r.window), 6)))
+    assert got == want and got
+    # at least one key's trailing window is open at end-of-input
+    assert any(not r.closed for r in batch.collect())
+
+
+def test_stateful_sessionize_batch_flushes_final_sessions(spark, tables):
+    """Batch input: every key's final session must be emitted (the
+    stream emits it via event-time timeout; batch flushes at
+    end-of-input), so total events across sessions == input rows."""
+    from pythonql_spark.streaming import stateful_sessionize
+
+    ev = tables["events"].select("user_id", "ts", "value")
+    sess = stateful_sessionize(ev, gap_ms=30 * 60 * 1000)
+    total = sess.groupBy().sum("n_events").first()[0]
+    assert total == ev.count()
