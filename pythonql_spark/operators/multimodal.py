@@ -190,21 +190,48 @@ def render_tone_wav(id_col, rate: int = 8000, n_samples: int = 400):
 
 def resize_image(df: DataFrame, width: int, height: int,
                  media_col: str = "media", *, fake: bool = False) -> DataFrame:
-    """Resize: binary → binary with updated meta.  Stub keeps bytes,
-    rewrites meta (the schema/partitioning contract is the point)."""
-    if not fake:
-        raise NotImplementedError("no image codec; pass fake=True")
-    return df.withColumn(
-        media_col,
-        F.struct(
-            F.col(f"{media_col}.data").alias("data"),
+    """Resize: binary → binary with updated meta.
+
+    PNG resizes for REAL: stdlib decode → box-filter (png.resize_box)
+    → re-encode, inside Arrow-batched mapInPandas.  ``fake=True`` (or
+    a non-PNG format under fake) keeps the bytes and rewrites meta
+    only — the schema/partitioning contract without a codec."""
+    if fake:
+        return df.withColumn(
+            media_col,
             F.struct(
-                F.col(f"{media_col}.meta.kind").alias("kind"),
-                F.col(f"{media_col}.meta.format").alias("format"),
-                F.lit(width).alias("width"),
-                F.lit(height).alias("height"),
-                F.col(f"{media_col}.meta.duration_ms").alias("duration_ms"),
-            ).alias("meta")))
+                F.col(f"{media_col}.data").alias("data"),
+                F.struct(
+                    F.col(f"{media_col}.meta.kind").alias("kind"),
+                    F.col(f"{media_col}.meta.format").alias("format"),
+                    F.lit(width).alias("width"),
+                    F.lit(height).alias("height"),
+                    F.col(f"{media_col}.meta.duration_ms").alias("duration_ms"),
+                ).alias("meta")))
+
+    cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .png import decode_png, encode_png, resize_box
+        for pdf in batches:
+            out = []
+            for m in pdf[media_col]:
+                data = m["data"] or b""
+                if not data.startswith(b"\x89PNG"):
+                    raise NotImplementedError(
+                        f"no codec for format {m['meta']['format']!r} "
+                        "(PNG resizes natively); pass fake=True")
+                w, h, ch, px = decode_png(data)
+                resized = encode_png(width, height, ch,
+                                     resize_box(w, h, ch, px, width, height))
+                out.append({"data": resized,
+                            "meta": {**m["meta"], "width": width,
+                                     "height": height}})
+            pdf = pdf.copy()
+            pdf[media_col] = out
+            yield pdf[cols]
+
+    return df.mapInPandas(run, df.schema)
 
 
 def sample_frames(df: DataFrame, every_ms: int,
@@ -212,11 +239,15 @@ def sample_frames(df: DataFrame, every_ms: int,
     """Video frame sampling: one output row per sampled frame
     (explode), each row a frame media struct + frame_ts_ms.
 
-    Stub frames are deterministic byte slices; a real implementation
-    replaces the frame extraction only — the explode/partition shape
-    is identical."""
+    REAL for PNG filmstrips — a video surrogate this container can
+    actually decode: frames stacked vertically in one PNG (meta.width
+    is the frame width/height; sprite-sheet layout), ``duration_ms``
+    spread evenly across frames.  Each sampled timestamp slices its
+    frame's scanlines and re-encodes a standalone PNG.  Other formats
+    raise without a codec; ``fake=True`` emits deterministic byte
+    slices — same explode/partition shape, no decode."""
     if not fake:
-        raise NotImplementedError("no video codec; pass fake=True")
+        return _sample_frames_png(df, every_ms, media_col)
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("frame_ts_ms", T.IntegerType()),
                                   T.StructField("frame", T.BinaryType())])
@@ -234,6 +265,42 @@ def sample_frames(df: DataFrame, every_ms: int,
                     rows.append({**{c: r[c] for c in cols},
                                  "frame_ts_ms": ts,
                                  "frame": bytes(data[lo:lo + 16])})
+            yield pd.DataFrame(rows, columns=cols + ["frame_ts_ms", "frame"])
+
+    return df.mapInPandas(run, out_schema)
+
+
+def _sample_frames_png(df: DataFrame, every_ms: int,
+                       media_col: str) -> DataFrame:
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("frame_ts_ms", T.IntegerType()),
+                                  T.StructField("frame", T.BinaryType())])
+    cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .png import decode_png, encode_png
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                m = r[media_col]
+                data = m["data"] or b""
+                if not data.startswith(b"\x89PNG"):
+                    raise NotImplementedError(
+                        f"no codec for format {m['meta']['format']!r} "
+                        "(PNG filmstrips decode natively); pass fake=True")
+                w, h, ch, px = decode_png(data)
+                frame_h = m["meta"]["width"] or w   # square frames
+                n_frames = max(h // frame_h, 1)
+                dur = m["meta"]["duration_ms"] or n_frames
+                stride = w * ch
+                for ts in range(0, max(dur, 1), every_ms):
+                    fi = min(ts * n_frames // max(dur, 1), n_frames - 1)
+                    frame_px = px[fi * frame_h * stride:
+                                  (fi + 1) * frame_h * stride]
+                    rows.append({**{c: r[c] for c in cols},
+                                 "frame_ts_ms": ts,
+                                 "frame": encode_png(w, frame_h, ch,
+                                                     frame_px)})
             yield pd.DataFrame(rows, columns=cols + ["frame_ts_ms", "frame"])
 
     return df.mapInPandas(run, out_schema)
@@ -260,6 +327,29 @@ def render_text_png(text_col, side: int = 8):
 
     return render(text_col if isinstance(text_col, F.Column)
                   else F.col(text_col))
+
+
+def render_filmstrip_png(id_col, side: int = 8, n_frames: int = 4):
+    """binary Column: a deterministic PNG filmstrip (``n_frames``
+    square frames stacked vertically, sprite-sheet layout) whose
+    per-frame intensity derives from the id — real decodable "video"
+    for the sample_frames operator (testdata ships no media column)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .png import encode_png
+
+    @pandas_udf("binary")
+    def render(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            px = bytearray()
+            for f in range(n_frames):
+                px += bytes([(int(i) * 31 + f * 40) % 256]) * (side * side)
+            out.append(encode_png(side, side * n_frames, 1, bytes(px)))
+        return pd.Series(out)
+
+    return render(id_col if isinstance(id_col, F.Column)
+                  else F.col(id_col))
 
 
 def make_media(data_col: str, kind: str, fmt: str,

@@ -132,6 +132,32 @@ def mean_intensity(pixels, channels: int) -> float:
     return sum(pixels) / len(pixels) if pixels else 0.0
 
 
+def resize_box(width: int, height: int, channels: int, pixels,
+               new_w: int, new_h: int) -> bytearray:
+    """Box-filter resize: each output pixel is the mean of its source
+    box ``[floor(x*w/nw), floor((x+1)*w/nw)) × [floor(y*h/nh),
+    floor((y+1)*h/nh))`` per channel — exact average on integer
+    downscale, nearest-neighbour degenerate case on upscale."""
+    if new_w <= 0 or new_h <= 0:
+        raise ValueError("target dimensions must be positive")
+    out = bytearray(new_w * new_h * channels)
+    for oy in range(new_h):
+        y0 = oy * height // new_h
+        y1 = max((oy + 1) * height // new_h, y0 + 1)
+        for ox in range(new_w):
+            x0 = ox * width // new_w
+            x1 = max((ox + 1) * width // new_w, x0 + 1)
+            n = (y1 - y0) * (x1 - x0)
+            for c in range(channels):
+                total = 0
+                for sy in range(y0, y1):
+                    row = sy * width * channels
+                    for sx in range(x0, x1):
+                        total += pixels[row + sx * channels + c]
+                out[(oy * new_w + ox) * channels + c] = total // n
+    return out
+
+
 def encode_png(width: int, height: int, channels: int,
                pixels: bytes) -> bytes:
     """Minimal non-interlaced 8-bit encoder (filter 0 on every line);

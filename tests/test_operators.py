@@ -817,3 +817,87 @@ def test_multimodal_decodes_real_wav(spark):
            .select(MM.make_media("data", "audio", "mp3").alias("media")))
     with pytest.raises(Exception):
         MM.decode_audio(bad).collect()
+
+
+def test_resize_image_real_png(spark):
+    """Real PNG resize: decode → box filter → re-encode, distributed.
+    A 2x2-block checkerboard downscaled 8x8→4x4 averages each block
+    pair to 127; a constant image stays constant at any size."""
+    from pythonql_spark.operators.png import decode_png, encode_png
+
+    checker = bytes(
+        (0 if ((x // 2) + (y // 2)) % 2 == 0 else 255)
+        for y in range(8) for x in range(8))
+    const = bytes([200]) * 64
+    df = (spark.createDataFrame(
+            [(0, encode_png(8, 8, 1, checker)),
+             (1, encode_png(8, 8, 1, const))],
+            "id long, data binary")
+          .select("id", MM.make_media("data", "image", "png", 8, 8)
+                  .alias("media")))
+
+    out = {r.id: r for r in
+           MM.resize_image(df, 4, 4).select("id", "media").collect()}
+    for i in (0, 1):
+        assert (out[i].media.meta.width, out[i].media.meta.height) == (4, 4)
+    w, h, ch, px = decode_png(bytes(out[1].media.data))
+    assert (w, h, ch) == (4, 4, 1) and set(px) == {200}
+    w, h, ch, px = decode_png(bytes(out[0].media.data))
+    # each 1x1 target pixel averages a 2x2 source box spanning one
+    # checker cell boundary? no: 8->4 means 2x2 boxes, each inside one
+    # 2x2 checker cell -> pure 0 or 255, alternating
+    assert sorted(set(px)) == [0, 255]
+    assert px[0] == 0 and px[1] == 255
+
+    # 8 -> 2: each 4x4 box covers four 2x2 cells (two 0, two 255) -> 127
+    out2 = MM.resize_image(df.filter("id = 0"), 2, 2).first()
+    _, _, _, px2 = decode_png(bytes(out2.media.data))
+    assert set(px2) == {127}
+
+
+def test_resize_image_real_upscale_and_rgb(spark):
+    from pythonql_spark.operators.png import decode_png, encode_png
+
+    rgb = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])  # 2x2 RGB
+    df = (spark.createDataFrame([(0, encode_png(2, 2, 3, rgb))],
+                                "id long, data binary")
+          .select(MM.make_media("data", "image", "png", 2, 2)
+                  .alias("media")))
+    out = MM.resize_image(df, 4, 4).first()
+    w, h, ch, px = decode_png(bytes(out.media.data))
+    assert (w, h, ch) == (4, 4, 3)
+    assert tuple(px[0:3]) == (255, 0, 0)       # top-left replicated
+    assert tuple(px[3 * 3:3 * 3 + 3]) == (0, 255, 0)
+
+
+def test_sample_frames_real_png_filmstrip(spark):
+    """Real frame sampling from a PNG filmstrip: every sampled frame
+    is a standalone decodable PNG whose content matches its frame's
+    scanlines (per-frame constant intensity here)."""
+    from pythonql_spark.operators.png import decode_png
+
+    df = (spark.range(3)
+          .select("id", MM.render_filmstrip_png("id", side=6, n_frames=4)
+                  .alias("strip"))
+          .select("id", MM.make_media("strip", "video", "png", 6, 24,
+                                      duration_ms=1000).alias("media")))
+    frames = MM.sample_frames(df, every_ms=250)
+    rows = frames.select("id", "frame_ts_ms", "frame").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.id, []).append(r)
+    assert set(len(v) for v in per.values()) == {4}   # 1000ms / 250ms
+    for i, rs in per.items():
+        for r in sorted(rs, key=lambda x: x.frame_ts_ms):
+            w, h, ch, px = decode_png(bytes(r.frame))
+            assert (w, h, ch) == (6, 6, 1)
+            fi = r.frame_ts_ms * 4 // 1000
+            assert set(px) == {(i * 31 + fi * 40) % 256}
+
+
+def test_sample_frames_real_non_png_raises(spark):
+    df = (spark.createDataFrame([(0, b"notapng")], "id long, data binary")
+          .select(MM.make_media("data", "video", "mp4", 4, 4,
+                                duration_ms=100).alias("media")))
+    with pytest.raises(Exception):
+        MM.sample_frames(df, every_ms=50).collect()
