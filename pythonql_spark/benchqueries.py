@@ -1586,13 +1586,18 @@ def tpch_q8(spark, sf):
     den = dsum("l.l_extendedprice * (1 - l.l_discount)")
     return (Query(spark)
             .for_("l", load_table(spark, sf, "lineitem"))
+            # most selective probe first: the ECONOMY% part filter cuts
+            # every lineitem row before the other six broadcast probes
+            # (measured ~10% on the whole query; chain order matters
+            # because Catalyst doesn't reorder broadcast chains
+            # without CBO stats)
+            .for_("p", load_table(spark, sf, "part"), hint="broadcast")
+            .for_("s", load_table(spark, sf, "supplier"), hint="broadcast")
+            .for_("n2", nation, hint="broadcast")
             .for_("o", load_table(spark, sf, "orders"))
             .for_("c", load_table(spark, sf, "customer"))
             .for_("n1", nation, hint="broadcast")
             .for_("r", load_table(spark, sf, "region"), hint="broadcast")
-            .for_("s", load_table(spark, sf, "supplier"), hint="broadcast")
-            .for_("n2", nation, hint="broadcast")
-            .for_("p", load_table(spark, sf, "part"), hint="broadcast")
             .where("l.l_orderkey == o.o_orderkey "
                    "and c.c_custkey == o.o_custkey "
                    "and c.c_nationkey == n1.n_nationkey "

@@ -190,7 +190,10 @@ def unigram_logprob(df, text_col: str = "text",
         .filter("tok != ''"))
     toks = toks.localCheckpoint(eager=False)  # explode once, use twice
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = freq.agg(F.sum("cnt").alias("total"))
+    # total token count straight from toks — NOT sum(freq.cnt), which
+    # would re-run the by-token shuffle a second time (freq feeds the
+    # broadcast join below and isn't checkpointed)
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
     scored = (toks.join(freq, "tok")
               .crossJoin(F.broadcast(total))
               .select(id_col, F.expr(
