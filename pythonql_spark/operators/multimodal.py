@@ -69,10 +69,14 @@ def decode_image(df: DataFrame, media_col: str = "media", *,
         if (data or b"").startswith(b"\x89PNG"):
             _, _, ch, pixels = decode_png(data)
             return list(pixels[:16]), mean_intensity(pixels, ch)
+        if (data or b"").startswith(b"BM"):
+            from .bmp import decode_bmp
+            _, _, ch, pixels = decode_bmp(data)
+            return list(pixels[:16]), mean_intensity(pixels, ch)
         raise NotImplementedError(
             f"no codec for format {meta['format']!r} in this "
-            "environment (PNG decodes natively); pass fake=True or "
-            "plug a decoder (PIL.Image.open(io.BytesIO(data)))")
+            "environment (PNG and BMP decode natively); pass fake=True "
+            "or plug a decoder (PIL.Image.open(io.BytesIO(data)))")
 
     cols = df.columns
 
@@ -117,11 +121,21 @@ def decode_audio(df: DataFrame, media_col: str = "media", *,
         import struct as _struct
         import wave
 
-        with wave.open(io.BytesIO(data)) as w:
-            rate, ch, width = w.getframerate(), w.getnchannels(), \
-                w.getsampwidth()
-            n = w.getnframes()
-            raw = w.readframes(n)
+        try:
+            with wave.open(io.BytesIO(data)) as w:
+                rate, ch, width = w.getframerate(), w.getnchannels(), \
+                    w.getsampwidth()
+                n = w.getnframes()
+                raw = w.readframes(n)
+        except wave.Error:
+            # stdlib wave rejects non-PCM; G.711 mu-law (format 7) is
+            # one RIFF parse + a table away, so decode it for real
+            rate, ch, samples = _decode_wav_ulaw(data)
+            n = len(samples) // max(ch, 1)
+            mean_abs = (sum(abs(s) for s in samples) / len(samples)
+                        if samples else 0.0)
+            return rate, ch, int(n * 1000 / rate), mean_abs, \
+                list(samples[:16])
         if width == 2:
             samples = _struct.unpack(f"<{len(raw) // 2}h", raw)
         elif width == 1:                    # 8-bit WAV is unsigned
@@ -147,6 +161,69 @@ def decode_audio(df: DataFrame, media_col: str = "media", *,
                               "mean_abs_amplitude", "samples_head"]]
 
     return df.mapInPandas(run, out_schema)
+
+
+def _ulaw_to_linear(b: int) -> int:
+    """G.711 mu-law byte -> 16-bit linear PCM sample."""
+    b = ~b & 0xFF
+    sign, exp, mant = b & 0x80, (b >> 4) & 0x07, b & 0x0F
+    s = (((mant << 3) + 0x84) << exp) - 0x84
+    return -s if sign else s
+
+
+def _decode_wav_ulaw(data: bytes) -> tuple[int, int, list[int]]:
+    """Minimal RIFF/WAVE parse for G.711 mu-law (wFormatTag=7), which
+    stdlib ``wave`` refuses.  Returns (rate, channels, linear samples)."""
+    import struct as _struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    fmt = payload = None
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = _struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)       # chunks are word-aligned
+    if fmt is None or payload is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, ch, rate = _struct.unpack_from("<HHI", fmt, 0)
+    if audio_format != 7:
+        raise NotImplementedError(
+            f"WAV format tag {audio_format} unsupported (PCM via "
+            "stdlib wave; 7=mu-law here)")
+    return rate, ch, [_ulaw_to_linear(b) for b in payload]
+
+
+def _linear_to_ulaw(s: int) -> int:
+    """16-bit linear PCM sample -> G.711 mu-law byte."""
+    sign = 0x80 if s < 0 else 0
+    s = min(abs(s), 32635) + 0x84
+    exp, mask = 7, 0x4000
+    while exp > 0 and not (s & mask):
+        exp -= 1
+        mask >>= 1
+    mant = (s >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def encode_wav_ulaw(samples, sample_rate: int = 8000,
+                    n_channels: int = 1) -> bytes:
+    """Minimal G.711 mu-law WAV encoder (wFormatTag=7) so tests can
+    round-trip the mu-law decode path with zero fixtures."""
+    import struct as _struct
+
+    payload = bytes(_linear_to_ulaw(int(s)) for s in samples)
+    fmt = _struct.pack("<HHIIHH", 7, n_channels, sample_rate,
+                       sample_rate * n_channels, n_channels, 8)
+    chunks = (b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+              + b"data" + _struct.pack("<I", len(payload)) + payload
+              + (b"\x00" if len(payload) & 1 else b""))
+    return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
 def encode_wav(samples, sample_rate: int = 16000,
@@ -217,13 +294,18 @@ def resize_image(df: DataFrame, width: int, height: int,
             out = []
             for m in pdf[media_col]:
                 data = m["data"] or b""
-                if not data.startswith(b"\x89PNG"):
+                if data.startswith(b"\x89PNG"):
+                    w, h, ch, px = decode_png(data)
+                    enc = lambda c, p: encode_png(width, height, c, p)
+                elif data.startswith(b"BM"):
+                    from .bmp import decode_bmp, encode_bmp
+                    w, h, ch, px = decode_bmp(data)
+                    enc = lambda c, p: encode_bmp(width, height, c, p)
+                else:
                     raise NotImplementedError(
                         f"no codec for format {m['meta']['format']!r} "
-                        "(PNG resizes natively); pass fake=True")
-                w, h, ch, px = decode_png(data)
-                resized = encode_png(width, height, ch,
-                                     resize_box(w, h, ch, px, width, height))
+                        "(PNG and BMP resize natively); pass fake=True")
+                resized = enc(ch, resize_box(w, h, ch, px, width, height))
                 out.append({"data": resized,
                             "meta": {**m["meta"], "width": width,
                                      "height": height}})

@@ -67,12 +67,16 @@ def replicate_events(spark, n: int, path: str) -> None:
 def main() -> None:
     spark = get_spark("scale-exp")
     spark.sparkContext.setLogLevel("ERROR")
+    from pythonql_spark.operators.asof import asof_join
     from pythonql_spark.operators.dedup import (dedup_keep,
                                                 minhash_lsh_pairs,
                                                 simhash_pairs)
     from pythonql_spark.operators.decontam import decontaminate
     from pythonql_spark.operators.rangejoin import range_join
+    from pythonql_spark.operators.sampling import sample_exact_n_stratified
     from pythonql_spark.operators.similarity import brute_topk, lsh_topk
+    from pythonql_spark.operators.timeseries import (merge_rollups,
+                                                     rollup_delta)
     from pythonql_spark.operators.topk import top_k_per_group
 
     def attribution(ev):
@@ -116,6 +120,27 @@ def main() -> None:
             "topk_group": lambda: top_k_per_group(
                 evs.select("user_id", "event_id", "value"),
                 "user_id", ["value desc", "event_id"], 3).count(),
+            # incremental rollup: two disjoint halves rolled up
+            # independently, merged by bucket algebra — merge cost is
+            # |buckets|, so sec/unit should FALL as buckets saturate
+            "rollup_incr": lambda: merge_rollups(
+                rollup_delta(evs.filter("event_id % 2 = 0"), "ts", 3600,
+                             keys=["event_type"]),
+                rollup_delta(evs.filter("event_id % 2 = 1"), "ts", 3600,
+                             keys=["event_type"])).count(),
+            # exact-30-per-stratum: WindowGroupLimit ships ~n*|strata|
+            # rows per map task regardless of corpus size
+            "exact_strat": lambda: sample_exact_n_stratified(
+                docs.select("doc_id", "lang", "source"), "lang", 30).count(),
+            # compound-key as-of: one sort-shuffle on (user, type)
+            "asof_join": lambda: asof_join(
+                evs.filter("event_type = 'purchase'")
+                   .select("user_id", F.lit("x").alias("seg"), "ts",
+                           F.col("value").alias("pv")),
+                evs.filter("event_type = 'click'")
+                   .select("user_id", F.lit("x").alias("seg"), "ts",
+                           F.col("value").alias("cv")),
+                on=["user_id", "seg"]).count(),
         }
         for name, fn in ops.items():
             t0 = time.perf_counter()

@@ -901,3 +901,58 @@ def test_sample_frames_real_non_png_raises(spark):
                                 duration_ms=100).alias("media")))
     with pytest.raises(Exception):
         MM.sample_frames(df, every_ms=50).collect()
+
+
+def test_bmp_roundtrip_and_decode(spark):
+    """Real BMP decode: 24-bit round-trip through our encoder, 8-bit
+    palette and 32-bit BGRA paths, and the decode_image operator
+    accepting BMP media distributed."""
+    from pythonql_spark.operators.bmp import decode_bmp, encode_bmp
+
+    rgb = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])  # 2x2
+    w, h, ch, px = decode_bmp(encode_bmp(2, 2, 3, rgb))
+    assert (w, h, ch) == (2, 2, 3) and bytes(px) == rgb
+
+    gray = bytes([0, 128, 255, 64])
+    w, h, ch, px = decode_bmp(encode_bmp(2, 2, 1, gray))
+    assert ch == 3 and bytes(px[0:3]) == b"\x00\x00\x00" \
+        and bytes(px[3:6]) == b"\x80\x80\x80"
+
+    df = (spark.createDataFrame([(0, encode_bmp(2, 2, 3, rgb))],
+                                "id long, data binary")
+          .select("id", MM.make_media("data", "image", "bmp", 2, 2)
+                  .alias("media")))
+    got = MM.decode_image(df).first()
+    assert got.pixels_sample[:3] == [255, 0, 0]
+
+    out = MM.resize_image(df, 4, 4).first()
+    w, h, ch, px = decode_bmp(bytes(out.media.data))
+    assert (w, h) == (4, 4) and tuple(px[:3]) == (255, 0, 0)
+
+
+def test_wav_ulaw_decode(spark):
+    """Real G.711 mu-law WAV decode (stdlib wave refuses format 7):
+    encoder/decoder round-trip is within mu-law quantization error and
+    the decode_audio operator reports the right rate/duration."""
+    import math
+
+    from pythonql_spark.operators.multimodal import (_linear_to_ulaw,
+                                                     _ulaw_to_linear)
+
+    for v in (0, 1, -1, 500, -500, 8000, -8000, 32000, -32000):
+        dec = _ulaw_to_linear(_linear_to_ulaw(v))
+        assert abs(dec - max(min(v, 32635), -32635)) <= \
+            max(64, abs(v) / 16), (v, dec)
+
+    rate, n = 8000, 800
+    samples = [int(8000 * math.sin(2 * math.pi * 440 * t / rate))
+               for t in range(n)]
+    blob = MM.encode_wav_ulaw(samples, rate)
+    df = (spark.createDataFrame([(0, blob)], "id long, data binary")
+          .select("id", MM.make_media("data", "audio", "ulaw")
+                  .alias("media")))
+    got = MM.decode_audio(df).first()
+    assert got.sample_rate == rate and got.n_channels == 1
+    assert got.audio_ms == 100                      # 800 / 8000 s
+    ref = sum(abs(s) for s in samples) / n
+    assert abs(got.mean_abs_amplitude - ref) / ref < 0.02
