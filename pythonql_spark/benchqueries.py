@@ -893,6 +893,36 @@ def media_frames(spark, sf):
             .orderBy("doc_id"))
 
 
+@q("media_gif", None)  # rows-only: binary frame extraction is not SQL
+def media_gif(spark, sf):
+    """Real ANIMATED media pipeline: synthesize an animated GIF per
+    document (4 frames, real 250 ms Graphic-Control delays), decode
+    the LZW stream and walk the true frame timeline in sample_frames,
+    re-encode each sampled frame as PNG, decode and aggregate — a
+    genuine multi-frame format end-to-end, no fake= stub."""
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.operators import multimodal as MM
+
+    docs = (load_table(spark, sf, "documents")
+            .filter(F.col("doc_id") < 64)
+            .select("doc_id",
+                    MM.render_gif_anim("doc_id", side=6, n_frames=4)
+                    .alias("anim")))
+    media = docs.select(
+        "doc_id", MM.make_media("anim", "video", "gif", 6, 6,
+                                duration_ms=1000).alias("media"))
+    frames = (MM.sample_frames(media, every_ms=250)
+              .select("doc_id", "frame_ts_ms",
+                      MM.make_media("frame", "image", "png", 6, 6)
+                      .alias("media")))
+    return (MM.decode_image(frames)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_frames"),
+                 F.round(F.avg("mean_intensity"), 6).alias("avg_intensity"))
+            .orderBy("doc_id"))
+
+
 @q("sample_exact_n", None)  # oracle registered below (needs shuffle_key)
 def sample_exact_n_q(spark, sf):
     """Deterministic exact-200 uniform sample (smallest seeded id

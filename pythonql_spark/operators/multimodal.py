@@ -73,10 +73,15 @@ def decode_image(df: DataFrame, media_col: str = "media", *,
             from .bmp import decode_bmp
             _, _, ch, pixels = decode_bmp(data)
             return list(pixels[:16]), mean_intensity(pixels, ch)
+        if (data or b"").startswith(b"GIF8"):
+            from .gif import decode_gif
+            _, _, frames = decode_gif(data)
+            pixels = frames[0][1]               # first frame
+            return list(pixels[:16]), mean_intensity(pixels, 3)
         raise NotImplementedError(
             f"no codec for format {meta['format']!r} in this "
-            "environment (PNG and BMP decode natively); pass fake=True "
-            "or plug a decoder (PIL.Image.open(io.BytesIO(data)))")
+            "environment (PNG, BMP and GIF decode natively); pass "
+            "fake=True or plug a decoder (PIL.Image.open(...))")
 
     cols = df.columns
 
@@ -321,15 +326,20 @@ def sample_frames(df: DataFrame, every_ms: int,
     """Video frame sampling: one output row per sampled frame
     (explode), each row a frame media struct + frame_ts_ms.
 
-    REAL for PNG filmstrips — a video surrogate this container can
-    actually decode: frames stacked vertically in one PNG (meta.width
-    is the frame width/height; sprite-sheet layout), ``duration_ms``
-    spread evenly across frames.  Each sampled timestamp slices its
-    frame's scanlines and re-encodes a standalone PNG.  Other formats
-    raise without a codec; ``fake=True`` emits deterministic byte
-    slices — same explode/partition shape, no decode."""
+    REAL for two formats this container can actually decode:
+
+    * animated GIF (operators/gif.py, LZW) — true multi-frame media
+      with per-frame delays from the Graphic Control Extension; the
+      sampled timestamp walks the real frame timeline.
+    * PNG filmstrips — frames stacked vertically in one PNG
+      (meta.width is the frame width/height; sprite-sheet layout),
+      ``duration_ms`` spread evenly across frames.
+
+    Each sampled frame is re-encoded as a standalone PNG.  Other
+    formats raise without a codec; ``fake=True`` emits deterministic
+    byte slices — same explode/partition shape, no decode."""
     if not fake:
-        return _sample_frames_png(df, every_ms, media_col)
+        return _sample_frames_real(df, every_ms, media_col)
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("frame_ts_ms", T.IntegerType()),
                                   T.StructField("frame", T.BinaryType())])
@@ -352,37 +362,62 @@ def sample_frames(df: DataFrame, every_ms: int,
     return df.mapInPandas(run, out_schema)
 
 
-def _sample_frames_png(df: DataFrame, every_ms: int,
-                       media_col: str) -> DataFrame:
+def _sample_frames_real(df: DataFrame, every_ms: int,
+                        media_col: str) -> DataFrame:
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("frame_ts_ms", T.IntegerType()),
                                   T.StructField("frame", T.BinaryType())])
     cols = df.columns
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def png_frames(m, data):
+        """PNG filmstrip: square frames stacked vertically, duration
+        spread evenly."""
         from .png import decode_png, encode_png
+        w, h, ch, px = decode_png(data)
+        frame_h = m["meta"]["width"] or w   # square frames
+        n_frames = max(h // frame_h, 1)
+        dur = m["meta"]["duration_ms"] or n_frames
+        stride = w * ch
+        for ts in range(0, max(dur, 1), every_ms):
+            fi = min(ts * n_frames // max(dur, 1), n_frames - 1)
+            yield ts, encode_png(w, frame_h, ch,
+                                 px[fi * frame_h * stride:
+                                    (fi + 1) * frame_h * stride])
+
+    def gif_frames(m, data):
+        """Animated GIF: real per-frame delays drive the timeline."""
+        from .gif import decode_gif
+        from .png import encode_png
+        w, h, frames = decode_gif(data)
+        ends, t = [], 0
+        for delay_ms, _ in frames:
+            t += delay_ms
+            ends.append(t)
+        dur = m["meta"]["duration_ms"] or t
+        fi = 0
+        for ts in range(0, max(dur, 1), every_ms):
+            while fi < len(frames) - 1 and ts >= ends[fi]:
+                fi += 1
+            yield ts, encode_png(w, h, 3, frames[fi][1])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 m = r[media_col]
                 data = m["data"] or b""
-                if not data.startswith(b"\x89PNG"):
+                if data.startswith(b"\x89PNG"):
+                    gen = png_frames(m, data)
+                elif data.startswith(b"GIF8"):
+                    gen = gif_frames(m, data)
+                else:
                     raise NotImplementedError(
                         f"no codec for format {m['meta']['format']!r} "
-                        "(PNG filmstrips decode natively); pass fake=True")
-                w, h, ch, px = decode_png(data)
-                frame_h = m["meta"]["width"] or w   # square frames
-                n_frames = max(h // frame_h, 1)
-                dur = m["meta"]["duration_ms"] or n_frames
-                stride = w * ch
-                for ts in range(0, max(dur, 1), every_ms):
-                    fi = min(ts * n_frames // max(dur, 1), n_frames - 1)
-                    frame_px = px[fi * frame_h * stride:
-                                  (fi + 1) * frame_h * stride]
+                        "(PNG filmstrips and animated GIF decode "
+                        "natively); pass fake=True")
+                for ts, frame in gen:
                     rows.append({**{c: r[c] for c in cols},
-                                 "frame_ts_ms": ts,
-                                 "frame": encode_png(w, frame_h, ch,
-                                                     frame_px)})
+                                 "frame_ts_ms": ts, "frame": frame})
             yield pd.DataFrame(rows, columns=cols + ["frame_ts_ms", "frame"])
 
     return df.mapInPandas(run, out_schema)
@@ -428,6 +463,29 @@ def render_filmstrip_png(id_col, side: int = 8, n_frames: int = 4):
             for f in range(n_frames):
                 px += bytes([(int(i) * 31 + f * 40) % 256]) * (side * side)
             out.append(encode_png(side, side * n_frames, 1, bytes(px)))
+        return pd.Series(out)
+
+    return render(id_col if isinstance(id_col, F.Column)
+                  else F.col(id_col))
+
+
+def render_gif_anim(id_col, side: int = 8, n_frames: int = 4,
+                    delay_ms: int = 250):
+    """binary Column: a deterministic animated GIF (``n_frames``
+    frames, real per-frame delays) whose per-frame intensity derives
+    from the id — genuine multi-frame media for sample_frames."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .gif import encode_gif
+
+    @pandas_udf("binary")
+    def render(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            frames = [(delay_ms,
+                       bytes([(int(i) * 31 + f * 40) % 256]) * (side * side))
+                      for f in range(n_frames)]
+            out.append(encode_gif(side, side, frames))
         return pd.Series(out)
 
     return render(id_col if isinstance(id_col, F.Column)

@@ -956,3 +956,52 @@ def test_wav_ulaw_decode(spark):
     assert got.audio_ms == 100                      # 800 / 8000 s
     ref = sum(abs(s) for s in samples) / n
     assert abs(got.mean_abs_amplitude - ref) / ref < 0.02
+
+
+def test_gif_codec_roundtrip():
+    """LZW round-trip incl. code widening and multi-subblock streams;
+    per-frame delays surface from the Graphic Control Extension."""
+    import random
+
+    from pythonql_spark.operators.gif import decode_gif, encode_gif
+
+    frames = [(100, bytes([v]) * 16) for v in (10, 120, 250)]
+    w, h, out = decode_gif(encode_gif(4, 4, frames))
+    assert (w, h) == (4, 4) and len(out) == 3
+    for (dly, px), v in zip(out, (10, 120, 250)):
+        assert dly == 100 and set(px) == {v}
+
+    random.seed(1)
+    big = bytes(random.randrange(256) for _ in range(64 * 64))
+    _, _, out2 = decode_gif(encode_gif(64, 64, [(50, big)]))
+    px = out2[0][1]
+    assert all(px[3 * i] == big[i] for i in range(64 * 64))
+
+
+def test_sample_frames_real_animated_gif(spark):
+    """Real animated-GIF frame sampling: the sampled timestamp walks
+    the actual per-frame delay timeline; every emitted frame is a
+    standalone decodable PNG with that frame's content."""
+    from pythonql_spark.operators.png import decode_png
+
+    df = (spark.range(3)
+          .select("id", MM.render_gif_anim("id", side=6, n_frames=4,
+                                           delay_ms=250).alias("anim"))
+          .select("id", MM.make_media("anim", "video", "gif", 6, 6,
+                                      duration_ms=1000).alias("media")))
+    rows = MM.sample_frames(df, every_ms=250).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.id, []).append(r)
+    assert set(len(v) for v in per.values()) == {4}
+    for i, rs in per.items():
+        for r in sorted(rs, key=lambda x: x.frame_ts_ms):
+            w, h, ch, px = decode_png(bytes(r.frame))
+            assert (w, h, ch) == (6, 6, 3)
+            fi = r.frame_ts_ms // 250
+            assert set(px) == {(i * 31 + fi * 40) % 256}
+
+    # decode_image takes the first frame of an animation
+    got = MM.decode_image(df).orderBy("id").collect()
+    assert [r.mean_intensity for r in got] == \
+        [float((i * 31) % 256) for i in range(3)]
