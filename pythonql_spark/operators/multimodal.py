@@ -78,10 +78,14 @@ def decode_image(df: DataFrame, media_col: str = "media", *,
             _, _, frames = decode_gif(data)
             pixels = frames[0][1]               # first frame
             return list(pixels[:16]), mean_intensity(pixels, 3)
+        if (data or b"").startswith(b"\xFF\xD8"):
+            from .jpeg import decode_jpeg
+            _, _, ch, pixels = decode_jpeg(data)
+            return list(pixels[:16]), mean_intensity(pixels, ch)
         raise NotImplementedError(
             f"no codec for format {meta['format']!r} in this "
-            "environment (PNG, BMP and GIF decode natively); pass "
-            "fake=True or plug a decoder (PIL.Image.open(...))")
+            "environment (PNG, BMP, GIF and baseline JPEG decode "
+            "natively); pass fake=True or plug a decoder")
 
     cols = df.columns
 
@@ -306,10 +310,15 @@ def resize_image(df: DataFrame, width: int, height: int,
                     from .bmp import decode_bmp, encode_bmp
                     w, h, ch, px = decode_bmp(data)
                     enc = lambda c, p: encode_bmp(width, height, c, p)
+                elif data.startswith(b"\xFF\xD8"):
+                    from .jpeg import decode_jpeg, encode_jpeg
+                    w, h, ch, px = decode_jpeg(data)
+                    enc = lambda c, p: encode_jpeg(width, height, c, p)
                 else:
                     raise NotImplementedError(
                         f"no codec for format {m['meta']['format']!r} "
-                        "(PNG and BMP resize natively); pass fake=True")
+                        "(PNG, BMP and JPEG resize natively); pass "
+                        "fake=True")
                 resized = enc(ch, resize_box(w, h, ch, px, width, height))
                 out.append({"data": resized,
                             "meta": {**m["meta"], "width": width,

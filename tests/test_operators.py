@@ -1005,3 +1005,52 @@ def test_sample_frames_real_animated_gif(spark):
     got = MM.decode_image(df).orderBy("id").collect()
     assert [r.mean_intensity for r in got] == \
         [float((i * 31) % 256) for i in range(3)]
+
+
+def test_jpeg_codec_roundtrip():
+    """Baseline JPEG: constant blocks are exact, smooth gradients stay
+    within ~1 intensity level at q90 (4:4:4) / a few levels at 4:2:0,
+    odd dimensions exercise partial MCUs on both axes."""
+    from pythonql_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    w, h, ch, px = decode_jpeg(encode_jpeg(16, 16, 1, bytes([128]) * 256))
+    assert (w, h, ch) == (16, 16, 1) and set(px) == {128}
+
+    grad = bytes((x * 8 + y * 4) % 256 for y in range(16) for x in range(16))
+    _, _, _, px = decode_jpeg(encode_jpeg(16, 16, 1, grad, quality=90))
+    assert sum(abs(a - b) for a, b in zip(px, grad)) / len(grad) < 1.5
+
+    rgb = bytes(b for y in range(24) for x in range(24)
+                for b in ((x * 10) % 256, (y * 10) % 256, ((x + y) * 5) % 256))
+    for sub, tol in ((False, 1.5), (True, 5.0)):
+        W, H, C, px = decode_jpeg(
+            encode_jpeg(24, 24, 3, rgb, quality=90, subsample=sub))
+        assert (W, H, C) == (24, 24, 3)
+        assert sum(abs(a - b) for a, b in zip(px, rgb)) / len(rgb) < tol
+
+    W, H, C, px = decode_jpeg(encode_jpeg(
+        21, 13, 3, bytes([(i * 7) % 256 for i in range(21 * 13 * 3)]),
+        subsample=True))
+    assert (W, H, C, len(px)) == (21, 13, 3, 21 * 13 * 3)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+
+
+def test_jpeg_through_operators(spark):
+    """decode_image and resize_image accept real JPEG media
+    distributed; resize re-encodes JPEG."""
+    from pythonql_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    blob = encode_jpeg(8, 8, 3, bytes([200, 30, 90]) * 64, quality=95)
+    df = (spark.createDataFrame([(0, blob)], "id long, data binary")
+          .select("id", MM.make_media("data", "image", "jpeg", 8, 8)
+                  .alias("media")))
+    got = MM.decode_image(df).first()
+    assert got.pixels_sample[:3] == [200, 30, 90]
+
+    out = MM.resize_image(df, 4, 4).first()
+    w, h, ch, px = decode_jpeg(bytes(out.media.data))
+    assert (w, h, ch) == (4, 4, 3)
+    assert abs(px[0] - 200) <= 3 and abs(px[1] - 30) <= 3
