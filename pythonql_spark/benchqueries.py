@@ -842,6 +842,52 @@ def text_repetition(spark, sf):
         TX.repetition_ratio("text", unit="line") + " as line_rep")
 
 
+# Deterministic "line-ification" of the single-line synthetic corpus so
+# the line-structure quality rules have real structure to measure: every
+# ' the ' starts a new bulleted line, every ' data ' ends the previous
+# line with an ellipsis.  Pure literal replace()s — identical semantics
+# in Spark SQL and DuckDB, so the SAME expression feeds both sides.
+_LINED = ("replace(replace(text, ' the ', chr(10) || '- the '), "
+          "' data ', '...' || chr(10) || 'data ')")
+
+
+@q("text_gopher", None)
+def text_gopher(spark, sf):
+    """Gopher (Rae et al. 2021) document-quality rule metrics + the
+    keep/drop verdict — all pure JVM scalar expressions fused into the
+    scan (no shuffle, no UDF; at 100 TB this is a projection pass)."""
+    from pythonql_spark.operators import text as TX
+    docs = (load_table(spark, sf, "documents")
+            .selectExpr("doc_id", _LINED + " as text"))
+    m = TX.gopher_metrics("text")
+    return docs.selectExpr(
+        "doc_id", *[f"{v} as {k}" for k, v in m.items()],
+        TX.gopher_pass("text", min_words=10) + " as keep")
+
+
+@q("text_dup_lines", None)
+def text_dup_lines(spark, sf):
+    """Gopher repetition rule: per-doc fraction of characters in
+    duplicated lines.  The corpus is word-wrapped one word per line so
+    duplicate lines actually occur; the shuffle carries (doc, hash,
+    length) only — never text — so the shape holds at 100 TB."""
+    from pythonql_spark.operators import text as TX
+    docs = (load_table(spark, sf, "documents")
+            .selectExpr("doc_id",
+                        "replace(trim(text), ' ', chr(10)) as text"))
+    return TX.dup_line_fraction(docs)
+
+
+@q("text_top_ngram", None)
+def text_top_ngram(spark, sf):
+    """Gopher repetition rule: fraction of characters covered by the
+    most frequent word 2-gram (deterministic tie-break, top-1 via
+    WindowGroupLimit so the per-doc top-k is partial-pushed)."""
+    from pythonql_spark.operators import text as TX
+    docs = load_table(spark, sf, "documents")
+    return TX.top_ngram_fraction(docs, n=2)
+
+
 @q("media_decode", None)  # rows-only: binary image decode is not SQL
 def media_decode(spark, sf):
     """Real multimodal decode path: synthesize one PNG per document
@@ -2389,6 +2435,17 @@ def _register_generated_oracles():
         f"{TX.repetition_ratio('text', 'duck', unit='word')} AS word_rep, "
         f"{TX.repetition_ratio('text', 'duck', unit='line')} AS line_rep "
         f"FROM documents")
+    gm = TX.gopher_metrics("text", "duck")
+    ORACLE["text_gopher"] = (
+        "WITH lined AS (SELECT doc_id, " + _LINED + " AS text FROM documents) "
+        "SELECT doc_id, "
+        + ", ".join(f"{v} AS {k}" for k, v in gm.items())
+        + f", {TX.gopher_pass('text', 'duck', min_words=10)} AS keep "
+        "FROM lined")
+    ORACLE["text_dup_lines"] = TX.dup_line_fraction_oracle_sql(
+        pre="SELECT doc_id, replace(trim(text), ' ', chr(10)) AS text "
+            "FROM documents")
+    ORACLE["text_top_ngram"] = TX.top_ngram_fraction_oracle_sql(n=2)
     tc = TX.token_count("text", "duck")
     ORACLE["corpus_stats"] = f"""
 SELECT lang, count(*) AS n_docs,

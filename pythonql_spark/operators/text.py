@@ -265,5 +265,203 @@ def remove_boilerplate(df, id_col: str = "doc_id",
             .drop("bad", "__segs", "__kept"))
 
 
+def doc_lines(col: str = "text", dialect: str = "spark") -> str:
+    """Line array/list of a document (split on newline runs)."""
+    nl = _pat("\\n+", dialect)
+    if dialect == "spark":
+        return f"split({col}, '{nl}')"
+    return f"str_split_regex({col}, '{nl}')"
+
+
+def mean_word_length(col: str = "text", dialect: str = "spark") -> str:
+    """Mean word length = non-whitespace chars / word count (Gopher
+    keeps docs with mean word length in [3, 10])."""
+    nw = token_count(col, dialect)
+    chars = f"length({_regexp_replace(f'trim({col})', _ws(dialect), '', dialect)})"
+    return (f"cast(round(cast({chars} as double) / "
+            f"cast(greatest({nw}, 1) as double), 6) as double)")
+
+
+def symbol_word_ratio(col: str = "text", dialect: str = "spark") -> str:
+    """(# + ellipsis occurrences) / words — Gopher drops docs with
+    ratio > 0.1 (hashtag/ellipsis-heavy scraped junk)."""
+    nw = token_count(col, dialect)
+    hashes = f"(length({col}) - length(replace({col}, '#', '')))"
+    ell = f"((length({col}) - length(replace({col}, '...', ''))) / 3)"
+    return (f"cast(round(cast({hashes} + {ell} as double) / "
+            f"cast(greatest({nw}, 1) as double), 6) as double)")
+
+
+def _line_frac(col: str, pat: str, dialect: str) -> str:
+    ls = doc_lines(col, dialect)
+    p = _pat(pat, dialect)
+    if dialect == "spark":
+        hits = f"size(filter({ls}, x -> x rlike '{p}'))"
+        n = f"size({ls})"
+    else:
+        hits = f"len(list_filter({ls}, x -> regexp_matches(x, '{p}')))"
+        n = f"len({ls})"
+    return (f"cast(round(cast({hits} as double) / "
+            f"cast(greatest({n}, 1) as double), 6) as double)")
+
+
+def bullet_line_frac(col: str = "text", dialect: str = "spark") -> str:
+    """Fraction of lines starting with a bullet marker (Gopher drops
+    docs where > 90% of lines are bullets)."""
+    return _line_frac(col, "^\\s*[-*•]", dialect)
+
+
+def ellipsis_line_frac(col: str = "text", dialect: str = "spark") -> str:
+    """Fraction of lines ending with an ellipsis (Gopher drops docs
+    where > 30% of lines end mid-thought)."""
+    return _line_frac(col, "\\.\\.\\.\\s*$", dialect)
+
+
+def alpha_word_frac(col: str = "text", dialect: str = "spark") -> str:
+    """Fraction of words containing at least one alphabetic character
+    (Gopher requires > 80%)."""
+    w = words(col, dialect)
+    if dialect == "spark":
+        hits = f"size(filter({w}, x -> x rlike '[A-Za-z]'))"
+        n = f"size({w})"
+    else:
+        hits = f"len(list_filter({w}, x -> regexp_matches(x, '[A-Za-z]')))"
+        n = f"len({w})"
+    return (f"cast(round(cast({hits} as double) / "
+            f"cast(greatest({n}, 1) as double), 6) as double)")
+
+
+def gopher_metrics(col: str = "text",
+                   dialect: str = "spark") -> dict[str, str]:
+    """The Gopher (Rae et al. 2021) document-quality rule metrics as
+    named SQL expressions, valid in both dialects.  Pure scalar
+    expressions — no shuffle, no UDF; at 100 TB this is a single
+    narrow projection pass fused into the scan."""
+    return {
+        "n_words": token_count(col, dialect),
+        "mean_word_len": mean_word_length(col, dialect),
+        "symbol_ratio": symbol_word_ratio(col, dialect),
+        "bullet_frac": bullet_line_frac(col, dialect),
+        "ellipsis_frac": ellipsis_line_frac(col, dialect),
+        "alpha_frac": alpha_word_frac(col, dialect),
+    }
+
+
+def gopher_pass(col: str = "text", dialect: str = "spark", *,
+                min_words: int = 50, max_words: int = 100_000) -> str:
+    """Boolean Gopher keep/drop decision from the published rule
+    thresholds (word count in [50, 100k], mean word length in [3, 10],
+    symbol ratio <= 0.1, bullet lines <= 90%, ellipsis lines <= 30%,
+    alpha words >= 80%)."""
+    m = gopher_metrics(col, dialect)
+    return (f"({m['n_words']} >= {min_words} AND {m['n_words']} <= {max_words}"
+            f" AND {m['mean_word_len']} >= 3.0 AND {m['mean_word_len']} <= 10.0"
+            f" AND {m['symbol_ratio']} <= 0.1"
+            f" AND {m['bullet_frac']} <= 0.9"
+            f" AND {m['ellipsis_frac']} <= 0.3"
+            f" AND {m['alpha_frac']} >= 0.8)")
+
+
+def dup_line_fraction(df, text_col: str = "text",
+                      id_col: str = "doc_id") -> "DataFrame":
+    """Gopher repetition rule: per document, the fraction of characters
+    contained in lines whose (trimmed, case-folded) content occurs more
+    than once in that document.
+
+    Scale shape: explode lines → ONE groupBy on (doc, line-hash)
+    carrying only the hash + length (map-side combined) → per-doc agg.
+    The shuffle payload is two longs per distinct line, never text, so
+    this survives 100 TB of multi-thousand-line documents — unlike the
+    tempting O(lines²) array-lambda form which is quadratic per doc."""
+    lines = (df.select(F.col(id_col),
+                       F.explode(F.expr(doc_lines(text_col))).alias("ln"))
+             .select(id_col,
+                     F.expr("xxhash64(lower(trim(ln)))").alias("lh"),
+                     F.length("ln").alias("len")))
+    per_line = (lines.groupBy(id_col, "lh")
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.max("len").alias("len")))
+    return (per_line.groupBy(id_col)
+            .agg(F.expr(
+                "cast(round(cast(sum(CASE WHEN cnt > 1 THEN len * cnt "
+                "ELSE 0 END) as double) / "
+                "cast(greatest(sum(len * cnt), 1) as double), 6) as double)")
+                .alias("dup_line_frac"),
+                F.expr("cast(sum(cnt) as bigint)").alias("n_lines")))
+
+
+def dup_line_fraction_oracle_sql(text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 table: str = "documents",
+                                 pre: str | None = None) -> str:
+    """DuckDB mirror of `dup_line_fraction`.  ``pre`` optionally
+    replaces the source table with a CTE body (e.g. a line-ified
+    projection)."""
+    src = f"({pre})" if pre else table
+    ls = doc_lines(text_col, "duck")
+    return f"""
+WITH lines AS (
+  SELECT {id_col}, unnest({ls}) AS ln FROM {src}),
+per_line AS (
+  SELECT {id_col}, hash(lower(trim(ln))) AS lh,
+         count(*) AS cnt, max(length(ln)) AS len
+  FROM lines GROUP BY 1, 2)
+SELECT {id_col},
+       cast(round(cast(sum(CASE WHEN cnt > 1 THEN len * cnt ELSE 0 END) as double) /
+            cast(greatest(sum(len * cnt), 1) as double), 6) as double) AS dup_line_frac,
+       cast(sum(cnt) as bigint) AS n_lines
+FROM per_line GROUP BY {id_col}"""
+
+
+def top_ngram_fraction(df, n: int = 2, text_col: str = "text",
+                       id_col: str = "doc_id") -> "DataFrame":
+    """Gopher repetition rule: fraction of a document's characters
+    covered by its single most frequent word n-gram
+    (freq × gram-length / doc-length).  Ties break to the
+    lexicographically smallest gram so the result is deterministic at
+    any parallelism (and hash-identical to the DuckDB oracle).
+
+    Scale shape: explode n-grams → groupBy (doc, gram) with map-side
+    partials → per-doc top-1 via a WindowGroupLimit (rank 1), which
+    Spark pushes as a partial top-k before the final shuffle."""
+    from pyspark.sql import Window
+    grams = (df.select(F.col(id_col), F.length(text_col).alias("dl"),
+                       F.explode(F.expr(ngram_list(text_col, n)))
+                       .alias("gram")))
+    counts = (grams.groupBy(id_col, "dl", "gram")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("gram"))
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select(id_col, F.col("gram").alias("top_gram"),
+                    F.col("cnt").cast("bigint").alias("gram_count"),
+                    F.expr(
+                        "cast(round(cast(cnt * length(gram) as double) / "
+                        "cast(greatest(dl, 1) as double), 6) as double)")
+                    .alias("top_ngram_frac")))
+
+
+def top_ngram_fraction_oracle_sql(n: int = 2, text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  table: str = "documents") -> str:
+    """DuckDB mirror of `top_ngram_fraction`."""
+    ng = ngram_list(text_col, n, "duck")
+    return f"""
+WITH grams AS (
+  SELECT {id_col}, length({text_col}) AS dl, unnest({ng}) AS gram
+  FROM {table}),
+counts AS (
+  SELECT {id_col}, dl, gram, count(*) AS cnt
+  FROM grams GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY {id_col}
+                               ORDER BY cnt DESC, gram) AS rn
+  FROM counts)
+SELECT {id_col}, gram AS top_gram, cast(cnt as bigint) AS gram_count,
+       cast(round(cast(cnt * length(gram) as double) /
+            cast(greatest(dl, 1) as double), 6) as double) AS top_ngram_frac
+FROM ranked WHERE rn = 1"""
+
+
 def as_col(e: str) -> Column:
     return F.expr(e)

@@ -1054,3 +1054,76 @@ def test_jpeg_through_operators(spark):
     w, h, ch, px = decode_jpeg(bytes(out.media.data))
     assert (w, h, ch) == (4, 4, 3)
     assert abs(px[0] - 200) <= 3 and abs(px[1] - 30) <= 3
+
+
+# ------------------------------------------------------- gopher quality rules
+
+def test_gopher_metrics_known_values(spark):
+    from pythonql_spark.operators import text as TX
+    # 3 lines: bullet, ellipsis-terminated, plain; 6 words total
+    doc = "- alpha beta\ngamma delta...\nepsilon 123"
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    m = TX.gopher_metrics("text")
+    row = df.selectExpr("doc_id",
+                        *[f"{v} as {k}" for k, v in m.items()]).first()
+    assert row.n_words == 7  # '-' splits as its own token
+    # non-ws chars: len("-alphabetagammadelta...epsilon123") = 33
+    assert row.mean_word_len == round(33 / 7, 6)
+    assert row.bullet_frac == round(1 / 3, 6)
+    assert row.ellipsis_frac == round(1 / 3, 6)
+    # words with a letter: alpha beta gamma delta... epsilon = 5 of 7
+    assert row.alpha_frac == round(5 / 7, 6)
+    # one '...' and no '#': 1/7
+    assert row.symbol_ratio == round(1 / 7, 6)
+
+
+def test_gopher_pass_thresholds(spark):
+    from pythonql_spark.operators import text as TX
+    good = " ".join(["solid"] * 60)                      # clean 60 words
+    hashy = " ".join(["#tag"] * 60)                      # symbol ratio 1.0
+    bullets = "\n".join(["- item " + str(i) for i in range(20)])
+    df = spark.createDataFrame(
+        [(1, good), (2, hashy), (3, bullets)], "doc_id long, text string")
+    out = {r.doc_id: r.keep for r in df.selectExpr(
+        "doc_id", TX.gopher_pass("text", min_words=5) + " as keep").collect()}
+    assert out[1] is True
+    assert out[2] is False       # symbol ratio
+    assert out[3] is False       # 100% bullet lines
+
+
+def test_dup_line_fraction_exact(spark):
+    from pythonql_spark.operators import text as TX
+    # "aa" appears twice (2 chars * 2), "bbb" once; total = 2*2+3 = 7
+    df = spark.createDataFrame([(1, "aa\nbbb\naa"), (2, "x\ny")],
+                               "doc_id long, text string")
+    out = {r.doc_id: (r.dup_line_frac, r.n_lines)
+           for r in TX.dup_line_fraction(df).collect()}
+    assert out[1] == (round(4 / 7, 6), 3)
+    assert out[2] == (0.0, 2)
+
+
+def test_dup_line_fraction_case_folds(spark):
+    from pythonql_spark.operators import text as TX
+    df = spark.createDataFrame([(1, "Foo\nfoo ")], "doc_id long, text string")
+    (row,) = TX.dup_line_fraction(df).collect()
+    # 'Foo' and 'foo ' fold to the same line; lengths 3 and 4 -> max 4
+    assert row.dup_line_frac == 1.0
+
+
+def test_top_ngram_fraction_exact(spark):
+    from pythonql_spark.operators import text as TX
+    # "a b" occurs twice in "a b c a b" (len 9); gram len 3
+    df = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
+    (row,) = TX.top_ngram_fraction(df, n=2).collect()
+    assert row.top_gram == "a b"
+    assert row.gram_count == 2
+    assert row.top_ngram_frac == round(2 * 3 / 9, 6)
+
+
+def test_top_ngram_tie_breaks_lexicographically(spark):
+    from pythonql_spark.operators import text as TX
+    df = spark.createDataFrame([(1, "a b a b a")], "doc_id long, text string")
+    (row,) = TX.top_ngram_fraction(df, n=2).collect()
+    # 'a b' and 'b a' both occur twice; tie -> lexicographically smallest
+    assert row.top_gram == "a b"
+    assert row.gram_count == 2
