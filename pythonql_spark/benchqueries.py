@@ -888,6 +888,19 @@ def text_top_ngram(spark, sf):
     return TX.top_ngram_fraction(docs, n=2)
 
 
+@q("text_bpe", None)  # rows-only: a learned subword vocab is not SQL
+def text_bpe(spark, sf):
+    """Real BPE tokenization: merge table trained on a bounded
+    deterministic sample (driver-side, documented contract), then the
+    whole corpus encoded via one Arrow-batched map pass — no shuffle.
+    Deterministic merge tie-breaks make the output stable at any
+    parallelism, so the rows-only hash is reproducible."""
+    from pythonql_spark.operators.bpe import bpe_encode, train_bpe
+    docs = load_table(spark, sf, "documents")
+    merges = train_bpe(docs, num_merges=120, sample_docs=256)
+    return bpe_encode(docs, merges)
+
+
 @q("media_decode", None)  # rows-only: binary image decode is not SQL
 def media_decode(spark, sf):
     """Real multimodal decode path: synthesize one PNG per document

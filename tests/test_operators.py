@@ -1127,3 +1127,53 @@ def test_top_ngram_tie_breaks_lexicographically(spark):
     # 'a b' and 'b a' both occur twice; tie -> lexicographically smallest
     assert row.top_gram == "a b"
     assert row.gram_count == 2
+
+
+# ----------------------------------------------------------------- bpe
+
+def test_bpe_train_classic_example(spark):
+    from pythonql_spark.operators.bpe import train_bpe
+    df = spark.createDataFrame(
+        [(1, "low low low low low lower lower newest newest newest "
+             "newest newest newest widest widest widest")],
+        "doc_id long, text string")
+    merges = train_bpe(df, num_merges=10, sample_docs=10)
+    # 'es' then 'est' (then 'est</w>') dominate the classic corpus
+    assert ("e", "s") in merges[:2]
+    assert ("es", "t") in merges[:3]
+
+
+def test_bpe_encode_replays_training(spark):
+    from pythonql_spark.operators.bpe import (bpe_encode, encode_word,
+                                              train_bpe)
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 3)
+         for i in range(4)], "doc_id long, text string")
+    merges = train_bpe(df, num_merges=50, sample_docs=4)
+    ranks = {p: i for i, p in enumerate(merges)}
+    out = {r.doc_id: r for r in bpe_encode(df, merges).collect()}
+    # distributed encode == direct per-word replay
+    expect = sum(len(encode_word(w, ranks))
+                 for w in ("the quick brown fox jumps over the lazy dog "
+                           * 3).lower().split())
+    assert out[0].n_bpe_tokens == expect
+    assert out[0].preview == out[3].preview     # identical docs
+    # a word fully merged into one symbol must carry the EOW marker
+    assert encode_word("the", ranks) == ["the</w>"]
+
+
+def test_bpe_deterministic_and_compresses(spark, tables):
+    from pythonql_spark.operators.bpe import bpe_encode, train_bpe
+    docs = tables["documents"]
+    m1 = train_bpe(docs, num_merges=60, sample_docs=64)
+    m2 = train_bpe(docs, num_merges=60, sample_docs=64)
+    assert m1 == m2
+    out = bpe_encode(docs.limit(50), m1).toPandas()
+    ws = docs.limit(50).selectExpr(
+        "doc_id", "size(split(trim(lower(text)), '\\\\s+')) as nw").toPandas()
+    j = out.merge(ws, on="doc_id")
+    # BPE token count is bounded below by word count (>= 1 token/word)
+    # and above by character count; with 60 merges on a 30-word
+    # vocabulary most words collapse to few symbols
+    assert (j.n_bpe_tokens >= j.nw).all()
+    assert (j.n_bpe_tokens <= 6 * j.nw).all()
