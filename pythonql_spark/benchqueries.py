@@ -1038,6 +1038,26 @@ def profile_sketch(spark, sf):
     return sketch_estimates(merged)
 
 
+@q("profile_quantiles", None)  # rows-only: KLL estimates are engine-specific
+def profile_quantiles(spark, sf):
+    """Incremental quantile profiling via mergeable DataSketches KLL
+    sketches — the percentile counterpart of profile_sketch: two
+    disjoint halves sketched independently, merged by sketch algebra
+    (no rescan), p50/p90/p99 extracted per event type."""
+    from pythonql_spark.operators.sketch import (merge_quantile_sketches,
+                                                 quantile_sketch,
+                                                 sketch_quantiles)
+    ev = load_table(spark, sf, "events")
+    merged = merge_quantile_sketches(
+        quantile_sketch(ev.filter("event_id % 2 = 0"), ["value"],
+                        keys=["event_type"]),
+        quantile_sketch(ev.filter("event_id % 2 = 1"), ["value"],
+                        keys=["event_type"]),
+        keys=["event_type"])
+    return sketch_quantiles(merged, [0.5, 0.9, 0.99],
+                            keys=["event_type"])
+
+
 @q("media_audio", None)  # rows-only: binary audio decode is not SQL
 def media_audio(spark, sf):
     """Real audio decode path: synthesize one WAV tone per document
@@ -1326,6 +1346,22 @@ def neardup_cosine(spark, sf):
     from pythonql_spark.operators.similarity import cosine_pairs
     emb = load_table(spark, sf, "embeddings")
     return cosine_pairs(emb, "label", 0.8)
+
+
+@q("dedup_semantic", None)  # rows-only: k-means cells are not SQL
+def dedup_semantic(spark, sf):
+    """SemDeDup: spherical-k-means clustering of the embedding space,
+    pairwise cosine only within a cluster, connected components, keep
+    min-id per duplicate set.  Deterministic (seeded training, fixed
+    tie-breaks) so the rows-only hash is stable across runs."""
+    from pythonql_spark.operators.similarity import semantic_dedup
+    emb = load_table(spark, sf, "embeddings")
+    # 0.45: the synthetic embeddings are unclustered random vectors
+    # (max pairwise cosine ≈ 0.47 at sf0.01), so a production-style
+    # 0.8+ threshold finds nothing; 0.45 yields a small real duplicate
+    # set that exercises pairs → components → keep end-to-end
+    return (semantic_dedup(emb, threshold=0.45, n_clusters=8)
+            .select("vec_id", "label"))
 
 
 @q("ann_topk", None)

@@ -417,3 +417,102 @@ def lsh_topk(df: DataFrame, query_ids, k: int = 5, *,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "n_id", "cosine", "rank"))
+
+
+# -------------------------------------------------------------- SemDeDup
+
+def _train_centroids(df: DataFrame, *, n_clusters: int, train_sample: int,
+                     kmeans_iters: int, id_col: str,
+                     vec_col: str) -> "np.ndarray":
+    """Driver-trained spherical k-means centroids on a bounded
+    deterministic sample (same contract as ivf_topk)."""
+    train = (df.select(F.col(vec_col)).orderBy(F.col(id_col))
+             .limit(train_sample).collect())
+    X = np.array([[float(x) for x in r[0]] for r in train])
+    return _spherical_kmeans(X, n_clusters, kmeans_iters)
+
+
+def _cell_udf(C: "np.ndarray"):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def cell_of(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.vstack(v.to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series((M @ C.T).argmax(axis=1).astype("int32"))
+    return cell_of
+
+
+def semantic_pairs(df: DataFrame, threshold: float = 0.85, *,
+                   n_clusters: int = 64, train_sample: int = 4096,
+                   kmeans_iters: int = 10, max_cluster_size: int = 4096,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Semantic near-duplicate pairs, SemDeDup-style (Abbas et al.
+    2023): cluster the embedding space with a driver-trained spherical
+    k-means coarse quantizer, then compare pairs ONLY within a
+    cluster — never all-pairs.
+
+    Scale shape: ONE Arrow pass assigns every vector its cell (one
+    BLAS matmul per batch); the pair join shuffles on the cell id, so
+    cost is Σ|cell|², the SemDeDup design point.  Skew guard: cluster
+    sizes are a bounded n_clusters-row aggregate; any cell over
+    ``max_cluster_size`` is refined by random-hyperplane signature
+    bits (near-duplicates agree on sign bits w.h.p., so refinement
+    keeps dup pairs co-blocked while splitting the bulk) — the same
+    argument as the LSH band cap in dedup.py."""
+    dim = _dim(df, vec_col)
+    C = _train_centroids(df, n_clusters=n_clusters,
+                         train_sample=train_sample,
+                         kmeans_iters=kmeans_iters,
+                         id_col=id_col, vec_col=vec_col)
+    assigned = df.select(F.col(id_col).alias("id"),
+                         F.col(vec_col).alias("v"),
+                         vector_norm(vec_col, dim).alias("nrm"),
+                         _cell_udf(C)(F.col(vec_col)).alias("cell"))
+    assigned = assigned.localCheckpoint(eager=False)  # assign once
+    sizes = {r.cell: r.n for r in
+             assigned.groupBy("cell").agg(
+                 F.count(F.lit(1)).alias("n")).collect()}
+    over = [c for c, n in sizes.items() if n > max_cluster_size]
+    if over:
+        import math as _math
+        worst = max(sizes[c] for c in over)
+        bits = max(1, _math.ceil(_math.log2(worst / max_cluster_size)))
+        # refine oversized cells by the low `bits` of a 1-table
+        # hyperplane signature; untouched cells keep refinement 0
+        sigs = _lsh_sigs_col("v", dim, bits, 1)
+        assigned = assigned.withColumn(
+            "ref", F.when(F.col("cell").isin(over),
+                          F.element_at(sigs, 1)).otherwise(F.lit(0)))
+    else:
+        assigned = assigned.withColumn("ref", F.lit(0))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
+                          F.col("a.ref") == F.col("b.ref"),
+                          F.col("a.id") < F.col("b.id")])
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    cosine_score("a.v", "b.v", "a.nrm", "b.nrm",
+                                 dim).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
+def semantic_dedup(df: DataFrame, threshold: float = 0.85, *,
+                   n_clusters: int = 64, train_sample: int = 4096,
+                   kmeans_iters: int = 10, max_cluster_size: int = 4096,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup end-to-end: semantic pair generation → connected
+    components → keep the min-id representative per duplicate set.
+    Deterministic at any parallelism (seeded k-means, deterministic
+    signatures, min-id keep rule)."""
+    from .dedup import dedup_keep
+    pairs = semantic_pairs(df, threshold, n_clusters=n_clusters,
+                           train_sample=train_sample,
+                           kmeans_iters=kmeans_iters,
+                           max_cluster_size=max_cluster_size,
+                           id_col=id_col, vec_col=vec_col)
+    return dedup_keep(df, pairs, id_col=id_col)

@@ -1177,3 +1177,91 @@ def test_bpe_deterministic_and_compresses(spark, tables):
     # vocabulary most words collapse to few symbols
     assert (j.n_bpe_tokens >= j.nw).all()
     assert (j.n_bpe_tokens <= 6 * j.nw).all()
+
+
+# ----------------------------------------------------------- semdedup
+
+def test_semantic_pairs_single_cluster_is_exact(vecs):
+    from pythonql_spark.operators.similarity import (cosine_pairs,
+                                                     semantic_pairs)
+    # n_clusters=1 -> every pair considered -> must equal the exact
+    # all-pairs cosine join (constant blocking key)
+    got = {(r.id_a, r.id_b) for r in semantic_pairs(
+        vecs, 0.9, n_clusters=1, train_sample=20).collect()}
+    allp = vecs.withColumn("one", F.lit(1))
+    exact = {(r.id_a, r.id_b)
+             for r in cosine_pairs(allp, "one", 0.9).collect()}
+    assert got == exact
+    assert (0, 1) in got                 # the planted near-duplicate
+
+
+def test_semantic_dedup_drops_planted_dup(vecs):
+    from pythonql_spark.operators.similarity import semantic_dedup
+    kept = {r.vec_id for r in semantic_dedup(
+        vecs, 0.99, n_clusters=4, train_sample=20).collect()}
+    assert 0 in kept and 1 not in kept   # rep kept, dup dropped
+    assert len(kept) == 19
+
+
+def test_semantic_pairs_skew_refinement_keeps_exact_dups(spark):
+    from pythonql_spark.operators.similarity import semantic_pairs
+    import numpy as np
+    rng = np.random.RandomState(3)
+    base = rng.randn(30, 8).astype("float64")
+    base[7] = base[3]                    # exact duplicate pair (3, 7)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # max_cluster_size=4 forces the signature-refinement path
+    got = {(r.id_a, r.id_b) for r in semantic_pairs(
+        df, 0.999, n_clusters=2, train_sample=30,
+        max_cluster_size=4).collect()}
+    # identical vectors share cell AND signature -> never split apart
+    assert (3, 7) in got
+
+
+def test_semantic_dedup_deterministic(vecs):
+    from pythonql_spark.operators.similarity import semantic_dedup
+    a = sorted(r.vec_id for r in semantic_dedup(
+        vecs, 0.9, n_clusters=4, train_sample=20).collect())
+    b = sorted(r.vec_id for r in semantic_dedup(
+        vecs.repartition(5), 0.9, n_clusters=4, train_sample=20).collect())
+    assert a == b
+
+
+# ------------------------------------------------ KLL quantile sketches
+
+def test_quantile_sketch_merge_equals_whole(spark, tables):
+    from pythonql_spark.operators.sketch import (merge_quantile_sketches,
+                                                 quantile_sketch,
+                                                 sketch_quantiles)
+    o = tables["orders"].select("o_totalprice", "o_orderkey")
+    half1 = o.filter("o_orderkey % 2 = 0")
+    half2 = o.filter("o_orderkey % 2 = 1")
+    merged = merge_quantile_sketches(
+        quantile_sketch(half1, ["o_totalprice"]),
+        quantile_sketch(half2, ["o_totalprice"]))
+    whole = quantile_sketch(o, ["o_totalprice"])
+    qm = sketch_quantiles(merged, [0.5, 0.9]).first()
+    qw = sketch_quantiles(whole, [0.5, 0.9]).first()
+    assert qm.n == qw.n == o.count()
+    # KLL at k=200: rank error ~1.3%; sketch-vs-sketch on the same
+    # data stream should be close, and both near the exact quantile
+    exact = o.selectExpr(
+        "percentile(o_totalprice, 0.5) as p50").first().p50
+    for got in (qm.q_50, qw.q_50):
+        assert abs(got - exact) / exact < 0.05
+
+
+def test_quantile_sketch_keyed(spark, tables):
+    from pythonql_spark.operators.sketch import (quantile_sketch,
+                                                 sketch_quantiles)
+    li = tables["lineitem"]
+    sk = quantile_sketch(li, ["l_quantity"], keys=["l_returnflag"])
+    out = sketch_quantiles(sk, [0.5], keys=["l_returnflag"]).collect()
+    flags = {r.l_returnflag for r in out}
+    assert flags == {"A", "N", "R"}
+    exact = {r.l_returnflag: r.p50 for r in li.groupBy("l_returnflag")
+             .agg(F.expr("percentile(l_quantity, 0.5)").alias("p50"))
+             .collect()}
+    for r in out:
+        assert abs(r.q_50 - exact[r.l_returnflag]) <= 2.0
