@@ -311,3 +311,85 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def merge_upsert(spark: SparkSession, target_path: str,
+                 updates: DataFrame, keys: list[str], *,
+                 partition_by: list[str] | None = None,
+                 fmt: str = "parquet") -> dict:
+    """MERGE/upsert into a path-based table, copy-on-write at
+    partition granularity — the warehouse `MERGE INTO ... WHEN MATCHED
+    UPDATE WHEN NOT MATCHED INSERT` (whole-row semantics) for plain
+    parquet layouts.
+
+    Scale shape: only the partitions the updates TOUCH are read,
+    merged (anti-join on ``keys`` + union), and rewritten — untouched
+    partitions' files are never opened or re-written.  The affected
+    partition list is a bounded collect (partition columns are
+    low-cardinality by contract: days, sources).  The rewrite uses
+    Spark's dynamic partitionOverwriteMode so only partitions present
+    in the merged output are replaced, and the merged rows are
+    materialized (localCheckpoint) before the overwrite so the write
+    never races the files it reads.  Without ``partition_by`` the
+    whole table is one "partition" and gets fully rewritten —
+    correct, but the COW benefit needs partitioning.
+
+    Contract: a key's partition values must be stable across updates
+    (the usual partition-pruned-merge restriction — an "update" that
+    moves a row between partitions would leave the old row in the
+    unread partition; route those as delete+insert instead).
+
+    Returns {"inserted": n, "updated": n, "rewritten_partitions": n}.
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = jpath.getFileSystem(hconf)
+    if not fs.exists(jpath):
+        w = updates.write.format(fmt).mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(target_path)
+        return {"inserted": updates.count(), "updated": 0,
+                "rewritten_partitions": (
+                    updates.select(partition_by).distinct().count()
+                    if partition_by else 1)}
+
+    tgt = spark.read.format(fmt).load(target_path)
+    missing = set(tgt.columns) ^ set(updates.columns)
+    if missing:
+        raise ValueError(f"updates schema must match target; differs on "
+                         f"{sorted(missing)}")
+    if partition_by:
+        pvals = updates.select(*partition_by).distinct().collect()
+        clause = " OR ".join(
+            "(" + " AND ".join(
+                f"{c} = '{r[c]}'" if isinstance(r[c], str) else f"{c} = {r[c]}"
+                for c in partition_by) + ")"
+            for r in pvals)
+        affected = tgt.filter(clause)
+        n_parts = len(pvals)
+    else:
+        affected = tgt
+        n_parts = 1
+
+    upd_keys = updates.select(*keys).distinct()
+    updated = affected.join(upd_keys, keys, "left_semi").count()
+    survivors = affected.join(upd_keys, keys, "left_anti")
+    merged = (survivors.select(*tgt.columns)
+              .unionByName(updates.select(*tgt.columns))
+              .localCheckpoint())          # materialize BEFORE overwrite
+    inserted = updates.count() - updated
+
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        w = merged.write.format(fmt).mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(target_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    return {"inserted": inserted, "updated": updated,
+            "rewritten_partitions": n_parts}

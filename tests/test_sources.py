@@ -242,3 +242,68 @@ def test_genuine_bigint_ts_not_corrupted_by_nanos_fallback(spark, tmp_path):
     doc = load_table(spark, str(d), "documents")
     assert dict(doc.dtypes)["ts"] == "bigint"
     assert sorted(r.ts for r in doc.select("ts").collect()) == longs
+
+
+# ------------------------------------------------------- merge_upsert
+
+def test_merge_upsert_unpartitioned(spark, tmp_path):
+    from pythonql_spark.sources.catalog import merge_upsert
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, val string")
+    stats = merge_upsert(spark, path, base, ["id"])
+    assert stats == {"inserted": 10, "updated": 0, "rewritten_partitions": 1}
+    upd = spark.createDataFrame(
+        [(3, "NEW3"), (7, "NEW7"), (100, "v100"), (101, "v101")],
+        "id long, val string")
+    stats = merge_upsert(spark, path, upd, ["id"])
+    assert stats == {"inserted": 2, "updated": 2, "rewritten_partitions": 1}
+    got = {r.id: r.val for r in spark.read.parquet(path).collect()}
+    assert len(got) == 12
+    assert got[3] == "NEW3" and got[7] == "NEW7"
+    assert got[0] == "v0" and got[100] == "v100"
+
+
+def test_merge_upsert_partitioned_cow(spark, tmp_path):
+    import os
+    from pythonql_spark.sources.catalog import merge_upsert
+    path = str(tmp_path / "p")
+    base = spark.createDataFrame(
+        [(i, f"d{i % 3}", f"v{i}") for i in range(30)],
+        "id long, day string, val string")
+    merge_upsert(spark, path, base, ["id"], partition_by=["day"])
+
+    def files(day):
+        d = os.path.join(path, f"day={day}")
+        return sorted((f, os.path.getmtime(os.path.join(d, f)))
+                      for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before_d0, before_d1 = files("d0"), files("d1")
+    # update rows only in day d1, insert a new day d9
+    upd = spark.createDataFrame(
+        [(1, "d1", "UPDATED"), (999, "d9", "fresh")],
+        "id long, day string, val string")
+    stats = merge_upsert(spark, path, upd, ["id"], partition_by=["day"])
+    assert stats == {"inserted": 1, "updated": 1, "rewritten_partitions": 2}
+    # copy-on-write proof: untouched partition d0's files are IDENTICAL
+    assert files("d0") == before_d0
+    # touched partition d1 was rewritten
+    assert files("d1") != before_d1
+    got = spark.read.parquet(path)
+    assert got.count() == 31
+    assert got.filter("id = 1").first().val == "UPDATED"
+    assert got.filter("day = 'd9'").count() == 1
+    # all 10 original d1 rows survived the partition rewrite
+    assert got.filter("day = 'd1'").count() == 10
+
+
+def test_merge_upsert_schema_mismatch_raises(spark, tmp_path):
+    import pytest as _pytest
+    from pythonql_spark.sources.catalog import merge_upsert
+    path = str(tmp_path / "s")
+    base = spark.createDataFrame([(1, "a")], "id long, val string")
+    merge_upsert(spark, path, base, ["id"])
+    bad = spark.createDataFrame([(2, "b", 1.0)],
+                                "id long, val string, extra double")
+    with _pytest.raises(ValueError, match="schema"):
+        merge_upsert(spark, path, bad, ["id"])
