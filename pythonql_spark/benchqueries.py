@@ -1222,6 +1222,22 @@ def sample_stratified(spark, sf):
                              default_fraction=1.0).select("doc_id", "lang")
 
 
+@q("split_assign", None)
+def split_assign(spark, sf):
+    """Deterministic train/val/test split: membership is a pure
+    function of (seed, doc_id) so it survives corpus growth, reruns,
+    and engine changes — one narrow projection, no shuffle except the
+    tiny per-split aggregate."""
+    from pythonql_spark.operators.sampling import train_test_split
+    from pyspark.sql import functions as F
+    docs = load_table(spark, sf, "documents")
+    return (train_test_split(docs, {"train": 0.8, "val": 0.1,
+                                    "test": 0.1}, seed=42)
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.expr("cast(sum(n_chars) as bigint)").alias("n_chars")))
+
+
 @q("chunk_docs", None)
 def chunk_docs(spark, sf):
     from pythonql_spark.operators.packing import chunk_documents
@@ -2532,6 +2548,13 @@ FROM documents
     ORACLE["sample_stratified"] = (
         "SELECT doc_id, lang FROM documents WHERE "
         + sample_oracle_where({"en": 0.25}, "lang", default_fraction=1.0))
+    from pythonql_spark.operators.sampling import split_expr
+    ORACLE["split_assign"] = (
+        "SELECT split, cast(count(*) as bigint) AS n_docs, "
+        "cast(sum(n_chars) as bigint) AS n_chars FROM (SELECT "
+        + split_expr({"train": 0.8, "val": 0.1, "test": 0.1},
+                     dialect="duck", seed=42)
+        + " AS split, n_chars FROM documents) GROUP BY split")
     ORACLE["text_logprob"] = TX.unigram_logprob_oracle_sql()
     from pythonql_spark.operators.profile import histogram_oracle_sql
     ORACLE["histogram_prices"] = histogram_oracle_sql(

@@ -207,3 +207,38 @@ def sample_oracle_where(fractions: dict[str, float] | float,
         for k, v in sorted(fractions.items())
     ) + f" ELSE {int(round(default_fraction * BUCKETS))} END"
     return f"{hash_bucket(id_col, 'duck')} < {cut}"
+
+
+def split_expr(fractions: dict[str, float], id_col: str = "doc_id",
+               dialect: str = "spark", seed: int = 0) -> str:
+    """Deterministic train/val/test assignment expression: the id's
+    md5 bucket lands in cumulative fraction ranges, so membership is a
+    pure function of (seed, id) — stable across runs, engines, and
+    partitionings, and rows never migrate between splits when the
+    corpus grows (the property random() splits lack).  Fractions are
+    taken in the given order; they must sum to 1."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    b = hash_bucket(f"concat('{seed}:', cast({id_col} as "
+                    f"{'string' if dialect == 'spark' else 'varchar'}))",
+                    dialect)
+    cum, cases = 0.0, []
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cases.append(f"WHEN {b} < {int(round(cum * BUCKETS))} "
+                     f"THEN '{name}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+
+
+def train_test_split(df: DataFrame,
+                     fractions: dict[str, float] | None = None,
+                     id_col: str = "doc_id",
+                     seed: int = 0) -> DataFrame:
+    """Adds a ``split`` column ('train'/'val'/'test' by default) via
+    :func:`split_expr` — one narrow projection, no shuffle, no state
+    to persist; re-deriving the split anywhere always agrees."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    return df.withColumn(
+        "split", F.expr(split_expr(fractions, id_col, "spark", seed)))

@@ -1265,3 +1265,39 @@ def test_quantile_sketch_keyed(spark, tables):
              .collect()}
     for r in out:
         assert abs(r.q_50 - exact[r.l_returnflag]) <= 2.0
+
+
+# --------------------------------------------------- train/test split
+
+def test_train_test_split_deterministic_and_stable(spark):
+    from pythonql_spark.operators.sampling import train_test_split
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    a = {r.doc_id: r.split for r in train_test_split(df).collect()}
+    b = {r.doc_id: r.split
+         for r in train_test_split(df.repartition(7)).collect()}
+    assert a == b                                    # layout-independent
+    # growing the corpus never moves an existing row's split
+    big = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    c = {r.doc_id: r.split for r in train_test_split(big).collect()}
+    assert all(c[i] == a[i] for i in a)
+    # fractions roughly respected
+    from collections import Counter
+    frac = Counter(a.values())
+    assert 0.75 < frac["train"] / 2000 < 0.85
+    assert 0.05 < frac["val"] / 2000 < 0.15
+    assert 0.05 < frac["test"] / 2000 < 0.15
+
+
+def test_train_test_split_seed_changes_assignment(spark):
+    from pythonql_spark.operators.sampling import train_test_split
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = {r.doc_id: r.split for r in train_test_split(df, seed=0).collect()}
+    b = {r.doc_id: r.split for r in train_test_split(df, seed=1).collect()}
+    assert a != b
+
+
+def test_split_expr_rejects_bad_fractions():
+    import pytest as _pytest
+    from pythonql_spark.operators.sampling import split_expr
+    with _pytest.raises(ValueError, match="sum to 1"):
+        split_expr({"train": 0.8, "val": 0.1})
