@@ -502,6 +502,26 @@ def match_partial(spark, sf):
     return m.filter("cast(k as int) > 50").select("event_id", "k")
 
 
+@q("pql_match", """
+SELECT event_id, json_extract_string(props, '$.k') AS k
+FROM events
+WHERE try_cast(json_extract_string(props, '$.k') AS INTEGER) > 50
+""")
+def pql_match(spark, sf):
+    """The reference's match-clause STRING syntax through the pql()
+    front-end (reference tests/match_tests.py shapes) against a real
+    table column: partial match binds props.k, the where clause casts
+    engine-side.  Same plan as the DSL `match_partial` key — JVM
+    get_json_object, no Python in the row path."""
+    from pythonql_spark.pql import pql
+    ev = load_table(spark, sf, "events").select("props", "event_id")
+    return pql(spark, """
+      select (event_id, k)
+      match { "k" : as k } in ev
+      where int(k) > 50
+    """, env={"ev": ev})
+
+
 @q("match_exact", """
 SELECT event_id, json_extract_string(props, '$.k') AS k
 FROM events
