@@ -2759,6 +2759,41 @@ SELECT q_id, n_id, cosine, rank FROM (
 """
 
 
+@q("search_bm25", None)  # oracle attached below (generated SQL)
+def search_bm25(spark, sf):
+    """BM25 top-k keyword retrieval.  Zero-shuffle scoring: per-doc
+    term frequencies for the (tiny, fixed) query term set are narrow
+    array expressions over one scan; corpus stats (N, avgdl, per-term
+    document frequencies) are ONE keyless aggregate broadcast back;
+    the top-k is TakeOrderedAndProject.  At 100 TB: one scan + one
+    1-row exchange."""
+    from pythonql_spark.operators.retrieval import bm25_search
+    docs = load_table(spark, sf, "documents")
+    return bm25_search(docs, ["query", "join", "hash"], k=20)
+
+
+@q("doc_keywords", None)  # oracle attached below (generated SQL)
+def doc_keywords(spark, sf):
+    """TF-IDF top-3 keywords per document — the inverted-index build:
+    one explode feeds tf/dl/df aggregates (map-side combined), then a
+    per-doc WindowGroupLimit top-n so map tasks ship at most n rows
+    per doc."""
+    from pythonql_spark.operators.retrieval import tfidf_keywords
+    docs = load_table(spark, sf, "documents")
+    return tfidf_keywords(docs, top_n=3)
+
+
+def _register_retrieval_oracles():
+    from pythonql_spark.operators.retrieval import (
+        bm25_oracle_sql, tfidf_keywords_oracle_sql)
+    ORACLE["search_bm25"] = bm25_oracle_sql(
+        ["query", "join", "hash"], k=20)
+    ORACLE["doc_keywords"] = tfidf_keywords_oracle_sql(top_n=3)
+
+
+_register_retrieval_oracles()
+
+
 _register_generated_oracles()
 
 

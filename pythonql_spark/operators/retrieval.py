@@ -1,0 +1,194 @@
+"""Keyword retrieval over a document corpus: BM25 top-k search and
+TF-IDF keyword extraction.
+
+Reference parity: pythonql has no retrieval operators — these belong to
+the LLM-training-data extension set (corpus curation needs "find docs
+about X" and "what is this doc about" at 100 TB).
+
+Scale shapes
+------------
+* ``bm25_search`` — the query term set is tiny and FIXED, so per-doc
+  term frequencies are computed as narrow array expressions over one
+  scan (no explode, no per-term shuffle).  The only wide operations are
+  a single keyless aggregate (corpus size, avg doc length, per-term doc
+  frequencies — ONE row, broadcast back) and the final top-k, which
+  Spark executes as TakeOrderedAndProject (per-task partial top-k,
+  never a global sort).  Cost at 100 TB: one scan + one 1-row exchange.
+* ``tfidf_keywords`` — needs the real vocabulary-wide document
+  frequency table, i.e. the inverted-index build: ONE explode feeding a
+  by-token aggregate (map-side combined; the shuffle carries 64-bit
+  token rows, not documents), a token-keyed join back, and a per-doc
+  WindowGroupLimit top-n (each map task ships at most n rows per doc).
+
+Determinism: per-term scores are rounded to decimal(20,10) before the
+(fixed-order) sum and the final score to 6 dp, so Spark and DuckDB
+rank and hash identically despite libm ``ln`` ulp differences — same
+contract as text.unigram_logprob.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pythonql_spark.operators.text import _ws, words
+
+
+def _sql_str(t: str) -> str:
+    return "'" + t.replace("'", "''") + "'"
+
+
+def _norm_terms(query_terms) -> list[str]:
+    terms = sorted({t.strip().lower() for t in query_terms if t.strip()})
+    if not terms:
+        raise ValueError("query_terms must contain at least one term")
+    return terms
+
+
+def _doc_stats_expr(terms: list[str], text_col: str, dialect: str) -> list[str]:
+    """Per-document [dl, tf_0, tf_1, ...] as ONE array expression —
+    the word array binds once as a lambda variable (Spark) / a
+    subquery column (DuckDB), so the text splits exactly once."""
+    if dialect == "spark":
+        tfs = ", ".join(
+            f"size(filter(w, t -> t = {_sql_str(t)}))" for t in terms)
+        return (f"transform(array({words(f'lower({text_col})', 'spark')}), "
+                f"w -> array(size(w), {tfs}))[0]")
+    tfs = ", ".join(
+        f"len(list_filter(w, t -> t = {_sql_str(t)}))" for t in terms)
+    return f"[len(w), {tfs}]"
+
+
+def bm25_search(df: DataFrame, query_terms, k: int = 10, *,
+                k1: float = 1.2, b: float = 0.75,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query under BM25
+    (Robertson/Sparck-Jones idf: ln(1 + (N - df + .5)/(df + .5))).
+
+    Returns (id_col, score) ordered by score desc, id asc; documents
+    matching no query term are excluded.
+    """
+    terms = _norm_terms(query_terms)
+    stats = df.select(
+        F.col(id_col),
+        F.expr(_doc_stats_expr(terms, text_col, "spark")).alias("s"))
+    proj = [F.expr("s[0]").cast("bigint").alias("dl")] + [
+        F.expr(f"s[{i + 1}]").cast("bigint").alias(f"tf{i}")
+        for i in range(len(terms))]
+    stats = stats.select(F.col(id_col), *proj)
+    # one keyless aggregate -> one broadcast row: N, avgdl, df_t
+    aggs = [F.count(F.lit(1)).alias("n_docs"),
+            F.expr("cast(sum(dl) as double) / count(1)").alias("avgdl")] + [
+        F.expr(f"sum(cast(tf{i} > 0 as bigint))").alias(f"df{i}")
+        for i in range(len(terms))]
+    corpus = stats.agg(*aggs)
+    per_term = " + ".join(
+        f"cast(round(ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) * "
+        f"(tf{i} * ({k1} + 1.0)) / "
+        f"(tf{i} + {k1} * (1.0 - {b} + {b} * dl / avgdl)), 10) "
+        f"as decimal(20,10))" for i in range(len(terms)))
+    return (stats.crossJoin(F.broadcast(corpus))
+            .withColumn("score",
+                        F.expr(f"cast(round({per_term}, 6) as double)"))
+            .filter(F.col("score") > 0)
+            .orderBy(F.desc("score"), F.col(id_col))
+            .limit(k)
+            .select(id_col, "score"))
+
+
+def bm25_oracle_sql(query_terms, k: int = 10, *, k1: float = 1.2,
+                    b: float = 0.75, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    table: str = "documents") -> str:
+    """DuckDB mirror of :func:`bm25_search` (same rounding)."""
+    terms = _norm_terms(query_terms)
+    arr = _doc_stats_expr(terms, text_col, "duck")
+    proj = ["cast(s[1] as bigint) AS dl"] + [
+        f"cast(s[{i + 2}] as bigint) AS tf{i}" for i in range(len(terms))]
+    dfs = ", ".join(
+        f"sum(cast(tf{i} > 0 as bigint)) AS df{i}"
+        for i in range(len(terms)))
+    per_term = " + ".join(
+        f"cast(round(ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) * "
+        f"(tf{i} * ({k1} + 1.0)) / "
+        f"(tf{i} + {k1} * (1.0 - {b} + {b} * dl / avgdl)), 10) "
+        f"as decimal(20,10))" for i in range(len(terms)))
+    return f"""
+WITH split AS (
+  SELECT {id_col},
+         {words(f'lower({text_col})', 'duck')} AS w
+  FROM {table}),
+stats0 AS (SELECT {id_col}, {arr} AS s FROM split),
+stats AS (SELECT {id_col}, {', '.join(proj)} FROM stats0),
+corpus AS (
+  SELECT count(*) AS n_docs,
+         cast(sum(dl) as double) / count(*) AS avgdl, {dfs}
+  FROM stats)
+SELECT {id_col}, cast(round({per_term}, 6) as double) AS score
+FROM stats CROSS JOIN corpus
+WHERE {' + '.join(f'tf{i}' for i in range(len(terms)))} > 0
+ORDER BY score DESC, {id_col} LIMIT {k}"""
+
+
+def tfidf_keywords(df: DataFrame, top_n: int = 3, *,
+                   id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_token_len: int = 3) -> DataFrame:
+    """Top-``top_n`` keywords per document by TF-IDF.
+
+    tfidf = (tf / dl) * ln(N / df); tokens shorter than
+    ``min_token_len`` are dropped (articles/punctuation noise).
+    Returns (id_col, rank, token, tfidf); ties break on token text so
+    the output is deterministic.
+    """
+    toks = (df.select(F.col(id_col), F.explode(
+        F.expr(words(f"lower({text_col})"))).alias("tok"))
+        .filter(F.length("tok") >= min_token_len))
+    toks = toks.localCheckpoint(eager=False)  # explode once, use thrice
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dft"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(dl, id_col).join(dft, "tok")
+              .crossJoin(F.broadcast(n_docs))
+              .select(F.col(id_col), F.col("tok"), F.expr(
+                  "cast(round((cnt / cast(dl as double)) * "
+                  "ln(cast(n_docs as double) / dft), 10) "
+                  "as decimal(20,10))").alias("w")))
+    ranked = scored.withColumn("rank", F.expr(
+        f"row_number() OVER (PARTITION BY {id_col} "
+        f"ORDER BY w DESC, tok)"))
+    return (ranked.filter(F.col("rank") <= top_n)
+            .select(F.col(id_col), F.col("rank").cast("int").alias("rank"),
+                    F.col("tok").alias("token"),
+                    F.expr("cast(w as double)").alias("tfidf")))
+
+
+def tfidf_keywords_oracle_sql(top_n: int = 3, *, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              min_token_len: int = 3,
+                              table: str = "documents") -> str:
+    """DuckDB mirror of :func:`tfidf_keywords`."""
+    w = words(f"lower({text_col})", "duck")
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest({w}) AS tok FROM {table}),
+t2 AS (SELECT * FROM toks WHERE length(tok) >= {min_token_len}),
+tf AS (SELECT {id_col}, tok, count(*) AS cnt FROM t2 GROUP BY 1, 2),
+dl AS (SELECT {id_col}, count(*) AS dl FROM t2 GROUP BY 1),
+dft AS (SELECT tok, count(*) AS dft FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM {table}),
+scored AS (
+  SELECT {id_col}, tok,
+         cast(round((cnt / cast(dl as double)) *
+              ln(cast(n_docs as double) / dft), 10)
+              as decimal(20,10)) AS w
+  FROM tf JOIN dl USING ({id_col}) JOIN dft USING (tok) CROSS JOIN nd),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY {id_col}
+                               ORDER BY w DESC, tok) AS rank
+  FROM scored)
+SELECT {id_col}, cast(rank as int) AS rank, tok AS token,
+       cast(w as double) AS tfidf
+FROM ranked WHERE rank <= {top_n}"""

@@ -1,0 +1,71 @@
+"""BM25 search + TF-IDF keywords: behavior and physical-plan shape."""
+
+import pytest
+from pyspark.sql import Row
+
+from pythonql_spark.operators.retrieval import bm25_search, tfidf_keywords
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame([
+        Row(doc_id=1, text="spark spark spark joins data"),
+        Row(doc_id=2, text="spark appears once here today"),
+        Row(doc_id=3, text="nothing relevant in this document"),
+        Row(doc_id=4, text="spark spark and more spark spark spark"),
+        Row(doc_id=5, text="a very long document about other things "
+                           "entirely with many many words but no hits"),
+    ])
+
+
+def test_bm25_ranks_term_frequency(corpus):
+    rows = bm25_search(corpus, ["spark"], k=10).collect()
+    ids = [r.doc_id for r in rows]
+    # non-matching docs excluded; heavier tf ranks higher
+    assert set(ids) == {1, 2, 4}
+    assert ids[0] == 4 and ids[-1] == 2
+    assert all(rows[i].score >= rows[i + 1].score
+               for i in range(len(rows) - 1))
+
+
+def test_bm25_multi_term_and_k(corpus):
+    rows = bm25_search(corpus, ["spark", "joins"], k=2).collect()
+    assert len(rows) == 2
+    # doc 1 matches both terms; 'joins' is rarer so its idf dominates
+    assert rows[0].doc_id == 1
+
+
+def test_bm25_plan_is_topk_no_shuffle_join(corpus):
+    explained = bm25_search(corpus, ["spark", "joins"], k=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in explained
+    # scoring side must not shuffle: the only shuffle exchange is the
+    # 1-row corpus-stats aggregate (SinglePartition); stats come back
+    # via broadcast
+    import re
+    shuffles = re.findall(r"(?<![A-Za-z])Exchange (\w+)", explained)
+    assert all(e == "SinglePartition" for e in shuffles), explained
+
+
+def test_tfidf_keywords_basic(corpus):
+    out = tfidf_keywords(corpus, top_n=2, min_token_len=4)
+    rows = {(r.doc_id, r.rank): r.token for r in out.collect()}
+    # doc 4's dominant distinctive term is 'spark'
+    assert rows[(4, 1)] == "spark"
+    # every doc has rank 1; ranks are 1..n with no gaps
+    by_doc = {}
+    for (d, r) in rows:
+        by_doc.setdefault(d, []).append(r)
+    for d, ranks in by_doc.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_tfidf_plan_window_group_limit(corpus):
+    explained = tfidf_keywords(corpus, top_n=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in explained
+
+
+def test_bm25_empty_terms_raise(corpus):
+    with pytest.raises(ValueError):
+        bm25_search(corpus, ["  "], k=3)
