@@ -2783,12 +2783,25 @@ def doc_keywords(spark, sf):
     return tfidf_keywords(docs, top_n=3)
 
 
+@q("dsir_weights", None)  # oracle attached below (generated SQL)
+def dsir_weights(spark, sf):
+    """DSIR importance weighting: score every document by how
+    English-like its hashed bag-of-words is vs the corpus average.
+    One explode; bucket tables are <=4096 rows (broadcast); token
+    text never crosses a shuffle."""
+    from pythonql_spark.operators.dsir import dsir_logweights
+    docs = load_table(spark, sf, "documents")
+    return dsir_logweights(docs, "lang = 'en'")
+
+
 def _register_retrieval_oracles():
+    from pythonql_spark.operators.dsir import dsir_oracle_sql
     from pythonql_spark.operators.retrieval import (
         bm25_oracle_sql, tfidf_keywords_oracle_sql)
     ORACLE["search_bm25"] = bm25_oracle_sql(
         ["query", "join", "hash"], k=20)
     ORACLE["doc_keywords"] = tfidf_keywords_oracle_sql(top_n=3)
+    ORACLE["dsir_weights"] = dsir_oracle_sql("lang = 'en'")
 
 
 _register_retrieval_oracles()
