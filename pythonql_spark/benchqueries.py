@@ -2794,14 +2794,27 @@ def dsir_weights(spark, sf):
     return dsir_logweights(docs, "lang = 'en'")
 
 
+@q("dup_spans", None)  # oracle attached below (generated SQL)
+def dup_spans(spark, sf):
+    """Exact duplicate-span stats (Lee et al. substring dedup signal):
+    per-doc count of corpus-duplicated word 5-grams + covered token
+    fraction.  K-grams leave the scan as 60-bit hashes; one hash
+    groupBy + one hash-keyed join back — longs only in the shuffle."""
+    from pythonql_spark.operators.spans import dup_span_stats
+    docs = load_table(spark, sf, "documents")
+    return dup_span_stats(docs, k=5)
+
+
 def _register_retrieval_oracles():
     from pythonql_spark.operators.dsir import dsir_oracle_sql
     from pythonql_spark.operators.retrieval import (
         bm25_oracle_sql, tfidf_keywords_oracle_sql)
+    from pythonql_spark.operators.spans import dup_span_stats_oracle_sql
     ORACLE["search_bm25"] = bm25_oracle_sql(
         ["query", "join", "hash"], k=20)
     ORACLE["doc_keywords"] = tfidf_keywords_oracle_sql(top_n=3)
     ORACLE["dsir_weights"] = dsir_oracle_sql("lang = 'en'")
+    ORACLE["dup_spans"] = dup_span_stats_oracle_sql(k=5)
 
 
 _register_retrieval_oracles()

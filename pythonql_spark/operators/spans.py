@@ -1,0 +1,166 @@
+"""Exact duplicate-span (substring) deduplication.
+
+"Deduplicating Training Data Makes Language Models Better" (Lee et
+al., 2021, public) removes verbatim repeated substrings ACROSS
+documents — boilerplate, licenses, quoted chunks — that whole-document
+dedup can't touch.  This module implements the word-k-gram variant:
+
+* :func:`dup_span_stats` — per-document count of corpus-duplicated
+  k-grams and the fraction of token positions they cover (the usual
+  filter signal);
+* :func:`strip_dup_spans` — rewrite each document dropping tokens
+  covered by a duplicated k-gram, keeping the span intact only in its
+  canonical document (min doc id), so exactly one copy survives.
+
+Scale shape
+-----------
+Documents k-gram-ize via narrow array expressions; each k-gram leaves
+the scan as a 60-bit hash (md5-derived, dual-dialect — never the
+text).  The global occurrence count is ONE groupBy on the hash
+(map-side combined); duplicated hashes join back hash-keyed.  Coverage
+is per-doc arithmetic on (start) positions.  Shuffles carry
+(hash, doc, start) longs only; nothing is collected.
+
+Reference parity: not in pythonql — LLM-training-data extension
+(brief: dedup beyond whole-document granularity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pythonql_spark.operators.text import words
+
+
+def _kgram_hash(s: str, dialect: str) -> str:
+    """60-bit bigint hash of a string expression, identical in Spark
+    SQL and DuckDB (md5 prefix — k-gram text never leaves the scan)."""
+    if dialect == "spark":
+        return f"cast(conv(substring(md5({s}), 1, 15), 16, 10) as bigint)"
+    return f"cast(('0x' || substring(md5({s}), 1, 15)) as bigint)"
+
+
+def _kgram_rows(df: DataFrame, k: int, id_col: str,
+                text_col: str) -> DataFrame:
+    """(id, start, h): one row per k-gram occurrence; start is
+    1-based token position."""
+    w = words(f"lower({text_col})")
+    gram = f"concat_ws(' ', slice(w, i, {k}))"
+    # NB: Spark's sequence(1, 0) is a DESCENDING [1, 0], not empty —
+    # docs shorter than k tokens must yield an empty k-gram array
+    kg = (f"transform(array({w}), w -> "
+          f"CASE WHEN size(w) < {k} THEN array() "
+          f"ELSE transform(sequence(1, size(w) - {k} + 1), "
+          f"i -> {_kgram_hash(gram, 'spark')}) END"
+          f")[0]")
+    return (df.select(F.col(id_col), F.posexplode(F.expr(kg)))
+            .select(F.col(id_col), (F.col("pos") + 1).alias("start"),
+                    F.col("col").alias("h")))
+
+
+def _doc_lengths(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.expr(f"cast(size({words(f'lower({text_col})')}) as bigint)")
+        .alias("n_tokens"))
+
+
+def dup_span_stats(df: DataFrame, k: int = 8, *,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document duplicated-span statistics.
+
+    Returns (id_col, n_tokens, n_dup_kgrams, dup_token_frac) for every
+    document: how many of its k-grams occur more than once in the
+    WHOLE corpus (across or within documents), and the fraction of its
+    token positions covered by at least one such k-gram.
+    """
+    kg = _kgram_rows(df, k, id_col, text_col)
+    kg = kg.localCheckpoint(eager=False)  # k-gram-ize once, use twice
+    dup_h = (kg.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+             .filter("c > 1").select("h"))
+    dup = kg.join(dup_h, "h")
+    per_doc = (dup.select(id_col, F.explode(
+        F.expr(f"sequence(start, start + {k} - 1)")).alias("p"))
+        .groupBy(id_col)
+        .agg(F.expr("cast(count(DISTINCT p) as bigint)").alias("cov")))
+    n_dup = (dup.groupBy(id_col)
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_kgrams")))
+    return (_doc_lengths(df, id_col, text_col)
+            .join(n_dup, id_col, "left")
+            .join(per_doc, id_col, "left")
+            .select(F.col(id_col), F.col("n_tokens"),
+                    F.expr("coalesce(n_dup_kgrams, 0)")
+                    .alias("n_dup_kgrams"),
+                    F.expr("cast(round(coalesce(cov, 0) / "
+                           "cast(greatest(n_tokens, 1) as double), 6) "
+                           "as double)").alias("dup_token_frac")))
+
+
+def dup_span_stats_oracle_sql(k: int = 8, *, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              table: str = "documents") -> str:
+    """DuckDB mirror of :func:`dup_span_stats`."""
+    w = words(f"lower({text_col})", "duck")
+    kg_str = f"array_to_string(list_slice(w, i, i + {k} - 1), ' ')"
+    return f"""
+WITH sp AS (SELECT {id_col}, {w} AS w FROM {table}),
+kg AS (
+  SELECT {id_col}, unnest(list_transform(
+    range(1, greatest(len(w) - {k} + 1, 0) + 1),
+    i -> {{'s': i, 'h': {_kgram_hash(kg_str, 'duck')}}})) AS u
+  FROM sp),
+kg2 AS (SELECT {id_col}, u.s AS start, u.h AS h FROM kg),
+dup_h AS (SELECT h FROM kg2 GROUP BY h HAVING count(*) > 1),
+dup AS (SELECT {id_col}, start FROM kg2 JOIN dup_h USING (h)),
+cov AS (
+  SELECT {id_col}, count(DISTINCT start + i) AS cov
+  FROM dup, range(0, {k}) AS r(i) GROUP BY {id_col}),
+nd AS (SELECT {id_col}, count(*) AS n_dup_kgrams FROM dup
+       GROUP BY {id_col}),
+dl AS (SELECT {id_col}, cast(len(w) as bigint) AS n_tokens FROM sp)
+SELECT dl.{id_col}, n_tokens,
+       cast(coalesce(n_dup_kgrams, 0) as bigint) AS n_dup_kgrams,
+       cast(round(coalesce(cov, 0) /
+            cast(greatest(n_tokens, 1) as double), 6) as double)
+       AS dup_token_frac
+FROM dl LEFT JOIN nd USING ({id_col}) LEFT JOIN cov USING ({id_col})"""
+
+
+def strip_dup_spans(df: DataFrame, k: int = 8, *,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Remove corpus-duplicated k-token spans, keeping one canonical
+    copy: every occurrence of a duplicated k-gram is dropped EXCEPT in
+    the document with the smallest id containing it (that document
+    keeps all its occurrences of the span).
+
+    Returns the input with ``text_col`` rewritten (tokens re-joined by
+    single spaces, case-folded — the same normalization the k-grams
+    use) plus ``n_removed_tokens``.
+    """
+    kg = _kgram_rows(df, k, id_col, text_col)
+    kg = kg.localCheckpoint(eager=False)
+    holders = (kg.groupBy("h")
+               .agg(F.count(F.lit(1)).alias("c"),
+                    F.min(id_col).alias("holder"))
+               .filter("c > 1")
+               .select("h", "holder"))
+    removable = (kg.join(holders, "h")
+                 .filter(F.col(id_col) != F.col("holder"))
+                 .select(id_col, F.explode(
+                     F.expr(f"sequence(start, start + {k} - 1)"))
+                     .alias("p"))
+                 .groupBy(id_col)
+                 .agg(F.collect_set("p").alias("__rm")))
+    w = words(f"lower({text_col})")
+    rebuilt = (
+        f"concat_ws(' ', filter(transform({w}, (t, i) -> "
+        f"IF(array_contains(coalesce(__rm, array()), i + 1), null, t)), "
+        f"x -> x IS NOT NULL))")
+    n_rm = "cast(size(coalesce(__rm, array())) as bigint)"
+    out_cols = [c for c in df.columns if c != text_col]
+    return (df.join(removable, id_col, "left")
+            .select(*out_cols, F.expr(rebuilt).alias(text_col),
+                    F.expr(n_rm).alias("n_removed_tokens")))

@@ -1,0 +1,67 @@
+"""Duplicate-span (substring) dedup: stats, canonical-copy stripping,
+plan shape."""
+
+import pytest
+from pyspark.sql import Row
+
+from pythonql_spark.operators.spans import dup_span_stats, strip_dup_spans
+
+SPAN = "one two three four five six seven eight"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame([
+        Row(doc_id=1, text=f"unique alpha words here {SPAN} tail a"),
+        Row(doc_id=2, text=f"prefix tokens {SPAN} closing words x y"),
+        Row(doc_id=3, text="totally unrelated content with no "
+                           "duplication at all"),
+        Row(doc_id=4, text="short doc"),
+        Row(doc_id=5, text=f"{SPAN} and {SPAN}"),  # twice in one doc
+    ])
+
+
+def test_stats_flags_shared_span(corpus):
+    stats = {r.doc_id: r for r in dup_span_stats(corpus, k=8).collect()}
+    assert stats[1].n_dup_kgrams == 1
+    assert stats[2].n_dup_kgrams == 1
+    # an 8-gram over 14 tokens covers 8/14 positions
+    assert stats[1].dup_token_frac == round(8 / 14, 6)
+    # clean docs report zeros but are present
+    assert stats[3].n_dup_kgrams == 0 and stats[3].dup_token_frac == 0.0
+    # a doc shorter than k has no k-grams (sequence() descending guard)
+    assert stats[4].n_tokens == 2 and stats[4].n_dup_kgrams == 0
+    # within-doc repetition counts too
+    assert stats[5].n_dup_kgrams == 2
+
+
+def test_strip_keeps_canonical_copy(corpus):
+    out = {r.doc_id: r for r in strip_dup_spans(corpus, k=8).collect()}
+    # doc 1 is the min-id holder: span intact, nothing removed
+    assert SPAN in out[1].text and out[1].n_removed_tokens == 0
+    # doc 2 loses exactly the 8 span tokens
+    assert SPAN not in out[2].text and out[2].n_removed_tokens == 8
+    assert out[2].text == "prefix tokens closing words x y"
+    # untouched docs round-trip (case-folded rejoin)
+    assert out[3].text.split() == corpus.filter("doc_id = 3") \
+        .collect()[0].text.lower().split()
+    # doc 5 is not the holder: both occurrences removed
+    assert out[5].n_removed_tokens > 0 and SPAN not in out[5].text
+
+
+def test_strip_then_stats_is_clean(corpus):
+    """After stripping, no cross-document duplicated k-gram remains
+    except inside the canonical holder."""
+    stripped = strip_dup_spans(corpus, k=8).select("doc_id", "text")
+    stats = {r.doc_id: r.n_dup_kgrams
+             for r in dup_span_stats(stripped, k=8).collect()}
+    assert all(v == 0 for v in stats.values()), stats
+
+
+def test_shuffles_carry_hashes_not_text(corpus):
+    explained = dup_span_stats(corpus, k=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    import re
+    for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)",
+                           explained):
+        assert "text" not in keys, explained
