@@ -2794,6 +2794,18 @@ def dsir_weights(spark, sf):
     return dsir_logweights(docs, "lang = 'en'")
 
 
+@q("cluster_embed", None)  # rows-only: a learned quantizer is not SQL
+def cluster_embed(spark, sf):
+    """Embedding-space clustering profile: spherical k-means cells
+    (driver-trained on a bounded deterministic sample), one shuffle-free
+    Arrow assignment pass, then an n_clusters-row summary with the
+    dominant label per cell.  Deterministic at any parallelism, so the
+    rows-only hash is stable."""
+    from pythonql_spark.operators.similarity import cluster_profile
+    emb = load_table(spark, sf, "embeddings")
+    return cluster_profile(emb, n_clusters=8, label_col="label")
+
+
 @q("dup_spans", None)  # oracle attached below (generated SQL)
 def dup_spans(spark, sf):
     """Exact duplicate-span stats (Lee et al. substring dedup signal):

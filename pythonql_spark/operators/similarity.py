@@ -516,3 +516,78 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.85, *,
                            max_cluster_size=max_cluster_size,
                            id_col=id_col, vec_col=vec_col)
     return dedup_keep(df, pairs, id_col=id_col)
+
+
+def cluster_embeddings(df: DataFrame, n_clusters: int = 16, *,
+                       train_sample: int = 4096, kmeans_iters: int = 10,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Topic/content clustering of an embedding column: assign every
+    vector to a spherical k-means cell and report its cosine to the
+    centroid.
+
+    Scale shape: the quantizer trains driver-side on a bounded
+    deterministic sample (ivf_topk's documented contract); assignment
+    is ONE Arrow pass — one BLAS matmul per batch, no shuffle at all.
+    Deterministic (seeded init, deterministic sample), so downstream
+    splits and dedup keyed on the cluster id are reproducible.
+
+    Returns (id_col, cluster, centroid_cos).
+    """
+    C = _train_centroids(df, n_clusters=n_clusters,
+                         train_sample=train_sample,
+                         kmeans_iters=kmeans_iters,
+                         id_col=id_col, vec_col=vec_col)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<cluster:int, centroid_cos:double>")
+    def assign(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"cluster": pd.Series([], dtype="int32"),
+                                 "centroid_cos": pd.Series([], dtype="f8")})
+        M = np.vstack(v.to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = M @ C.T
+        cell = S.argmax(axis=1)
+        return pd.DataFrame({
+            "cluster": cell.astype("int32"),
+            "centroid_cos": S[np.arange(len(cell)), cell].round(6)})
+
+    return (df.select(F.col(id_col), assign(F.col(vec_col)).alias("a"))
+            .select(id_col, F.col("a.cluster").alias("cluster"),
+                    F.col("a.centroid_cos").alias("centroid_cos")))
+
+
+def cluster_profile(df: DataFrame, n_clusters: int = 16, *,
+                    label_col: str | None = None,
+                    train_sample: int = 4096, kmeans_iters: int = 10,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-cluster summary of :func:`cluster_embeddings`: member
+    count, mean cosine-to-centroid (cohesion), and — when
+    ``label_col`` is given — the dominant label with its share.
+    One keyed aggregate over the assignment (n_clusters rows out)."""
+    assigned = cluster_embeddings(
+        df, n_clusters, train_sample=train_sample,
+        kmeans_iters=kmeans_iters, id_col=id_col, vec_col=vec_col)
+    base = (F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.expr("cast(round(cast(sum(cast(centroid_cos as "
+                   "decimal(20,10))) as double) / count(1), 6) as double)")
+            .alias("mean_cos"))
+    if label_col is None:
+        return assigned.groupBy("cluster").agg(*base)
+    joined = assigned.join(df.select(id_col, label_col), id_col)
+    by_label = (joined.groupBy("cluster", label_col)
+                .agg(F.count(F.lit(1)).alias("n_label")))
+    top = (by_label.withColumn("rn", F.expr(
+        f"row_number() OVER (PARTITION BY cluster "
+        f"ORDER BY n_label DESC, {label_col})"))
+        .filter("rn = 1")
+        .select("cluster", F.col(label_col).alias("top_label"),
+                F.col("n_label").alias("top_label_n")))
+    stats = joined.groupBy("cluster").agg(*base)
+    return (stats.join(top, "cluster")
+            .withColumn("top_label_share", F.expr(
+                "cast(round(top_label_n / cast(n_members as double), 6) "
+                "as double)"))
+            .drop("top_label_n"))

@@ -69,3 +69,58 @@ def test_tfidf_plan_window_group_limit(corpus):
 def test_bm25_empty_terms_raise(corpus):
     with pytest.raises(ValueError):
         bm25_search(corpus, ["  "], k=3)
+
+
+# ------------------------------------------------- embedding clustering
+
+def _planted(spark, per=30, dim=8):
+    """Three well-separated planted clusters on coordinate axes."""
+    import numpy as np
+    from pyspark.sql import Row
+    rs = np.random.RandomState(3)
+    rows = []
+    for c in range(3):
+        base = np.zeros(dim)
+        base[c] = 10.0
+        for i in range(per):
+            v = base + rs.normal(0, 0.05, dim)
+            rows.append(Row(vec_id=c * per + i,
+                            embedding=[float(x) for x in v],
+                            label=c))
+    return spark.createDataFrame(rows)
+
+
+def test_cluster_embeddings_recovers_planted(spark):
+    from pythonql_spark.operators.similarity import cluster_embeddings
+    df = _planted(spark)
+    out = cluster_embeddings(df, n_clusters=3, train_sample=90)
+    rows = out.collect()
+    assert len(rows) == 90
+    # every planted group lands in exactly one cell, cells are distinct
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.vec_id // 30, set()).add(r.cluster)
+    assert all(len(s) == 1 for s in by_group.values())
+    assert len(set().union(*by_group.values())) == 3
+    # tight clusters: cosine to own centroid is ~1
+    assert min(r.centroid_cos for r in rows) > 0.99
+
+
+def test_cluster_profile_dominant_label(spark):
+    from pythonql_spark.operators.similarity import cluster_profile
+    df = _planted(spark)
+    prof = cluster_profile(df, n_clusters=3, label_col="label",
+                           train_sample=90).collect()
+    assert len(prof) == 3
+    assert sorted(p.top_label for p in prof) == [0, 1, 2]
+    assert all(p.top_label_share == 1.0 for p in prof)
+    assert all(p.n_members == 30 for p in prof)
+    assert all(p.mean_cos > 0.99 for p in prof)
+
+
+def test_cluster_assignment_no_shuffle(spark):
+    from pythonql_spark.operators.similarity import cluster_embeddings
+    df = _planted(spark)
+    explained = cluster_embeddings(df, n_clusters=3, train_sample=90) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in explained, explained
