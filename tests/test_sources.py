@@ -307,3 +307,111 @@ def test_merge_upsert_schema_mismatch_raises(spark, tmp_path):
                                 "id long, val string, extra double")
     with _pytest.raises(ValueError, match="schema"):
         merge_upsert(spark, path, bad, ["id"])
+
+
+# ----------------------------------------------------------- orc source/sink
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """read_files('orc') round-trips and pushes filters into the ORC
+    scan (predicate + column pruning visible in the plan)."""
+    from pythonql_spark.sources import read_files
+    p = str(tmp_path / "orc_tbl")
+    src = spark.range(1000).selectExpr(
+        "id", "id % 7 as grp", "cast(id * 1.5 as double) as v",
+        "concat('name_', id) as name")
+    src.write.format("orc").mode("overwrite").save(p)
+    back = read_files(spark, p, fmt="orc")
+    assert back.count() == 1000
+    assert sorted(back.columns) == ["grp", "id", "name", "v"]
+    q = back.filter("grp = 3").select("id", "v")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "grp" in plan.split("PushedFilters")[1][:200]
+    rs = plan.split("ReadSchema")[1][:200]
+    assert "name" not in rs  # column pruning reached the ORC scan
+    assert q.count() == sum(1 for i in range(1000) if i % 7 == 3)
+
+
+# ----------------------------------------------------------- scd2 dimension
+
+def _mk_ts(s):
+    import datetime as dt
+    return dt.datetime.fromisoformat(s)
+
+
+def test_scd2_apply_chains_versions(spark):
+    from pyspark.sql import Row
+    from pythonql_spark.operators.scd import (
+        scd2_apply, scd2_as_of, scd2_current)
+    dim = spark.createDataFrame([
+        # supplier 1: one closed version + one current
+        Row(s_id=1, city="lyon", valid_from=_mk_ts("2024-01-01T00:00"),
+            valid_to=_mk_ts("2024-06-01T00:00")),
+        Row(s_id=1, city="paris", valid_from=_mk_ts("2024-06-01T00:00"),
+            valid_to=None),
+        # supplier 2: untouched by the batch
+        Row(s_id=2, city="berlin", valid_from=_mk_ts("2024-01-01T00:00"),
+            valid_to=None),
+    ])
+    updates = spark.createDataFrame([
+        # two chained updates for supplier 1 in one batch
+        Row(s_id=1, city="nice", ts=_mk_ts("2025-01-01T00:00")),
+        Row(s_id=1, city="lille", ts=_mk_ts("2025-03-01T00:00")),
+        # brand-new supplier 3
+        Row(s_id=3, city="rome", ts=_mk_ts("2025-02-01T00:00")),
+    ])
+    out = scd2_apply(dim, updates, keys=["s_id"]).cache()
+    rows = {(r.s_id, r.city): (r.valid_from, r.valid_to)
+            for r in out.collect()}
+    assert len(rows) == 6
+    # old current row closed at the first update ts
+    assert rows[(1, "paris")][1] == _mk_ts("2025-01-01T00:00")
+    # batch updates chain: nice -> closed by lille; lille current
+    assert rows[(1, "nice")] == (_mk_ts("2025-01-01T00:00"),
+                                 _mk_ts("2025-03-01T00:00"))
+    assert rows[(1, "lille")] == (_mk_ts("2025-03-01T00:00"), None)
+    # history + untouched keys pass through byte-identical
+    assert rows[(1, "lyon")] == (_mk_ts("2024-01-01T00:00"),
+                                 _mk_ts("2024-06-01T00:00"))
+    assert rows[(2, "berlin")][1] is None
+    # new key inserts as current
+    assert rows[(3, "rome")] == (_mk_ts("2025-02-01T00:00"), None)
+
+    cur = {r.s_id: r.city for r in scd2_current(out).collect()}
+    assert cur == {1: "lille", 2: "berlin", 3: "rome"}
+    asof = {r.s_id: r.city
+            for r in scd2_as_of(out, "2025-02-15 00:00:00").collect()}
+    assert asof == {1: "nice", 2: "berlin", 3: "rome"}
+
+
+def test_scd2_dimension_never_shuffles(spark):
+    """The dimension side must join the delta by broadcast — no
+    exchange keyed on the dimension."""
+    from pyspark.sql import Row
+    from pythonql_spark.operators.scd import scd2_apply
+    dim = spark.range(10000).selectExpr(
+        "id as s_id", "concat('c', id) as city",
+        "timestamp'2024-01-01 00:00:00' as valid_from",
+        "cast(null as timestamp) as valid_to")
+    updates = spark.createDataFrame([
+        Row(s_id=7, city="x", ts=_mk_ts("2025-01-01T00:00"))])
+    plan = scd2_apply(dim, updates, keys=["s_id"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the delta side may window-shuffle (it's tiny); the dimension must
+    # join by broadcast, never sort-merge
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_scd2_rejects_validity_columns_in_updates(spark):
+    from pyspark.sql import Row
+    from pythonql_spark.operators.scd import scd2_apply
+    import pytest as _pt
+    dim = spark.createDataFrame(
+        [Row(s_id=1, city="a", valid_from=_mk_ts("2024-01-01T00:00"),
+             valid_to=None)],
+        "s_id long, city string, valid_from timestamp, valid_to timestamp")
+    bad = spark.createDataFrame([
+        Row(s_id=1, city="b", ts=_mk_ts("2025-01-01T00:00"),
+            valid_from=_mk_ts("2025-01-01T00:00"))])
+    with _pt.raises(ValueError):
+        scd2_apply(dim, bad, keys=["s_id"])
