@@ -14,3 +14,4 @@ __all__ = ["dedup_stream", "session_agg", "sliding_agg", "tumbling_agg",
            "with_watermark", "stateful_sessionize",
            "stateful_predicate_windows", "interval_join",
            "run_to_completion", "write_stream_files"]
+from pythonql_spark.streaming.ingest import dedup_ingest_stream

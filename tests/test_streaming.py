@@ -298,3 +298,53 @@ def test_stateful_sessionize_batch_flushes_final_sessions(spark, tables):
     sess = stateful_sessionize(ev, gap_ms=30 * 60 * 1000)
     total = sess.groupBy().sum("n_events").first()[0]
     assert total == ev.count()
+
+
+def test_dedup_ingest_stream_matches_batch(spark, tables, tmp_path):
+    """foreachBatch incremental dedup: stream output == the batch
+    dedup_increment on the same data, and a replayed run is idempotent
+    (partition overwrite, not double-append)."""
+    from pythonql_spark.operators.dedup import dedup_increment
+    from pythonql_spark.streaming import dedup_ingest_stream, run_to_completion
+
+    docs = tables["documents"]
+    corpus = docs.filter("doc_id < 300").select("doc_id", "text").cache()
+    # arriving batch: fresh docs + exact copies of corpus docs (near-dup
+    # catches verbatim copies trivially) + an in-batch duplicate pair
+    fresh = docs.filter("doc_id >= 300 and doc_id < 340") \
+        .select("doc_id", "text")
+    copies = (corpus.filter("doc_id < 10")
+              .selectExpr("doc_id + 100000 as doc_id", "text"))
+    twin = fresh.filter("doc_id = 300") \
+        .selectExpr("doc_id + 200000 as doc_id", "text")
+    arriving = fresh.union(copies).union(twin)
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    arriving.write.parquet(src)
+
+    stream = spark.readStream.schema(arriving.schema).parquet(src)
+    q = dedup_ingest_stream(stream, corpus, out, ck,
+                            jaccard_threshold=0.5)
+    run_to_completion(q)
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    want = sorted(r.doc_id for r in
+                  dedup_increment(arriving, corpus,
+                                  jaccard_threshold=0.5).collect())
+    assert got == want
+    # copies of corpus docs and the in-batch twin were rejected
+    assert not any(d >= 100000 for d in got)
+    assert 300 in got
+
+    # replay the SAME batch from a fresh checkpoint: the batch-id
+    # partition is overwritten, never appended twice
+    import shutil
+    shutil.rmtree(ck)
+    stream2 = spark.readStream.schema(arriving.schema).parquet(src)
+    q2 = dedup_ingest_stream(stream2, corpus, out, ck,
+                             jaccard_threshold=0.5)
+    run_to_completion(q2)
+    again = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert again == got
