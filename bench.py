@@ -44,6 +44,11 @@ def main() -> None:
         "stream_tumbling", "sessionize", "doc_pipeline", "training_pipeline",
         "decontaminate",
         "sample_stratified", "chunk_docs", "pack_sequences",
+        "search_bm25", "doc_keywords", "dsir_weights", "dup_spans",
+        "cluster_embed", "text_bpe", "dedup_semantic",
+        "text_gopher", "text_dup_lines", "text_top_ngram",
+        "profile_quantiles", "split_assign", "stream_predicate",
+        "pql_window", "media_gif", "media_frames", "curation_pipeline",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers, and spin up the Python worker

@@ -2817,7 +2817,44 @@ def dup_spans(spark, sf):
     return dup_span_stats(docs, k=5)
 
 
+@q("curation_pipeline", None)  # oracle attached below (generated SQL)
+def curation_pipeline(spark, sf):
+    """Composite curation report over the round's new signals: Gopher
+    keep/drop verdict + duplicated-span coverage + DSIR target-likeness
+    per document, thresholded into a keep decision and rolled up per
+    language.  Each signal is an independent columnar pass; they meet
+    in id-keyed joins and ONE final keyed aggregate."""
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.operators import text as TX
+    from pythonql_spark.operators.dsir import dsir_logweights
+    from pythonql_spark.operators.spans import dup_span_stats
+    docs = load_table(spark, sf, "documents")
+    g = docs.selectExpr(
+        "doc_id", "lang",
+        TX.gopher_pass("text", min_words=10) + " as g_keep")
+    spans = dup_span_stats(docs, k=5).select(
+        "doc_id", "n_tokens", "dup_token_frac")
+    w = dsir_logweights(docs, "lang = 'en'").select(
+        "doc_id", F.expr("cast(round(logweight / n_tokens, 6) as double)")
+        .alias("per_tok_w"))
+    keep = ("g_keep AND dup_token_frac < 0.3 AND "
+            "per_tok_w > -0.35")
+    return (g.join(spans, "doc_id").join(w, "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.expr(f"cast(sum(cast({keep} as int)) as bigint)")
+                 .alias("n_kept"),
+                 F.expr(f"cast(sum(CASE WHEN {keep} THEN n_tokens "
+                        f"ELSE 0 END) as bigint)").alias("kept_tokens"),
+                 F.expr(f"cast(round(cast(sum(CASE WHEN {keep} THEN "
+                        f"cast(per_tok_w as decimal(20,10)) END) as double)"
+                        f" / greatest(sum(cast({keep} as int)), 1), 6) "
+                        f"as double)").alias("mean_kept_w")))
+
+
 def _register_retrieval_oracles():
+    from pythonql_spark.operators import text as TX
     from pythonql_spark.operators.dsir import dsir_oracle_sql
     from pythonql_spark.operators.retrieval import (
         bm25_oracle_sql, tfidf_keywords_oracle_sql)
@@ -2827,6 +2864,28 @@ def _register_retrieval_oracles():
     ORACLE["doc_keywords"] = tfidf_keywords_oracle_sql(top_n=3)
     ORACLE["dsir_weights"] = dsir_oracle_sql("lang = 'en'")
     ORACLE["dup_spans"] = dup_span_stats_oracle_sql(k=5)
+    keep = ("g_keep AND dup_token_frac < 0.3 AND "
+            "per_tok_w > -0.35")
+    ORACLE["curation_pipeline"] = f"""
+WITH g AS (
+  SELECT doc_id, lang,
+         {TX.gopher_pass('text', 'duck', min_words=10)} AS g_keep
+  FROM documents),
+spans AS ({dup_span_stats_oracle_sql(k=5)}),
+w0 AS ({dsir_oracle_sql("lang = 'en'")}),
+w AS (SELECT doc_id,
+             cast(round(logweight / n_tokens, 6) as double) AS per_tok_w
+      FROM w0)
+SELECT lang, cast(count(*) as bigint) AS n_docs,
+       cast(sum(cast({keep} as int)) as bigint) AS n_kept,
+       cast(sum(CASE WHEN {keep} THEN n_tokens ELSE 0 END) as bigint)
+         AS kept_tokens,
+       cast(round(cast(sum(CASE WHEN {keep} THEN
+            cast(per_tok_w as decimal(20,10)) END) as double)
+            / greatest(sum(cast({keep} as int)), 1), 6) as double)
+         AS mean_kept_w
+FROM g JOIN spans USING (doc_id) JOIN w USING (doc_id)
+GROUP BY lang"""
 
 
 _register_retrieval_oracles()

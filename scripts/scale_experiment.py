@@ -68,13 +68,20 @@ def main() -> None:
     spark = get_spark("scale-exp")
     spark.sparkContext.setLogLevel("ERROR")
     from pythonql_spark.operators.asof import asof_join
+    from pythonql_spark.operators.bpe import bpe_encode, train_bpe
     from pythonql_spark.operators.dedup import (dedup_keep,
                                                 minhash_lsh_pairs,
                                                 simhash_pairs)
     from pythonql_spark.operators.decontam import decontaminate
+    from pythonql_spark.operators.dsir import dsir_logweights
     from pythonql_spark.operators.rangejoin import range_join
+    from pythonql_spark.operators.retrieval import bm25_search
     from pythonql_spark.operators.sampling import sample_exact_n_stratified
-    from pythonql_spark.operators.similarity import brute_topk, lsh_topk
+    from pythonql_spark.operators.similarity import (brute_topk,
+                                                     cluster_embeddings,
+                                                     lsh_topk,
+                                                     semantic_dedup)
+    from pythonql_spark.operators.spans import dup_span_stats
     from pythonql_spark.operators.timeseries import (merge_rollups,
                                                      rollup_delta)
     from pythonql_spark.operators.topk import top_k_per_group
@@ -132,6 +139,22 @@ def main() -> None:
             # rows per map task regardless of corpus size
             "exact_strat": lambda: sample_exact_n_stratified(
                 docs.select("doc_id", "lang", "source"), "lang", 30).count(),
+            # one scan + a 1-row broadcast: should be scan-bound flat
+            "bm25": lambda: bm25_search(
+                docs, ["query", "join", "hash"], k=20).count(),
+            # one explode + two <=4096-row bucket aggs broadcast back
+            "dsir": lambda: dsir_logweights(docs, "lang = 'en'").count(),
+            # k-gram hash groupBy + hash-keyed join back (longs only)
+            "dup_spans": lambda: dup_span_stats(docs, k=5).count(),
+            # bounded driver-side train + one Arrow encode pass
+            "bpe_encode": lambda: bpe_encode(
+                docs, train_bpe(docs, num_merges=120,
+                                sample_docs=256)).count(),
+            # SemDeDup: cells -> within-cell pairs -> components -> keep
+            "sem_dedup": lambda: semantic_dedup(
+                embs, threshold=0.95).count(),
+            # shuffle-free Arrow matmul assignment
+            "cluster": lambda: cluster_embeddings(embs, 16).count(),
             # compound-key as-of: one sort-shuffle on (user, type)
             "asof_join": lambda: asof_join(
                 evs.filter("event_type = 'purchase'")
