@@ -66,6 +66,24 @@ def main() -> None:
     print("decoded image features:")
     MM.decode_image(media).select("doc_id", "mean_intensity").show(4)
 
+    # duplicate-SPAN dedup: strip verbatim repeated 5-gram substrings,
+    # keeping one canonical copy corpus-wide
+    from pythonql_spark.operators.spans import strip_dup_spans
+    stripped = strip_dup_spans(docs, k=5)
+    print("tokens removed as duplicated spans:")
+    stripped.selectExpr("sum(n_removed_tokens) as removed").show()
+
+    # DSIR: reweight the crawl toward the English target distribution
+    from pythonql_spark.operators.dsir import dsir_resample
+    shaped = dsir_resample(docs, "lang = 'en'", rate=0.7)
+    print("DSIR-resampled language mix:")
+    shaped.groupBy("lang").count().orderBy("lang").show()
+
+    # keyword retrieval over the curated corpus
+    from pythonql_spark.operators.retrieval import bm25_search
+    print("BM25 top-5 for [query, join, hash]:")
+    bm25_search(docs, ["query", "join", "hash"], k=5).show()
+
 
 if __name__ == "__main__":
     main()
