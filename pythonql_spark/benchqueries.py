@@ -2817,6 +2817,19 @@ def dup_spans(spark, sf):
     return dup_span_stats(docs, k=5)
 
 
+@q("mix_budget", None)  # oracle attached below (generated SQL)
+def mix_budget(spark, sf):
+    """Budget-constrained corpus mixing: per-language char budgets
+    filled in deterministic (seeded-hash) priority order — ONE window
+    shuffle keyed on the stratum + a narrow filter."""
+    from pythonql_spark.operators.sampling import select_to_budget
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars")
+    return select_to_budget(
+        docs, "lang", {"en": 30000, "de": 8000, "fr": 8000},
+        size_col="n_chars", default_budget=5000)
+
+
 @q("curation_pipeline", None)  # oracle attached below (generated SQL)
 def curation_pipeline(spark, sf):
     """Composite curation report over the round's new signals: Gopher
@@ -2864,6 +2877,11 @@ def _register_retrieval_oracles():
     ORACLE["doc_keywords"] = tfidf_keywords_oracle_sql(top_n=3)
     ORACLE["dsir_weights"] = dsir_oracle_sql("lang = 'en'")
     ORACLE["dup_spans"] = dup_span_stats_oracle_sql(k=5)
+    from pythonql_spark.operators.sampling import select_to_budget_oracle_sql
+    ORACLE["mix_budget"] = select_to_budget_oracle_sql(
+        "lang", {"en": 30000, "de": 8000, "fr": 8000},
+        size_col="n_chars", default_budget=5000,
+        select="doc_id, lang, n_chars")
     keep = ("g_keep AND dup_token_frac < 0.3 AND "
             "per_tok_w > -0.35")
     ORACLE["curation_pipeline"] = f"""

@@ -242,3 +242,62 @@ def train_test_split(df: DataFrame,
     fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
     return df.withColumn(
         "split", F.expr(split_expr(fractions, id_col, "spark", seed)))
+
+
+def select_to_budget(df: DataFrame, strata_col: str,
+                     budgets: dict[str, int], *,
+                     size_col: str = "n_tokens",
+                     order: str | None = None,
+                     id_col: str = "doc_id",
+                     default_budget: int = 0) -> DataFrame:
+    """Budget-constrained data mixing: within each stratum, keep
+    documents in priority order until the stratum's token budget is
+    exhausted (the first document to cross the line is included, so
+    every non-empty budget yields at least one document).
+
+    ``budgets`` maps stratum value -> token budget; ``order`` is a SQL
+    ordering expression list (default: the deterministic seeded hash,
+    i.e. a uniform budget sample).  This is the "mix 30 B code tokens
+    with 70 B web tokens" primitive of corpus construction.
+
+    Scale shape: ONE window shuffle keyed on the stratum (running sum
+    per stratum) + a narrow filter.  Deterministic and oracle-exact:
+    the running sum is over bigint sizes with a total order tie-broken
+    by id.
+    """
+    order_sql = order if order else f"{shuffle_key(id_col)}, {id_col}"
+    cum = (f"sum({size_col}) OVER (PARTITION BY {strata_col} "
+           f"ORDER BY {order_sql}, {id_col} "
+           f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    budget = "CASE " + " ".join(
+        f"WHEN {strata_col} = '{k}' THEN {int(v)}"
+        for k, v in sorted(budgets.items())
+    ) + f" ELSE {int(default_budget)} END"
+    return (df.withColumn("__cum", F.expr(f"cast({cum} as bigint)"))
+            .filter(F.expr(
+                f"__cum - {size_col} < ({budget})"))
+            .drop("__cum"))
+
+
+def select_to_budget_oracle_sql(strata_col: str, budgets: dict[str, int],
+                                *, size_col: str = "n_tokens",
+                                order: str | None = None,
+                                id_col: str = "doc_id",
+                                default_budget: int = 0,
+                                table: str = "documents",
+                                select: str = "*") -> str:
+    """DuckDB mirror of :func:`select_to_budget`."""
+    order_sql = order if order else \
+        f"{shuffle_key(id_col, dialect='duck')}, {id_col}"
+    budget = "CASE " + " ".join(
+        f"WHEN {strata_col} = '{k}' THEN {int(v)}"
+        for k, v in sorted(budgets.items())
+    ) + f" ELSE {int(default_budget)} END"
+    return f"""
+WITH c AS (
+  SELECT *, cast(sum({size_col}) OVER (PARTITION BY {strata_col}
+       ORDER BY {order_sql}, {id_col}
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+       AS __cum
+  FROM {table})
+SELECT {select} FROM c WHERE __cum - {size_col} < ({budget})"""

@@ -144,17 +144,28 @@ def main() -> None:
                 docs, ["query", "join", "hash"], k=20).count(),
             # one explode + two <=4096-row bucket aggs broadcast back
             "dsir": lambda: dsir_logweights(docs, "lang = 'en'").count(),
-            # k-gram hash groupBy + hash-keyed join back (longs only)
-            "dup_spans": lambda: dup_span_stats(docs, k=5).count(),
-            # bounded driver-side train + one Arrow encode pass
+            # k-gram hash groupBy + hash-keyed join back (longs only).
+            # NB: aggregate over the computed columns — a bare count()
+            # lets Catalyst ELIMINATE the cardinality-preserving left
+            # joins and measure only the scan
+            "dup_spans": lambda: dup_span_stats(docs, k=5).selectExpr(
+                "sum(n_dup_kgrams)", "sum(dup_token_frac)").collect(),
+            # bounded driver-side train + one Arrow encode pass (sum
+            # over the encoding so the UDF can't be pruned away)
             "bpe_encode": lambda: bpe_encode(
-                docs, train_bpe(docs, num_merges=120,
-                                sample_docs=256)).count(),
-            # SemDeDup: cells -> within-cell pairs -> components -> keep
+                docs, train_bpe(docs, num_merges=120, sample_docs=256)
+            ).selectExpr("sum(n_bpe_tokens)").collect(),
+            # SemDeDup: cells -> within-cell pairs -> components ->
+            # keep.  n_clusters grows with the corpus so cell sizes
+            # stay bounded (the SemDeDup design point: cost Σ|cell|²,
+            # k ∝ n keeps it linear)
             "sem_dedup": lambda: semantic_dedup(
-                embs, threshold=0.95).count(),
-            # shuffle-free Arrow matmul assignment
-            "cluster": lambda: cluster_embeddings(embs, 16).count(),
+                embs, threshold=0.95, n_clusters=64 * n,
+                train_sample=8192).count(),
+            # shuffle-free Arrow matmul assignment (aggregate over the
+            # assignment so the UDF column isn't pruned)
+            "cluster": lambda: cluster_embeddings(embs, 16).selectExpr(
+                "count(distinct cluster)", "sum(centroid_cos)").collect(),
             # compound-key as-of: one sort-shuffle on (user, type)
             "asof_join": lambda: asof_join(
                 evs.filter("event_type = 'purchase'")

@@ -1301,3 +1301,45 @@ def test_split_expr_rejects_bad_fractions():
     from pythonql_spark.operators.sampling import split_expr
     with _pytest.raises(ValueError, match="sum to 1"):
         split_expr({"train": 0.8, "val": 0.1})
+
+
+# ------------------------------------------------ budget-constrained mixing
+
+def test_select_to_budget_respects_budgets(spark):
+    from pyspark.sql import Row
+    from pythonql_spark.operators.sampling import select_to_budget
+    rows = [Row(doc_id=i, grp="a", sz=100) for i in range(50)] + \
+           [Row(doc_id=100 + i, grp="b", sz=100) for i in range(50)] + \
+           [Row(doc_id=200 + i, grp="c", sz=100) for i in range(5)]
+    df = spark.createDataFrame(rows)
+    out = select_to_budget(df, "grp", {"a": 1000, "b": 250},
+                           size_col="sz", default_budget=10_000)
+    by = {}
+    for r in out.collect():
+        by.setdefault(r.grp, []).append(r.doc_id)
+    # budget 1000 / size 100 -> exactly 10 docs
+    assert len(by["a"]) == 10
+    # 250 -> 2 full + the one that crosses the line = 3
+    assert len(by["b"]) == 3
+    # default budget is ample -> whole stratum
+    assert len(by["c"]) == 5
+
+
+def test_select_to_budget_priority_order_and_determinism(spark):
+    from pyspark.sql import Row
+    from pythonql_spark.operators.sampling import select_to_budget
+    rows = [Row(doc_id=i, grp="a", sz=10, q=float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows)
+    # highest-q first: budget 50 -> docs 19..15
+    out = select_to_budget(df, "grp", {"a": 50}, size_col="sz",
+                           order="q DESC")
+    assert sorted(r.doc_id for r in out.collect()) == [15, 16, 17, 18, 19]
+    # empty budget -> nothing from that stratum
+    none = select_to_budget(df, "grp", {"a": 0}, size_col="sz")
+    assert none.count() == 0
+    # deterministic default order across partitionings
+    a = sorted(r.doc_id for r in select_to_budget(
+        df, "grp", {"a": 70}, size_col="sz").collect())
+    b = sorted(r.doc_id for r in select_to_budget(
+        df.repartition(7), "grp", {"a": 70}, size_col="sz").collect())
+    assert a == b and len(a) == 7
