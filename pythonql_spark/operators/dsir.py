@@ -52,7 +52,8 @@ def _lam_expr(buckets: int) -> str:
 def dsir_logweights(df: DataFrame, target_pred: str, *,
                     buckets: int = DEFAULT_BUCKETS,
                     id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    hash_fn: str = "md5") -> DataFrame:
     """Per-document DSIR importance log-weight.
 
     ``target_pred`` is a SQL boolean over the document row selecting
@@ -60,12 +61,25 @@ def dsir_logweights(df: DataFrame, target_pred: str, *,
     distribution is the whole input.  Returns
     (id_col, n_tokens, logweight) for every document — positive means
     "more target-like than the corpus average".
+
+    ``hash_fn``: "md5" (default) buckets with the dual-dialect md5
+    hash so results are DuckDB-oracle-checkable bit-for-bit;
+    "xxhash64" uses Spark's native 64-bit hash — ~3× less per-token
+    CPU, the right choice for production runs that don't need
+    cross-engine parity (weights differ only through bucket
+    assignment; the estimator's quality is the same).
     """
+    if hash_fn == "md5":
+        b_expr = hash_bucket("tok", buckets=buckets)
+    elif hash_fn == "xxhash64":
+        b_expr = f"pmod(xxhash64(tok), {buckets})"
+    else:
+        raise ValueError(f"hash_fn must be md5|xxhash64, got {hash_fn!r}")
     toks = (df.selectExpr(
         id_col, f"cast(({target_pred}) as boolean) as __tgt",
         f"explode({words(f'lower({text_col})')}) as tok")
         .filter("tok != ''")
-        .withColumn("b", F.expr(hash_bucket("tok", buckets=buckets))))
+        .withColumn("b", F.expr(b_expr)))
     toks = toks.localCheckpoint(eager=False)  # explode once, use thrice
     raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("cnt_r"))
     tgt = (toks.filter("__tgt").groupBy("b")

@@ -72,3 +72,23 @@ def test_token_shuffle_free_plan(corpus):
     for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)",
                            explained):
         assert "tok" not in keys, explained
+
+
+def test_xxhash64_fast_path_preserves_separation(corpus):
+    """Production hash path: same estimator quality, no md5 in the
+    plan, identical shape."""
+    import pytest as _pt
+    from pythonql_spark.operators.dsir import dsir_logweights
+    w = dsir_logweights(corpus, "kind = 'wiki'", hash_fn="xxhash64")
+    scored = {r.doc_id: r.logweight for r in w.collect()}
+    wiki_like = [scored[i] for i in range(60, 70)]
+    crawl_noise = [scored[i] for i in range(20, 60)]
+    assert min(wiki_like) > max(crawl_noise)
+    # collision-free vocab => weights must MATCH the md5 path exactly
+    # (bucket identity is irrelevant without collisions — only counts
+    # matter), which proves the fast path computes the same estimator
+    md5 = {r.doc_id: r.logweight for r in
+           dsir_logweights(corpus, "kind = 'wiki'").collect()}
+    assert scored == md5
+    with _pt.raises(ValueError):
+        dsir_logweights(corpus, "kind = 'wiki'", hash_fn="sha1")
