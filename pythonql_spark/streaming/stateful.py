@@ -58,22 +58,117 @@ def stateful_predicate_windows(
     from ..helpers import ensure_event_time
 
     events = ensure_event_time(events, [ts_col])
+    out_cols = [key_col, "s_at", "e_at", "s_ts", "e_ts",
+                "n_events", "sum_value"]
     if not events.isStreaming:
-        from ..operators.window_clause import predicate_windows
-        win = predicate_windows(
-            events.select(key_col, ts_col, value_col),
-            order_by=[ts_col, value_col], partition_by=key_col,
-            tumbling=True, only_end=only_end,
-            start_when=start_when, end_when=end_when)
-        return win.select(
-            F.col(key_col),
-            F.col("s_at"), F.col("e_at"),
-            F.element_at("window", 1)[ts_col].alias("s_ts"),
-            F.element_at("window", -1)[ts_col].alias("e_ts"),
-            F.size("window").cast("long").alias("n_events"),
-            F.aggregate("window", F.lit(0.0),
-                        lambda acc, x: acc + x[value_col].cast("double")
-                        ).alias("sum_value"))
+        # Batch dispatch (Spark rejects applyInPandasWithState outside
+        # streaming): the SAME scalar-state loop as the stream path,
+        # over key-repartitioned + key-sorted partitions via
+        # mapInPandas.  Two prior shapes were measured and rejected at
+        # sf0.1 (100k events / 1500 keys): window arrays-of-structs
+        # via predicate_windows + F.aggregate (7.5s) and per-key
+        # applyInPandas (11.8s — groupBy.applyInPandas ships one Arrow
+        # batch PER KEY, and 1500 tiny batches cost ~4s even for a
+        # no-op).  mapInPandas processes whole sorted partitions —
+        # ~n_cores Arrow transfers total (1.3s).  Batch conditions
+        # additionally see the real ``nxt`` row (a stream has no
+        # lookahead), per the operator contract.
+        import pandas as _pd
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            events.schema[key_col],
+            T.StructField("s_at", T.LongType()),
+            T.StructField("e_at", T.LongType()),
+            T.StructField("s_ts", T.TimestampType()),
+            T.StructField("e_ts", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ])
+
+        def _key_windows(k, ts_us, vals):
+            n_rows = len(vals)
+            dicts = [{"ts": t, "value": v} for t, v in zip(ts_us, vals)]
+            closed = []
+            open_, s_at, s_start, n, s = False, 0, None, 0, 0.0
+            for i in range(n_rows):
+                curr = dicts[i]
+                prev = dicts[i - 1] if i > 0 else None
+                nxt = dicts[i + 1] if i + 1 < n_rows else None
+                if not open_ and start_when(curr, i, prev, nxt):
+                    open_, s_at, s_start, n, s = True, i, curr, 0, 0.0
+                if open_:
+                    n += 1
+                    s += vals[i]
+                    if end_when(curr, i, prev, nxt, s_start, s_at):
+                        closed.append((k, s_at, i, s_start["ts"],
+                                       ts_us[i], n, s))
+                        open_ = False
+            if open_ and not only_end:
+                closed.append((k, s_at, n_rows - 1, s_start["ts"],
+                               ts_us[-1], n, s))
+            return closed
+
+        def _frame(closed):
+            # explicit dtypes: an empty chunk must still ship
+            # Arrow-compatible columns (bare [] defaults to float64,
+            # which can't cast to timestamp)
+            return _pd.DataFrame({
+                key_col: _pd.Series([c[0] for c in closed],
+                                    dtype="int64"),
+                "s_at": _pd.Series([c[1] for c in closed],
+                                   dtype="int64"),
+                "e_at": _pd.Series([c[2] for c in closed],
+                                   dtype="int64"),
+                "s_ts": _pd.Series(
+                    [_pd.Timestamp(c[3] * 1000) for c in closed],
+                    dtype="datetime64[ns]"),
+                "e_ts": _pd.Series(
+                    [_pd.Timestamp(c[4] * 1000) for c in closed],
+                    dtype="datetime64[ns]"),
+                "n_events": _pd.Series([c[5] for c in closed],
+                                       dtype="int64"),
+                "sum_value": _pd.Series([c[6] for c in closed],
+                                        dtype="float64"),
+            }, columns=out_cols)
+
+        def gen(batches):
+            # sorted-run grouping: a key's rows arrive contiguously
+            # (partition sorted on key) but may span Arrow batches —
+            # buffer the current key across batch boundaries.  Closed
+            # windows accumulate and ship as ONE output frame per
+            # partition: yielding per key costs one Arrow batch each
+            # (1500 keys ≈ +4s at sf0.1, measured)
+            out: list = []
+            buf_key, buf_ts, buf_vals = None, [], []
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ts_us = (pdf[ts_col].astype("int64") // 1000).tolist()
+                vals = pdf[value_col].astype("float64").tolist()
+                keys = pdf[key_col].tolist()
+                start = 0
+                for i in range(1, len(keys) + 1):
+                    if i == len(keys) or keys[i] != keys[start]:
+                        if buf_key is not None and keys[start] == buf_key:
+                            buf_ts += ts_us[start:i]
+                            buf_vals += vals[start:i]
+                        else:
+                            if buf_key is not None:
+                                out += _key_windows(
+                                    buf_key, buf_ts, buf_vals)
+                            buf_key = keys[start]
+                            buf_ts = ts_us[start:i]
+                            buf_vals = vals[start:i]
+                        start = i
+            if buf_key is not None:
+                out += _key_windows(buf_key, buf_ts, buf_vals)
+            yield _frame(out)
+
+        return (events.select(key_col, ts_col, value_col)
+                .repartition(key_col)
+                .sortWithinPartitions(key_col, ts_col, value_col)
+                .mapInPandas(gen, schema))
     out_schema = (f"{key_col} long, s_at long, e_at long, "
                   f"s_ts timestamp, e_ts timestamp, "
                   f"n_events long, sum_value double")
