@@ -73,3 +73,104 @@ def test_pack_offsets_property(tokens, max_tokens):
     seq_ids = [o // max_tokens for o in offsets]
     assert all(a <= b for a, b in zip(seq_ids, seq_ids[1:]))
     assert offsets[0] == 0 and seq_ids[0] == 0
+
+
+_WORDS = st.sampled_from(["alpha", "beta", "gamma", "delta", "x", "yy"])
+
+
+@given(docs=st.lists(st.lists(_WORDS, min_size=1, max_size=12),
+                     min_size=2, max_size=8))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_bm25_matches_pure_python(spark, docs):
+    """BM25 scores from the engine equal an independent pure-python
+    implementation to 6 dp on arbitrary corpora."""
+    import math
+
+    from pyspark.sql import Row
+
+    from pythonql_spark.operators.retrieval import bm25_search
+
+    terms = ["alpha", "beta"]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(docs)])
+    got = {r.doc_id: r.score
+           for r in bm25_search(df, terms, k=100).collect()}
+
+    N = len(docs)
+    avgdl = sum(len(ws) for ws in docs) / N
+    dfs = {t: sum(1 for ws in docs if t in ws) for t in terms}
+    k1, b = 1.2, 0.75
+    for i, ws in enumerate(docs):
+        s = 0.0
+        for t in terms:
+            tf = ws.count(t)
+            idf = math.log(1.0 + (N - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            s += round(idf * tf * (k1 + 1) /
+                       (tf + k1 * (1 - b + b * len(ws) / avgdl)), 10)
+        want = round(s, 6)
+        if want > 0:
+            assert got[i] == pytest.approx(want, abs=2e-6), (i, docs)
+        else:
+            assert i not in got
+
+
+@given(docs=st.lists(st.lists(_WORDS, min_size=1, max_size=14),
+                     min_size=2, max_size=6),
+       k=st.integers(2, 4))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_dup_span_stats_matches_pure_python(spark, docs, k):
+    """Duplicated-k-gram counts and coverage equal a brute-force
+    recount for arbitrary corpora and k."""
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from pythonql_spark.operators.spans import dup_span_stats
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(docs)])
+    got = {r.doc_id: (r.n_tokens, r.n_dup_kgrams, r.dup_token_frac)
+           for r in dup_span_stats(df, k=k).collect()}
+
+    occ = Counter()
+    grams = {}
+    for i, ws in enumerate(docs):
+        g = [tuple(ws[j:j + k]) for j in range(len(ws) - k + 1)]
+        grams[i] = g
+        occ.update(g)
+    dup = {g for g, c in occ.items() if c > 1}
+    for i, ws in enumerate(docs):
+        covered = set()
+        nd = 0
+        for j, g in enumerate(grams[i]):
+            if g in dup:
+                nd += 1
+                covered.update(range(j, j + k))
+        want = (len(ws), nd, round(len(covered) / max(len(ws), 1), 6))
+        assert got[i] == want, (i, docs, k)
+
+
+@given(sizes=st.lists(st.integers(1, 40), min_size=1, max_size=15),
+       budget=st.integers(1, 300))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_select_to_budget_prefix_property(spark, sizes, budget):
+    """The kept set is exactly the maximal priority-order prefix whose
+    predecessor-sum is under budget, for arbitrary sizes/budgets."""
+    from pyspark.sql import Row
+
+    from pythonql_spark.operators.sampling import select_to_budget
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, grp="g", sz=s) for i, s in enumerate(sizes)])
+    kept = sorted(r.doc_id for r in select_to_budget(
+        df, "grp", {"g": budget}, size_col="sz",
+        order="doc_id").collect())
+    acc, want = 0, []
+    for i, s in enumerate(sizes):
+        if acc < budget:
+            want.append(i)
+        acc += s
+    assert kept == want, (sizes, budget)
