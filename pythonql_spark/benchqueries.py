@@ -2830,6 +2830,33 @@ def mix_budget(spark, sf):
         size_col="n_chars", default_budget=5000)
 
 
+@q("profile_overlap", """
+WITH a AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 < 7),
+     b AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 >= 4)
+SELECT (SELECT cast(count(*) as bigint) FROM a) AS n_a,
+       (SELECT cast(count(*) as bigint) FROM b) AS n_b,
+       (SELECT cast(count(*) as bigint) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS n_union,
+       (SELECT cast(count(*) as bigint) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_intersection,
+       (SELECT cast(count(*) as bigint) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_only_a,
+       cast(round(
+         (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) /
+         cast(greatest((SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b)), 1) as double),
+         6) as double) AS jaccard
+""")
+def profile_overlap(spark, sf):
+    """Corpus-version overlap via Theta set sketches: how many docs two
+    crawl snapshots share, union/difference sizes, Jaccard — all from
+    few-KB sketch binaries, the original tables touched once each.
+    lg_k=14 keeps the sketch in exact mode below 16k distinct ids, so
+    the key carries a full value oracle at test scale while the same
+    code is the approximate path at 100 TB."""
+    from pythonql_spark.operators.sketch import set_sketch, sketch_overlap
+    docs = load_table(spark, sf, "documents")
+    a = set_sketch(docs.filter("doc_id % 10 < 7"), "doc_id", lg_k=14)
+    b = set_sketch(docs.filter("doc_id % 10 >= 4"), "doc_id", lg_k=14)
+    return sketch_overlap(a, b)
+
+
 @q("curation_pipeline", None)  # oracle attached below (generated SQL)
 def curation_pipeline(spark, sf):
     """Composite curation report over the round's new signals: Gopher

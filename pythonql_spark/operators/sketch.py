@@ -113,3 +113,54 @@ def sketch_quantiles(sketch_df: DataFrame,
         *[F.kll_sketch_get_quantile_double("sketch", F.lit(q))
           .alias(f"q_{int(round(q * 100))}")
           for q in quantiles])
+
+
+# ------------------------------------------------- Theta set sketches
+
+def set_sketch(df: DataFrame, col: str, lg_k: int = 12) -> DataFrame:
+    """One-row (sketch binary) Theta sketch of a column's distinct
+    set.  Unlike HLL, Theta sketches support INTERSECTION and
+    DIFFERENCE by sketch algebra — the corpus-versioning questions
+    ("how many docs do crawl A and crawl B share", "how much of this
+    delta is genuinely new") answered from few-KB artifacts instead of
+    a distinct-join over 100 TB."""
+    return df.agg(F.expr(
+        f"theta_sketch_agg(cast({col} as string), {lg_k})").alias("sketch"))
+
+
+def merge_set_sketches(*sketches: DataFrame) -> DataFrame:
+    """Union one-row Theta sketch tables — pure sketch algebra."""
+    if not sketches:
+        raise ValueError("need at least one sketch table")
+    allof = sketches[0]
+    for s in sketches[1:]:
+        allof = allof.unionByName(s)
+    return allof.agg(F.expr("theta_union_agg(sketch)").alias("sketch"))
+
+
+def sketch_overlap(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set-relationship estimates between two one-row Theta sketches
+    (from :func:`set_sketch` / :func:`merge_set_sketches`):
+    (n_a, n_b, n_union, n_intersection, n_only_a, jaccard).
+
+    All algebra happens on the few-KB sketch binaries in ONE cross
+    join of two 1-row frames — the original tables are never touched.
+    """
+    return (a.select(F.col("sketch").alias("sa"))
+            .crossJoin(b.select(F.col("sketch").alias("sb")))
+            .select(
+                F.expr("cast(round(theta_sketch_estimate(sa)) as bigint)")
+                .alias("n_a"),
+                F.expr("cast(round(theta_sketch_estimate(sb)) as bigint)")
+                .alias("n_b"),
+                F.expr("cast(round(theta_sketch_estimate("
+                       "theta_union(sa, sb))) as bigint)").alias("n_union"),
+                F.expr("cast(round(theta_sketch_estimate("
+                       "theta_intersection(sa, sb))) as bigint)")
+                .alias("n_intersection"),
+                F.expr("cast(round(theta_sketch_estimate("
+                       "theta_difference(sa, sb))) as bigint)")
+                .alias("n_only_a"))
+            .withColumn("jaccard", F.expr(
+                "cast(round(n_intersection / cast(greatest(n_union, 1) "
+                "as double), 6) as double)")))

@@ -1343,3 +1343,39 @@ def test_select_to_budget_priority_order_and_determinism(spark):
     b = sorted(r.doc_id for r in select_to_budget(
         df.repartition(7), "grp", {"a": 70}, size_col="sz").collect())
     assert a == b and len(a) == 7
+
+
+# ------------------------------------------------- theta set sketches
+
+def test_theta_overlap_exact_below_k(spark):
+    from pythonql_spark.operators.sketch import set_sketch, sketch_overlap
+    a = set_sketch(spark.range(1000), "id")
+    b = set_sketch(spark.range(600, 1600), "id")
+    r = sketch_overlap(a, b).collect()[0]
+    assert (r.n_a, r.n_b, r.n_union, r.n_intersection, r.n_only_a) == \
+        (1000, 1000, 1600, 400, 600)
+    assert r.jaccard == 0.25
+
+
+def test_theta_merge_is_union(spark):
+    from pythonql_spark.operators.sketch import (
+        merge_set_sketches, set_sketch, sketch_overlap)
+    a = set_sketch(spark.range(500), "id")
+    b = set_sketch(spark.range(250, 750), "id")
+    merged = merge_set_sketches(a, b)
+    r = sketch_overlap(merged, a).collect()[0]
+    assert r.n_a == 750          # merged sketch holds the union
+    assert r.n_intersection == 500
+
+
+def test_theta_estimates_within_tolerance_above_k(spark):
+    """Past exact mode (2^lg_k entries) estimates must stay within a
+    few percent — the 100 TB regime."""
+    from pythonql_spark.operators.sketch import set_sketch, sketch_overlap
+    n = 200_000
+    a = set_sketch(spark.range(n), "id", lg_k=12)
+    b = set_sketch(spark.range(n // 2, n + n // 2), "id", lg_k=12)
+    r = sketch_overlap(a, b).collect()[0]
+    assert abs(r.n_a - n) / n < 0.05
+    assert abs(r.n_union - 1.5 * n) / (1.5 * n) < 0.05
+    assert abs(r.n_intersection - 0.5 * n) / (0.5 * n) < 0.10
