@@ -2857,6 +2857,22 @@ def profile_overlap(spark, sf):
     return sketch_overlap(a, b)
 
 
+@q("rag_retrieval", None)  # oracle attached below (generated SQL)
+def rag_retrieval(spark, sf):
+    """RAG-style retrieval composition: chunk every document into
+    overlapping token windows (narrow array exprs, no shuffle), then
+    BM25-rank the CHUNKS for a keyword query — chunking and scoring
+    fuse into one scan + a 1-row stats exchange + top-k."""
+    from pythonql_spark.operators.packing import chunk_documents
+    from pythonql_spark.operators.retrieval import bm25_search
+    docs = load_table(spark, sf, "documents")
+    chunks = (chunk_documents(docs, chunk=32, overlap=8)
+              .selectExpr("doc_id * 1000 + chunk_idx as chunk_id",
+                          "chunk_text as text"))
+    return bm25_search(chunks, ["query", "join", "hash"], k=15,
+                       id_col="chunk_id")
+
+
 @q("curation_pipeline", None)  # oracle attached below (generated SQL)
 def curation_pipeline(spark, sf):
     """Composite curation report over the round's new signals: Gopher
@@ -2909,6 +2925,15 @@ def _register_retrieval_oracles():
         "lang", {"en": 30000, "de": 8000, "fr": 8000},
         size_col="n_chars", default_budget=5000,
         select="doc_id, lang, n_chars")
+    from pythonql_spark.operators.packing import chunk_expr
+    _chunks_sub = (
+        "(SELECT doc_id * 1000 + ch.chunk_idx AS chunk_id, "
+        "ch.chunk_text AS text FROM (SELECT doc_id, "
+        f"unnest({chunk_expr('text', 32, 8, 'duck')}) AS ch "
+        "FROM documents)) AS chunks")
+    ORACLE["rag_retrieval"] = bm25_oracle_sql(
+        ["query", "join", "hash"], k=15, id_col="chunk_id",
+        table=_chunks_sub)
     keep = ("g_keep AND dup_token_frac < 0.3 AND "
             "per_tok_w > -0.35")
     ORACLE["curation_pipeline"] = f"""
