@@ -222,3 +222,32 @@ def test_parquet_aggregate_pushdown(spark, sf_dir):
     assert "PushedAggregation: [MAX(o_totalprice)]" in p, p
     assert df.first()[0] == spark.read.parquet(
         f"{sf_dir}/orders.parquet").agg({"o_totalprice": "max"}).first()[0]
+
+
+def test_new_curation_ops_prune_scans(spark, sf_dir):
+    """The round's curation operators must read only the columns they
+    use from the documents scan (nested pruning reached parquet)."""
+    import re as _re
+
+    def read_schemas(name):
+        p = formatted_plan(QUERIES[name](spark, sf_dir))
+        return [set(s.split(",")) for s in
+                [_re.sub(r"[<>]|struct|:[a-z_0-9()]+", "", m)
+                 for m in _re.findall(r"ReadSchema: (struct<[^>]*>)", p)]]
+
+    # mix_budget: doc_id, lang, n_chars — never text
+    for cols in read_schemas("mix_budget"):
+        assert "text" not in cols, cols
+    # dup_spans: doc_id + text only — never lang/source/n_chars
+    for cols in read_schemas("dup_spans"):
+        assert cols <= {"doc_id", "text"}, cols
+    # search_bm25: doc_id + text only
+    for cols in read_schemas("search_bm25"):
+        assert cols <= {"doc_id", "text"}, cols
+
+
+def test_dsir_single_scan_shape(spark, sf_dir):
+    """DSIR's three aggregates must reuse the ONE checkpointed explode
+    — the plan may contain at most one parquet scan of documents."""
+    p = formatted_plan(QUERIES["dsir_weights"](spark, sf_dir))
+    assert p.count("documents.parquet") <= 1, p
