@@ -49,7 +49,7 @@ def main() -> None:
         "text_gopher", "text_dup_lines", "text_top_ngram",
         "profile_quantiles", "split_assign", "stream_predicate",
         "pql_window", "media_gif", "media_frames", "curation_pipeline",
-        "mix_budget", "profile_overlap", "rag_retrieval",
+        "mix_budget", "profile_overlap", "rag_retrieval", "strip_spans",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers, and spin up the Python worker

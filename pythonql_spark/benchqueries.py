@@ -2857,6 +2857,17 @@ def profile_overlap(spark, sf):
     return sketch_overlap(a, b)
 
 
+@q("strip_spans", None)  # oracle attached below (generated SQL)
+def strip_spans(spark, sf):
+    """Canonical-copy duplicate-span stripping end-to-end: every
+    corpus-duplicated word 5-gram survives only in its min-id holder
+    document; output is the rebuilt text + tokens-removed count, fully
+    value-oracled against the DuckDB list-rebuild mirror."""
+    from pythonql_spark.operators.spans import strip_dup_spans
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return strip_dup_spans(docs, k=5)
+
+
 @q("rag_retrieval", None)  # oracle attached below (generated SQL)
 def rag_retrieval(spark, sf):
     """RAG-style retrieval composition: chunk every document into
@@ -2920,6 +2931,8 @@ def _register_retrieval_oracles():
     ORACLE["doc_keywords"] = tfidf_keywords_oracle_sql(top_n=3)
     ORACLE["dsir_weights"] = dsir_oracle_sql("lang = 'en'")
     ORACLE["dup_spans"] = dup_span_stats_oracle_sql(k=5)
+    from pythonql_spark.operators.spans import strip_dup_spans_oracle_sql
+    ORACLE["strip_spans"] = strip_dup_spans_oracle_sql(k=5)
     from pythonql_spark.operators.sampling import select_to_budget_oracle_sql
     ORACLE["mix_budget"] = select_to_budget_oracle_sql(
         "lang", {"en": 30000, "de": 8000, "fr": 8000},

@@ -128,6 +128,39 @@ SELECT dl.{id_col}, n_tokens,
 FROM dl LEFT JOIN nd USING ({id_col}) LEFT JOIN cov USING ({id_col})"""
 
 
+def strip_dup_spans_oracle_sql(k: int = 8, *, id_col: str = "doc_id",
+                               text_col: str = "text",
+                               table: str = "documents") -> str:
+    """DuckDB mirror of :func:`strip_dup_spans` (doc id, rebuilt text,
+    n_removed_tokens)."""
+    w = words(f"lower({text_col})", "duck")
+    kg_str = f"array_to_string(list_slice(w, i, i + {k} - 1), ' ')"
+    return f"""
+WITH sp AS (SELECT {id_col}, {w} AS w FROM {table}),
+kg AS (
+  SELECT {id_col}, unnest(list_transform(
+    range(1, greatest(len(w) - {k} + 1, 0) + 1),
+    i -> {{'s': i, 'h': {_kgram_hash(kg_str, 'duck')}}})) AS u
+  FROM sp),
+kg2 AS (SELECT {id_col}, u.s AS start, u.h AS h FROM kg),
+holders AS (
+  SELECT h, min({id_col}) AS holder FROM kg2
+  GROUP BY h HAVING count(*) > 1),
+rm AS (
+  SELECT DISTINCT kg2.{id_col}, kg2.start + r.i AS pos
+  FROM kg2 JOIN holders USING (h), range(0, {k}) AS r(i)
+  WHERE kg2.{id_col} <> holders.holder),
+rms AS (SELECT {id_col}, list(pos) AS rm FROM rm GROUP BY {id_col})
+SELECT sp.{id_col},
+       coalesce(array_to_string(list_filter(
+         list_transform(range(1, len(w) + 1),
+           i -> CASE WHEN list_contains(coalesce(rm, []), i)
+                THEN NULL ELSE w[i] END),
+         x -> x IS NOT NULL), ' '), '') AS {text_col},
+       cast(coalesce(len(rm), 0) as bigint) AS n_removed_tokens
+FROM sp LEFT JOIN rms USING ({id_col})"""
+
+
 def strip_dup_spans(df: DataFrame, k: int = 8, *,
                     id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
