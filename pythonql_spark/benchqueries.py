@@ -2857,6 +2857,18 @@ def profile_overlap(spark, sf):
     return sketch_overlap(a, b)
 
 
+@q("dsir_sample", None)  # oracle attached below (generated SQL)
+def dsir_sample(spark, sf):
+    """Deterministic DSIR resampling end-to-end: keep probability
+    proportional to the per-token importance weight via the
+    engine-portable md5 sampler — the corpus-reshaping primitive,
+    value-oracled including the exact kept-row set."""
+    from pythonql_spark.operators.dsir import dsir_resample
+    docs = load_table(spark, sf, "documents")
+    return (dsir_resample(docs, "lang = 'en'", rate=0.7)
+            .select("doc_id", "lang", "n_tokens", "logweight"))
+
+
 @q("strip_spans", None)  # oracle attached below (generated SQL)
 def strip_spans(spark, sf):
     """Canonical-copy duplicate-span stripping end-to-end: every
@@ -2930,6 +2942,13 @@ def _register_retrieval_oracles():
         ["query", "join", "hash"], k=20)
     ORACLE["doc_keywords"] = tfidf_keywords_oracle_sql(top_n=3)
     ORACLE["dsir_weights"] = dsir_oracle_sql("lang = 'en'")
+    from pythonql_spark.operators.sampling import (hash_bucket as _hb,
+                                                   weighted_cut as _wc)
+    ORACLE["dsir_sample"] = f"""
+WITH w AS ({dsir_oracle_sql("lang = 'en'")})
+SELECT d.doc_id, d.lang, w.n_tokens, w.logweight
+FROM documents d JOIN w ON d.doc_id = w.doc_id
+WHERE {_hb('d.doc_id', 'duck')} < {_wc('exp(logweight / n_tokens)', 0.7)}"""
     ORACLE["dup_spans"] = dup_span_stats_oracle_sql(k=5)
     from pythonql_spark.operators.spans import strip_dup_spans_oracle_sql
     ORACLE["strip_spans"] = strip_dup_spans_oracle_sql(k=5)
