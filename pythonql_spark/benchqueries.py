@@ -2857,6 +2857,20 @@ def profile_overlap(spark, sf):
     return sketch_overlap(a, b)
 
 
+@q("boilerplate_clean", None)  # oracle attached below (generated SQL)
+def boilerplate_clean(spark, sf):
+    """Corpus-level boilerplate removal, value-oracled end-to-end:
+    line segments appearing in >= max(0.6% of docs, 3) docs are
+    dropped from every document (the deterministic line-ified corpus
+    from text_gopher provides real line structure).  One hash-only
+    shuffle + a broadcast frequent set + a JVM array filter."""
+    from pythonql_spark.operators.text import remove_boilerplate
+    docs = (load_table(spark, sf, "documents")
+            .selectExpr("doc_id", _LINED + " as text"))
+    return remove_boilerplate(docs, min_doc_frac=0.006, min_docs=3,
+                              hash_fn="md5")
+
+
 @q("dsir_sample", None)  # oracle attached below (generated SQL)
 def dsir_sample(spark, sf):
     """Deterministic DSIR resampling end-to-end: keep probability
@@ -2952,6 +2966,10 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc('exp(logweight / n_tokens)', 0.7)}"""
     ORACLE["dup_spans"] = dup_span_stats_oracle_sql(k=5)
     from pythonql_spark.operators.spans import strip_dup_spans_oracle_sql
     ORACLE["strip_spans"] = strip_dup_spans_oracle_sql(k=5)
+    from pythonql_spark.operators.text import remove_boilerplate_oracle_sql
+    ORACLE["boilerplate_clean"] = remove_boilerplate_oracle_sql(
+        min_doc_frac=0.006, min_docs=3,
+        table=f"(SELECT doc_id, {_LINED} AS text FROM documents) lined")
     from pythonql_spark.operators.sampling import select_to_budget_oracle_sql
     ORACLE["mix_budget"] = select_to_budget_oracle_sql(
         "lang", {"en": 30000, "de": 8000, "fr": 8000},

@@ -223,11 +223,21 @@ SELECT {id_col}, cast(cast(sum(lp) as double) / count(lp) as double) AS mean_log
 FROM scored GROUP BY {id_col}"""
 
 
+def _seg_hash(s: str, dialect: str) -> str:
+    """60-bit md5-prefix bigint of a normalized segment — identical in
+    Spark SQL and DuckDB (the oracle-portable variant of xxhash64)."""
+    if dialect == "spark":
+        return (f"cast(conv(substring(md5(lower(trim({s}))), 1, 15), "
+                f"16, 10) as bigint)")
+    return f"cast(('0x' || substring(md5(lower(trim({s}))), 1, 15)) as bigint)"
+
+
 def remove_boilerplate(df, id_col: str = "doc_id",
                        text_col: str = "text", *,
                        min_doc_frac: float = 0.2,
                        min_docs: int = 2,
-                       delim: str = "\n") -> "DataFrame":
+                       delim: str = "\n",
+                       hash_fn: str = "xxhash64") -> "DataFrame":
     """Corpus-level boilerplate removal (C4/RefinedWeb-style): drop
     text segments (lines by default) that appear, normalized, in at
     least ``min_doc_frac`` of docs (and ``min_docs`` absolutely) —
@@ -238,13 +248,23 @@ def remove_boilerplate(df, id_col: str = "doc_id",
     shuffle carries hashes, not text) → the frequent-segment set is
     tiny and broadcasts back → each doc filters its own segment array
     JVM-side.  Returns the df with ``text_col`` rewritten and a
-    ``n_removed`` count per doc."""
+    ``n_removed`` count per doc.
+
+    ``hash_fn``: "xxhash64" (default, cheapest) or "md5" (dual-dialect
+    — required for the DuckDB value oracle)."""
+    if hash_fn == "xxhash64":
+        def h(s):
+            return f"xxhash64(lower(trim({s})))"
+    elif hash_fn == "md5":
+        def h(s):
+            return _seg_hash(s, "spark")
+    else:
+        raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn!r}")
     d = delim.replace("\\", "\\\\").replace("'", "\\'")
     segs = f"split({text_col}, '{d}')"
     seg_rows = (df.select(F.col(id_col).alias("__id"),
                           F.explode(F.expr(segs)).alias("seg"))
-                .select("__id", F.expr(
-                    "xxhash64(lower(trim(seg)))").alias("sh"))
+                .select("__id", F.expr(h("seg")).alias("sh"))
                 .distinct())
     n_docs = df.count()
     cut = max(int(min_doc_frac * n_docs), min_docs)
@@ -257,12 +277,41 @@ def remove_boilerplate(df, id_col: str = "doc_id",
     return (df.crossJoin(freq_set)
             .withColumn("__segs", F.expr(segs))
             .withColumn("__kept", F.expr(
-                "filter(__segs, s -> NOT array_contains("
-                "bad, xxhash64(lower(trim(s)))))"))
+                f"filter(__segs, s -> NOT array_contains(bad, {h('s')}))"))
             .withColumn("n_removed",
                         F.size("__segs") - F.size("__kept"))
             .withColumn(text_col, F.array_join("__kept", delim))
             .drop("bad", "__segs", "__kept"))
+
+
+def remove_boilerplate_oracle_sql(*, min_doc_frac: float = 0.2,
+                                  min_docs: int = 2,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  table: str = "documents",
+                                  extra_cols: str = "") -> str:
+    """DuckDB mirror of ``remove_boilerplate(hash_fn="md5")`` with a
+    newline delimiter: (id, extra_cols..., rebuilt text, n_removed)."""
+    h = _seg_hash("seg", "duck")
+    hx = _seg_hash("x", "duck")
+    return f"""
+WITH sp AS (SELECT *, str_split({text_col}, chr(10)) AS segs
+            FROM {table}),
+sr AS (SELECT DISTINCT {id_col},
+              {h} AS sh
+       FROM (SELECT {id_col}, unnest(segs) AS seg FROM sp)),
+nd AS (SELECT count(*) AS n FROM {table}),
+freq AS (
+  SELECT sh FROM sr GROUP BY sh
+  HAVING count(*) >= (SELECT greatest(cast(floor({min_doc_frac} * n)
+                      as bigint), {min_docs}) FROM nd)),
+bad AS (SELECT coalesce(list(sh), []) AS bad FROM freq)
+SELECT {id_col}, {extra_cols}
+       array_to_string(list_filter(segs,
+         x -> NOT list_contains(bad, {hx})), chr(10)) AS {text_col},
+       cast(len(segs) - len(list_filter(segs,
+         x -> NOT list_contains(bad, {hx}))) as bigint) AS n_removed
+FROM sp CROSS JOIN bad"""
 
 
 def doc_lines(col: str = "text", dialect: str = "spark") -> str:
