@@ -2915,14 +2915,19 @@ def curation_pipeline(spark, sf):
     """Composite curation report over the round's new signals: Gopher
     keep/drop verdict + duplicated-span coverage + DSIR target-likeness
     per document, thresholded into a keep decision and rolled up per
-    language.  Each signal is an independent columnar pass; they meet
-    in id-keyed joins and ONE final keyed aggregate."""
+    language.  The (doc_id, lang, text) projection is checkpointed
+    ONCE and feeds all three signal plans — one scan of the text
+    column instead of three (at 100 TB, text is the IO bill); the
+    signals then meet in id-keyed joins and ONE final keyed
+    aggregate."""
     from pyspark.sql import functions as F
 
     from pythonql_spark.operators import text as TX
     from pythonql_spark.operators.dsir import dsir_logweights
     from pythonql_spark.operators.spans import dup_span_stats
-    docs = load_table(spark, sf, "documents")
+    docs = (load_table(spark, sf, "documents")
+            .select("doc_id", "lang", "text")
+            .localCheckpoint(eager=False))
     g = docs.selectExpr(
         "doc_id", "lang",
         TX.gopher_pass("text", min_words=10) + " as g_keep")
