@@ -50,7 +50,7 @@ def main() -> None:
         "profile_quantiles", "split_assign", "stream_predicate",
         "pql_window", "media_gif", "media_frames", "curation_pipeline",
         "mix_budget", "profile_overlap", "rag_retrieval", "strip_spans",
-        "dsir_sample", "boilerplate_clean",
+        "dsir_sample", "boilerplate_clean", "text_bigram",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers, and spin up the Python worker

@@ -2857,6 +2857,17 @@ def profile_overlap(spark, sf):
     return sketch_overlap(a, b)
 
 
+@q("text_bigram", None)  # oracle attached below (generated SQL)
+def text_bigram(spark, sf):
+    """Interpolated bigram-LM fluency score (sharper perplexity proxy
+    than the unigram key): one posexplode feeds the bigram/head/unigram
+    tables; per-token log-probs round to decimal before the exact sum
+    so Spark and DuckDB hash-match bit-for-bit."""
+    from pythonql_spark.operators.text import bigram_logprob
+    docs = load_table(spark, sf, "documents")
+    return bigram_logprob(docs)
+
+
 @q("boilerplate_clean", None)  # oracle attached below (generated SQL)
 def boilerplate_clean(spark, sf):
     """Corpus-level boilerplate removal, value-oracled end-to-end:
@@ -2971,6 +2982,8 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc('exp(logweight / n_tokens)', 0.7)}"""
     ORACLE["dup_spans"] = dup_span_stats_oracle_sql(k=5)
     from pythonql_spark.operators.spans import strip_dup_spans_oracle_sql
     ORACLE["strip_spans"] = strip_dup_spans_oracle_sql(k=5)
+    from pythonql_spark.operators.text import bigram_logprob_oracle_sql
+    ORACLE["text_bigram"] = bigram_logprob_oracle_sql()
     from pythonql_spark.operators.text import remove_boilerplate_oracle_sql
     ORACLE["boilerplate_clean"] = remove_boilerplate_oracle_sql(
         min_doc_frac=0.006, min_docs=3,

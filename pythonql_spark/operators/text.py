@@ -514,3 +514,95 @@ FROM ranked WHERE rn = 1"""
 
 def as_col(e: str) -> Column:
     return F.expr(e)
+
+
+def bigram_logprob(df, text_col: str = "text",
+                   id_col: str = "doc_id", *,
+                   lam: float = 0.75) -> "DataFrame":
+    """Per-document mean log-probability under an interpolated bigram
+    LM trained on the corpus itself: P(w|h) = lam * c(h,w)/c(h,*) +
+    (1-lam) * c(w)/N — a sharper fluency/perplexity proxy than the
+    unigram score (word-salad docs with common words score high on
+    unigrams but low here).  The first token of each doc scores with
+    its unigram probability.
+
+    Spark shape: ONE explode of (prev, curr) token pairs (positions
+    via posexplode) feeds the bigram table, the head-count table and
+    the unigram table — three keyed aggregates with map-side partials;
+    scoring is a token-keyed join + a doc-keyed aggregate.  Per-token
+    log-probs round to decimal(20,10) before the exact decimal sum, so
+    the result is bit-identical to the DuckDB oracle at any
+    parallelism."""
+    from pyspark.sql import functions as F
+    w = words(f"lower({text_col})", "spark")
+    pairs = (df.select(id_col, F.posexplode(F.expr(w)))
+             .select(F.col(id_col), F.col("pos"),
+                     F.col("col").alias("cur"),
+                     F.expr(f"lag(col) OVER (PARTITION BY {id_col} "
+                            f"ORDER BY pos)").alias("prev"))
+             .filter("cur != ''"))
+    pairs = pairs.localCheckpoint(eager=False)  # one explode, four uses
+    uni = pairs.groupBy("cur").agg(F.count(F.lit(1)).alias("cu"))
+    total = pairs.agg(F.count(F.lit(1)).alias("n_total"))
+    bi = (pairs.filter("prev IS NOT NULL")
+          .groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb")))
+    heads = (pairs.filter("prev IS NOT NULL")
+             .groupBy("prev").agg(F.count(F.lit(1)).alias("ch")))
+    lp = (f"cast(round(ln({lam} * coalesce(cb, 0) / "
+          f"coalesce(ch, 1) + {1.0 - lam} * cu / n_total) "
+          f", 10) as decimal(20,10))")
+    lp_first = (f"cast(round(ln(cu / n_total), 10) as decimal(20,10))")
+    scored = (pairs
+              .join(uni, "cur")
+              .join(bi, ["prev", "cur"], "left")
+              .join(heads, "prev", "left")
+              .crossJoin(F.broadcast(total))
+              .select(id_col, F.expr(
+                  f"CASE WHEN prev IS NULL THEN {lp_first} "
+                  f"ELSE {lp} END").alias("lp")))
+    return (scored.groupBy(id_col)
+            .agg(F.expr("cast(cast(sum(lp) as double) / count(lp) "
+                        "as double)").alias("mean_bigram_logprob"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_tokens")))
+
+
+def bigram_logprob_oracle_sql(text_col: str = "text",
+                              id_col: str = "doc_id", *,
+                              lam: float = 0.75,
+                              table: str = "documents") -> str:
+    """DuckDB mirror of :func:`bigram_logprob`."""
+    w = words(f"lower({text_col})", "duck")
+    return f"""
+WITH tok0 AS (
+  SELECT {id_col}, u.pos AS pos, u.cur AS cur
+  FROM (SELECT {id_col}, unnest(list_transform(
+          range(1, len(w) + 1), i -> {{'pos': i, 'cur': w[i]}})) AS u
+        FROM (SELECT {id_col}, {w} AS w FROM {table}))),
+pairs AS (
+  SELECT {id_col}, pos, cur,
+         lag(cur) OVER (PARTITION BY {id_col} ORDER BY pos) AS prev
+  FROM tok0 WHERE cur <> ''),
+uni AS (SELECT cur, count(*) AS cu FROM pairs GROUP BY cur),
+tot AS (SELECT count(*) AS n_total FROM pairs),
+bi AS (SELECT prev, cur, count(*) AS cb FROM pairs
+       WHERE prev IS NOT NULL GROUP BY prev, cur),
+heads AS (SELECT prev, count(*) AS ch FROM pairs
+          WHERE prev IS NOT NULL GROUP BY prev),
+scored AS (
+  SELECT p.{id_col},
+         CASE WHEN p.prev IS NULL THEN
+           cast(round(ln(cu / n_total), 10) as decimal(20,10))
+         ELSE
+           cast(round(ln({lam} * coalesce(cb, 0) / coalesce(ch, 1)
+                + {1.0 - lam} * cu / n_total), 10) as decimal(20,10))
+         END AS lp
+  FROM pairs p
+  JOIN uni ON p.cur = uni.cur
+  LEFT JOIN bi ON p.prev = bi.prev AND p.cur = bi.cur
+  LEFT JOIN heads ON p.prev = heads.prev
+  CROSS JOIN tot)
+SELECT {id_col},
+       cast(cast(sum(lp) as double) / count(lp) as double)
+         AS mean_bigram_logprob,
+       cast(count(lp) as bigint) AS n_tokens
+FROM scored GROUP BY {id_col}"""

@@ -1379,3 +1379,29 @@ def test_theta_estimates_within_tolerance_above_k(spark):
     assert abs(r.n_a - n) / n < 0.05
     assert abs(r.n_union - 1.5 * n) / (1.5 * n) < 0.05
     assert abs(r.n_intersection - 0.5 * n) / (0.5 * n) < 0.10
+
+
+def test_bigram_logprob_flags_word_salad(spark):
+    """The bigram score must separate fluent from scrambled text even
+    when both use identical word FREQUENCIES (where the unigram score
+    is blind by construction)."""
+    from pyspark.sql import Row
+
+    from pythonql_spark.operators.text import bigram_logprob, unigram_logprob
+    fluent = "the quick fox jumps over the lazy dog"
+    rows = [Row(doc_id=i, text=fluent) for i in range(10)]
+    # same words, scrambled order -> unseen bigrams
+    rows.append(Row(doc_id=99, text="dog the over lazy jumps fox quick the"))
+    df = spark.createDataFrame(rows)
+    bi = {r.doc_id: r.mean_bigram_logprob
+          for r in bigram_logprob(df).collect()}
+    un = {r.doc_id: r.mean_logprob
+          for r in unigram_logprob(df).collect()}
+    # unigram can't tell them apart (identical word multiset)
+    assert abs(un[99] - un[0]) < 1e-9
+    # bigram penalizes the scramble hard
+    assert bi[99] < bi[0] - 1.0
+    # deterministic across partitioning
+    again = {r.doc_id: r.mean_bigram_logprob
+             for r in bigram_logprob(df.repartition(5)).collect()}
+    assert again == bi
