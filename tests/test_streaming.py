@@ -348,3 +348,39 @@ def test_dedup_ingest_stream_matches_batch(spark, tables, tmp_path):
     run_to_completion(q2)
     again = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert again == got
+
+
+def test_dedup_ingest_stream_with_persisted_index(spark, tables, tmp_path):
+    """The production shape: micro-batches probe a persisted bucketed
+    LSH index instead of re-signaturing the corpus — output must equal
+    the recompute path."""
+    import shutil
+
+    from pythonql_spark.operators.dedup import build_minhash_index
+    from pythonql_spark.streaming import dedup_ingest_stream, run_to_completion
+
+    docs = tables["documents"]
+    corpus = docs.filter("doc_id < 300").select("doc_id", "text").cache()
+    arriving = (docs.filter("doc_id >= 300 and doc_id < 360")
+                .select("doc_id", "text")
+                .union(corpus.filter("doc_id < 15")
+                       .selectExpr("doc_id + 500000 as doc_id", "text")))
+    src = str(tmp_path / "in2")
+    arriving.write.parquet(src)
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/ingest_idx", ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS ingest_idx")
+    build_minhash_index(corpus, "ingest_idx")
+
+    outs = {}
+    for tag, kw in (("recompute", {}), ("indexed", {"index_table": "ingest_idx"})):
+        out = str(tmp_path / f"out_{tag}")
+        ck = str(tmp_path / f"ck_{tag}")
+        stream = spark.readStream.schema(arriving.schema).parquet(src)
+        run_to_completion(dedup_ingest_stream(
+            stream, corpus, out, ck, jaccard_threshold=0.5, **kw))
+        outs[tag] = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert outs["indexed"] == outs["recompute"]
+    assert not any(d >= 500000 for d in outs["indexed"])
+    assert len(outs["indexed"]) > 0
