@@ -1405,3 +1405,28 @@ def test_bigram_logprob_flags_word_salad(spark):
     again = {r.doc_id: r.mean_bigram_logprob
              for r in bigram_logprob(df.repartition(5)).collect()}
     assert again == bi
+
+
+def test_connected_components_driver_and_distributed_parity(spark):
+    """The bounded driver union-find fast path must produce exactly
+    the distributed label-propagation result (chains, cliques,
+    isolates), and driver_limit=0 must force the distributed path."""
+    from pyspark.sql import Row
+
+    from pythonql_spark.operators.dedup import connected_components
+    edges = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in
+         [(1, 2), (2, 3), (3, 4),          # chain -> comp 1
+          (10, 11), (11, 10),              # duplicate edge
+          (20, 21), (22, 21),              # V shape -> comp 20
+          (30, 31)]])
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in
+                                   [1, 2, 3, 4, 10, 11, 20, 21, 22,
+                                    30, 31, 99]])
+    fast = {(r.id, r.comp) for r in connected_components(
+        edges, nodes=nodes).collect()}
+    dist = {(r.id, r.comp) for r in connected_components(
+        edges, nodes=nodes, driver_limit=0).collect()}
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
+            (20, 20), (21, 20), (22, 20), (30, 30), (31, 30), (99, 99)}
+    assert fast == want and dist == want
