@@ -148,13 +148,13 @@ def main() -> None:
             # NB: aggregate over the computed columns — a bare count()
             # lets Catalyst ELIMINATE the cardinality-preserving left
             # joins and measure only the scan
-            "dup_spans": lambda: dup_span_stats(docs, k=5).selectExpr(
-                "sum(n_dup_kgrams)", "sum(dup_token_frac)").collect(),
+            "dup_spans": lambda: int(dup_span_stats(docs, k=5).selectExpr(
+                "sum(n_dup_kgrams)").collect()[0][0]),
             # bounded driver-side train + one Arrow encode pass (sum
             # over the encoding so the UDF can't be pruned away)
             "bpe_encode": lambda: bpe_encode(
                 docs, train_bpe(docs, num_merges=120, sample_docs=256)
-            ).selectExpr("sum(n_bpe_tokens)").collect(),
+            ).selectExpr("sum(n_bpe_tokens)").collect()[0][0],
             # SemDeDup: cells -> within-cell pairs -> components ->
             # keep.  n_clusters grows with the corpus so cell sizes
             # stay bounded (the SemDeDup design point: cost Σ|cell|²,
@@ -164,8 +164,8 @@ def main() -> None:
                 train_sample=8192).count(),
             # shuffle-free Arrow matmul assignment (aggregate over the
             # assignment so the UDF column isn't pruned)
-            "cluster": lambda: cluster_embeddings(embs, 16).selectExpr(
-                "count(distinct cluster)", "sum(centroid_cos)").collect(),
+            "cluster": lambda: int(cluster_embeddings(embs, 16).selectExpr(
+                "count(1)", "sum(centroid_cos)").collect()[0][0]),
             # compound-key as-of: one sort-shuffle on (user, type)
             "asof_join": lambda: asof_join(
                 evs.filter("event_type = 'purchase'")
