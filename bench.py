@@ -51,6 +51,7 @@ def main() -> None:
         "pql_window", "media_gif", "media_frames", "curation_pipeline",
         "mix_budget", "profile_overlap", "rag_retrieval", "strip_spans",
         "dsir_sample", "boilerplate_clean", "text_bigram",
+        "score_normalize",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers, and spin up the Python worker

@@ -2857,6 +2857,20 @@ def profile_overlap(spark, sf):
     return sketch_overlap(a, b)
 
 
+@q("score_normalize", None)  # oracle attached below (generated SQL)
+def score_normalize(spark, sf):
+    """Percentile calibration of heterogeneous curation signals:
+    n_chars rank-normalized globally and within language — one window
+    shuffle per key spec, deterministic tie-breaks."""
+    from pythonql_spark.operators.profile import percentile_normalize
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars")
+    both = percentile_normalize(
+        percentile_normalize(docs, ["n_chars"], suffix="_gpct"),
+        ["n_chars"], keys=["lang"], suffix="_lpct")
+    return both
+
+
 @q("text_bigram", None)  # oracle attached below (generated SQL)
 def text_bigram(spark, sf):
     """Interpolated bigram-LM fluency score (sharper perplexity proxy
@@ -2984,6 +2998,12 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc('exp(logweight / n_tokens)', 0.7)}"""
     ORACLE["strip_spans"] = strip_dup_spans_oracle_sql(k=5)
     from pythonql_spark.operators.text import bigram_logprob_oracle_sql
     ORACLE["text_bigram"] = bigram_logprob_oracle_sql()
+    from pythonql_spark.operators.profile import (
+        percentile_normalize_oracle_sql as _pn)
+    ORACLE["score_normalize"] = _pn(
+        ["n_chars"], keys=["lang"], suffix="_lpct",
+        select="doc_id, lang, n_chars, n_chars_gpct",
+        table=f"({_pn(['n_chars'], suffix='_gpct', select='doc_id, lang, n_chars')}) g")
     from pythonql_spark.operators.text import remove_boilerplate_oracle_sql
     ORACLE["boilerplate_clean"] = remove_boilerplate_oracle_sql(
         min_doc_frac=0.006, min_docs=3,

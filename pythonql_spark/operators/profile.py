@@ -86,3 +86,42 @@ def profile_oracle_sql(cols: list[str], table: str = "documents") -> str:
             f"cast(min({c}) as varchar) AS min_value, "
             f"cast(max({c}) as varchar) AS max_value FROM {table}")
     return "\nUNION ALL\n".join(parts)
+
+
+def percentile_normalize(df, score_cols: list[str],
+                         keys: list[str] | None = None, *,
+                         id_col: str = "doc_id",
+                         suffix: str = "_pct"):
+    """Rank-normalize score columns to [0,1] percentiles, optionally
+    within strata — the calibration step before combining
+    heterogeneous curation signals (a Gopher verdict, a DSIR weight
+    and a perplexity score live on incomparable scales; their
+    percentiles don't).
+
+    percent_rank ties broken by ``id_col`` so the output is
+    deterministic and engine-portable; one window shuffle per key
+    spec (frames over the same spec share it).
+    """
+    from pyspark.sql import functions as F
+    part = f"PARTITION BY {', '.join(keys)} " if keys else ""
+    out = df
+    for c in score_cols:
+        out = out.withColumn(c + suffix, F.expr(
+            f"cast(round(percent_rank() OVER ({part}"
+            f"ORDER BY {c}, {id_col}), 6) as double)"))
+    return out
+
+
+def percentile_normalize_oracle_sql(score_cols: list[str],
+                                    keys: list[str] | None = None, *,
+                                    id_col: str = "doc_id",
+                                    suffix: str = "_pct",
+                                    select: str = "*",
+                                    table: str = "documents") -> str:
+    """DuckDB mirror of :func:`percentile_normalize`."""
+    part = f"PARTITION BY {', '.join(keys)} " if keys else ""
+    cols = ", ".join(
+        f"cast(round(percent_rank() OVER ({part}"
+        f"ORDER BY {c}, {id_col}), 6) as double) AS {c}{suffix}"
+        for c in score_cols)
+    return f"SELECT {select}, {cols} FROM {table}"
