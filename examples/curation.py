@@ -1,0 +1,85 @@
+"""Corpus-curation walkthrough: the quality/dedup/shaping operators a
+100 TB training-data build chains together, run end-to-end on the
+synthetic documents table.  Run:  python examples/curation.py [SF_DIR]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from pythonql_spark import get_spark
+from pythonql_spark.sources import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("examples-curation")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+    print(f"raw corpus: {n0} docs")
+
+    # 1. rule-based quality gate (Gopher): pure scalar expressions,
+    #    fused into the scan
+    from pythonql_spark.operators.text import gopher_pass
+    gated = docs.filter(F.expr(gopher_pass("text", min_words=10)))
+    print(f"gopher gate: -> {gated.count()} docs")
+
+    # 2. duplicate-SPAN stripping: verbatim repeated 5-grams survive
+    #    only in their canonical (min-id) document
+    from pythonql_spark.operators.spans import strip_dup_spans
+    stripped = strip_dup_spans(gated.select("doc_id", "text"), k=5) \
+        .join(gated.drop("text"), "doc_id")
+    removed = stripped.agg(F.sum("n_removed_tokens")).first()[0]
+    print(f"span strip: {removed} duplicated tokens removed")
+
+    # 3. fluency scoring: interpolated bigram LM (corpus-trained),
+    #    calibrated to per-language percentiles
+    from pythonql_spark.operators.profile import percentile_normalize
+    from pythonql_spark.operators.text import bigram_logprob
+    scored = stripped.join(bigram_logprob(stripped), "doc_id")
+    scored = percentile_normalize(scored, ["mean_bigram_logprob"],
+                                  keys=["lang"])
+    fluent = scored.filter("mean_bigram_logprob_pct >= 0.05")
+    print(f"fluency floor (bottom 5% per lang dropped): "
+          f"-> {fluent.count()} docs")
+
+    # 4. DSIR reshape toward the English target distribution
+    from pythonql_spark.operators.dsir import dsir_resample
+    shaped = dsir_resample(fluent, "lang = 'en'", rate=0.9)
+    print("DSIR-reshaped language mix:")
+    shaped.groupBy("lang").count().orderBy("lang").show()
+
+    # 5. per-language char budgets, filled in fluency order
+    from pythonql_spark.operators.sampling import (select_to_budget,
+                                                   train_test_split)
+    mixed = select_to_budget(
+        shaped, "lang", {"en": 20000, "de": 6000, "fr": 6000},
+        size_col="n_chars", order="mean_bigram_logprob_pct DESC",
+        default_budget=4000)
+    print("budget-mixed corpus:")
+    (mixed.groupBy("lang")
+     .agg(F.count(F.lit(1)).alias("docs"),
+          F.sum("n_chars").alias("chars")).orderBy("lang").show())
+
+    # 6. deterministic split — stable under growth and reruns
+    final = train_test_split(mixed, {"train": 0.9, "val": 0.1}, seed=7)
+    final.groupBy("split").count().orderBy("split").show()
+
+    # 7. how much of the curated set is new vs the previous snapshot?
+    #    (Theta sketch algebra — no distinct-join)
+    from pythonql_spark.operators.sketch import set_sketch, sketch_overlap
+    prev = docs.filter("doc_id % 3 != 0")  # stand-in for yesterday
+    ov = sketch_overlap(set_sketch(mixed, "doc_id", lg_k=14),
+                        set_sketch(prev, "doc_id", lg_k=14)).first()
+    print(f"vs previous snapshot: {ov.n_only_a} new docs, "
+          f"jaccard {ov.jaccard}")
+
+
+if __name__ == "__main__":
+    main()

@@ -133,8 +133,16 @@ def dsir_resample(df: DataFrame, target_pred: str, rate: float, *,
     per-token-normalized importance weight, so long docs aren't
     auto-kept.  Reuses the engine-portable hash sampler
     (no ``rand()``), so reruns and engines agree bit-for-bit."""
-    weights = dsir_logweights(df, target_pred, buckets=buckets,
-                              id_col=id_col, text_col=text_col)
-    cut = weighted_cut("exp(logweight / n_tokens)", rate)
-    return (df.join(weights, id_col)
-            .filter(F.expr(f"{hash_bucket(id_col)} < {cut}")))
+    weights = (dsir_logweights(df, target_pred, buckets=buckets,
+                               id_col=id_col, text_col=text_col)
+               .select(id_col, F.col("n_tokens").alias("__dsir_n"),
+                       F.col("logweight").alias("__dsir_lw")))
+    cut = weighted_cut("exp(__dsir_lw / __dsir_n)", rate)
+    out = (df.join(weights, id_col)
+           .filter(F.expr(f"{hash_bucket(id_col)} < {cut}")))
+    if "n_tokens" in df.columns or "logweight" in df.columns:
+        # the input already carries same-named columns (e.g. scored by
+        # a prior LM pass): keep ITS schema, drop our internals
+        return out.drop("__dsir_n", "__dsir_lw")
+    return (out.withColumnRenamed("__dsir_n", "n_tokens")
+            .withColumnRenamed("__dsir_lw", "logweight"))

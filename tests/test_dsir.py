@@ -92,3 +92,21 @@ def test_xxhash64_fast_path_preserves_separation(corpus):
     assert scored == md5
     with _pt.raises(ValueError):
         dsir_logweights(corpus, "kind = 'wiki'", hash_fn="sha1")
+
+
+def test_resample_tolerates_existing_weight_columns(corpus):
+    """dsir_resample must compose with inputs that already carry
+    n_tokens/logweight columns (e.g. scored by a prior LM pass) —
+    regression for an ambiguous-reference failure."""
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.operators.dsir import dsir_resample
+    pre = corpus.withColumn("n_tokens", F.lit(999)) \
+                .withColumn("logweight", F.lit(-1.0))
+    out = dsir_resample(pre, "kind = 'wiki'", rate=0.6)
+    assert set(out.columns) == set(pre.columns)
+    # the input's columns pass through untouched
+    assert all(r.n_tokens == 999 for r in out.collect())
+    # without collisions the weight columns are appended as before
+    plain = dsir_resample(corpus, "kind = 'wiki'", rate=0.6)
+    assert {"n_tokens", "logweight"} <= set(plain.columns)
