@@ -926,7 +926,10 @@ def media_decode(spark, sf):
     """Real multimodal decode path: synthesize one PNG per document
     (deterministic pixels from the doc's text hash), then run the
     actual stdlib PNG decoder distributed via mapInPandas — no
-    fake= stub anywhere."""
+    fake= stub anywhere.  The decoded pixel sample surfaces as a
+    SCALAR md5 digest (never array<...>: the driver's canonicalizer
+    sorts rows pandas-side and list cells are unhashable — the r4
+    driver-ERR; oracle_check now rejects list columns outright)."""
     from pyspark.sql import functions as F
 
     from pythonql_spark.operators import multimodal as MM
@@ -937,7 +940,10 @@ def media_decode(spark, sf):
     media = docs.select(
         "doc_id", MM.make_media("img", "image", "png", 8, 8).alias("media"))
     return (MM.decode_image(media)
-            .select("doc_id", "pixels_sample", "mean_intensity"))
+            .select("doc_id",
+                    F.expr("md5(cast(pixels_sample as string))")
+                    .alias("pixels_digest"),
+                    "mean_intensity"))
 
 
 @q("media_frames", None)  # rows-only: binary frame extraction is not SQL
@@ -3079,6 +3085,17 @@ _DRIVER_VERIFIED = frozenset([
     "tpch_q19", "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "try_except", "vocab_stats", "window_predicate",
     "window_sliding_fixed", "window_tumbling_count",
+    # green (rows+schema+hash) in CORRECTNESS_r04
+    "ann_topk", "asof_forward", "cohort_retention", "corr_stats",
+    "dedup_corpus_cosine", "doc_keywords", "doc_pipeline",
+    "histogram_prices", "knn_join", "neardup_cosine", "pivot_status",
+    "pql_match", "pql_window", "resample_ffill", "resample_hourly",
+    "rollup_incremental", "sample_exact_n", "sample_exact_stratified",
+    "sample_weighted", "search_bm25", "split_assign", "stream_interval",
+    "stream_predicate", "text_dup_lines", "text_gopher", "text_logprob",
+    "text_top_ngram", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q2",
+    "tpch_q20", "tpch_q21", "tpch_q5", "training_pipeline",
+    "unpivot_metrics",
 ])
 
 

@@ -81,6 +81,17 @@ def _harmonize_dtypes(spark_pd: pd.DataFrame, oracle_pd: pd.DataFrame):
     return bad
 
 
+def check_driver_sortable(spark_df) -> list[str]:
+    """Columns the driver's canonicalizer cannot sort: its pandas
+    lexsort dies on list/dict cells (`unhashable type: 'list'` — the
+    r4 `media_decode` driver-ERR).  Every queries() entry — oracled OR
+    rows-only — must surface arrays/maps/structs as scalars (digest,
+    array_join, aggregate stats).  Returns offending column names."""
+    from pyspark.sql import types as T
+    return [f.name for f in spark_df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))]
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> dict:
     con = _duck(sf_dir)
     oracle_pd = con.execute(oracle_sql).df()
@@ -111,12 +122,28 @@ def run_all(sf_dir: str = "/root/testdata/sf0.001", names=None, spark=None):
         if name not in oracles:
             results[name] = {"ok": None, "note": "rows-only (no oracle)"}
             try:
-                results[name]["rows_spark"] = fn(spark, sf_dir).count()
+                df = fn(spark, sf_dir)
+                bad = check_driver_sortable(df)
+                if bad:
+                    results[name] = {
+                        "ok": False,
+                        "error": f"driver-unsortable output columns {bad}: "
+                                 "surface arrays/maps as scalar digests"}
+                    continue
+                results[name]["rows_spark"] = df.count()
             except Exception as e:
                 results[name] = {"ok": False, "error": repr(e)[:300]}
             continue
         try:
-            results[name] = compare(fn(spark, sf_dir), oracles[name], sf_dir)
+            df = fn(spark, sf_dir)
+            bad = check_driver_sortable(df)
+            if bad:
+                results[name] = {
+                    "ok": False,
+                    "error": f"driver-unsortable output columns {bad}: "
+                             "surface arrays/maps as scalar digests"}
+                continue
+            results[name] = compare(df, oracles[name], sf_dir)
         except Exception as e:
             results[name] = {"ok": False, "error": repr(e)[:300]}
     return results
