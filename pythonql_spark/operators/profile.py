@@ -99,16 +99,38 @@ def percentile_normalize(df, score_cols: list[str],
     percentiles don't).
 
     percent_rank ties broken by ``id_col`` so the output is
-    deterministic and engine-portable; one window shuffle per key
-    spec (frames over the same spec share it).
+    deterministic and engine-portable.
+
+    Scale shape: the per-stratum mode (``keys=``) is one window
+    shuffle per key spec — strata parallelize across tasks.  The
+    GLOBAL mode must NOT be ``percent_rank() OVER (ORDER BY ...)``:
+    an empty partition spec funnels the whole corpus through ONE task.
+    Instead it composes :func:`..sampling.global_index` — range-
+    partition on (score, id), number rows locally, broadcast the tiny
+    per-partition offset/total table — and computes
+    ``pos / (n - 1)`` arithmetically.  Because (score, id) is a
+    total order, rank == row_number == pos + 1, so the result is
+    bit-identical to the window form (the DuckDB oracle keeps using
+    percent_rank()).  Score columns are assumed non-null (nulls would
+    order differently between engines).
     """
     from pyspark.sql import functions as F
-    part = f"PARTITION BY {', '.join(keys)} " if keys else ""
     out = df
+    if keys:
+        part = f"PARTITION BY {', '.join(keys)} "
+        for c in score_cols:
+            out = out.withColumn(c + suffix, F.expr(
+                f"cast(round(percent_rank() OVER ({part}"
+                f"ORDER BY {c}, {id_col}), 6) as double)"))
+        return out
+    from .sampling import global_index
     for c in score_cols:
-        out = out.withColumn(c + suffix, F.expr(
-            f"cast(round(percent_rank() OVER ({part}"
-            f"ORDER BY {c}, {id_col}), 6) as double)"))
+        out = global_index(out, [F.col(c), F.col(id_col)],
+                           out_col="__pnrk", total_col="__pnn")
+        out = (out.withColumn(c + suffix, F.expr(
+                   "cast(round(__pnrk / greatest(__pnn - 1, 1), 6) "
+                   "as double)"))
+               .drop("__pnrk", "__pnn"))
     return out
 
 

@@ -117,7 +117,8 @@ def shuffle_key(id_col: str = "doc_id", seed: int = 0,
 
 
 def global_index(df: DataFrame, sort_cols=None, out_col: str = "pos",
-                 n_partitions: int | None = None) -> DataFrame:
+                 n_partitions: int | None = None,
+                 total_col: str | None = None) -> DataFrame:
     """Dense 0-based global row index WITHOUT a single-task window.
 
     Scale shape: a bare ``row_number() OVER (ORDER BY ...)`` funnels
@@ -133,7 +134,12 @@ def global_index(df: DataFrame, sort_cols=None, out_col: str = "pos",
     ``sort_cols=None`` numbers rows in the CURRENT partition layout
     with no exchange at all — a dense arbitrary-order index (the
     scale-safe replacement for monotonically_increasing_id when the
-    dense 0..n-1 contract matters)."""
+    dense 0..n-1 contract matters).
+
+    ``total_col`` additionally attaches the total row count to every
+    row — it falls out of the same tiny per-partition count table for
+    free (one extra whole-frame sum over <= n_partitions rows), so
+    rank-to-percentile normalization needs no second corpus scan."""
     keyed = df
     if sort_cols is not None:
         n = n_partitions or int(
@@ -174,7 +180,13 @@ def global_index(df: DataFrame, sort_cols=None, out_col: str = "pos",
                       W.orderBy("__pid")
                        .rowsBetween(W.unboundedPreceding, -1)),
                   F.lit(0))))
-    return (local.join(F.broadcast(counts.select("__pid", "__off")), "__pid")
+    sel = ["__pid", "__off"]
+    if total_col is not None:
+        counts = counts.withColumn(total_col, F.sum("__n").over(
+            W.orderBy("__pid").rowsBetween(W.unboundedPreceding,
+                                           W.unboundedFollowing)))
+        sel.append(total_col)
+    return (local.join(F.broadcast(counts.select(*sel)), "__pid")
             .withColumn(out_col,
                         (F.col("__off") + F.col("__rn")).cast("bigint"))
             .drop("__pid", "__rn", "__off"))
@@ -244,39 +256,118 @@ def train_test_split(df: DataFrame,
         "split", F.expr(split_expr(fractions, id_col, "spark", seed)))
 
 
+def _order_columns(order: str | list[str] | None, id_col: str):
+    """Ordering spec -> Column list, honoring a trailing ASC/DESC on
+    each item; the unique ``id_col`` is always appended as tiebreak so
+    the order is total."""
+    if order is None:
+        items = [shuffle_key(id_col)]
+    elif isinstance(order, str):
+        items = [order]
+    else:
+        items = list(order)
+    cols = []
+    for it in items:
+        s = it.strip()
+        low = s.lower()
+        if low.endswith(" desc"):
+            cols.append(F.expr(s[:-5]).desc())
+        elif low.endswith(" asc"):
+            cols.append(F.expr(s[:-4]).asc())
+        else:
+            cols.append(F.expr(s).asc())
+    cols.append(F.col(id_col).asc())
+    return cols
+
+
 def select_to_budget(df: DataFrame, strata_col: str,
                      budgets: dict[str, int], *,
                      size_col: str = "n_tokens",
-                     order: str | None = None,
+                     order: str | list[str] | None = None,
                      id_col: str = "doc_id",
-                     default_budget: int = 0) -> DataFrame:
+                     default_budget: int = 0,
+                     n_partitions: int | None = None) -> DataFrame:
     """Budget-constrained data mixing: within each stratum, keep
     documents in priority order until the stratum's token budget is
     exhausted (the first document to cross the line is included, so
     every non-empty budget yields at least one document).
 
     ``budgets`` maps stratum value -> token budget; ``order`` is a SQL
-    ordering expression list (default: the deterministic seeded hash,
-    i.e. a uniform budget sample).  This is the "mix 30 B code tokens
-    with 70 B web tokens" primitive of corpus construction.
+    ordering expression (or list of them; default: the deterministic
+    seeded hash, i.e. a uniform budget sample).  This is the "mix
+    30 B code tokens with 70 B web tokens" primitive of corpus
+    construction.
 
-    Scale shape: ONE window shuffle keyed on the stratum (running sum
-    per stratum) + a narrow filter.  Deterministic and oracle-exact:
-    the running sum is over bigint sizes with a total order tie-broken
-    by id.
+    Scale shape: the defining workload is FEW, HUGE strata, so a
+    running sum ``OVER (PARTITION BY stratum ORDER BY ...)`` — one
+    task per stratum — is exactly wrong.  Instead, the two-phase
+    prefix sum (the `global_index` shape, per stratum):
+
+    1. range-partition on (stratum, order keys, id) and sort within
+       partitions — each stratum spans MANY contiguous partitions;
+    2. per-(partition, stratum) partial token sums — one tiny
+       map-side-combined aggregate, <= n_partitions + |strata| rows;
+    3. cumulative offsets over that tiny table (a window over rows
+       counted per PARTITION, not per document), broadcast back;
+    4. one Arrow pass computes the local running sum per stratum with
+       a cross-batch carry, and a narrow filter applies the budget.
+
+    Deterministic and oracle-exact: (stratum, order, id) is a total
+    order and bigint addition is order-insensitive, so the result is
+    bit-identical to the single-window form DuckDB runs as the oracle.
     """
-    order_sql = order if order else f"{shuffle_key(id_col)}, {id_col}"
-    cum = (f"sum({size_col}) OVER (PARTITION BY {strata_col} "
-           f"ORDER BY {order_sql}, {id_col} "
-           f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.window import Window as W
+
+    ordcols = _order_columns(order, id_col)
+    # null-safe stratum key: strings, nulls get a disjoint sentinel, so
+    # range partitioning, the tiny join, and the pandas carry dict all
+    # treat every stratum (incl. NULL) as one ordinary group
+    sk = F.when(F.col(strata_col).isNull(), F.lit("0")).otherwise(
+        F.concat(F.lit("1"), F.col(strata_col).cast("string")))
+    n = n_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    keyed = (df.withColumn("__sk", sk)
+             .repartitionByRange(n, F.col("__sk"), *ordcols)
+             .sortWithinPartitions(F.col("__sk"), *ordcols)
+             .withColumn("__pid", F.spark_partition_id())
+             .localCheckpoint(eager=False))
+
+    partials = (keyed.groupBy("__pid", "__sk")
+                .agg(F.sum(size_col).cast("bigint").alias("__n")))
+    offs = (partials.withColumn("__off", F.coalesce(
+                F.sum("__n").over(
+                    W.partitionBy("__sk").orderBy("__pid")
+                     .rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0)))
+            .select(F.col("__pid").alias("__opid"),
+                    F.col("__sk").alias("__osk"), "__off"))
+
+    out_schema = StructType(keyed.schema.fields +
+                            [StructField("__cumloc", LongType())])
+
+    def run(batches):
+        acc: dict[str, int] = {}
+        for pdf in batches:
+            sizes = pdf[size_col].astype("int64")
+            cum = sizes.groupby(pdf["__sk"].to_numpy()).cumsum()
+            base = pdf["__sk"].map(lambda s: acc.get(s, 0))
+            out = pdf.assign(__cumloc=(cum + base).astype("int64"))
+            for s, tot in sizes.groupby(pdf["__sk"].to_numpy()).sum().items():
+                acc[s] = acc.get(s, 0) + int(tot)
+            yield out
+
+    local = keyed.mapInPandas(run, out_schema)
     budget = "CASE " + " ".join(
         f"WHEN {strata_col} = '{k}' THEN {int(v)}"
         for k, v in sorted(budgets.items())
     ) + f" ELSE {int(default_budget)} END"
-    return (df.withColumn("__cum", F.expr(f"cast({cum} as bigint)"))
+    return (local.join(F.broadcast(offs),
+                       (F.col("__pid") == F.col("__opid")) &
+                       (F.col("__sk") == F.col("__osk")))
             .filter(F.expr(
-                f"__cum - {size_col} < ({budget})"))
-            .drop("__cum"))
+                f"__off + __cumloc - {size_col} < ({budget})"))
+            .select(df.columns))
 
 
 def select_to_budget_oracle_sql(strata_col: str, budgets: dict[str, int],

@@ -251,3 +251,38 @@ def test_dsir_single_scan_shape(spark, sf_dir):
     — the plan may contain at most one parquet scan of documents."""
     p = formatted_plan(QUERIES["dsir_weights"](spark, sf_dir))
     assert p.count("documents.parquet") <= 1, p
+
+
+def test_score_normalize_no_global_window(spark, sf_dir):
+    """Global percentile calibration must NOT plan
+    percent_rank() OVER (ORDER BY ...) with an empty partition spec —
+    that funnels the corpus through one task.  The rewrite composes
+    global_index (range-partition + local numbering + broadcast
+    offsets); the only percent_rank window left is the per-stratum
+    one, and every remaining windowspec is either stratum-partitioned
+    or over the tiny per-partition counts table (__pid)."""
+    p = formatted_plan(QUERIES["score_normalize"](spark, sf_dir))
+    assert "row_number" not in p, p
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs, p
+    for s in specs:
+        assert s.startswith("__pid") or s.startswith("lang"), (s, p)
+    # percent_rank survives only under the lang partition spec
+    for m in re.finditer(r"percent_rank\(\)[^\n]*windowspecdefinition\(([^)]*)\)", p):
+        assert m.group(1).startswith("lang"), p
+
+
+def test_mix_budget_no_stratum_serial_window(spark, sf_dir):
+    """Budget mixing must NOT plan the per-stratum running sum as
+    sum() OVER (PARTITION BY stratum ORDER BY <corpus keys>) — with
+    few, huge strata that single-tasks each stratum.  The two-phase
+    prefix sum leaves exactly one Window, over the tiny per-
+    (partition, stratum) partials table, ordered by __pid."""
+    p = formatted_plan(QUERIES["mix_budget"](spark, sf_dir))
+    assert "row_number" not in p, p
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs, p
+    for s in specs:
+        assert "__pid" in s, (s, p)
+        # order key is the partition id, never the corpus priority hash
+        assert "md5" not in s, (s, p)
