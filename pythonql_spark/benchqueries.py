@@ -1069,16 +1069,20 @@ def profile_quantiles(spark, sf):
     """Incremental quantile profiling via mergeable DataSketches KLL
     sketches — the percentile counterpart of profile_sketch: two
     disjoint halves sketched independently, merged by sketch algebra
-    (no rescan), p50/p90/p99 extracted per event type."""
+    (no rescan), p50/p90/p99 extracted per event type.  k=8192 keeps
+    the sketch in exact (uncompacted) mode at driver test scales —
+    the profile_overlap trick — so the rows-only checksum binds real
+    values and the output is partition-invariant; the identical code
+    is the ~0.4%-rank-error approximate path at 100 TB."""
     from pythonql_spark.operators.sketch import (merge_quantile_sketches,
                                                  quantile_sketch,
                                                  sketch_quantiles)
     ev = load_table(spark, sf, "events")
     merged = merge_quantile_sketches(
         quantile_sketch(ev.filter("event_id % 2 = 0"), ["value"],
-                        keys=["event_type"]),
+                        keys=["event_type"], k=8192),
         quantile_sketch(ev.filter("event_id % 2 = 1"), ["value"],
-                        keys=["event_type"]),
+                        keys=["event_type"], k=8192),
         keys=["event_type"])
     return sketch_quantiles(merged, [0.5, 0.9, 0.99],
                             keys=["event_type"])
@@ -3097,6 +3101,31 @@ _DRIVER_VERIFIED = frozenset([
     "tpch_q20", "tpch_q21", "tpch_q5", "training_pipeline",
     "unpivot_metrics",
 ])
+
+
+def _wrap_rows_only_checksums() -> None:
+    """Every registered key WITHOUT a SQL oracle gets the per-row
+    ``checksum`` column convention (helpers.with_checksum): the
+    external driver records only row counts for these, so the digest
+    is what makes their values a bound, regression-visible surface.
+    Central wrap so a future rows-only key cannot forget it; oracled
+    keys are untouched (the extra column would break schema compare).
+    """
+    from pythonql_spark.helpers import with_checksum
+
+    def wrap(fn):
+        def run(spark, sf, _fn=fn):
+            return with_checksum(_fn(spark, sf))
+        run.__doc__ = fn.__doc__
+        run.__name__ = fn.__name__
+        return run
+
+    for k in list(QUERIES):
+        if k not in ORACLE:
+            QUERIES[k] = wrap(QUERIES[k])
+
+
+_wrap_rows_only_checksums()
 
 
 def _reorder_registry() -> None:

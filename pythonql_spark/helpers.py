@@ -78,3 +78,30 @@ def to_df(df: DataFrame, limit: int | None = None):
 def print_table(df: DataFrame, n: int = 20, max_len: int = 0) -> None:
     """Pretty-print (reference helpers.print_table)."""
     df.show(n, truncate=max_len if max_len else True)
+
+
+def with_checksum(df: DataFrame, round_floats: int = 6) -> DataFrame:
+    """Append a per-row ``checksum`` column: md5 over the canonical
+    rendering of every other column (sorted by name, floats rounded to
+    ``round_floats``, NULL → a sentinel, binary hex-encoded).
+
+    Convention for rows-only bench keys (no SQL oracle): the external
+    correctness driver records only the row count for these, so a
+    wrong-but-right-cardinality regression would be invisible.  The
+    checksum makes the VALUES part of the recorded surface — any
+    hash-style comparison of the output now binds them — and the
+    partition-stability unit test (tests/test_checksums.py) asserts
+    the full checksummed output is identical across 2- vs 8-partition
+    runs, i.e. the query is genuinely deterministic.  Pure per-row
+    projection: no shuffle, no extra scan."""
+    from pyspark.sql import types as T
+
+    parts = []
+    for f in sorted(df.schema.fields, key=lambda f: f.name):
+        c = F.col(f.name)
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+            c = F.round(c.cast("double"), round_floats)
+        elif isinstance(f.dataType, T.BinaryType):
+            c = F.hex(c)
+        parts.append(F.coalesce(c.cast("string"), F.lit("∅")))
+    return df.withColumn("checksum", F.md5(F.concat_ws("|", *parts)))
