@@ -48,7 +48,8 @@ def main() -> None:
         "cluster_embed", "text_bpe", "dedup_semantic",
         "text_gopher", "text_dup_lines", "text_top_ngram",
         "profile_quantiles", "split_assign", "stream_predicate",
-        "pql_window", "media_gif", "media_frames", "curation_pipeline",
+        "pql_window", "media_gif", "media_frames", "media_webp",
+        "curation_pipeline",
         "mix_budget", "profile_overlap", "rag_retrieval", "strip_spans",
         "dsir_sample", "boilerplate_clean", "text_bigram",
         "score_normalize",

@@ -1008,6 +1008,30 @@ def media_gif(spark, sf):
             .orderBy("doc_id"))
 
 
+@q("media_webp", None)  # rows-only: binary image decode is not SQL
+def media_webp(spark, sf):
+    """Real WEBP-lossless decode path: synthesize one VP8L-coded WEBP
+    per document (deterministic pixels from the text hash, rotating
+    through the plain / subtract-green / predictor / palette encoder
+    transforms), decode with the from-scratch stdlib codec
+    (operators/vp8l.py) distributed via mapInPandas — no fake= stub.
+    Output follows the scalar-digest convention (no array columns)."""
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.operators import multimodal as MM
+
+    docs = (load_table(spark, sf, "documents")
+            .filter(F.col("doc_id") < 64)
+            .select("doc_id", MM.render_text_webp("text").alias("img")))
+    media = docs.select(
+        "doc_id", MM.make_media("img", "image", "webp", 8, 8).alias("media"))
+    return (MM.decode_image(media)
+            .select("doc_id",
+                    F.expr("md5(cast(pixels_sample as string))")
+                    .alias("pixels_digest"),
+                    "mean_intensity"))
+
+
 @q("sample_exact_n", None)  # oracle registered below (needs shuffle_key)
 def sample_exact_n_q(spark, sf):
     """Deterministic exact-200 uniform sample (smallest seeded id

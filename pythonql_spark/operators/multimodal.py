@@ -3,8 +3,10 @@ with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing — schema contract, partition-preserving batch
 iteration, UDF signatures, output shapes — is real and tested.  Image
-decoding is REAL for PNG (pure-stdlib codec, operators/png.py);
-other formats still need a library this container doesn't ship, so
+decoding is REAL for PNG, BMP, GIF, baseline JPEG and lossless WEBP
+(pure-stdlib codecs: operators/png.py, bmp.py, gif.py, jpeg.py,
+vp8l.py), audio for WAV PCM + mu-law; the remaining formats (MP3,
+MP4, lossy WEBP) still need a library this container doesn't ship, so
 they raise ``NotImplementedError`` unless ``fake=True``, which
 produces a *deterministic* synthetic decode from the bytes themselves
 (so pipelines and tests exercise the full path for any format).
@@ -49,11 +51,12 @@ def decode_image(df: DataFrame, media_col: str = "media", *,
                  fake: bool = False) -> DataFrame:
     """binary image → features (mean intensity, first-16 pixel sample).
 
-    PNG decodes for real via the stdlib codec in operators/png.py
-    (zlib inflate + scanline unfilter).  Other formats need a library
-    this container doesn't ship: they raise ``NotImplementedError``
-    unless ``fake=True``, which substitutes the deterministic stub for
-    EVERY row (so mixed-format pipelines stay exercisable).
+    PNG, BMP, GIF, baseline JPEG and lossless WEBP decode for real via
+    the stdlib codecs (operators/png.py, bmp.py, gif.py, jpeg.py,
+    vp8l.py).  Other formats need a library this container doesn't
+    ship: they raise ``NotImplementedError`` unless ``fake=True``,
+    which substitutes the deterministic stub for EVERY row (so
+    mixed-format pipelines stay exercisable).
     """
     out_schema = T.StructType(
         list(df.schema.fields) + [
@@ -82,10 +85,14 @@ def decode_image(df: DataFrame, media_col: str = "media", *,
             from .jpeg import decode_jpeg
             _, _, ch, pixels = decode_jpeg(data)
             return list(pixels[:16]), mean_intensity(pixels, ch)
+        if (data or b"").startswith(b"RIFF") and data[8:12] == b"WEBP":
+            from .vp8l import decode_webp
+            _, _, ch, pixels = decode_webp(data)
+            return list(pixels[:16]), mean_intensity(pixels, ch)
         raise NotImplementedError(
             f"no codec for format {meta['format']!r} in this "
-            "environment (PNG, BMP, GIF and baseline JPEG decode "
-            "natively); pass fake=True or plug a decoder")
+            "environment (PNG, BMP, GIF, baseline JPEG and lossless "
+            "WEBP decode natively); pass fake=True or plug a decoder")
 
     cols = df.columns
 
@@ -449,6 +456,38 @@ def render_text_png(text_col, side: int = 8):
             seed = hashlib.sha256((t or "").encode()).digest()
             out.append(encode_png(side, side, 1,
                                   (seed * (n // len(seed) + 1))[:n]))
+        return pd.Series(out)
+
+    return render(text_col if isinstance(text_col, F.Column)
+                  else F.col(text_col))
+
+
+def render_text_webp(text_col, side: int = 8):
+    """binary Column: a deterministic ``side``×``side`` RGBA lossless
+    WEBP whose pixels derive from the sha256 of the text — synthesized
+    per row with the real VP8L encoder (operators/vp8l.py), rotating
+    through the encoder's transform paths (plain / subtract-green /
+    predictor / palette) so a corpus decode exercises them all."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .vp8l import encode_webp
+
+    @pandas_udf("binary")
+    def render(texts: pd.Series) -> pd.Series:
+        n = side * side * 4
+        out = []
+        for t in texts:
+            seed = hashlib.sha256((t or "").encode()).digest()
+            rgba = (seed * (n // len(seed) + 1))[:n]
+            variant = seed[0] % 4
+            if variant == 3:
+                # palette path needs few distinct colors: quantize
+                rgba = bytes(b & 0xC0 for b in rgba)
+            out.append(encode_webp(
+                side, side, rgba,
+                subtract_green=variant in (1, 2),
+                predictor=variant == 2,
+                palette=variant == 3))
         return pd.Series(out)
 
     return render(text_col if isinstance(text_col, F.Column)
