@@ -76,7 +76,9 @@ def main() -> None:
     from pythonql_spark.operators.dsir import dsir_logweights
     from pythonql_spark.operators.rangejoin import range_join
     from pythonql_spark.operators.retrieval import bm25_search
-    from pythonql_spark.operators.sampling import sample_exact_n_stratified
+    from pythonql_spark.operators.profile import percentile_normalize
+    from pythonql_spark.operators.sampling import (sample_exact_n_stratified,
+                                                   select_to_budget)
     from pythonql_spark.operators.similarity import (brute_topk,
                                                      cluster_embeddings,
                                                      lsh_topk,
@@ -166,6 +168,22 @@ def main() -> None:
             # assignment so the UDF column isn't pruned)
             "cluster": lambda: int(cluster_embeddings(embs, 16).selectExpr(
                 "count(1)", "sum(centroid_cos)").collect()[0][0]),
+            # global percentile calibration: range-partition + local
+            # rank + broadcast offsets (NO single-task window) — cost
+            # is one range exchange + one Arrow pass, ~linear
+            "score_norm": lambda: int(percentile_normalize(
+                docs.select("doc_id", "n_chars"), ["n_chars"]
+            ).selectExpr("sum(n_chars_pct)").collect()[0][0]),
+            # budget mixing with TWO huge strata — the adversarial
+            # case for the old per-stratum window (each stratum one
+            # task); the two-phase prefix sum keeps every partition
+            # busy, so sec/unit should stay ~flat
+            "mix_budget": lambda: select_to_budget(
+                docs.selectExpr(
+                    "doc_id", "n_chars",
+                    "case when doc_id % 2 = 0 then 'a' else 'b' end as g"),
+                "g", {"a": 40_000_000, "b": 500_000},
+                size_col="n_chars").count(),
             # compound-key as-of: one sort-shuffle on (user, type)
             "asof_join": lambda: asof_join(
                 evs.filter("event_type = 'purchase'")
@@ -176,6 +194,10 @@ def main() -> None:
                            F.col("value").alias("cv")),
                 on=["user_id", "seg"]).count(),
         }
+        import os
+        only = os.environ.get("SCALE_OPS")
+        if only:
+            ops = {k: v for k, v in ops.items() if k in only.split(",")}
         for name, fn in ops.items():
             t0 = time.perf_counter()
             rows = fn()
