@@ -46,7 +46,7 @@ def main() -> None:
         "sample_stratified", "chunk_docs", "pack_sequences",
         "search_bm25", "doc_keywords", "dsir_weights", "dup_spans",
         "cluster_embed", "text_bpe", "dedup_semantic",
-        "text_gopher", "text_dup_lines", "text_top_ngram",
+        "text_gopher", "text_dup_lines", "text_top_ngram", "text_c4",
         "profile_quantiles", "split_assign", "stream_predicate",
         "pql_window", "media_gif", "media_frames", "media_webp",
         "curation_pipeline",

@@ -908,6 +908,19 @@ def text_top_ngram(spark, sf):
     return TX.top_ngram_fraction(docs, n=2)
 
 
+@q("text_c4", None)  # oracle attached below (generated SQL)
+def text_c4(spark, sf):
+    """C4-style line-rule cleaning (terminal punctuation + min words +
+    javascript lines dropped; lorem-ipsum / brace / short pages
+    flagged) over the deterministic line-ified corpus — the rule-based
+    half of web curation next to text_gopher's statistical half.  Pure
+    scan-fused projection: no shuffle, no UDF."""
+    from pythonql_spark.operators.text import c4_clean
+    docs = (load_table(spark, sf, "documents")
+            .selectExpr("doc_id", "lang", _LINED + " as text"))
+    return c4_clean(docs, min_words=4, min_lines=2, extra_cols=["lang"])
+
+
 @q("text_bpe", None)  # rows-only: a learned subword vocab is not SQL
 def text_bpe(spark, sf):
     """Real BPE tokenization: merge table trained on a bounded
@@ -2013,13 +2026,17 @@ def tpch_q2(spark, sf):
                     "s.s_name as s_name", "s.s_acctbal as s_acctbal",
                     "n.n_name as n_name")
             .df())
-    best = (Query(spark).for_("c2", cand)
-            .group_by("c2.p_partkey as pk")
-            .select("pk", "max(c2.s_acctbal) as best_bal").df())
+    # "suppliers at the per-part max" == rank()==1 with ties kept: ONE
+    # window shuffle on p_partkey (WindowGroupLimit partial top-1
+    # before the exchange) instead of aggregating cand and joining it
+    # back — which evaluated the whole lineitem-semi-join-distinct
+    # subtree TWICE (the max-subquery decorrelation's hidden cost)
+    from pythonql_spark.operators.topk import top_k_per_group
+    best_rows = top_k_per_group(
+        cand, "p_partkey", ["s_acctbal desc"], 1,
+        rank_col=None, dense=True)
     return (Query(spark)
-            .for_("c", cand)
-            .for_("b", best)
-            .where("b.pk == c.p_partkey and c.s_acctbal == b.best_bal")
+            .for_("c", best_rows)
             .select("cast(c.s_acctbal as double) as s_acctbal",
                     "c.s_name as s_name", "c.n_name as n_name",
                     "c.p_partkey as p_partkey", "c.p_brand as p_brand")
@@ -3039,6 +3056,10 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc('exp(logweight / n_tokens)', 0.7)}"""
         select="doc_id, lang, n_chars, n_chars_gpct",
         table=f"({_pn(['n_chars'], suffix='_gpct', select='doc_id, lang, n_chars')}) g")
     from pythonql_spark.operators.text import remove_boilerplate_oracle_sql
+    from pythonql_spark.operators.text import c4_clean_oracle_sql
+    ORACLE["text_c4"] = c4_clean_oracle_sql(
+        min_words=4, min_lines=2, extra_cols="lang, ",
+        table=f"(SELECT doc_id, lang, {_LINED} AS text FROM documents) lined")
     ORACLE["boilerplate_clean"] = remove_boilerplate_oracle_sql(
         min_doc_frac=0.006, min_docs=3,
         table=f"(SELECT doc_id, {_LINED} AS text FROM documents) lined")

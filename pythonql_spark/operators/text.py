@@ -322,6 +322,85 @@ def doc_lines(col: str = "text", dialect: str = "spark") -> str:
     return f"str_split_regex({col}, '{nl}')"
 
 
+def _c4_line_pred(var: str, dialect: str, min_words: int) -> str:
+    """C4 (Raffel et al. 2020) line-retention predicate on lambda
+    variable ``var``: ends in terminal punctuation, has at least
+    ``min_words`` whitespace words, and doesn't mention javascript."""
+    term = _pat('[.!?"]\\s*$', dialect)
+    if dialect == "spark":
+        m = f"{var} rlike '{term}'"
+        wc = f"size(split(trim({var}), '{_ws(dialect)}'))"
+    else:
+        m = f"regexp_matches({var}, '{term}')"
+        wc = f"len(str_split_regex(trim({var}), '{_ws(dialect)}'))"
+    return (f"({m} AND {wc} >= {min_words} "
+            f"AND NOT contains(lower({var}), 'javascript'))")
+
+
+def c4_exprs(text_col: str = "text", dialect: str = "spark", *,
+             min_words: int = 5, min_lines: int = 3
+             ) -> tuple[str, str, str, str]:
+    """The C4 cleaning rules as dual-dialect SQL expressions:
+    (cleaned_text, n_lines, n_kept, keep) where cleaned_text keeps
+    only retained lines, and ``keep`` is the page-level verdict
+    (>= min_lines retained lines, no 'lorem ipsum', no curly brace).
+    Everything is a narrow per-row projection — no shuffle, no UDF; at
+    100 TB this is a scan-fused pass exactly like gopher_metrics."""
+    ls = doc_lines(text_col, dialect)
+    pred = _c4_line_pred("x", dialect, min_words)
+    if dialect == "spark":
+        kept = f"filter({ls}, x -> {pred})"
+        nl_, nk = f"size({ls})", f"size({kept})"
+        joined = f"array_join({kept}, '\\n')"
+    else:
+        kept = f"list_filter({ls}, x -> {pred})"
+        nl_, nk = f"len({ls})", f"len({kept})"
+        # DuckDB's array_to_string([]) is NULL, Spark's array_join('')
+        joined = f"coalesce(array_to_string({kept}, chr(10)), '')"
+    keep = (f"({nk} >= {min_lines} "
+            f"AND NOT contains(lower({text_col}), 'lorem ipsum') "
+            f"AND NOT contains({text_col}, chr(123)))")
+    return (joined, f"cast({nl_} as bigint)", f"cast({nk} as bigint)", keep)
+
+
+def c4_clean(df, id_col: str = "doc_id", text_col: str = "text", *,
+             min_words: int = 5, min_lines: int = 3,
+             extra_cols: list[str] | None = None) -> "DataFrame":
+    """C4-style heuristic cleaning (Raffel et al. 2020, the C4/
+    RefinedWeb line-rule family): keep lines that end in terminal
+    punctuation, have >= ``min_words`` words and don't mention
+    javascript; keep pages with >= ``min_lines`` retained lines and no
+    lorem-ipsum / curly-brace markers.  Returns the id, any
+    ``extra_cols``, the rewritten ``text_col``, n_lines / n_kept
+    counts and the boolean ``c4_keep`` verdict.
+
+    Complements ``gopher_pass`` (statistical thresholds) with the
+    rule-based line surgery half of web-corpus curation; compose as
+    ``c4_clean`` -> ``gopher_pass`` -> dedup for the standard
+    pipeline."""
+    cleaned, n_lines, n_kept, keep = c4_exprs(
+        text_col, "spark", min_words=min_words, min_lines=min_lines)
+    return df.selectExpr(
+        id_col, *(extra_cols or []),
+        f"{cleaned} as {text_col}",
+        f"{n_lines} as n_lines", f"{n_kept} as n_kept",
+        f"{keep} as c4_keep")
+
+
+def c4_clean_oracle_sql(*, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        min_words: int = 5, min_lines: int = 3,
+                        table: str = "documents",
+                        extra_cols: str = "") -> str:
+    """DuckDB mirror of :func:`c4_clean`."""
+    cleaned, n_lines, n_kept, keep = c4_exprs(
+        text_col, "duck", min_words=min_words, min_lines=min_lines)
+    return (f"SELECT {id_col}, {extra_cols}"
+            f"{cleaned} AS {text_col}, "
+            f"{n_lines} AS n_lines, {n_kept} AS n_kept, "
+            f"{keep} AS c4_keep FROM {table}")
+
+
 def mean_word_length(col: str = "text", dialect: str = "spark") -> str:
     """Mean word length = non-whitespace chars / word count (Gopher
     keeps docs with mean word length in [3, 10])."""

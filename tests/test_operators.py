@@ -1430,3 +1430,41 @@ def test_connected_components_driver_and_distributed_parity(spark):
     want = {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
             (20, 20), (21, 20), (22, 20), (30, 30), (31, 30), (99, 99)}
     assert fast == want and dist == want
+
+
+# ------------------------------------------------- C4 line-rule cleaning
+
+def test_c4_clean_line_and_page_rules(spark):
+    from pyspark.sql import Row
+    from pythonql_spark.operators.text import c4_clean
+    docs = spark.createDataFrame([
+        # two good lines + one unpunctuated + one short + one js line
+        Row(doc_id=1, text="This is a perfectly fine sentence here.\n"
+                           "no terminal punctuation on this line\n"
+                           "Too short.\n"
+                           "Please enable JavaScript to view this page.\n"
+                           'Another good line ends with a quote."'),
+        # page killed by lorem ipsum despite good lines
+        Row(doc_id=2, text="Lorem ipsum dolor sit amet consectetur elit.\n"
+                           "A second acceptable line is right here."),
+        # page killed by curly brace (code/templating)
+        Row(doc_id=3, text="function with a brace { is not prose at all.\n"
+                           "This line would otherwise be kept fine.\n"
+                           "And this other line would also be kept."),
+        # clean page: three good lines
+        Row(doc_id=4, text="First proper sentence of the document here.\n"
+                           "Second proper sentence of the document too.\n"
+                           "Third proper sentence wraps the page up."),
+        Row(doc_id=5, text=""),
+    ])
+    out = {r.doc_id: r for r in
+           c4_clean(docs, min_words=5, min_lines=2).collect()}
+    assert out[1].n_lines == 5 and out[1].n_kept == 2
+    assert out[1].text == ("This is a perfectly fine sentence here.\n"
+                           'Another good line ends with a quote."')
+    assert out[1].c4_keep
+    assert out[2].n_kept == 2 and not out[2].c4_keep      # lorem ipsum
+    assert out[3].n_kept == 3 and not out[3].c4_keep      # curly brace
+    assert out[4].n_kept == 3 and out[4].c4_keep
+    assert out[5].n_kept == 0 and not out[5].c4_keep
+    assert out[5].text == ""
