@@ -42,7 +42,7 @@ def main() -> None:
         "ann_topk", "ann_lsh", "ann_ivf", "knn_join",
         "text_quality", "text_langid", "window_sliding_fixed",
         "stream_tumbling", "sessionize", "doc_pipeline", "training_pipeline",
-        "decontaminate",
+        "decontaminate", "decontam_bloom",
         "sample_stratified", "chunk_docs", "pack_sequences",
         "search_bm25", "doc_keywords", "dsir_weights", "dup_spans",
         "cluster_embed", "text_bpe", "dedup_semantic",

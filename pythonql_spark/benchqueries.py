@@ -1330,6 +1330,20 @@ def decontaminate_q(spark, sf):
     return decontaminate(corpus, bench, ngram=5)
 
 
+@q("decontam_bloom", None)  # oracle attached below (generated SQL)
+def decontam_bloom(spark, sf):
+    """Bloom-filter decontamination: the benchmark's shingle set folds
+    into a fixed 128 KB bit array (vs broadcasting the shingle strings
+    — the trade that matters when the reference set has 10^8 shingles);
+    the corpus probe is a scan-fused k-bit test, no join.  md5
+    positions so the DuckDB oracle reproduces the verdicts bit-for-bit
+    (set-membership semantics, same deterministic answer)."""
+    from pythonql_spark.operators.bloom import decontaminate_bloom
+    docs = load_table(spark, sf, "documents")
+    return decontaminate_bloom(docs.filter("doc_id % 50 != 0"),
+                               docs.filter("doc_id % 50 = 0"), ngram=5)
+
+
 # -------------------------------------------------------- §2.5 dedup
 
 @q("dedup_exact", None)
@@ -3056,6 +3070,10 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc('exp(logweight / n_tokens)', 0.7)}"""
         select="doc_id, lang, n_chars, n_chars_gpct",
         table=f"({_pn(['n_chars'], suffix='_gpct', select='doc_id, lang, n_chars')}) g")
     from pythonql_spark.operators.text import remove_boilerplate_oracle_sql
+    from pythonql_spark.operators.bloom import decontaminate_bloom_oracle_sql
+    ORACLE["decontam_bloom"] = decontaminate_bloom_oracle_sql(
+        corpus_where="doc_id % 50 != 0", benchmark_where="doc_id % 50 = 0",
+        ngram=5)
     from pythonql_spark.operators.text import c4_clean_oracle_sql
     ORACLE["text_c4"] = c4_clean_oracle_sql(
         min_words=4, min_lines=2, extra_cols="lang, ",

@@ -1468,3 +1468,63 @@ def test_c4_clean_line_and_page_rules(spark):
     assert out[4].n_kept == 3 and out[4].c4_keep
     assert out[5].n_kept == 0 and not out[5].c4_keep
     assert out[5].text == ""
+
+
+# ------------------------------------------------- bloom decontamination
+
+def test_bloom_decontam_no_false_negatives_and_parity(spark):
+    from pyspark.sql import Row
+    from pythonql_spark.operators.bloom import decontaminate_bloom
+    from pythonql_spark.operators.decontam import decontaminate
+    bench = spark.createDataFrame([
+        Row(doc_id=1000, text="the quick brown fox jumps over the lazy dog "
+                              "again and again tonight")])
+    corpus = spark.createDataFrame([
+        # exact copy -> fully contaminated
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog "
+                           "again and again tonight"),
+        # clean doc
+        Row(doc_id=2, text="completely unrelated words about mountains "
+                           "rivers forests and deserts stretching far"),
+        # partial overlap (shares a 5-gram span)
+        Row(doc_id=3, text="intro words first the quick brown fox jumps "
+                           "over something else entirely today"),
+    ])
+    exact = {r.doc_id: r for r in
+             decontaminate(corpus, bench, ngram=5).collect()}
+    bloom = {r.doc_id: r for r in
+             decontaminate_bloom(corpus, bench, ngram=5).collect()}
+    for d in (1, 2, 3):
+        assert bloom[d].n_grams == exact[d].n_grams
+        # no false negatives: every exact match is a bloom maybe
+        assert bloom[d].n_maybe >= exact[d].n_matched, d
+    assert bloom[1].contaminated and bloom[3].contaminated
+    # at 2^20 bits / ~10 reference shingles, fp prob ~ 0: exact parity
+    for d in (1, 2, 3):
+        assert bloom[d].n_maybe == exact[d].n_matched, d
+    assert not bloom[2].contaminated
+
+
+def test_bloom_bits_bounded_and_fp_direction(spark):
+    from pyspark.sql import Row
+    from pythonql_spark.operators.bloom import bloom_bits, bloom_mark
+    ref = spark.createDataFrame(
+        [Row(v=f"item-{i}") for i in range(200)])
+    # tiny filter -> saturated bits -> false positives MUST appear,
+    # while every true member still hits (no false negatives)
+    bits = bloom_bits(ref, "v", n_bits=256, k=3)
+    assert len(bits) == 4
+    probe = spark.createDataFrame(
+        [Row(v=f"item-{i}") for i in range(200)] +
+        [Row(v=f"other-{i}") for i in range(200)])
+    out = bloom_mark(probe, bits, "v", n_bits=256, k=3).collect()
+    members = [r for r in out if r.v.startswith("item-")]
+    others = [r for r in out if r.v.startswith("other-")]
+    assert all(r.bloom_hit for r in members)          # never miss
+    assert any(r.bloom_hit for r in others)           # saturated -> fp
+    # and a roomy filter keeps fp near zero
+    bits2 = bloom_bits(ref, "v", n_bits=1 << 16, k=5)
+    out2 = bloom_mark(probe, bits2, "v", n_bits=1 << 16, k=5).collect()
+    assert all(r.bloom_hit for r in out2 if r.v.startswith("item-"))
+    fp = sum(r.bloom_hit for r in out2 if r.v.startswith("other-"))
+    assert fp <= 2
