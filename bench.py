@@ -45,7 +45,7 @@ def main() -> None:
         "decontaminate", "decontam_bloom",
         "sample_stratified", "chunk_docs", "pack_sequences",
         "search_bm25", "doc_keywords", "dsir_weights", "dup_spans",
-        "cluster_embed", "text_bpe", "dedup_semantic",
+        "cluster_embed", "text_bpe", "dedup_semantic", "quality_classify",
         "text_gopher", "text_dup_lines", "text_top_ngram", "text_c4",
         "profile_quantiles", "split_assign", "stream_predicate",
         "pql_window", "media_gif", "media_frames", "media_webp",

@@ -921,6 +921,26 @@ def text_c4(spark, sf):
     return c4_clean(docs, min_words=4, min_lines=2, extra_cols=["lang"])
 
 
+@q("quality_classify", None)  # rows-only: learned weights are not SQL
+def quality_classify(spark, sf):
+    """fastText-style learned quality classifier (the DataComp/DCLM
+    curation signal): logistic over hashed bag-of-words buckets,
+    trained driver-side on a bounded deterministic sample against a
+    pseudo-label (here a content rule the model must rediscover from
+    its bag of words — the imitate-the-expensive-labeler pattern),
+    then scored corpus-wide in one scan-fused pass via a broadcast
+    16 KB weight array — no join, no shuffle, no UDF in the scoring
+    plan.  Deterministic (fixed sample order, zero init, fixed
+    iterations) so the rows-only checksum binds the scores."""
+    from pythonql_spark.operators.classifier import classify_quality
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "text")
+    return (classify_quality(docs, "contains(text, 'vector')",
+                             sample_docs=1024)
+            .select("doc_id", "lang", "quality_logit",
+                    "quality_logit_prob"))
+
+
 @q("text_bpe", None)  # rows-only: a learned subword vocab is not SQL
 def text_bpe(spark, sf):
     """Real BPE tokenization: merge table trained on a bounded

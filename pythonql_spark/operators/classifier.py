@@ -1,0 +1,133 @@
+"""Learned quality classifier for corpus curation (the fastText-style
+signal of DataComp/DCLM pipelines): a logistic model over hashed
+bag-of-words buckets, trained driver-side on a bounded deterministic
+sample against a pseudo-label (any boolean SQL expression — a Gopher
+verdict, a domain flag, a reference-corpus membership), then scored
+corpus-wide in ONE scan-fused JVM expression.
+
+Scale shape mirrors bpe.py's bounded-train contract and bloom.py's
+broadcast-array scoring:
+
+* TRAIN — the sample is the ``sample_docs`` smallest md5(id) docs
+  (deterministic across runs/partitionings), fetched via
+  TakeOrderedAndProject + Arrow; features are hashed unigram counts
+  (n_buckets buckets, md5 or xxhash64); full-batch gradient descent
+  with fixed iterations and zero init, so the weights are a pure
+  function of the corpus — reproducible anywhere.
+* SCORE — the weight vector (n_buckets doubles, ~16 KB) rides a
+  broadcast 1-row cross join; the per-doc logit is
+  ``aggregate(words, ...)`` over ``element_at`` lookups — no join, no
+  shuffle, no UDF, one pass.
+
+The learned weights make the output rows-only (per-row ``checksum``
+convention binds the values; gradient descent is not SQL), with the
+hash path dual-dialect so units can cross-check feature extraction.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import _ws
+
+
+def bucket_expr(var: str, n_buckets: int, dialect: str = "spark",
+                hash_fn: str = "md5") -> str:
+    """Feature bucket of a word (lambda variable ``var``)."""
+    if hash_fn == "xxhash64":
+        if dialect != "spark":
+            raise ValueError("xxhash64 buckets are Spark-only")
+        return f"pmod(xxhash64({var}), {n_buckets})"
+    if dialect == "spark":
+        h = f"cast(conv(substring(md5({var}), 1, 15), 16, 10) as bigint)"
+    else:
+        h = f"cast(('0x' || substring(md5({var}), 1, 15)) as bigint)"
+    return f"({h} % {n_buckets})"
+
+
+def _words(col: str) -> str:
+    return f"split(trim(lower({col})), '{_ws('spark')}')"
+
+
+def train_quality_classifier(df: DataFrame, label_expr: str, *,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             n_buckets: int = 2048,
+                             sample_docs: int = 2048,
+                             iters: int = 80, lr: float = 0.5,
+                             l2: float = 1e-4,
+                             hash_fn: str = "md5") -> dict:
+    """Returns ``{"weights": [float]*n_buckets, "bias": float, ...}``.
+
+    Bounded driver contract: only ``sample_docs`` rows ever reach the
+    driver (TakeOrderedAndProject on the deterministic id hash), each
+    reduced to its bucket counts — the corpus itself never moves."""
+    import numpy as np
+
+    b = bucket_expr("w", n_buckets, "spark", hash_fn)
+    sample = (df.selectExpr(
+                  f"md5(cast({id_col} as string)) as __o",
+                  f"cast(({label_expr}) as int) as __y",
+                  f"transform({_words(text_col)}, w -> {b}) as __f")
+              .orderBy("__o").limit(sample_docs)
+              .select("__y", "__f").toPandas())
+    X = np.zeros((len(sample), n_buckets))
+    for i, buckets in enumerate(sample["__f"]):
+        if len(buckets):
+            np.add.at(X[i], np.asarray(buckets, dtype=np.int64), 1.0)
+            X[i] /= len(buckets)                       # tf normalize
+    y = sample["__y"].to_numpy(dtype=np.float64)
+    w = np.zeros(n_buckets)
+    bias = 0.0
+    n = max(len(y), 1)
+    for _ in range(iters):                             # full-batch GD
+        z = X @ w + bias
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (X.T @ g / n + l2 * w)
+        bias -= lr * float(g.mean())
+    return {"weights": [float(v) for v in w], "bias": float(bias),
+            "n_buckets": n_buckets, "hash_fn": hash_fn,
+            "n_train": int(n), "train_acc": float(((p > 0.5) == y).mean())}
+
+
+def quality_score(df: DataFrame, model: dict, *,
+                  text_col: str = "text",
+                  out_col: str = "quality_logit") -> DataFrame:
+    """Adds the raw logit (and ``<out_col>_prob``): mean bucket weight
+    over the doc's words + bias, evaluated scan-fused via a broadcast
+    weight array — the plan is a projection over the scan."""
+    nb = model["n_buckets"]
+    b = bucket_expr("w", nb, "spark", model["hash_fn"])
+    spark = df.sparkSession
+    wrow = spark.createDataFrame([(model["weights"],)],
+                                 schema="__qw array<double>")
+    ws = _words(text_col)
+    logit = (f"aggregate({ws}, cast(0 as double), "
+             f"(acc, w) -> acc + element_at(__qw, cast({b} as int) + 1)) "
+             f"/ greatest(size({ws}), 1) + {model['bias']!r}")
+    return (df.crossJoin(F.broadcast(wrow))
+            .withColumn(out_col, F.expr(
+                f"cast(round({logit}, 6) as double)"))
+            .withColumn(out_col + "_prob", F.expr(
+                f"cast(round(1.0 / (1.0 + exp(-({logit}))), 6) as double)"))
+            .drop("__qw"))
+
+
+def classify_quality(df: DataFrame, label_expr: str, *,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     n_buckets: int = 2048, sample_docs: int = 2048,
+                     hash_fn: str = "md5", **train_kw) -> DataFrame:
+    """train + score in one call (the registered-pipeline shape)."""
+    model = train_quality_classifier(
+        df, label_expr, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets, sample_docs=sample_docs,
+        hash_fn=hash_fn, **train_kw)
+    return quality_score(df, model, text_col=text_col)
+
+
+def sigmoid(z: float) -> float:
+    return 1.0 / (1.0 + math.exp(-z))

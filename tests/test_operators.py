@@ -1528,3 +1528,47 @@ def test_bloom_bits_bounded_and_fp_direction(spark):
     assert all(r.bloom_hit for r in out2 if r.v.startswith("item-"))
     fp = sum(r.bloom_hit for r in out2 if r.v.startswith("other-"))
     assert fp <= 2
+
+
+# ------------------------------------------------- learned quality classifier
+
+def test_quality_classifier_separates_planted_vocab(spark):
+    from pyspark.sql import Row
+    from pythonql_spark.operators.classifier import (
+        quality_score, train_quality_classifier)
+    rows = []
+    for i in range(120):
+        good = i % 2 == 0
+        vocab = ("excellent wonderful insightful rigorous thorough"
+                 if good else "spam clickbait garbage noise junk")
+        rows.append(Row(doc_id=i, text=f"{vocab} filler words here {i % 7}",
+                        label=good))
+    df = spark.createDataFrame(rows)
+    model = train_quality_classifier(df, "label", sample_docs=120)
+    assert model["train_acc"] >= 0.95
+    out = {r.doc_id: r.q_prob for r in
+           quality_score(df, model, out_col="q").collect()}
+    good_m = sum(out[i] for i in range(0, 120, 2)) / 60
+    bad_m = sum(out[i] for i in range(1, 120, 2)) / 60
+    # tf normalization bounds the per-doc logit (5 signal words over 9
+    # tokens), so assert a clean margin rather than saturation
+    assert good_m > 0.58 and bad_m < 0.42, (good_m, bad_m)
+    assert min(out[i] for i in range(0, 120, 2)) > \
+        max(out[i] for i in range(1, 120, 2))
+
+
+def test_quality_classifier_deterministic_and_xxhash_path(spark):
+    from pyspark.sql import Row
+    from pythonql_spark.operators.classifier import (
+        quality_score, train_quality_classifier)
+    rows = [Row(doc_id=i, text=f"alpha beta gamma delta {i % 11} token",
+                label=i % 3 == 0) for i in range(90)]
+    df = spark.createDataFrame(rows)
+    m1 = train_quality_classifier(df, "label", sample_docs=64)
+    m2 = train_quality_classifier(df.repartition(7), "label",
+                                  sample_docs=64)
+    assert m1["weights"] == m2["weights"] and m1["bias"] == m2["bias"]
+    mx = train_quality_classifier(df, "label", sample_docs=64,
+                                  hash_fn="xxhash64")
+    sx = quality_score(df, mx).collect()
+    assert len(sx) == 90 and all(r.quality_logit is not None for r in sx)
