@@ -321,11 +321,15 @@ def resize_image(df: DataFrame, width: int, height: int,
                     from .jpeg import decode_jpeg, encode_jpeg
                     w, h, ch, px = decode_jpeg(data)
                     enc = lambda c, p: encode_jpeg(width, height, c, p)
+                elif data.startswith(b"RIFF") and data[8:12] == b"WEBP":
+                    from .vp8l import decode_webp, encode_webp
+                    w, h, ch, px = decode_webp(data)
+                    enc = lambda c, p: encode_webp(width, height, bytes(p))
                 else:
                     raise NotImplementedError(
                         f"no codec for format {m['meta']['format']!r} "
-                        "(PNG, BMP and JPEG resize natively); pass "
-                        "fake=True")
+                        "(PNG, BMP, JPEG and lossless WEBP resize "
+                        "natively); pass fake=True")
                 resized = enc(ch, resize_box(w, h, ch, px, width, height))
                 out.append({"data": resized,
                             "meta": {**m["meta"], "width": width,

@@ -265,3 +265,26 @@ def test_truncated_and_garbage_inputs():
     good = encode_webp(2, 2, bytes(range(16)))
     with pytest.raises((ValueError, IndexError)):
         decode_webp(good[:20])
+
+
+def test_resize_image_real_webp(spark):
+    """WEBP rides the decode -> box-resize -> re-encode path like
+    PNG/BMP/JPEG: output bytes are a real VP8L stream at the new
+    dimensions whose pixels equal resize_box of the original."""
+    import random
+
+    from pyspark.sql import Row
+
+    from pythonql_spark.operators import multimodal as MM
+    from pythonql_spark.operators.png import resize_box
+
+    rnd = random.Random(5)
+    px = bytes(rnd.randrange(256) for _ in range(8 * 8 * 4))
+    df = spark.createDataFrame([Row(doc_id=1, img=encode_webp(8, 8, px))])
+    media = df.select(
+        "doc_id", MM.make_media("img", "image", "webp", 8, 8).alias("media"))
+    out = MM.resize_image(media, 4, 4).collect()[0]["media"]
+    assert out["meta"]["width"] == 4 and out["meta"]["height"] == 4
+    w, h, ch, got = decode_webp(bytes(out["data"]))
+    assert (w, h, ch) == (4, 4, 4)
+    assert bytes(got) == bytes(resize_box(8, 8, 4, px, 4, 4))
