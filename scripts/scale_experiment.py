@@ -76,6 +76,8 @@ def main() -> None:
     from pythonql_spark.operators.dsir import dsir_logweights
     from pythonql_spark.operators.rangejoin import range_join
     from pythonql_spark.operators.retrieval import bm25_search
+    from pythonql_spark.operators.bloom import decontaminate_bloom
+    from pythonql_spark.operators.classifier import classify_quality
     from pythonql_spark.operators.profile import percentile_normalize
     from pythonql_spark.operators.sampling import (sample_exact_n_stratified,
                                                    select_to_budget)
@@ -168,6 +170,21 @@ def main() -> None:
             # assignment so the UDF column isn't pruned)
             "cluster": lambda: int(cluster_embeddings(embs, 16).selectExpr(
                 "count(1)", "sum(centroid_cos)").collect()[0][0]),
+            # bloom decontamination: the reference folds into a FIXED
+            # 128 KB bit array regardless of scale; probe is scan-fused
+            # k-bit tests — cost should track the corpus scan alone.
+            # xxhash64 is the production hash (the md5 path exists for
+            # the DuckDB oracle; ~8x costlier per shingle)
+            "bloom_decon": lambda: int(decontaminate_bloom(
+                docs.filter("doc_id % 50 != 0"),
+                docs.filter("doc_id % 50 = 0"), ngram=5,
+                hash_fn="xxhash64")
+                .selectExpr("sum(n_maybe)").collect()[0][0]),
+            # learned classifier: bounded driver train (fixed sample
+            # size at any scale) + one scan-fused scoring pass
+            "quality_cls": lambda: int(classify_quality(
+                docs, "contains(text, 'vector')", sample_docs=1024)
+                .selectExpr("sum(abs(quality_logit))").collect()[0][0]),
             # global percentile calibration: range-partition + local
             # rank + broadcast offsets (NO single-task window) — cost
             # is one range exchange + one Arrow pass, ~linear
