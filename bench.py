@@ -39,7 +39,7 @@ def main() -> None:
         "vocab_stats", "corpus_profile", "asof_join", "asof_forward",
         "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_corpus_minhash",
         "dedup_corpus_cosine", "sample_exact_n", "profile_sketch", "media_decode",
-        "ann_topk", "ann_lsh", "ann_ivf", "knn_join",
+        "ann_topk", "ann_lsh", "ann_ivf", "knn_join", "embed_project",
         "text_quality", "text_langid", "window_sliding_fixed",
         "stream_tumbling", "sessionize", "doc_pipeline", "training_pipeline",
         "decontaminate", "decontam_bloom",

@@ -1481,6 +1481,18 @@ def dedup_semantic(spark, sf):
             .select("vec_id", "label"))
 
 
+@q("embed_project", None)  # oracle attached below (generated SQL)
+def embed_project(spark, sf):
+    """Johnson–Lindenstrauss sign projection 64 -> 8 dims: the
+    ANN-preprocessing step, as a pure codegen'd expression whose ±1
+    matrix derives from md5(seed:j:i) at plan build — nothing stored,
+    nothing broadcast, and the DuckDB oracle reproduces it
+    bit-for-bit (identical literal signs + fixed-order IEEE sums)."""
+    from pythonql_spark.operators.projection import jl_project
+    emb = load_table(spark, sf, "embeddings")
+    return jl_project(emb, 64, 8)
+
+
 @q("ann_topk", None)
 def ann_topk(spark, sf):
     from pythonql_spark.operators.similarity import brute_topk
@@ -3090,6 +3102,8 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc('exp(logweight / n_tokens)', 0.7)}"""
         select="doc_id, lang, n_chars, n_chars_gpct",
         table=f"({_pn(['n_chars'], suffix='_gpct', select='doc_id, lang, n_chars')}) g")
     from pythonql_spark.operators.text import remove_boilerplate_oracle_sql
+    from pythonql_spark.operators.projection import jl_project_oracle_sql
+    ORACLE["embed_project"] = jl_project_oracle_sql(64, 8)
     from pythonql_spark.operators.bloom import decontaminate_bloom_oracle_sql
     ORACLE["decontam_bloom"] = decontaminate_bloom_oracle_sql(
         corpus_where="doc_id % 50 != 0", benchmark_where="doc_id % 50 = 0",

@@ -1572,3 +1572,39 @@ def test_quality_classifier_deterministic_and_xxhash_path(spark):
                                   hash_fn="xxhash64")
     sx = quality_score(df, mx).collect()
     assert len(sx) == 90 and all(r.quality_logit is not None for r in sx)
+
+
+# ------------------------------------------------- JL random projection
+
+def test_jl_projection_preserves_distances(spark):
+    """Achlioptas sign-matrix JL: pairwise squared distances in the
+    projected space track the originals (rank correlation), and the
+    projection is a pure function of (seed, j, i) — identical across
+    repartitionings and re-runs."""
+    import random as _r
+
+    import numpy as np
+    from pyspark.sql import Row
+    from pythonql_spark.operators.projection import jl_project
+
+    rnd = _r.Random(0)
+    X = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(60)]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(v) for v in x])
+         for i, x in enumerate(X)])
+    out = (jl_project(df, 64, 32).orderBy("vec_id").collect())
+    Y = np.array([[r[f"jl_{j}"] for j in range(32)] for r in out])
+    Xa = np.array(X)
+    iu = np.triu_indices(len(X), 1)
+    do = ((Xa[:, None, :] - Xa[None, :, :]) ** 2).sum(-1)[iu]
+    dp = ((Y[:, None, :] - Y[None, :, :]) ** 2).sum(-1)[iu]
+    # JL is a per-pair distortion bound, not a correlation claim
+    # (gaussian pairwise distances concentrate, so correlation is the
+    # wrong property): median ratio ~1, bulk within moderate ε at k=32
+    r = dp / do
+    assert 0.9 < np.median(r) < 1.12, np.median(r)
+    assert np.percentile(r, 5) > 0.45 and np.percentile(r, 95) < 1.8
+    # determinism across partition layouts
+    again = (jl_project(df.repartition(7), 64, 32)
+             .orderBy("vec_id").collect())
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
