@@ -76,3 +76,91 @@ def dedup_ingest_stream(stream_df: DataFrame, corpus: DataFrame,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def bloom_dedup_ingest_stream(stream_df: DataFrame, corpus: DataFrame,
+                              out_path: str, checkpoint: str, *,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              n_bits: int = 1 << 22, k: int = 5,
+                              hash_fn: str = "xxhash64",
+                              trigger_available_now: bool = True
+                              ) -> StreamingQuery:
+    """EXACT-content streaming dedup at bounded memory: the standing
+    corpus's content hashes fold once into a Bloom filter (n_bits/8
+    bytes — fixed no matter how large the corpus grows); each
+    micro-batch probes it scan-fused.
+
+    Definitely-new rows (no bloom hit — the guaranteed direction)
+    skip any join entirely; only the maybe-duplicate subset (true
+    dups + the filter's small fp rate) is confirmed EXACTLY with an
+    anti-join against corpus ∪ previously-landed keys, so the join
+    input shrinks from |batch| to |candidates|.  Kept keys update the
+    in-driver filter between batches; on restart the filter simply
+    rebuilds from corpus + landed output.
+
+    Replay-idempotent like dedup_ingest_stream: the confirm side
+    excludes the batch's OWN landed partition (a replayed batch would
+    otherwise see its pre-crash output and reject itself), and the
+    dynamic partition-overwrite sink replaces rather than appends.
+    """
+    import os
+
+    from pythonql_spark.operators.bloom import bloom_bits, bloom_mark
+
+    key = f"md5({text_col})" if hash_fn == "md5" else \
+        f"cast(xxhash64({text_col}) as string)"
+    spark = corpus.sparkSession
+
+    def landed(exclude_batch: int | None = None) -> DataFrame | None:
+        if not os.path.exists(out_path):
+            return None
+        df = spark.read.parquet(out_path)
+        if exclude_batch is not None:
+            df = df.filter(F.col(BATCH_COL) != exclude_batch)
+        return df
+
+    def known_keys(exclude_batch: int | None = None) -> DataFrame:
+        keys = corpus.selectExpr(f"{key} as __k")
+        prev = landed(exclude_batch)
+        if prev is not None:
+            keys = keys.union(prev.selectExpr(f"{key} as __k"))
+        return keys
+
+    state = {"bits": None}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if state["bits"] is None:           # first batch or restart
+            state["bits"] = bloom_bits(
+                known_keys(exclude_batch=batch_id), "__k",
+                n_bits=n_bits, k=k, hash_fn=hash_fn)
+        # in-batch exact dedup first (keep the smallest id per key)
+        from pyspark.sql.window import Window as W
+        within = (batch_df
+                  .withColumn("__k", F.expr(key))
+                  .withColumn("__rn", F.row_number().over(
+                      W.partitionBy("__k").orderBy(id_col)))
+                  .filter("__rn = 1").drop("__rn"))
+        marked = bloom_mark(within, state["bits"], "__k",
+                            n_bits=n_bits, k=k, hash_fn=hash_fn)
+        fresh = marked.filter("NOT bloom_hit").drop("bloom_hit")
+        maybe = marked.filter("bloom_hit").drop("bloom_hit")
+        confirmed_new = maybe.join(
+            known_keys(exclude_batch=batch_id).distinct(),
+            "__k", "left_anti")
+        kept = fresh.unionByName(confirmed_new)
+        (kept.drop("__k").withColumn(BATCH_COL, F.lit(batch_id))
+         .write.mode("overwrite")
+         .partitionBy(BATCH_COL)
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(out_path))
+        # fold the kept keys into the filter for the next batch
+        add = bloom_bits(kept.select("__k"), "__k",
+                         n_bits=n_bits, k=k, hash_fn=hash_fn)
+        state["bits"] = [a | b for a, b in zip(state["bits"], add)]
+
+    writer = (stream_df.writeStream.foreachBatch(_apply)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

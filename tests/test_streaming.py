@@ -384,3 +384,47 @@ def test_dedup_ingest_stream_with_persisted_index(spark, tables, tmp_path):
     assert outs["indexed"] == outs["recompute"]
     assert not any(d >= 500000 for d in outs["indexed"])
     assert len(outs["indexed"]) > 0
+
+
+def test_bloom_dedup_ingest_exact_and_replay(spark, tables, tmp_path):
+    """Bloom-prefiltered EXACT streaming dedup: output equals a batch
+    exact dedup against corpus ∪ in-batch (no false negatives by
+    construction, fp confirmed away by the exact anti-join), and a
+    replayed batch is idempotent."""
+    import shutil
+
+    from pythonql_spark.streaming import (bloom_dedup_ingest_stream,
+                                          run_to_completion)
+
+    docs = tables["documents"]
+    corpus = docs.filter("doc_id < 300").select("doc_id", "text").cache()
+    fresh = docs.filter("doc_id >= 300 and doc_id < 340") \
+        .select("doc_id", "text")
+    copies = (corpus.filter("doc_id < 10")
+              .selectExpr("doc_id + 100000 as doc_id", "text"))
+    twin = fresh.filter("doc_id = 300") \
+        .selectExpr("doc_id + 200000 as doc_id", "text")
+    arriving = fresh.union(copies).union(twin)
+
+    src, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    arriving.write.parquet(src)
+    stream = spark.readStream.schema(arriving.schema).parquet(src)
+    run_to_completion(bloom_dedup_ingest_stream(stream, corpus, out, ck))
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    # exact recompute: texts not in corpus, one id (smallest) per text
+    want = sorted(r.doc_id for r in
+                  arriving.join(corpus.select("text").distinct(),
+                                "text", "left_anti")
+                  .groupBy("text").agg({"doc_id": "min"})
+                  .withColumnRenamed("min(doc_id)", "doc_id").collect())
+    assert got == want
+    assert not any(d >= 100000 for d in got)   # corpus copies + twin out
+    assert 300 in got
+
+    # replay from a fresh checkpoint: partition overwritten, not doubled
+    shutil.rmtree(ck)
+    stream2 = spark.readStream.schema(arriving.schema).parquet(src)
+    run_to_completion(bloom_dedup_ingest_stream(stream2, corpus, out, ck))
+    again = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert again == got
