@@ -24,11 +24,31 @@ def main() -> None:
     n0 = docs.count()
     print(f"raw corpus: {n0} docs")
 
-    # 1. rule-based quality gate (Gopher): pure scalar expressions,
-    #    fused into the scan
-    from pythonql_spark.operators.text import gopher_pass
+    # 1. C4 line surgery (terminal punctuation / min words / js lines
+    #    dropped; lorem-ipsum & brace pages flagged), then the Gopher
+    #    statistical gate — both pure scalar expressions fused into
+    #    the scan
+    from pythonql_spark.operators.text import c4_clean, gopher_pass
+    c4 = c4_clean(docs, min_words=3, min_lines=1,
+                  extra_cols=["lang", "source", "n_chars"])
+    n_c4 = c4.filter("c4_keep").count()
+    print(f"c4 line rules would keep {n_c4} pages — the synthetic "
+          "corpus has no sentence punctuation, so the gate is "
+          "reported, not applied, here")
     gated = docs.filter(F.expr(gopher_pass("text", min_words=10)))
     print(f"gopher gate: -> {gated.count()} docs")
+
+    # 1b. benchmark decontamination at fixed memory: the eval set's
+    #     shingles fold into a 128 KB Bloom bit array; docs whose
+    #     shingles probably overlap it are dropped (false negatives
+    #     impossible — the safe direction)
+    from pythonql_spark.operators.bloom import decontaminate_bloom
+    benchmark = docs.filter("doc_id % 97 = 0")       # stand-in eval set
+    flags = decontaminate_bloom(gated, benchmark, ngram=5,
+                                hash_fn="xxhash64")
+    gated = (gated.join(flags.filter("NOT contaminated")
+                        .select("doc_id"), "doc_id"))
+    print(f"bloom decontamination: -> {gated.count()} docs")
 
     # 2. duplicate-SPAN stripping: verbatim repeated 5-grams survive
     #    only in their canonical (min-id) document
@@ -48,6 +68,17 @@ def main() -> None:
     fluent = scored.filter("mean_bigram_logprob_pct >= 0.05")
     print(f"fluency floor (bottom 5% per lang dropped): "
           f"-> {fluent.count()} docs")
+
+    # 3b. learned quality signal (fastText-style): trained driver-side
+    #     on a bounded sample to imitate the rule gate, scored in one
+    #     scan-fused pass — the cheap stand-in for an expensive
+    #     labeler at 100 TB
+    from pythonql_spark.operators.classifier import classify_quality
+    fluent = classify_quality(
+        fluent, gopher_pass("text", min_words=10), sample_docs=512)
+    print("learned-vs-rule quality agreement:")
+    (fluent.groupBy((F.col("quality_logit_prob") > 0.5).alias("model_keep"))
+     .count().orderBy("model_keep").show())
 
     # 4. DSIR reshape toward the English target distribution
     from pythonql_spark.operators.dsir import dsir_resample
