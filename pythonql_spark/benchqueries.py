@@ -1449,11 +1449,16 @@ def dedup_minhash(spark, sf):
     return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
 
 
-@q("dedup_simhash")
+@q("dedup_simhash")  # oracle attached below (generated SQL)
 def dedup_simhash(spark, sf):
+    """SimHash near-dup pairs on the md5 dual-dialect path (60-bit
+    word hashes, 4×15-bit bands) — the whole pipeline (per-bit votes,
+    banding, bucket-size guard, hamming verify) now carries a FULL
+    DuckDB value oracle; ``hash_fn="xxhash64"`` (64-bit) remains the
+    cheaper production default."""
     from pythonql_spark.operators.dedup import simhash_pairs
     docs = load_table(spark, sf, "documents")
-    return simhash_pairs(docs, max_hamming=3)
+    return simhash_pairs(docs, max_hamming=3, hash_fn="md5")
 
 
 # ---------------------------------------------------- §2.5 similarity
@@ -3104,6 +3109,8 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc('exp(logweight / n_tokens)', 0.7)}"""
     from pythonql_spark.operators.text import remove_boilerplate_oracle_sql
     from pythonql_spark.operators.projection import jl_project_oracle_sql
     ORACLE["embed_project"] = jl_project_oracle_sql(64, 8)
+    from pythonql_spark.operators.dedup import simhash_pairs_oracle_sql
+    ORACLE["dedup_simhash"] = simhash_pairs_oracle_sql(max_hamming=3)
     from pythonql_spark.operators.bloom import decontaminate_bloom_oracle_sql
     ORACLE["decontam_bloom"] = decontaminate_bloom_oracle_sql(
         corpus_where="doc_id % 50 != 0", benchmark_where="doc_id % 50 = 0",

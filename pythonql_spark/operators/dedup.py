@@ -258,17 +258,29 @@ def dedup_increment(new: DataFrame, corpus: DataFrame,
 
 
 def simhash_df(df: DataFrame, id_col: str = "doc_id",
-               text_col: str = "text", bits: int = 64) -> DataFrame:
-    """(id, sh): 64-bit SimHash per doc.  Explode words → hash each
-    word ONCE → per-bit ±1 sums as codegen'd aggregates (map-side
-    partial agg), bit b set iff its sum is positive.  The obvious
+               text_col: str = "text", bits: int = 64,
+               hash_fn: str = "xxhash64") -> DataFrame:
+    """(id, sh): SimHash per doc.  Explode words → hash each word
+    ONCE → per-bit ±1 sums as codegen'd aggregates (map-side partial
+    agg), bit b set iff its sum is positive.  The obvious
     single-expression nested-aggregate form re-hashes every word per
-    bit, interpreted — ~100× slower."""
+    bit, interpreted — ~100× slower.
+
+    ``hash_fn="md5"`` uses the dual-dialect 60-bit word hash (first
+    15 md5 hex digits) so the whole pairs pipeline is reproducible in
+    DuckDB — the value-oracle path; xxhash64 (64 bits) stays the
+    cheap production default."""
+    if hash_fn == "md5":
+        bits = min(bits, 60)
+        wexpr = ("cast(conv(substring(md5(w), 1, 15), 16, 10) "
+                 "as bigint)")
+    else:
+        wexpr = "xxhash64(w)"
     words = (df.select(F.col(id_col).alias("id"),
                        F.explode(F.expr(
                            f"array_distinct(split(trim(lower({text_col})), '\\\\s+'))"
                        )).alias("w"))
-             .select("id", F.expr("xxhash64(w)").alias("wh")))
+             .select("id", F.expr(wexpr).alias("wh")))
     per_bit = words.groupBy("id").agg(
         *[F.sum(F.expr(f"int(shiftright(wh, {b}) & 1) * 2 - 1")).alias(f"s{b}")
           for b in range(bits)])
@@ -279,16 +291,21 @@ def simhash_df(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", *,
-                  band_bits: int = 16,
+                  band_bits: int | None = None,
                   max_hamming: int = 3,
-                  max_bucket_size: int = 500) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit hash into 64/band_bits
+                  max_bucket_size: int = 500,
+                  hash_fn: str = "xxhash64") -> DataFrame:
+    """Near-dup pairs by SimHash: band the hash into bits/band_bits
     buckets (a pair within hamming ≤ bands-1 shares ≥1 exact band),
     ONE shuffle on (band, band_value), verify with bit_count(xor).
     ``max_bucket_size`` guards degenerate buckets (see
-    minhash_lsh_pairs)."""
-    n_bands = 64 // band_bits
-    sim = simhash_df(df, id_col, text_col)
+    minhash_lsh_pairs).  ``hash_fn="md5"`` is the 60-bit
+    oracle-portable path (4×15-bit bands by default)."""
+    bits = 60 if hash_fn == "md5" else 64
+    if band_bits is None:
+        band_bits = 15 if hash_fn == "md5" else 16
+    n_bands = bits // band_bits
+    sim = simhash_df(df, id_col, text_col, bits, hash_fn)
     banded = sim.select(
         "id", "sh",
         F.explode(F.expr(
@@ -448,3 +465,42 @@ def ngram_jaccard_pairs(df: DataFrame, block_cols: list[str],
             .filter(F.col("jaccard") >= threshold)
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                     F.round("jaccard", 6).alias("jaccard")))
+
+
+def simhash_pairs_oracle_sql(*, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             band_bits: int = 15,
+                             max_hamming: int = 3,
+                             max_bucket_size: int = 500,
+                             table: str = "documents") -> str:
+    """DuckDB mirror of ``simhash_pairs(hash_fn="md5")``: the same
+    60-bit word hashes, per-bit ±1 votes, banding, bucket-size guard
+    and hamming verify — bit-identical pairs."""
+    bits = 60
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    sums = ", ".join(
+        f"sum(((wh >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(bits))
+    sh = " + ".join(
+        f"(cast(s{b} > 0 as bigint) << {b})" for b in range(bits))
+    return f"""
+WITH words AS (
+  SELECT {id_col} AS id,
+         unnest(list_distinct(str_split_regex(trim(lower({text_col})),
+                                              '\\s+'))) AS w
+  FROM {table}),
+wh AS (SELECT id, cast(('0x' || substring(md5(w), 1, 15)) as bigint) AS wh
+       FROM words),
+perbit AS (SELECT id, {sums} FROM wh GROUP BY id),
+sh AS (SELECT id, cast({sh} as bigint) AS sh FROM perbit),
+banded AS (
+  SELECT id, sh, b AS band, (sh >> (b * {band_bits})) & {mask} AS v
+  FROM sh, range({n_bands}) t(b)),
+counts AS (SELECT band, v, count(*) AS n FROM banded GROUP BY 1, 2),
+ok AS (SELECT banded.* FROM banded JOIN counts USING (band, v)
+       WHERE n BETWEEN 2 AND {max_bucket_size}),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         cast(bit_count(xor(a.sh, b.sh)) as int) AS hamming
+  FROM ok a JOIN ok b ON a.band = b.band AND a.v = b.v AND a.id < b.id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}"""
