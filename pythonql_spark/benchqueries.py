@@ -1449,6 +1449,19 @@ def dedup_minhash(spark, sf):
     return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
 
 
+@q("dedup_minhash_md5", None)  # oracle attached below (generated SQL)
+def dedup_minhash_md5(spark, sf):
+    """MinHash-LSH on the dual-dialect md5 path: every hash in the
+    pipeline (word, shingle, 16 seeded mins, band) is a 60-bit md5
+    prefix, so banded candidate generation, the bucket-size guard AND
+    the hashed-shingle Jaccard verify are checked bit-for-bit against
+    DuckDB — the xxhash64 production path (`dedup_minhash`, 4× faster)
+    shares the identical plan shape."""
+    from pythonql_spark.operators.dedup import minhash_pairs_md5
+    docs = load_table(spark, sf, "documents")
+    return minhash_pairs_md5(docs)
+
+
 @q("dedup_simhash")  # oracle attached below (generated SQL)
 def dedup_simhash(spark, sf):
     """SimHash near-dup pairs on the md5 dual-dialect path (60-bit
@@ -3111,6 +3124,8 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc('exp(logweight / n_tokens)', 0.7)}"""
     ORACLE["embed_project"] = jl_project_oracle_sql(64, 8)
     from pythonql_spark.operators.dedup import simhash_pairs_oracle_sql
     ORACLE["dedup_simhash"] = simhash_pairs_oracle_sql(max_hamming=3)
+    from pythonql_spark.operators.dedup import minhash_pairs_oracle_sql
+    ORACLE["dedup_minhash_md5"] = minhash_pairs_oracle_sql()
     from pythonql_spark.operators.bloom import decontaminate_bloom_oracle_sql
     ORACLE["decontam_bloom"] = decontaminate_bloom_oracle_sql(
         corpus_where="doc_id % 50 != 0", benchmark_where="doc_id % 50 = 0",

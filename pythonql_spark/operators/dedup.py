@@ -504,3 +504,128 @@ pairs AS (
          cast(bit_count(xor(a.sh, b.sh)) as int) AS hamming
   FROM ok a JOIN ok b ON a.band = b.band AND a.v = b.v AND a.id < b.id)
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}"""
+
+
+# ---------------------------------------------- md5 (oracle) MinHash path
+
+def _h60(arg: str, dialect: str) -> str:
+    """60-bit dual-dialect hash of a STRING expression."""
+    if dialect == "spark":
+        return (f"cast(conv(substring(md5({arg}), 1, 15), 16, 10) "
+                "as bigint)")
+    return f"cast(('0x' || substring(md5({arg}), 1, 15)) as bigint)"
+
+
+def minhash_pairs_md5(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", *,
+                      num_hashes: int = 16, bands: int = 8,
+                      ngram: int = 3,
+                      jaccard_threshold: float | None = 0.5,
+                      max_bucket_size: int = 500) -> DataFrame:
+    """MinHash-LSH pairs on the dual-dialect md5 path: every hash in
+    the pipeline (word, shingle, seeded min, band) is the 60-bit md5
+    prefix of a deterministic string, so the ENTIRE pipeline — banded
+    candidate generation, bucket-size guard, exact hashed-shingle
+    Jaccard verify — is reproducible bit-for-bit in DuckDB
+    (`minhash_pairs_oracle_sql`).  Same plan shape as the xxhash64
+    production path: explode → hash once → num_hashes codegen'd min
+    aggregates → one (band, h) shuffle → in-bucket pairs."""
+    r = num_hashes // bands
+    gh = _gh_list_md5_spark(text_col, ngram)
+    shingles = (df.select(F.col(id_col).alias("id"),
+                          F.explode(F.expr(gh)).alias("gh")))
+    seeded = [_h60(f"concat('{i}#', cast(gh as string))", "spark")
+              for i in range(num_hashes)]
+    sig = shingles.groupBy("id").agg(
+        *[F.min(F.expr(seeded[i])).alias(f"m{i}")
+          for i in range(num_hashes)])
+    band_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.expr(_h60(
+                     "concat_ws(',', " + ", ".join(
+                         f"cast(m{b * r + j} as string)"
+                         for j in range(r)) + ")", "spark")).alias("h"))
+        for b in range(bands)])
+    buckets = (sig.select("id", F.explode(band_arr).alias("bk"))
+               .select("id", "bk.band", "bk.h"))
+    pairs = _bucket_pairs(
+        buckets, ["band", "h"], max_bucket_size,
+        elem_struct="id",
+        pair_expr="struct(xs[i] as id_a, xs[j] as id_b)").distinct()
+    if jaccard_threshold is None:
+        return pairs
+    grams = F.expr(f"array_distinct({gh})")
+    a = df.select(F.col(id_col).alias("id_a"), grams.alias("grams_a"))
+    b = df.select(F.col(id_col).alias("id_b"), grams.alias("grams_b"))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .withColumn("jaccard", F.expr(
+                "cast(size(array_intersect(grams_a, grams_b)) as double) / "
+                "cast(size(array_union(grams_a, grams_b)) as double)"))
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def _gh_list_md5_spark(text_col: str, ngram: int) -> str:
+    wh = (f"transform(split(trim(lower({text_col})), '\\\\s+'), "
+          f"w -> {_h60('w', 'spark')})")
+    parts = ", ".join(
+        f"cast(element_at(ws, least(i + {j}, size(ws))) as string)"
+        for j in range(ngram))
+    inner = _h60(f"concat_ws(':', {parts})", "spark")
+    return (f"transform(array({wh}), ws -> "
+            f"transform(sequence(1, greatest(size(ws) - {ngram - 1}, 1)), "
+            f"i -> {inner}))[0]")
+
+
+def _gh_list_md5_duck(text_col: str, ngram: int) -> str:
+    wh = (f"list_transform(str_split_regex(trim(lower({text_col})), "
+          f"'\\s+'), w -> {_h60('w', 'duck')})")
+    parts = " || ':' || ".join(
+        f"cast(ws[least(i + {j}, len(ws))] as varchar)"
+        for j in range(ngram))
+    inner = _h60(f"({parts})", "duck")
+    return (f"(SELECT list_transform(range(1, greatest(len(ws) - "
+            f"{ngram - 1}, 1) + 1), i -> {inner}) "
+            f"FROM (SELECT {wh} AS ws) __t)")
+
+
+def minhash_pairs_oracle_sql(*, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             num_hashes: int = 16, bands: int = 8,
+                             ngram: int = 3,
+                             jaccard_threshold: float = 0.5,
+                             max_bucket_size: int = 500,
+                             table: str = "documents") -> str:
+    """DuckDB mirror of :func:`minhash_pairs_md5`."""
+    r = num_hashes // bands
+    gh = _gh_list_md5_duck(text_col, ngram)
+    mins = ", ".join(
+        "min(" + _h60(f"(cast({i} as varchar) || '#' || "
+                      f"cast(gh as varchar))", "duck") + f") AS m{i}"
+        for i in range(num_hashes))
+    bandsel = ", ".join(
+        f"struct_pack(band := {b}, h := " + _h60(
+            "(" + " || ',' || ".join(
+                f"cast(m{b * r + j} as varchar)" for j in range(r))
+            + ")", "duck") + ")"
+        for b in range(bands))
+    jac = ("cast(len(list_filter(a.grams, x -> list_contains(b.grams, x))) as double) / "
+           "cast(len(a.grams) + len(b.grams) "
+           "- len(list_filter(a.grams, x -> list_contains(b.grams, x))) as double)")
+    return f"""
+WITH gl AS (SELECT {id_col} AS id, {gh} AS ghs FROM {table}),
+sh AS (SELECT id, unnest(ghs) AS gh FROM gl),
+sig AS (SELECT id, {mins} FROM sh GROUP BY id),
+banded AS (
+  SELECT id, bk.band AS band, bk.h AS h
+  FROM (SELECT id, unnest([{bandsel}]) AS bk FROM sig)),
+counts AS (SELECT band, h, count(*) AS n FROM banded GROUP BY 1, 2),
+ok AS (SELECT banded.* FROM banded JOIN counts USING (band, h)
+       WHERE n BETWEEN 2 AND {max_bucket_size}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM ok a JOIN ok b ON a.band = b.band AND a.h = b.h AND a.id < b.id),
+side AS (SELECT id, list_distinct(ghs) AS grams FROM gl)
+SELECT c.id_a, c.id_b, round({jac}, 6) AS jaccard
+FROM cand c JOIN side a ON a.id = c.id_a JOIN side b ON b.id = c.id_b
+WHERE {jac} >= {jaccard_threshold}"""
