@@ -37,6 +37,7 @@ def main() -> None:
         "order_multi", "shuffle_epoch",
         "lateral_explode", "join_left_outer", "join_semi", "group_lists",
         "vocab_stats", "corpus_profile", "asof_join", "asof_forward",
+        "scd2_history",
         "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_corpus_minhash",
         "dedup_corpus_cosine", "sample_exact_n", "profile_sketch", "media_decode",
         "ann_topk", "ann_lsh", "ann_ivf", "knn_join", "embed_project",

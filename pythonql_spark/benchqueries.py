@@ -2450,6 +2450,52 @@ def sample_weighted_q(spark, sf):
     return sample_weighted(docs, "n_chars / 600.0", 0.5)
 
 
+@q("scd2_history", """
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         timestamp '1990-01-01 00:00:00' AS valid_from,
+         cast(NULL as timestamp) AS valid_to
+  FROM customer),
+u0 AS (
+  SELECT o_custkey AS c_custkey, min(o_orderpriority) AS segment,
+         cast(o_orderdate as timestamp) AS ts
+  FROM orders GROUP BY o_custkey, o_orderdate),
+upd AS (
+  SELECT c_custkey, segment, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY c_custkey ORDER BY ts) AS valid_to
+  FROM u0),
+firsts AS (SELECT c_custkey, min(ts) AS first_ts FROM u0 GROUP BY c_custkey),
+closed AS (
+  SELECT d.c_custkey, d.segment, d.valid_from,
+         CASE WHEN d.valid_to IS NULL AND f.first_ts IS NOT NULL
+              THEN f.first_ts ELSE d.valid_to END AS valid_to
+  FROM dim d LEFT JOIN firsts f USING (c_custkey))
+SELECT * FROM closed
+UNION ALL
+SELECT c_custkey, segment, valid_from, valid_to FROM upd
+""")
+def scd2_history(spark, sf):
+    """SCD2 dimension maintenance as a driver-oracled key (previously
+    plan-test-only): the customer dimension versioned by its orders'
+    priority changes — updates chain per key (delta-only window),
+    pre-existing current rows close at the key's first change (tiny
+    broadcast), history and untouched keys pass through."""
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.operators.scd import scd2_apply
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    dim = cust.selectExpr(
+        "c_custkey", "c_mktsegment as segment",
+        "timestamp'1990-01-01 00:00:00' as valid_from",
+        "cast(null as timestamp) as valid_to")
+    upd = (orders.groupBy("o_custkey", "o_orderdate")
+           .agg(F.min("o_orderpriority").alias("segment"))
+           .selectExpr("o_custkey as c_custkey", "segment",
+                       "cast(o_orderdate as timestamp) as ts"))
+    return scd2_apply(dim, upd, ["c_custkey"])
+
+
 @q("cohort_retention", """
 WITH firsts AS (
   SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
