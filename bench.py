@@ -29,7 +29,8 @@ def main() -> None:
         "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q11", "tpch_q12",
         "tpch_q16", "tpch_q18", "tpch_q20", "tpch_q21", "tpch_q4",
         "tpch_q13", "tpch_q17", "tpch_q7", "tpch_q8", "tpch_q15",
-        "range_join", "topk_group", "pivot_status", "analytic_window",
+        "range_join", "band_join", "topk_group", "pivot_status",
+        "analytic_window",
         "cohort_retention", "stream_interval", "histogram_prices",
         "corr_stats", "grouping_sets_stats", "funnel_sessions",
         "resample_hourly", "rollup_incremental", "text_logprob",

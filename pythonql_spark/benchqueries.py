@@ -2450,6 +2450,34 @@ def sample_weighted_q(spark, sf):
     return sample_weighted(docs, "n_chars / 600.0", 0.5)
 
 
+@q("band_join", """
+SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+       cast(round(a.value - b.value, 6) as double) AS dv
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND abs(a.value - b.value) <= 2.0
+""")
+def band_join_q(spark, sf):
+    """|value_a - value_b| <= eps band join (driver-oracled; was
+    plan-test-only): clicks matched to same-user purchases of similar
+    value.  The band compiles to the binned range join — one equi
+    shuffle on (user, bin), residual filter, no nested loop at any
+    scale; DuckDB runs the literal inequality join as the oracle."""
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.operators.rangejoin import band_join
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter("event_type = 'click'").selectExpr(
+        "event_id as click_id", "user_id", "value as cv")
+    buys = ev.filter("event_type = 'purchase'").selectExpr(
+        "event_id as purchase_id", "user_id", "value as pv")
+    out = band_join(clicks, buys, left_val="cv", right_val="pv",
+                    eps=2.0, on="user_id")
+    return out.select(
+        "click_id", "purchase_id", "user_id",
+        F.expr("cast(round(cv - pv, 6) as double)").alias("dv"))
+
+
 @q("scd2_history", """
 WITH dim AS (
   SELECT c_custkey, c_mktsegment AS segment,
