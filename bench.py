@@ -42,7 +42,7 @@ def main() -> None:
         "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_corpus_minhash",
         "dedup_corpus_cosine", "sample_exact_n", "profile_sketch", "media_decode",
         "ann_topk", "ann_lsh", "ann_ivf", "knn_join", "embed_project",
-        "text_quality", "text_langid", "window_sliding_fixed",
+        "text_quality", "text_langid", "window_sliding_fixed", "window_aux",
         "stream_tumbling", "sessionize", "doc_pipeline", "training_pipeline",
         "decontaminate", "decontam_bloom",
         "sample_stratified", "chunk_docs", "pack_sequences",

@@ -2450,6 +2450,50 @@ def sample_weighted_q(spark, sf):
     return sample_weighted(docs, "n_chars / 600.0", 0.5)
 
 
+@q("window_aux", """
+WITH r AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn,
+         lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lv,
+         lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nv
+  FROM events),
+s AS (SELECT user_id, rn AS s_at, value AS sv FROM r
+      WHERE value > 150 AND (lv IS NULL OR lv <= 150)),
+hit AS (
+  SELECT s.user_id, s.s_at, min(e.rn) AS e_at
+  FROM s JOIN r e ON e.user_id = s.user_id AND e.rn >= s.s_at
+   AND ((e.nv IS NOT NULL AND e.nv < s.sv * 0.5) OR (e.rn - s.s_at >= 8))
+  GROUP BY s.user_id, s.s_at)
+SELECT user_id, s_at, e_at,
+       cast(e_at - s_at + 1 as bigint) AS win_len
+FROM hit
+""")
+def window_aux(spark, sf):
+    """The window clause's auxiliary variables under the driver oracle
+    (previously unit-test-only): start on a RISING EDGE (current >
+    150 while PREVIOUS <= 150 — the reference's s_prev), close when
+    the FOLLOWING element will crash below half the START element's
+    value (e_next + s_curr) or after 8 elements past the start index
+    (s_at).  SQL-expressible via lag/lead + a per-start min, so the
+    Arrow-batched operator gets a full value oracle for exactly the
+    aux-variable semantics."""
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.operators import predicate_windows
+    ev = load_table(spark, sf, "events")
+    w = predicate_windows(
+        ev, order_by=["ts", "event_id"],
+        start_when=lambda c, a, p, n:
+            c["value"] > 150 and (p is None or p["value"] <= 150),
+        end_when=lambda c, a, p, n, sc, sa:
+            (n is not None and n["value"] < sc["value"] * 0.5)
+            or (a - sa >= 8),
+        partition_by="user_id", only_end=True)
+    return w.select(
+        "user_id", "s_at", "e_at",
+        F.expr("cast(e_at - s_at + 1 as bigint)").alias("win_len"))
+
+
 @q("band_join", """
 SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
        cast(round(a.value - b.value, 6) as double) AS dv
