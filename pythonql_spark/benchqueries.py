@@ -1449,6 +1449,22 @@ def dedup_minhash(spark, sf):
     return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
 
 
+@q("dedup_bipartite_md5", None)  # oracle attached below (generated SQL)
+def dedup_bipartite_md5(spark, sf):
+    """The incremental-ingest PRIMITIVE under a full value oracle:
+    cross-corpus MinHash pairs (batch = every 10th doc vs the standing
+    corpus) on the dual-dialect md5 path — corpus buckets capped and
+    grouped once, the small batch side probes on (band, h), exact
+    hashed-shingle Jaccard verify.  The surrounding composition
+    (within-batch components + anti-join) is oracled by
+    dedup_corpus/dedup_clusters; the xxhash64 production path
+    (`dedup_increment`) shares this plan shape."""
+    from pythonql_spark.operators.dedup import minhash_bipartite_md5
+    docs = load_table(spark, sf, "documents")
+    return minhash_bipartite_md5(docs.filter("doc_id % 10 = 0"),
+                                 docs.filter("doc_id % 10 != 0"))
+
+
 @q("dedup_minhash_md5", None)  # oracle attached below (generated SQL)
 def dedup_minhash_md5(spark, sf):
     """MinHash-LSH on the dual-dialect md5 path: every hash in the
@@ -3244,6 +3260,9 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc('exp(logweight / n_tokens)', 0.7)}"""
     ORACLE["dedup_simhash"] = simhash_pairs_oracle_sql(max_hamming=3)
     from pythonql_spark.operators.dedup import minhash_pairs_oracle_sql
     ORACLE["dedup_minhash_md5"] = minhash_pairs_oracle_sql()
+    from pythonql_spark.operators.dedup import minhash_bipartite_oracle_sql
+    ORACLE["dedup_bipartite_md5"] = minhash_bipartite_oracle_sql(
+        new_where="doc_id % 10 = 0", corpus_where="doc_id % 10 != 0")
     from pythonql_spark.operators.bloom import decontaminate_bloom_oracle_sql
     ORACLE["decontam_bloom"] = decontaminate_bloom_oracle_sql(
         corpus_where="doc_id % 50 != 0", benchmark_where="doc_id % 50 = 0",

@@ -530,24 +530,9 @@ def minhash_pairs_md5(df: DataFrame, id_col: str = "doc_id",
     (`minhash_pairs_oracle_sql`).  Same plan shape as the xxhash64
     production path: explode → hash once → num_hashes codegen'd min
     aggregates → one (band, h) shuffle → in-bucket pairs."""
-    r = num_hashes // bands
     gh = _gh_list_md5_spark(text_col, ngram)
-    shingles = (df.select(F.col(id_col).alias("id"),
-                          F.explode(F.expr(gh)).alias("gh")))
-    seeded = [_h60(f"concat('{i}#', cast(gh as string))", "spark")
-              for i in range(num_hashes)]
-    sig = shingles.groupBy("id").agg(
-        *[F.min(F.expr(seeded[i])).alias(f"m{i}")
-          for i in range(num_hashes)])
-    band_arr = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.expr(_h60(
-                     "concat_ws(',', " + ", ".join(
-                         f"cast(m{b * r + j} as string)"
-                         for j in range(r)) + ")", "spark")).alias("h"))
-        for b in range(bands)])
-    buckets = (sig.select("id", F.explode(band_arr).alias("bk"))
-               .select("id", "bk.band", "bk.h"))
+    buckets = _md5_band_buckets(df, id_col, text_col,
+                                num_hashes, bands, ngram)
     pairs = _bucket_pairs(
         buckets, ["band", "h"], max_bucket_size,
         elem_struct="id",
@@ -628,4 +613,110 @@ cand AS (
 side AS (SELECT id, list_distinct(ghs) AS grams FROM gl)
 SELECT c.id_a, c.id_b, round({jac}, 6) AS jaccard
 FROM cand c JOIN side a ON a.id = c.id_a JOIN side b ON b.id = c.id_b
+WHERE {jac} >= {jaccard_threshold}"""
+
+
+def _md5_band_buckets(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int, bands: int,
+                      ngram: int) -> DataFrame:
+    """(id, band, h) on the dual-dialect md5 path (the
+    minhash_pairs_md5 signature pipeline, shared by the bipartite
+    form)."""
+    r = num_hashes // bands
+    gh = _gh_list_md5_spark(text_col, ngram)
+    shingles = (df.select(F.col(id_col).alias("id"),
+                          F.explode(F.expr(gh)).alias("gh")))
+    sig = shingles.groupBy("id").agg(
+        *[F.min(F.expr(_h60(f"concat('{i}#', cast(gh as string))",
+                            "spark"))).alias(f"m{i}")
+          for i in range(num_hashes)])
+    band_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.expr(_h60(
+                     "concat_ws(',', " + ", ".join(
+                         f"cast(m{b * r + j} as string)"
+                         for j in range(r)) + ")", "spark")).alias("h"))
+        for b in range(bands)])
+    return (sig.select("id", F.explode(band_arr).alias("bk"))
+            .select("id", "bk.band", "bk.h"))
+
+
+def minhash_bipartite_md5(new: DataFrame, corpus: DataFrame,
+                          id_col: str = "doc_id",
+                          text_col: str = "text", *,
+                          num_hashes: int = 16, bands: int = 8,
+                          ngram: int = 3,
+                          jaccard_threshold: float = 0.5,
+                          max_bucket_size: int = 500) -> DataFrame:
+    """Cross-corpus near-dup pairs on the md5 oracle path — the
+    incremental-ingest primitive under a full DuckDB value oracle
+    (`minhash_bipartite_oracle_sql`).  Same shape as the xxhash64
+    production `minhash_lsh_pairs_bipartite`: corpus buckets capped
+    and grouped once, the (small) new side probes on (band, h)."""
+    nb = _md5_band_buckets(new, id_col, text_col,
+                           num_hashes, bands, ngram)
+    cb = _md5_band_buckets(corpus, id_col, text_col,
+                           num_hashes, bands, ngram)
+    grouped = (cb.groupBy("band", "h")
+               .agg(F.collect_list("id").alias("xs"))
+               .filter(F.size("xs") <= max_bucket_size))
+    pairs = (nb.join(grouped, ["band", "h"])
+             .select(F.col("id").alias("id_a"),
+                     F.explode("xs").alias("id_b"))
+             .distinct())
+    gh = _gh_list_md5_spark(text_col, ngram)
+    grams = F.expr(f"array_distinct({gh})")
+    a = new.select(F.col(id_col).alias("id_a"), grams.alias("grams_a"))
+    b = corpus.select(F.col(id_col).alias("id_b"), grams.alias("grams_b"))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .withColumn("jaccard", F.expr(
+                "cast(size(array_intersect(grams_a, grams_b)) as double) / "
+                "cast(size(array_union(grams_a, grams_b)) as double)"))
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def minhash_bipartite_oracle_sql(*, new_where: str, corpus_where: str,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 num_hashes: int = 16, bands: int = 8,
+                                 ngram: int = 3,
+                                 jaccard_threshold: float = 0.5,
+                                 max_bucket_size: int = 500,
+                                 table: str = "documents") -> str:
+    """DuckDB mirror of :func:`minhash_bipartite_md5`."""
+    r = num_hashes // bands
+    gh = _gh_list_md5_duck(text_col, ngram)
+    mins = ", ".join(
+        "min(" + _h60(f"(cast({i} as varchar) || '#' || "
+                      f"cast(gh as varchar))", "duck") + f") AS m{i}"
+        for i in range(num_hashes))
+    bandsel = ", ".join(
+        f"struct_pack(band := {b}, h := " + _h60(
+            "(" + " || ',' || ".join(
+                f"cast(m{b * r + j} as varchar)" for j in range(r))
+            + ")", "duck") + ")"
+        for b in range(bands))
+    jac = ("cast(len(list_filter(a.grams, x -> list_contains(b.grams, x))) as double) / "
+           "cast(len(a.grams) + len(b.grams) "
+           "- len(list_filter(a.grams, x -> list_contains(b.grams, x))) as double)")
+    return f"""
+WITH gl AS (SELECT {id_col} AS id, ({new_where}) AS isnew, {gh} AS ghs
+            FROM {table} WHERE ({new_where}) OR ({corpus_where})),
+sh AS (SELECT id, isnew, unnest(ghs) AS gh FROM gl),
+sig AS (SELECT id, isnew, {mins} FROM sh GROUP BY id, isnew),
+banded AS (
+  SELECT id, isnew, bk.band AS band, bk.h AS h
+  FROM (SELECT id, isnew, unnest([{bandsel}]) AS bk FROM sig)),
+counts AS (SELECT band, h, count(*) AS n FROM banded
+           WHERE NOT isnew GROUP BY 1, 2),
+cok AS (SELECT banded.* FROM banded JOIN counts USING (band, h)
+        WHERE NOT isnew AND n <= {max_bucket_size}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+  FROM banded a JOIN cok c ON a.band = c.band AND a.h = c.h
+  WHERE a.isnew),
+side AS (SELECT id, isnew, list_distinct(ghs) AS grams FROM gl)
+SELECT cd.id_a, cd.id_b, round({jac}, 6) AS jaccard
+FROM cand cd JOIN side a ON a.id = cd.id_a JOIN side b ON b.id = cd.id_b
 WHERE {jac} >= {jaccard_threshold}"""
