@@ -174,3 +174,62 @@ def test_select_to_budget_prefix_property(spark, sizes, budget):
             want.append(i)
         acc += s
     assert kept == want, (sizes, budget)
+
+
+@given(w=st.integers(1, 10), h=st.integers(1, 10), data=st.data(),
+       sg=st.booleans(), pred=st.booleans())
+@settings(max_examples=40, deadline=None)
+def test_vp8l_roundtrip_property(w, h, data, sg, pred):
+    """WEBP-lossless codec: encode→decode is identity for ARBITRARY
+    RGBA pixels under every encoder transform combination."""
+    from pythonql_spark.operators.vp8l import decode_webp, encode_webp
+    pix = bytes(data.draw(st.lists(
+        st.integers(0, 255), min_size=w * h * 4, max_size=w * h * 4)))
+    W_, H_, C_, out = decode_webp(
+        encode_webp(w, h, pix, subtract_green=sg, predictor=pred))
+    assert (W_, H_, C_) == (w, h, 4)
+    assert bytes(out) == pix
+
+
+@pytest.mark.parametrize("n_parts", [2, 9])
+def test_global_percentile_matches_sorted_rank(spark, n_parts):
+    """percentile_normalize's global (range-partitioned) path must
+    equal the textbook (rank-1)/(n-1) from a Python sort, at any
+    partition layout, ties broken by id."""
+    from pyspark.sql import Row
+
+    from pythonql_spark.operators.profile import percentile_normalize
+
+    rows = [Row(doc_id=i, s=(i * 31) % 13) for i in range(57)]
+    df = spark.createDataFrame(rows).repartition(n_parts)
+    got = {r.doc_id: r.s_pct for r in
+           percentile_normalize(df, ["s"], id_col="doc_id").collect()}
+    order = sorted(rows, key=lambda r: (r.s, r.doc_id))
+    want = {r.doc_id: round(i / (len(rows) - 1), 6)
+            for i, r in enumerate(order)}
+    assert got == want
+
+
+def test_select_to_budget_matches_serial_reference(spark):
+    """The two-phase prefix sum must reproduce the serial running-sum
+    semantics exactly: per stratum, keep rows in order until the
+    budget line is crossed (inclusive of the crossing row)."""
+    from pyspark.sql import Row
+
+    from pythonql_spark.operators.sampling import select_to_budget
+
+    rows = [Row(doc_id=i, g="a" if i % 3 else "b", sz=(i * 7) % 10 + 1)
+            for i in range(80)]
+    df = spark.createDataFrame(rows).repartition(7)
+    got = sorted(r.doc_id for r in select_to_budget(
+        df, "g", {"a": 60, "b": 35}, size_col="sz",
+        order="doc_id").collect())
+    want = []
+    for gval in ("a", "b"):
+        cum, budget = 0, {"a": 60, "b": 35}[gval]
+        for r in sorted((r for r in rows if r.g == gval),
+                        key=lambda r: r.doc_id):
+            if cum < budget:
+                want.append(r.doc_id)
+            cum += r.sz
+    assert got == sorted(want)
