@@ -145,9 +145,18 @@ def bloom_dedup_ingest_stream(stream_df: DataFrame, corpus: DataFrame,
                             n_bits=n_bits, k=k, hash_fn=hash_fn)
         fresh = marked.filter("NOT bloom_hit").drop("bloom_hit")
         maybe = marked.filter("bloom_hit").drop("bloom_hit")
-        confirmed_new = maybe.join(
-            known_keys(exclude_batch=batch_id).distinct(),
-            "__k", "left_anti")
+        # exact confirmation with the SCALE-right join order: the huge
+        # known-key side is scanned ONCE map-side against the
+        # broadcast candidate keys (left-semi), so only the <=|batch|
+        # present keys ever shuffle; a plain anti-join of maybe
+        # against known would shuffle the full corpus key set per
+        # micro-batch
+        maybe_keys = maybe.select("__k").distinct()
+        present = (known_keys(exclude_batch=batch_id)
+                   .join(F.broadcast(maybe_keys), "__k", "leftsemi")
+                   .distinct())
+        confirmed_new = maybe.join(F.broadcast(present), "__k",
+                                   "left_anti")
         kept = fresh.unionByName(confirmed_new)
         (kept.drop("__k").withColumn(BATCH_COL, F.lit(batch_id))
          .write.mode("overwrite")
