@@ -286,3 +286,15 @@ def test_mix_budget_no_stratum_serial_window(spark, sf_dir):
         assert "__pid" in s, (s, p)
         # order key is the partition id, never the corpus priority hash
         assert "md5" not in s, (s, p)
+
+
+def test_broadcast_row_joins_never_cartesian(spark, sf_dir):
+    """decontam_bloom and quality_classify ride a broadcast 1-row
+    cross join (the 128 KB bit array / 16 KB weight array) — that must
+    plan as BroadcastNestedLoopJoin with the tiny side broadcast,
+    never a CartesianProduct, and the probe/scoring expressions must
+    not add any extra exchange beyond the final aggregate."""
+    for key in ("decontam_bloom", "quality_classify"):
+        p = formatted_plan(QUERIES[key](spark, sf_dir))
+        assert "CartesianProduct" not in p, (key, p)
+        assert "BroadcastNestedLoopJoin" in p, (key, p)
