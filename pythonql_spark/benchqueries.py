@@ -2472,7 +2472,7 @@ WITH r AS (
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn,
          lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lv,
          lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nv
-  FROM events),
+  FROM events WHERE user_id % 8 = 0),
 s AS (SELECT user_id, rn AS s_at, value AS sv FROM r
       WHERE value > 150 AND (lv IS NULL OR lv <= 150)),
 hit AS (
@@ -2496,7 +2496,7 @@ def window_aux(spark, sf):
     from pyspark.sql import functions as F
 
     from pythonql_spark.operators import predicate_windows
-    ev = load_table(spark, sf, "events")
+    ev = load_table(spark, sf, "events").filter("user_id % 8 = 0")
     w = predicate_windows(
         ev, order_by=["ts", "event_id"],
         start_when=lambda c, a, p, n:
