@@ -281,6 +281,67 @@ def render_tone_wav(id_col, rate: int = 8000, n_samples: int = 400):
                   else F.col(id_col))
 
 
+def resample_audio(df: DataFrame, target_rate: int,
+                   media_col: str = "media") -> DataFrame:
+    """Audio resampling: binary WAV → binary WAV at ``target_rate``
+    (the audio counterpart of resize_image): real stdlib decode
+    (PCM via ``wave``; mu-law through the same RIFF parser used by
+    decode_audio), linear-interpolation resample, 16-bit PCM
+    re-encode — all inside Arrow-batched mapInPandas, one narrow
+    pass, no shuffle."""
+    cols = df.columns
+
+    def resample(samples: list[int], src: int, dst: int) -> list[int]:
+        if src == dst or not samples:
+            return [int(s) for s in samples]
+        n_out = max(int(round(len(samples) * dst / src)), 1)
+        out = []
+        for i in range(n_out):
+            x = i * (len(samples) - 1) / max(n_out - 1, 1)
+            lo = int(x)
+            hi = min(lo + 1, len(samples) - 1)
+            frac = x - lo
+            out.append(int(round(samples[lo] * (1 - frac)
+                                 + samples[hi] * frac)))
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave as _wave
+
+        for pdf in batches:
+            out = []
+            for m in pdf[media_col]:
+                data = m["data"] or b""
+                if not data.startswith(b"RIFF"):
+                    raise NotImplementedError(
+                        f"no codec for format {m['meta']['format']!r} "
+                        "(WAV resamples natively)")
+                try:
+                    with _wave.open(io.BytesIO(data)) as w:
+                        rate = w.getframerate()
+                        width = w.getsampwidth()
+                        raw = w.readframes(w.getnframes())
+                    if width == 2:
+                        import struct as _struct
+                        samples = list(_struct.unpack(
+                            f"<{len(raw) // 2}h", raw))
+                    else:
+                        samples = [b - 128 << 8 for b in raw]
+                except _wave.Error:
+                    rate, _ch, samples = _decode_wav_ulaw(data)
+                res = resample(samples, rate, target_rate)
+                enc = encode_wav(res, target_rate)
+                dur = int(round(1000 * len(res) / target_rate))
+                out.append({"data": enc,
+                            "meta": {**m["meta"], "duration_ms": dur}})
+            pdf = pdf.copy()
+            pdf[media_col] = out
+            yield pdf[cols]
+
+    return df.mapInPandas(run, df.schema)
+
+
 def resize_image(df: DataFrame, width: int, height: int,
                  media_col: str = "media", *, fake: bool = False) -> DataFrame:
     """Resize: binary → binary with updated meta.

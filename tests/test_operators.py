@@ -1608,3 +1608,36 @@ def test_jl_projection_preserves_distances(spark):
     again = (jl_project(df.repartition(7), 64, 32)
              .orderBy("vec_id").collect())
     assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+# ------------------------------------------------- audio resampling
+
+def test_resample_audio_real_wav_and_ulaw(spark):
+    """resample_audio: real decode (PCM + mu-law) -> linear-interp
+    resample -> PCM re-encode; sample count scales with the rate
+    ratio, amplitude is preserved, output decodes again."""
+    import math
+
+    from pyspark.sql import Row
+
+    from pythonql_spark.operators import multimodal as MM
+
+    tone = [int(8000 * math.sin(2 * math.pi * 440 * t / 8000))
+            for t in range(800)]
+    wav = MM.encode_wav(tone, 8000)
+    ul = MM.encode_wav_ulaw(
+        [int(100 * math.sin(t / 5)) for t in range(400)], 8000)
+    df = spark.createDataFrame([Row(doc_id=1, snd=wav),
+                                Row(doc_id=2, snd=ul)])
+    media = df.select("doc_id",
+                      MM.make_media("snd", "audio", "wav").alias("media"))
+    out = {r.doc_id: r for r in
+           MM.decode_audio(MM.resample_audio(media, 4000))
+           .orderBy("doc_id").collect()}
+    assert out[1].sample_rate == 4000 and out[1].audio_ms == 100
+    assert out[2].sample_rate == 4000 and out[2].audio_ms == 50
+    # mean |sin| amplitude survives interpolation within a few %
+    assert abs(out[1].mean_abs_amplitude - 8000 * 2 / math.pi) < 300
+    # identity resample keeps the exact sample count
+    same = MM.decode_audio(MM.resample_audio(media, 8000)).collect()
+    assert {r.audio_ms for r in same} == {100, 50}
