@@ -51,7 +51,7 @@ def main() -> None:
         "text_gopher", "text_dup_lines", "text_top_ngram", "text_c4",
         "profile_quantiles", "split_assign", "stream_predicate",
         "pql_window", "media_gif", "media_frames", "media_webp",
-        "curation_pipeline",
+        "curation_pipeline", "curation_v2",
         "mix_budget", "profile_overlap", "rag_retrieval", "strip_spans",
         "dsir_sample", "boilerplate_clean", "text_bigram",
         "score_normalize",

@@ -1350,6 +1350,39 @@ def decontaminate_q(spark, sf):
     return decontaminate(corpus, bench, ngram=5)
 
 
+@q("curation_v2", None)  # oracle attached below (generated CTE chain)
+def curation_v2(spark, sf):
+    """Round-5 operator composition under ONE value oracle: C4 line
+    rules clean and gate the lined corpus → Bloom decontamination
+    drops probable benchmark overlap (md5 path) → global percentile
+    calibration (the range-partitioned scale-safe path) scores length
+    → per-language char budgets fill in score order (two-phase prefix
+    sum).  Every stage is individually oracled; this key verifies the
+    COMPOSITION end-to-end per doc."""
+    from pythonql_spark.operators.bloom import decontaminate_bloom
+    from pythonql_spark.operators.profile import percentile_normalize
+    from pythonql_spark.operators.sampling import select_to_budget
+    from pythonql_spark.operators.text import c4_clean
+    lined = (load_table(spark, sf, "documents")
+             .selectExpr("doc_id", "lang", "n_chars", _LINED + " as text"))
+    c4 = (c4_clean(lined, min_words=4, min_lines=2,
+                   extra_cols=["lang", "n_chars"])
+          .filter("c4_keep"))
+    kept = c4.filter("doc_id % 97 != 0").select(
+        "doc_id", "lang", "n_chars", "text")
+    bench = c4.filter("doc_id % 97 = 0").select("text")
+    flags = decontaminate_bloom(kept, bench, ngram=5)
+    clean = kept.join(flags.filter("NOT contaminated").select("doc_id"),
+                      "doc_id")
+    pct = percentile_normalize(
+        clean.select("doc_id", "lang", "n_chars"), ["n_chars"])
+    mix = select_to_budget(
+        pct, "lang", {"en": 20000, "de": 6000, "fr": 6000},
+        size_col="n_chars", order="n_chars_pct DESC",
+        default_budget=5000)
+    return mix.select("doc_id", "lang", "n_chars", "n_chars_pct")
+
+
 @q("decontam_bloom", None)  # oracle attached below (generated SQL)
 def decontam_bloom(spark, sf):
     """Bloom-filter decontamination: the benchmark's shingle set folds
@@ -3267,6 +3300,40 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc('exp(logweight / n_tokens)', 0.7)}"""
     ORACLE["decontam_bloom"] = decontaminate_bloom_oracle_sql(
         corpus_where="doc_id % 50 != 0", benchmark_where="doc_id % 50 = 0",
         ngram=5)
+    from pythonql_spark.operators.bloom import position_exprs as _bpos
+    from pythonql_spark.operators.text import c4_exprs as _c4e
+    from pythonql_spark.operators.text import ngram_list as _ngl
+    _c4_clean, _, _, _c4_keep = _c4e("text", "duck",
+                                     min_words=4, min_lines=2)
+    _g5 = _ngl("text", 5, "duck")
+    _checks = " AND ".join(f"{p} IN (SELECT p FROM refpos)"
+                           for p in _bpos("g", 5, 1 << 20, "duck", "md5"))
+    _budget = ("CASE WHEN lang = 'de' THEN 6000 WHEN lang = 'en' "
+               "THEN 20000 WHEN lang = 'fr' THEN 6000 ELSE 5000 END")
+    ORACLE["curation_v2"] = f"""
+WITH lined AS (SELECT doc_id, lang, n_chars, {_LINED} AS text
+               FROM documents),
+c4 AS (SELECT doc_id, lang, n_chars, {_c4_clean} AS text
+       FROM lined WHERE {_c4_keep}),
+kept AS (SELECT * FROM c4 WHERE doc_id % 97 != 0),
+bg AS (SELECT DISTINCT unnest({_g5}) AS g FROM c4 WHERE doc_id % 97 = 0),
+refpos AS (SELECT DISTINCT unnest([{', '.join(
+    _bpos('g', 5, 1 << 20, 'duck', 'md5'))}]) AS p FROM bg),
+cg AS (SELECT doc_id, unnest(list_distinct({_g5})) AS g FROM kept),
+hits AS (SELECT doc_id, sum(cast(({_checks}) as int)) AS n_maybe
+         FROM cg GROUP BY doc_id),
+clean AS (SELECT k.doc_id, k.lang, k.n_chars
+          FROM kept k JOIN hits USING (doc_id) WHERE n_maybe = 0),
+pct AS (SELECT *, cast(round(percent_rank() OVER
+          (ORDER BY n_chars, doc_id), 6) as double) AS n_chars_pct
+        FROM clean),
+cum AS (SELECT *, cast(sum(n_chars) OVER (PARTITION BY lang
+          ORDER BY n_chars_pct DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+          AS __cum
+        FROM pct)
+SELECT doc_id, lang, n_chars, n_chars_pct
+FROM cum WHERE __cum - n_chars < ({_budget})"""
     from pythonql_spark.operators.text import c4_clean_oracle_sql
     ORACLE["text_c4"] = c4_clean_oracle_sql(
         min_words=4, min_lines=2, extra_cols="lang, ",
