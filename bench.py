@@ -45,7 +45,7 @@ def main() -> None:
         "text_quality", "text_langid", "window_sliding_fixed", "window_aux",
         "stream_tumbling", "sessionize", "doc_pipeline", "training_pipeline",
         "decontaminate", "decontam_bloom",
-        "sample_stratified", "chunk_docs", "pack_sequences",
+        "sample_stratified", "chunk_docs", "pack_sequences", "skew_report",
         "search_bm25", "doc_keywords", "dsir_weights", "dup_spans",
         "cluster_embed", "text_bpe", "dedup_semantic", "quality_classify",
         "text_gopher", "text_dup_lines", "text_top_ngram", "text_c4",

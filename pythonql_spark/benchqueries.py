@@ -1350,6 +1350,24 @@ def decontaminate_q(spark, sf):
     return decontaminate(corpus, bench, ngram=5)
 
 
+@q("skew_report", """
+WITH t AS (SELECT count(*) AS total FROM events),
+c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+SELECT user_id, cast(n as bigint) AS n,
+       cast(round(n / cast(total as double), 6) as double) AS share
+FROM c, t
+WHERE n >= greatest(1, cast(total * 0.002 as bigint))
+""")
+def skew_report_q(spark, sf):
+    """Skew diagnosis (driver-oracled; the hot_keys machinery was
+    test-only): keys holding >= 0.2% of the event stream with count
+    and share — the input to a salting / AQE-skew-join decision.  One
+    partial-agg shuffle + a 1-row broadcast total, never a collect."""
+    from pythonql_spark.operators.skew import skew_report
+    ev = load_table(spark, sf, "events")
+    return skew_report(ev, "user_id", min_share=0.002)
+
+
 @q("curation_v2", None)  # oracle attached below (generated CTE chain)
 def curation_v2(spark, sf):
     """Round-5 operator composition under ONE value oracle: C4 line

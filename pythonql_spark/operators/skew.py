@@ -48,3 +48,19 @@ def salted_join(big: DataFrame, small: DataFrame, on: str, *,
             F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))))
     out = b.join(s, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def skew_report(df: DataFrame, key: str, *,
+                min_share: float = 0.01) -> DataFrame:
+    """Skew diagnosis as a DataFrame: every key holding at least
+    ``min_share`` of rows, with its count and share — the input to a
+    salting / AQE-skew-join decision.  One partial-agg shuffle over
+    the key + a 1-row total broadcast back; never a collect."""
+    total = df.groupBy().agg(F.count(F.lit(1)).alias("__total"))
+    return (df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+            .join(F.broadcast(total))
+            .filter(F.col("n") >= F.greatest(
+                F.lit(1), (F.col("__total") * min_share).cast("bigint")))
+            .selectExpr(key, "n",
+                        "cast(round(n / cast(__total as double), 6) "
+                        "as double) as share"))
