@@ -1041,6 +1041,64 @@ def media_gif(spark, sf):
             .orderBy("doc_id"))
 
 
+@q("media_probe", None)  # rows-only: container/header parsing is not SQL
+def media_probe(spark, sf):
+    """ffprobe analog over a MIXED-format media column: every doc
+    renders one of PNG / animated GIF / WAV tone / MP4 (real ISO-BMFF
+    mux with stts/stsz/stco/stss sample tables, operators/mp4.py) /
+    MP3 (real MPEG1 Layer-III frame stream, operators/mp3.py), then
+    one Arrow-batched probe pass reports format, codec, dimensions,
+    duration, sample rate, bitrate and frame/keyframe counts from the
+    true headers — zero pixel/PCM decode, so the scan stays cheap at
+    any corpus size.  One mapInPandas pass, no shuffle."""
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.operators import multimodal as MM
+
+    docs = (load_table(spark, sf, "documents")
+            .filter(F.col("doc_id") < 80).select("doc_id", "text"))
+    blob = (F.when(F.col("doc_id") % 5 == 0, MM.render_text_png("text"))
+            .when(F.col("doc_id") % 5 == 1,
+                  MM.render_gif_anim("doc_id", side=6, n_frames=3))
+            .when(F.col("doc_id") % 5 == 2, MM.render_tone_wav("doc_id"))
+            .when(F.col("doc_id") % 5 == 3, MM.render_mp4("doc_id"))
+            .otherwise(MM.render_mp3("doc_id")))
+    media = docs.select(
+        "doc_id", MM.make_media(blob, "media", "mixed").alias("media"))
+    return (MM.probe_media(media).drop("media", "text")
+            .orderBy("doc_id"))
+
+
+@q("media_mp4", None)  # rows-only: container frame extraction is not SQL
+def media_mp4(spark, sf):
+    """Real MP4 frame sampling: mux one ISO-BMFF container per doc
+    (6 encoded samples, keyframes every 3rd, 200 ms stts deltas),
+    then sample_frames walks the REAL sample table and extracts the
+    encoded access-unit bytes at each 400 ms tick — container-level
+    truth (the payload a downstream GPU decoder consumes; AVC pixel
+    decode is a declared non-goal).  Per-doc digest of the extracted
+    payloads follows the scalar-digest convention."""
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.operators import multimodal as MM
+
+    docs = (load_table(spark, sf, "documents")
+            .filter(F.col("doc_id") < 64)
+            .select("doc_id",
+                    MM.make_media(MM.render_mp4("doc_id"), "video", "mp4",
+                                  64, 48, duration_ms=1200).alias("media")))
+    frames = MM.sample_frames(docs, every_ms=400)
+    return (frames
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_frames"),
+                 F.md5(F.concat_ws(
+                     "|", F.sort_array(F.collect_list(
+                         F.concat_ws(":", F.col("frame_ts_ms"),
+                                     F.hex("frame"))))))
+                 .alias("frames_digest"))
+            .orderBy("doc_id"))
+
+
 @q("media_webp", None)  # rows-only: binary image decode is not SQL
 def media_webp(spark, sf):
     """Real WEBP-lossless decode path: synthesize one VP8L-coded WEBP

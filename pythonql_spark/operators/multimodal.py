@@ -5,11 +5,16 @@ The Spark-side plumbing — schema contract, partition-preserving batch
 iteration, UDF signatures, output shapes — is real and tested.  Image
 decoding is REAL for PNG, BMP, GIF, baseline JPEG and lossless WEBP
 (pure-stdlib codecs: operators/png.py, bmp.py, gif.py, jpeg.py,
-vp8l.py), audio for WAV PCM + mu-law; the remaining formats (MP3,
-MP4, lossy WEBP) still need a library this container doesn't ship, so
-they raise ``NotImplementedError`` unless ``fake=True``, which
-produces a *deterministic* synthetic decode from the bytes themselves
-(so pipelines and tests exercise the full path for any format).
+vp8l.py), audio for WAV PCM + mu-law.  MP4 and MP3 parse for REAL at
+the container/frame-header level (operators/mp4.py, mp3.py):
+``probe_media`` reports their true dimensions/duration/bitrate/frame
+tables and ``sample_frames`` extracts real encoded MP4 access units
+at real ``stts`` timestamps — but decoding those payloads to
+pixels/PCM needs a codec library this container doesn't ship, so
+``decode_image``/``decode_audio`` raise ``NotImplementedError`` for
+them unless ``fake=True``, which produces a *deterministic* synthetic
+decode from the bytes themselves (so pipelines and tests exercise the
+full path for any format).
 
 Schema contract:
     media: struct<data: binary,
@@ -481,6 +486,28 @@ def _sample_frames_real(df: DataFrame, every_ms: int,
                 fi += 1
             yield ts, encode_png(w, h, 3, frames[fi][1])
 
+    def mp4_frames(m, data):
+        """ISO-BMFF: real per-sample timestamps from ``stts`` drive the
+        timeline; each sampled frame is the ENCODED access-unit bytes
+        from the ``mdat`` byte range (container-level extraction — the
+        payload a downstream GPU decode stage consumes; pixel decode
+        of AVC/HEVC is out of scope, see operators/mp4.py)."""
+        from .mp4 import parse_mp4
+        info = parse_mp4(data)
+        track = next((t for t in info["tracks"] if t["kind"] == "video"),
+                     info["tracks"][0] if info["tracks"] else None)
+        if track is None or not track["samples"]:
+            return
+        samples = track["samples"]
+        dur = m["meta"]["duration_ms"] or track["duration_ms"] \
+            or info["duration_ms"]
+        si = 0
+        for ts in range(0, max(dur, 1), every_ms):
+            while si < len(samples) - 1 and samples[si + 1][0] <= ts:
+                si += 1
+            _, off, sz, _sync = samples[si]
+            yield ts, bytes(data[off:off + sz])
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -491,11 +518,13 @@ def _sample_frames_real(df: DataFrame, every_ms: int,
                     gen = png_frames(m, data)
                 elif data.startswith(b"GIF8"):
                     gen = gif_frames(m, data)
+                elif data[4:8] == b"ftyp":
+                    gen = mp4_frames(m, data)
                 else:
                     raise NotImplementedError(
                         f"no codec for format {m['meta']['format']!r} "
-                        "(PNG filmstrips and animated GIF decode "
-                        "natively); pass fake=True")
+                        "(PNG filmstrips, animated GIF and MP4 "
+                        "containers parse natively); pass fake=True")
                 for ts, frame in gen:
                     rows.append({**{c: r[c] for c in cols},
                                  "frame_ts_ms": ts, "frame": frame})
@@ -605,12 +634,251 @@ def render_gif_anim(id_col, side: int = 8, n_frames: int = 4,
                   else F.col(id_col))
 
 
-def make_media(data_col: str, kind: str, fmt: str,
+def make_media(data_col, kind: str, fmt: str,
                width=None, height=None, duration_ms=None):
-    """Column helper: wrap a binary column into the media struct."""
+    """Column helper: wrap a binary column (name or Column) into the
+    media struct."""
+    data = data_col if isinstance(data_col, F.Column) else F.col(data_col)
     return F.struct(
-        F.col(data_col).alias("data"),
+        data.alias("data"),
         F.struct(F.lit(kind).alias("kind"), F.lit(fmt).alias("format"),
                  F.lit(width).cast("int").alias("width"),
                  F.lit(height).cast("int").alias("height"),
                  F.lit(duration_ms).cast("int").alias("duration_ms")).alias("meta"))
+
+
+# ---------------------------------------------------------------------------
+# Container/stream probing (ffprobe analog) — real for every format.
+
+_PROBE_FIELDS = [
+    ("format", T.StringType()), ("codec", T.StringType()),
+    ("width", T.IntegerType()), ("height", T.IntegerType()),
+    ("duration_ms", T.IntegerType()), ("sample_rate", T.IntegerType()),
+    ("channels", T.IntegerType()), ("bitrate_kbps", T.IntegerType()),
+    ("n_frames", T.IntegerType()), ("n_keyframes", T.IntegerType()),
+]
+
+
+def _probe_gif(data: bytes) -> dict:
+    """Header walk only: counts image blocks and sums GCE delays
+    without LZW-decoding any pixels."""
+    w = int.from_bytes(data[6:8], "little")
+    h = int.from_bytes(data[8:10], "little")
+    flags = data[10]
+    pos = 13 + (3 * (2 << (flags & 7)) if flags & 0x80 else 0)
+    n_frames, dur = 0, 0
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:                                   # trailer
+            break
+        if b == 0x21:                                   # extension
+            if data[pos + 1] == 0xF9 and data[pos + 2] >= 4:
+                dur += int.from_bytes(data[pos + 4:pos + 6], "little") * 10
+            pos += 2
+            while data[pos]:                            # sub-blocks
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:                                 # image descriptor
+            n_frames += 1
+            lflags = data[pos + 9]
+            pos += 10 + (3 * (2 << (lflags & 7)) if lflags & 0x80 else 0)
+            pos += 1                                    # LZW min code size
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        else:
+            break
+    return {"format": "gif", "codec": "lzw", "width": w, "height": h,
+            "duration_ms": dur or None, "n_frames": n_frames,
+            "n_keyframes": n_frames}
+
+
+def _probe_jpeg(data: bytes) -> dict:
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seg_len = int.from_bytes(data[pos + 2:pos + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h = int.from_bytes(data[pos + 5:pos + 7], "big")
+            w = int.from_bytes(data[pos + 7:pos + 9], "big")
+            return {"format": "jpeg", "codec": f"sof{marker - 0xC0}",
+                    "width": w, "height": h, "n_frames": 1,
+                    "n_keyframes": 1}
+        pos += 2 + seg_len
+    return {"format": "jpeg", "codec": None}
+
+
+def _probe_webp(data: bytes) -> dict:
+    chunk = data[12:16]
+    if chunk == b"VP8L" and data[20] == 0x2F:
+        bits = int.from_bytes(data[21:25], "little")
+        return {"format": "webp", "codec": "vp8l",
+                "width": (bits & 0x3FFF) + 1,
+                "height": ((bits >> 14) & 0x3FFF) + 1,
+                "n_frames": 1, "n_keyframes": 1}
+    if chunk == b"VP8 " and data[23:26] == b"\x9d\x01\x2a":
+        return {"format": "webp", "codec": "vp8",
+                "width": int.from_bytes(data[26:28], "little") & 0x3FFF,
+                "height": int.from_bytes(data[28:30], "little") & 0x3FFF,
+                "n_frames": 1, "n_keyframes": 1}
+    return {"format": "webp", "codec": chunk.decode("latin1").strip()}
+
+
+def _probe_wav(data: bytes) -> dict:
+    pos, rate, ch, bits, data_len, fmt_tag = 12, None, None, None, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        sz = int.from_bytes(data[pos + 4:pos + 8], "little")
+        if cid == b"fmt ":
+            fmt_tag = int.from_bytes(data[pos + 8:pos + 10], "little")
+            ch = int.from_bytes(data[pos + 10:pos + 12], "little")
+            rate = int.from_bytes(data[pos + 12:pos + 16], "little")
+            bits = int.from_bytes(data[pos + 22:pos + 24], "little")
+        elif cid == b"data":
+            data_len = sz
+        pos += 8 + sz + (sz & 1)
+    dur = None
+    if rate and ch and bits and data_len is not None:
+        dur = data_len * 1000 // (rate * ch * max(bits // 8, 1))
+    return {"format": "wav",
+            "codec": {1: "pcm", 7: "ulaw"}.get(fmt_tag, str(fmt_tag)),
+            "sample_rate": rate, "channels": ch, "duration_ms": dur}
+
+
+def _probe_one(data: bytes) -> dict:
+    data = data or b""
+    if data.startswith(b"\x89PNG") and len(data) >= 24:
+        return {"format": "png", "codec": "deflate",
+                "width": int.from_bytes(data[16:20], "big"),
+                "height": int.from_bytes(data[20:24], "big"),
+                "n_frames": 1, "n_keyframes": 1}
+    if data.startswith(b"BM"):
+        from .bmp import _INFO_HEADER
+        _, w, h, _, _bpp, *_ = _INFO_HEADER.unpack_from(data, 14)
+        return {"format": "bmp", "codec": "rgb", "width": w,
+                "height": abs(h), "n_frames": 1, "n_keyframes": 1}
+    if data.startswith(b"GIF8"):
+        return _probe_gif(data)
+    if data.startswith(b"\xFF\xD8"):
+        return _probe_jpeg(data)
+    if data.startswith(b"RIFF") and data[8:12] == b"WEBP":
+        return _probe_webp(data)
+    if data.startswith(b"RIFF") and data[8:12] == b"WAVE":
+        return _probe_wav(data)
+    if data[4:8] == b"ftyp":
+        from .mp4 import parse_mp4
+        info = parse_mp4(data)
+        track = next((t for t in info["tracks"] if t["kind"] == "video"),
+                     info["tracks"][0] if info["tracks"] else None)
+        out = {"format": "mp4", "duration_ms": info["duration_ms"]}
+        if track:
+            out.update({
+                "codec": track["codec"] or None,
+                "width": track["width"] or None,
+                "height": track["height"] or None,
+                "duration_ms": track["duration_ms"] or info["duration_ms"],
+                "n_frames": len(track["samples"]),
+                "n_keyframes": sum(1 for s in track["samples"] if s[3])})
+        return out
+    try:
+        from .mp3 import parse_mp3
+        info = parse_mp3(data)
+        return {"format": "mp3", "codec": f"layer{info['layer']}",
+                "duration_ms": info["duration_ms"],
+                "sample_rate": info["sample_rate"],
+                "channels": info["channels"],
+                "bitrate_kbps": info["bitrate_kbps"],
+                "n_frames": info["n_frames"]}
+    except (ValueError, IndexError):
+        return {"format": None, "codec": None}
+
+
+def probe_media(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """ffprobe analog: container/stream metadata for EVERY supported
+    format — real header/box/frame-table parsing, zero pixel or PCM
+    decode, so probing is cheap even on formats whose payload codecs
+    (AVC in MP4, MP3 audio) this container can't decode.
+
+    PNG/BMP/GIF/JPEG/WEBP(VP8L+VP8)/WAV headers, full ISO-BMFF sample
+    tables (operators/mp4.py: stts/stsz/stsc/stco/stss → duration,
+    frame + keyframe counts) and MPEG-audio frame walks (mp3.py →
+    duration, average bitrate, channel mode).  Unknown formats yield
+    NULLs rather than raising — a probe is a diagnostic scan.
+    Arrow-batched mapInPandas; one pass, no shuffle."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(n, t) for n, t in _PROBE_FIELDS])
+    cols = df.columns
+    names = [n for n, _ in _PROBE_FIELDS]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            probes = [_probe_one(m["data"]) for m in pdf[media_col]]
+            pdf = pdf.copy()
+            for n in names:
+                vals = [p.get(n) for p in probes]
+                pdf[n] = pd.Series(vals, index=pdf.index, dtype="object") \
+                    if n in ("format", "codec") else \
+                    pd.array([v if v is None else int(v) for v in vals],
+                             dtype="Int64")
+            yield pdf[cols + names]
+
+    return df.mapInPandas(run, out_schema)
+
+
+def render_mp4(id_col, n_samples: int = 6, frame_ms: int = 200,
+               width: int = 64, height: int = 48):
+    """binary Column: a deterministic minimal MP4 (operators/mp4.py
+    muxer) whose per-sample payload bytes derive from the id — a real
+    ISO-BMFF container with a full stts/stsz/stsc/stco/stss sample
+    table, so probe_media and sample_frames exercise the genuine box
+    parser distributed over the corpus.  Keyframes every 3rd sample."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .mp4 import mux_mp4
+
+    @pandas_udf("binary")
+    def render(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            samples = [
+                (hashlib.sha256(f"{int(i)}:{s}".encode()).digest()[:12],
+                 frame_ms)
+                for s in range(n_samples)]
+            out.append(mux_mp4(samples, width, height, timescale=1000,
+                               keyframes=set(range(1, n_samples + 1, 3))))
+        return pd.Series(out)
+
+    return render(id_col if isinstance(id_col, F.Column)
+                  else F.col(id_col))
+
+
+def render_mp3(id_col, base_frames: int = 8):
+    """binary Column: a deterministic valid MPEG1 Layer-III frame
+    stream (operators/mp3.py) with an ID3v2 tag — frame count and
+    bitrate vary with the id so probe_media's frame walk is exercised
+    on heterogeneous real streams."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .mp3 import make_mp3
+
+    _KBPS = (64, 96, 128, 160)
+
+    @pandas_udf("binary")
+    def render(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            out.append(make_mp3(base_frames + i % 5,
+                                kbps=_KBPS[i % len(_KBPS)],
+                                mono=bool(i % 2),
+                                id3=b"T" * (i % 7 + 1)))
+        return pd.Series(out)
+
+    return render(id_col if isinstance(id_col, F.Column)
+                  else F.col(id_col))
