@@ -1667,6 +1667,20 @@ def ann_ivf(spark, sf):
     return ivf_topk(emb, query_ids=list(range(10)), k=5)
 
 
+@q("ann_pq", None)  # rows-only: learned codebooks are not SQL
+def ann_pq(spark, sf):
+    """Product-quantization ANN (operators/pq.py): 16-byte codes
+    replace 256-byte float32 vectors (16×; 50-400× at real embedding
+    dims), search is asymmetric-distance lookups over the code column
+    with per-Arrow-batch partial top-k — the full-vector corpus never
+    flows through search.  Deterministic training (seeded, bounded
+    driver sample per the IVF contract) makes the rows-only checksum
+    bind the scores."""
+    from pythonql_spark.operators.pq import pq_topk
+    emb = load_table(spark, sf, "embeddings")
+    return pq_topk(emb, query_ids=list(range(10)), k=5, m=16, nbits=8)
+
+
 @q("training_pipeline", None)  # oracle generated below, CTE per stage
 def training_pipeline(spark, sf):
     """Flagship composite: the WHOLE training-data preprocessing flow

@@ -1,0 +1,192 @@
+"""Product-quantization (PQ) ANN — the compressed-domain scale path.
+
+At 100 TB an embedding corpus is ~3 KB/row of float32; brute/IVF/LSH
+(similarity.py) still ship or scan full vectors for the re-rank.  PQ
+is the classic answer (Jégou et al., "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011; the FAISS IVF-PQ design): split
+the vector into ``m`` subspaces, k-means each subspace to ``2**nbits``
+codewords, store each vector as ``m`` one-byte codes — 8-64 bytes per
+row, a 50-400× compression — and answer queries with ASYMMETRIC
+DISTANCE (ADC): the exact query sub-vector against a per-query
+``m × K`` lookup table, so search never decodes the corpus.
+
+Scale shape mirrors :func:`similarity.knn_join`:
+
+* training is driver-side on a bounded deterministic sample
+  (similarity.ivf_topk's documented contract; the codebook is
+  ``m × K × dim/m`` doubles — a few hundred KB, broadcastable at any
+  corpus size),
+* encoding is ONE Arrow pass (a BLAS matmul per subspace per batch),
+  no shuffle — at 100 TB this runs once and persists next to the
+  corpus as an ordinary binary column,
+* search consumes the CODES with mapInPandas computing a PARTIAL
+  top-k per Arrow batch from the ADC tables; only
+  ``k × |queries| × num_batches`` candidate rows reach the final
+  per-query top-k shuffle.  The full-vector corpus never flows
+  through search at all — that is the point.
+
+Determinism: seeded sampled init, fixed iteration count, argmin ties
+break to the lowest code index, scores rounded to 6 dp with id
+tiebreaks — output is stable across partitionings (the rows-only
+checksum contract).
+
+The reference engine has no ANN surface (brief: similarity-search
+extension); cites none of its files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _subspace_kmeans(X: np.ndarray, k: int, iters: int = 10,
+                     seed: int = 7) -> np.ndarray:
+    """Plain (L2) deterministic k-means for one subspace."""
+    rs = np.random.RandomState(seed)
+    C = X[rs.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+        D = -2.0 * (X @ C.T) + (C * C).sum(axis=1)
+        assign = D.argmin(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def train_pq(df: DataFrame, *, m: int = 8, nbits: int = 8,
+             train_sample: int = 4096, kmeans_iters: int = 10,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> np.ndarray:
+    """Driver-trained PQ codebook on a bounded deterministic sample
+    (first ids — at 100 TB a hash-bucket sample feeds the same code).
+
+    Vectors are L2-normalized first, so ADC's L2 ordering matches
+    cosine ordering (spherical geometry, same convention as the other
+    ANN paths).  Returns ``(m, K, dim // m)`` float64 codewords."""
+    pdf = (df.select(F.col(vec_col)).orderBy(F.col(id_col))
+           .limit(train_sample).toPandas())
+    X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    K = 1 << nbits
+    return np.stack([
+        _subspace_kmeans(np.ascontiguousarray(X[:, s * sub:(s + 1) * sub]),
+                         K, kmeans_iters, seed=7 + s)
+        for s in range(m)])
+
+
+def pq_encode(df: DataFrame, codebook: np.ndarray, *,
+              vec_col: str = "embedding",
+              code_col: str = "pq_code") -> DataFrame:
+    """Append the ``m``-byte PQ code (binary) for every vector — one
+    Arrow pass, one BLAS matmul per subspace per batch, no shuffle."""
+    m, K, sub = codebook.shape
+    if K > 256:
+        raise ValueError("nbits > 8 doesn't fit byte codes")
+    bc = df.sparkSession.sparkContext.broadcast(codebook)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def encode(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        C = bc.value
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(X), m), dtype=np.uint8)
+        for s in range(m):
+            Xs = X[:, s * sub:(s + 1) * sub]
+            Cs = C[s]
+            D = -2.0 * (Xs @ Cs.T) + (Cs * Cs).sum(axis=1)
+            codes[:, s] = D.argmin(axis=1)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return df.withColumn(code_col, encode(F.col(vec_col)))
+
+
+def pq_topk(df: DataFrame, query_ids, k: int = 5, *,
+            m: int = 8, nbits: int = 8, train_sample: int = 4096,
+            kmeans_iters: int = 10, id_col: str = "vec_id",
+            vec_col: str = "embedding",
+            codebook: np.ndarray | None = None,
+            encoded: DataFrame | None = None) -> DataFrame:
+    """Approximate cosine top-k by asymmetric distance over PQ codes.
+
+    Per query the EXACT sub-vectors index a precomputed ``m × K``
+    table of squared sub-distances; a corpus row's score is ``m``
+    byte-indexed table lookups summed — no per-pair vector math, and
+    the corpus side of the search is the ``m``-byte code column only.
+    Returns (q_id, n_id, adc_cos, rank): ``adc_cos = 1 - d²/2`` on
+    the unit sphere, directly comparable to the exact paths' cosine.
+
+    Pass ``codebook``/``encoded`` to reuse a persisted index (the
+    100 TB deployment shape: encode once, search many)."""
+    if codebook is None:
+        codebook = train_pq(df, m=m, nbits=nbits,
+                            train_sample=train_sample,
+                            kmeans_iters=kmeans_iters,
+                            id_col=id_col, vec_col=vec_col)
+    m, K, sub = codebook.shape
+    if encoded is None:
+        encoded = pq_encode(df, codebook, vec_col=vec_col)
+
+    qrows = (df.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+             .select(F.col(id_col).alias("q"), F.col(vec_col).alias("v"))
+             .collect())
+    if not qrows:
+        raise ValueError("no query vectors found")
+    q_ids = np.array([int(r.q) for r in qrows], dtype=np.int64)
+    Q = np.array([[float(x) for x in r.v] for r in qrows])
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # ADC tables: tables[q, s, code] = ||q_sub - codeword||²
+    tables = np.empty((len(Q), m, K))
+    for s in range(m):
+        Qs = Q[:, s * sub:(s + 1) * sub]
+        Cs = codebook[s]
+        tables[:, s, :] = ((Qs * Qs).sum(axis=1, keepdims=True)
+                           - 2.0 * (Qs @ Cs.T) + (Cs * Cs).sum(axis=1))
+    bc = df.sparkSession.sparkContext.broadcast((q_ids, tables))
+
+    def batch_topk(batches):
+        q_ids_, T = bc.value
+        nq = len(q_ids_)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["__c"].to_numpy()),
+                dtype=np.uint8).reshape(len(pdf), m)
+            # S[q, row] = Σ_s T[q, s, codes[row, s]]
+            S = np.zeros((nq, len(pdf)))
+            for s in range(m):
+                S += T[:, s, :][:, codes[:, s]]
+            cos = np.round(1.0 - S / 2.0, 6)
+            n_ids = pdf["__id"].to_numpy()
+            kk = min(k + 1, cos.shape[1])
+            out = []
+            for qi in range(nq):
+                idx = np.lexsort((n_ids, -cos[qi]))[:kk]
+                out.append(pd.DataFrame({"q_id": np.full(len(idx),
+                                                         q_ids_[qi]),
+                                         "n_id": n_ids[idx],
+                                         "adc_cos": cos[qi][idx]}))
+            yield pd.concat(out, ignore_index=True)
+
+    cand = (encoded.select(F.col(id_col).cast("long").alias("__id"),
+                           F.col("pq_code").alias("__c"))
+            .mapInPandas(batch_topk, "q_id long, n_id long, adc_cos double"))
+    w = W.partitionBy("q_id").orderBy(F.col("adc_cos").desc(),
+                                      F.col("n_id"))
+    return (cand.filter(F.col("q_id") != F.col("n_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "adc_cos", "rank"))
