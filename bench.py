@@ -55,7 +55,7 @@ def main() -> None:
         "mix_budget", "profile_overlap", "rag_retrieval", "strip_spans",
         "dsir_sample", "boilerplate_clean", "text_bigram",
         "score_normalize",
-        "media_probe", "media_mp4", "ann_pq",
+        "media_probe", "media_mp4", "ann_pq", "mine_bitext",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers, and spin up the Python worker

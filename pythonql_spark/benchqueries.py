@@ -1667,6 +1667,32 @@ def ann_ivf(spark, sf):
     return ivf_topk(emb, query_ids=list(range(10)), k=5)
 
 
+def _bitext_oracle() -> str:
+    from pythonql_spark.operators.bitext import bitext_oracle_sql
+    return bitext_oracle_sql(k=4, threshold=1.0, mutual=True,
+                             src_where="label % 2 = 0",
+                             tgt_where="label % 2 = 1", dim=64)
+
+
+@q("mine_bitext", _bitext_oracle())
+def mine_bitext_q(spark, sf):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix parallel-corpus step): even-label vs odd-label
+    embeddings stand in for the two languages; pairs score by cosine
+    relative to each side's k-NN neighbourhood average (suppresses
+    hub vectors) and survive only when mutual-best.  Both directions
+    reuse knn_join's broadcast-probe partial-top-k shape; the margin
+    is exact bigint arithmetic end-to-end (margin_e6 = floor(margin ×
+    10⁶)), so the DuckDB oracle replays it bit-for-bit — double
+    rounding of the ratio provably diverges between engines on
+    boundary values."""
+    from pythonql_spark.operators.bitext import mine_bitext
+    emb = load_table(spark, sf, "embeddings")
+    return mine_bitext(emb.filter("label % 2 = 0"),
+                       emb.filter("label % 2 = 1"),
+                       k=4, threshold=1.0)
+
+
 @q("ann_pq", None)  # rows-only: learned codebooks are not SQL
 def ann_pq(spark, sf):
     """Product-quantization ANN (operators/pq.py): 16-byte codes
