@@ -56,6 +56,7 @@ def main() -> None:
         "dsir_sample", "boilerplate_clean", "text_bigram",
         "score_normalize",
         "media_probe", "media_mp4", "ann_pq", "mine_bitext",
+        "sample_temperature", "upsample_epochs",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers, and spin up the Python worker

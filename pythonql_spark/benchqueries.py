@@ -2615,6 +2615,52 @@ def sample_weighted_q(spark, sf):
     return sample_weighted(docs, "n_chars / 600.0", 0.5)
 
 
+def _temperature_oracle() -> str:
+    from pythonql_spark.operators.sampling import (
+        sample_temperature_oracle_sql)
+    return sample_temperature_oracle_sql(
+        "lang", alpha=0.5, select="doc_id, lang, source")
+
+
+@q("sample_temperature", _temperature_oracle())
+def sample_temperature_q(spark, sf):
+    """mT5/XLM-R α-sampling: rebalance language shares toward
+    n_l^0.5.  One tiny count aggregate broadcast back, then a narrow
+    hash filter — no corpus shuffle.  α=0.5 keeps the cut exact
+    across engines (sqrt and / are IEEE correctly-rounded; pow is
+    not), so the oracle matches bit-for-bit."""
+    from pythonql_spark.operators.sampling import sample_temperature
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "source")
+    return sample_temperature(docs, "lang", alpha=0.5)
+
+
+_EPOCH_REPEATS = {"en": 2.4, "de": 1.0, "fr": 0.6}
+
+
+def _upsample_oracle() -> str:
+    from pythonql_spark.operators.sampling import (
+        upsample_epochs_oracle_sql)
+    return upsample_epochs_oracle_sql(
+        "lang", _EPOCH_REPEATS, default_repeat=1.3,
+        select="doc_id, lang, epoch")
+
+
+@q("upsample_epochs", _upsample_oracle())
+def upsample_epochs_q(spark, sf):
+    """Fractional repeat factors ("2.4 epochs of books"): floor(r)
+    full copies + a hash-decided extra copy, tagged with an epoch id.
+    Static CASE cuts + explode(sequence) — narrow plan, no shuffle,
+    reproducible across engines (oracle fans out with a static-bound
+    generate_series and trims per-stratum)."""
+    from pythonql_spark.operators.sampling import upsample_epochs
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "source")
+    return upsample_epochs(docs, "lang", _EPOCH_REPEATS,
+                           default_repeat=1.3).select(
+        "doc_id", "lang", "epoch")
+
+
 @q("window_aux", """
 WITH r AS (
   SELECT user_id, value,

@@ -52,10 +52,14 @@ def _subspace_kmeans(X: np.ndarray, k: int, iters: int = 10,
         # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
         D = -2.0 * (X @ C.T) + (C * C).sum(axis=1)
         assign = D.argmin(axis=1)
-        for j in range(len(C)):
-            members = X[assign == j]
-            if len(members):
-                C[j] = members.mean(axis=0)
+        # vectorized centroid update (a per-centroid boolean-mask loop
+        # is ~10× slower at K=256); sequential np.add.at accumulation
+        # is deterministic, which is all the checksum contract needs
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=len(C))
+        nz = counts > 0
+        C[nz] = sums[nz] / counts[nz, None]
     return C
 
 

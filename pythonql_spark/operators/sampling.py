@@ -392,3 +392,127 @@ WITH c AS (
        AS __cum
   FROM {table})
 SELECT {select} FROM c WHERE __cum - {size_col} < ({budget})"""
+
+
+def sample_temperature(df: DataFrame, strata_col: str, *,
+                       alpha: float = 0.5,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Temperature-based stratum rebalancing (the mT5/XLM-R α-sampling
+    rule): the post-sample expected share of stratum *l* is made
+    proportional to ``n_l ** alpha`` — α = 1 keeps natural
+    proportions, α → 0 approaches uniform across strata.  Downsample-
+    only: the keep-fraction ``f_l = (n_min / n_l) ** (1 - alpha)`` is
+    1 for the smallest stratum, so no data is replicated (compose with
+    :func:`upsample_epochs` to oversample instead).
+
+    Scale shape: one map-side-combined tiny count aggregate
+    (|strata| rows), broadcast back; the corpus itself sees only a
+    narrow hash-bucket filter — no shuffle, no window.
+
+    Engine exactness: the default α = 0.5 evaluates the fraction as
+    ``sqrt(n_min / n_l)`` — `sqrt` and `/` are IEEE correctly-rounded
+    in both Spark and DuckDB, so with the SAME expression tree the cut
+    integers match bit-for-bit (`pow` carries no such guarantee; other
+    α values work but their oracle may diverge by 1 ULP exactly on a
+    bucket boundary)."""
+    frac = (f"sqrt(cast(__nmin as double) / cast(__n as double))"
+            if alpha == 0.5 else
+            f"power(cast(__nmin as double) / cast(__n as double), "
+            f"{1.0 - alpha})")
+    from pyspark.sql.window import Window
+    counts = (df.groupBy(F.col(strata_col).alias("__s"))
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .withColumn("__nmin", F.min("__n").over(Window.partitionBy()))
+              .withColumn("__cut", F.expr(
+                  f"cast(floor({frac} * {BUCKETS}) as bigint)"))
+              .select("__s", "__cut"))
+    return (df.join(F.broadcast(counts),
+                    F.col(strata_col) == F.col("__s"))
+            .filter(F.expr(f"{hash_bucket(id_col)} < __cut"))
+            .select(df.columns))
+
+
+def sample_temperature_oracle_sql(strata_col: str, *,
+                                  alpha: float = 0.5,
+                                  id_col: str = "doc_id",
+                                  table: str = "documents",
+                                  select: str = "*") -> str:
+    """DuckDB mirror of :func:`sample_temperature` — identical
+    expression tree for the cut (see the exactness note there)."""
+    frac = ("sqrt(cast(__nmin as double) / cast(__n as double))"
+            if alpha == 0.5 else
+            f"power(cast(__nmin as double) / cast(__n as double), "
+            f"{1.0 - alpha})")
+    return f"""
+WITH c AS (SELECT {strata_col} AS __s, count(*) AS __n
+           FROM {table} GROUP BY {strata_col}),
+cut AS (SELECT __s, cast(floor({frac} * {BUCKETS}) as bigint) AS __cut
+        FROM (SELECT __s, __n, min(__n) OVER () AS __nmin FROM c)),
+k AS (SELECT t.*, cut.__cut FROM {table} t
+      JOIN cut ON t.{strata_col} = cut.__s)
+SELECT {select} FROM k
+WHERE {hash_bucket(id_col, dialect='duck')} < __cut"""
+
+
+def _repeat_cases(strata_col: str, repeats: dict[str, float],
+                  default_repeat: float) -> tuple[str, str]:
+    """Static CASE expressions for :func:`upsample_epochs`:
+    (whole-epoch count, fractional-copy bucket cut) per stratum."""
+    full = "CASE " + " ".join(
+        f"WHEN {strata_col} = '{k}' THEN {int(v)}"
+        for k, v in sorted(repeats.items())
+    ) + f" ELSE {int(default_repeat)} END"
+    d_cut = int(round((default_repeat - int(default_repeat)) * BUCKETS))
+    frac_cut = "CASE " + " ".join(
+        f"WHEN {strata_col} = '{k}' THEN "
+        f"{int(round((v - int(v)) * BUCKETS))}"
+        for k, v in sorted(repeats.items())
+    ) + f" ELSE {d_cut} END"
+    return full, frac_cut
+
+
+def upsample_epochs(df: DataFrame, strata_col: str,
+                    repeats: dict[str, float], *,
+                    default_repeat: float = 1.0,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fractional upsampling by repeat factor — the
+    "epochs per dataset" knob of corpus mixing (e.g. 2.4 epochs of
+    books, 0.8 of web): every row is emitted ``floor(r)`` times and
+    one extra time with probability ``frac(r)``, decided by the usual
+    content hash over (epoch, id) so the output is reproducible and
+    engine-checkable.  Adds an ``epoch`` column (0-based) — (id,
+    epoch) is the new unique key; downstream epoch-wise shuffling
+    keys on it (:func:`shuffle_key`).
+
+    Narrow plan: a static CASE picks the stratum's repeat, one
+    ``explode(sequence(...))`` fans rows out, a hash filter trims the
+    fractional copy — no shuffle, no window, no driver data."""
+    full, frac_cut = _repeat_cases(strata_col, repeats, default_repeat)
+    hb = hash_bucket(f"concat(epoch, ':', {id_col})")
+    return (df.withColumn("epoch", F.explode(F.expr(
+        f"sequence(0, {full})")))
+        .filter(F.expr(
+            f"epoch < ({full}) OR {hb} < ({frac_cut})")))
+
+
+def upsample_epochs_oracle_sql(strata_col: str,
+                               repeats: dict[str, float], *,
+                               default_repeat: float = 1.0,
+                               id_col: str = "doc_id",
+                               table: str = "documents",
+                               select: str = "*") -> str:
+    """DuckDB mirror of :func:`upsample_epochs`.  DuckDB's
+    generate_series can't reference lateral columns, so the fan-out
+    uses the static maximum repeat and trims per-stratum in WHERE —
+    same rows, same static CASE cuts."""
+    full, frac_cut = _repeat_cases(strata_col, repeats, default_repeat)
+    max_full = max([int(v) for v in repeats.values()]
+                   + [int(default_repeat)])
+    hb = hash_bucket(f"epoch || ':' || cast({id_col} as varchar)",
+                     dialect="duck")
+    return f"""
+SELECT {select} FROM (
+  SELECT t.*, cast(gs.generate_series as int) AS epoch
+  FROM {table} t CROSS JOIN generate_series(0, {max_full}) gs)
+WHERE epoch <= ({full})
+  AND (epoch < ({full}) OR {hb} < ({frac_cut}))"""

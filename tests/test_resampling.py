@@ -1,0 +1,86 @@
+"""Temperature sampling + epoch upsampling (sampling.py additions):
+share rebalancing, exact epoch fan-out, determinism, plan shape.
+Oracle parity runs automatically via tests/test_oracle.py (both keys
+are fully SQL-oracled)."""
+
+from pyspark.sql import functions as F
+
+from pythonql_spark.operators.sampling import (sample_temperature,
+                                               upsample_epochs)
+
+
+def _shares(df, col="lang"):
+    rows = df.groupBy(col).count().collect()
+    total = sum(r["count"] for r in rows)
+    return {r[col]: r["count"] / total for r in rows}
+
+
+def test_temperature_flattens_shares(spark, tables):
+    docs = tables["documents"].select("doc_id", "lang")
+    before = _shares(docs)
+    after = _shares(sample_temperature(docs, "lang", alpha=0.5))
+    # α=0.5 must strictly shrink the spread between the dominant and
+    # the rarest language share
+    spread_b = max(before.values()) - min(before.values())
+    spread_a = max(after.values()) - min(after.values())
+    assert spread_a < spread_b
+    # smallest stratum is kept whole (cut = 10000)
+    smallest = min(before, key=lambda k: before[k])
+    n_before = docs.filter(F.col("lang") == smallest).count()
+    n_after = (sample_temperature(docs, "lang", alpha=0.5)
+               .filter(F.col("lang") == smallest).count())
+    assert n_after == n_before
+
+
+def test_temperature_alpha_one_keeps_everything(spark, tables):
+    docs = tables["documents"].select("doc_id", "lang")
+    kept = sample_temperature(docs, "lang", alpha=1.0)
+    assert kept.count() == docs.count()
+
+
+def test_upsample_epoch_counts_exact(spark, tables):
+    docs = tables["documents"].select("doc_id", "lang")
+    reps = {"en": 3.0, "de": 2.0}
+    out = upsample_epochs(docs, "lang", reps, default_repeat=1.0)
+    per = {r.lang: r["count"] for r in
+           out.groupBy("lang").count().collect()}
+    base = {r.lang: r["count"] for r in
+            docs.groupBy("lang").count().collect()}
+    # integer repeats are exact multiplication, no hash involvement
+    assert per["en"] == 3 * base["en"]
+    assert per["de"] == 2 * base["de"]
+    for lang, n in base.items():
+        if lang not in reps:
+            assert per[lang] == n
+    # epoch ids are dense 0..r-1 per row
+    eps = (out.filter("lang = 'en'").groupBy("doc_id")
+           .agg(F.sort_array(F.collect_list("epoch")).alias("e"))
+           .select("e").distinct().collect())
+    assert [list(r.e) for r in eps] == [[0, 1, 2]]
+
+
+def test_upsample_fractional_is_deterministic_subset(spark, tables):
+    docs = tables["documents"].select("doc_id", "lang")
+    a = upsample_epochs(docs, "lang", {"en": 1.5})
+    b = upsample_epochs(docs, "lang", {"en": 1.5})
+    ra = sorted((r.doc_id, r.epoch) for r in a.collect())
+    rb = sorted((r.doc_id, r.epoch) for r in b.collect())
+    assert ra == rb
+    n_en = docs.filter("lang = 'en'").count()
+    n_extra = len([1 for d, e in ra if e == 1])
+    # ~half the en docs get the fractional second epoch
+    assert 0.3 * n_en < n_extra < 0.7 * n_en
+
+
+def test_plans_stay_narrow(spark, tables):
+    """Neither operator may shuffle the corpus: temperature's only
+    exchange feeds the tiny count aggregate (then broadcast back);
+    upsample has no exchange at all."""
+    docs = tables["documents"].select("doc_id", "lang")
+    plan_u = (upsample_epochs(docs, "lang", {"en": 2.0})
+              ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan_u
+    plan_t = (sample_temperature(docs, "lang")
+              ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan_t
+    assert "SortMergeJoin" not in plan_t
