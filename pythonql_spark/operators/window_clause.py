@@ -66,8 +66,9 @@ def predicate_windows(
         ]
     )
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort")
+    def run(pdf: pd.DataFrame, presorted: bool = False) -> pd.DataFrame:
+        if not presorted:
+            pdf = pdf.sort_values(order, kind="mergesort")
         keys = {k: pdf.iloc[0][k] for k in part} if part else {}
         rows = pdf[value_names].to_dict("records")
         vals = [r[single] if single else r for r in rows]
@@ -97,7 +98,48 @@ def predicate_windows(
         return pd.DataFrame(out, columns=[*part, "window", "s_at", "e_at", "closed"])
 
     if part:
-        return df.groupBy(*part).applyInPandas(run, out_schema)
+        # Batch dispatch, not per-key applyInPandas: FlatMapGroupsInPandas
+        # ships ONE Arrow batch per key — ruinous at high key cardinality
+        # (a no-op over 1500 keys costs ~4 s at sf0.1; see
+        # streaming/stateful.py where this was first measured).  Instead
+        # repartition+sort by key and walk sorted runs inside mapInPandas:
+        # one Arrow transfer per core, one output frame per partition.  A
+        # key's rows arrive contiguously but may span Arrow batches, so
+        # the current key buffers across the boundary.
+        out_cols = [*part, "window", "s_at", "e_at", "closed"]
+
+        def gen(batches):
+            frames: list[pd.DataFrame] = []
+            buf: list[pd.DataFrame] = []
+            buf_key = None
+
+            def flush():
+                if buf:
+                    pdf = (pd.concat(buf, ignore_index=True)
+                           if len(buf) > 1 else buf[0])
+                    frames.append(run(pdf, presorted=True))
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                keys = list(pdf[part].itertuples(index=False, name=None))
+                start = 0
+                for i in range(1, len(keys) + 1):
+                    if i == len(keys) or keys[i] != keys[start]:
+                        chunk = pdf.iloc[start:i]
+                        if buf_key is not None and keys[start] == buf_key:
+                            buf.append(chunk)
+                        else:
+                            flush()
+                            buf, buf_key = [chunk], keys[start]
+                        start = i
+            flush()
+            if frames:
+                yield pd.concat(frames, ignore_index=True)[out_cols]
+
+        return (df.repartition(*part)
+                .sortWithinPartitions(*part, *order)
+                .mapInPandas(gen, out_schema))
     # single global sequence: one group (bounded-size sequences only)
     return (df.withColumn("__g", F.lit(1)).groupBy("__g")
             .applyInPandas(lambda pdf: run(pdf.drop(columns="__g")), out_schema))

@@ -85,6 +85,8 @@ def main() -> None:
                                                      cluster_embeddings,
                                                      lsh_topk,
                                                      semantic_dedup)
+    from pythonql_spark.operators.bitext import mine_bitext
+    from pythonql_spark.operators.pq import pq_topk
     from pythonql_spark.operators.spans import dup_span_stats
     from pythonql_spark.operators.timeseries import (merge_rollups,
                                                      rollup_delta)
@@ -201,6 +203,23 @@ def main() -> None:
                     "case when doc_id % 2 = 0 then 'a' else 'b' end as g"),
                 "g", {"a": 40_000_000, "b": 500_000},
                 size_col="n_chars").count(),
+            # PQ ANN: bounded driver train (fixed-size sample at any
+            # scale), one Arrow encode pass over the corpus, ADC
+            # search over the m-byte code column with per-batch
+            # partial top-k — only k x |Q| x batches rows shuffle, so
+            # sec/unit should FALL toward the scan cost
+            "ann_pq": lambda: pq_topk(
+                embs, query_ids=list(range(10)), k=5, m=16, nbits=8,
+                id_col="vec_id", vec_col="embedding").count(),
+            # bitext mining, deployment shape: FIXED probe chunk
+            # (mine per language-pair chunk at 100 TB — knn_join's
+            # documented bounded-probe contract) against a corpus
+            # that grows — per-batch BLAS partial top-k keeps it
+            # linear in the corpus side
+            "bitext": lambda: mine_bitext(
+                embs.filter("label % 2 = 0 AND vec_id < 500"),
+                embs.filter("label % 2 = 1"), k=4,
+                threshold=1.0).count(),
             # compound-key as-of: one sort-shuffle on (user, type)
             "asof_join": lambda: asof_join(
                 evs.filter("event_type = 'purchase'")
