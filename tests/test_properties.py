@@ -233,3 +233,77 @@ def test_select_to_budget_matches_serial_reference(spark):
                 want.append(r.doc_id)
             cum += r.sz
     assert got == sorted(want)
+
+
+@given(samples=st.lists(
+    st.tuples(st.binary(min_size=1, max_size=40),
+              st.integers(1, 5000)), min_size=1, max_size=24),
+    timescale=st.sampled_from([600, 1000, 90000]),
+    kf_mod=st.integers(1, 5))
+@settings(max_examples=40, deadline=None)
+def test_mp4_sample_table_round_trips(samples, timescale, kf_mod):
+    """parse_mp4 over an arbitrary muxed sample table recovers every
+    sample's timestamp, payload bytes and keyframe flag exactly."""
+    from pythonql_spark.operators.mp4 import mux_mp4, parse_mp4
+    keyframes = set(range(1, len(samples) + 1, kf_mod))
+    data = mux_mp4(samples, 32, 24, timescale=timescale,
+                   keyframes=keyframes)
+    t = parse_mp4(data)["tracks"][0]
+    assert len(t["samples"]) == len(samples)
+    expect_ts, acc = [], 0
+    for _, d in samples:
+        expect_ts.append(acc * 1000 // timescale)
+        acc += d
+    for i, (ts, off, sz, sync) in enumerate(t["samples"]):
+        assert ts == expect_ts[i]
+        assert data[off:off + sz] == samples[i][0]
+        assert sync == ((i + 1) in keyframes)
+
+
+@given(n_frames=st.integers(1, 40),
+       kbps=st.sampled_from([32, 64, 96, 128, 192, 320]),
+       hz=st.sampled_from([32000, 44100, 48000]),
+       mono=st.booleans(),
+       id3_len=st.integers(0, 300))
+@settings(max_examples=40, deadline=None)
+def test_mp3_frame_walk_round_trips(n_frames, kbps, hz, mono, id3_len):
+    """parse_mp3 over an arbitrary synthesized frame stream recovers
+    frame count, bitrate, rate, channel mode and the exact duration
+    implied by samples-per-frame."""
+    from pythonql_spark.operators.mp3 import make_mp3, parse_mp3
+    d = make_mp3(n_frames, kbps=kbps, hz=hz, mono=mono,
+                 id3=b"x" * id3_len if id3_len else b"")
+    info = parse_mp3(d)
+    assert info["n_frames"] == n_frames
+    assert info["bitrate_kbps"] == kbps
+    assert info["sample_rate"] == hz
+    assert info["channels"] == (1 if mono else 2)
+    assert info["duration_ms"] == n_frames * 1152 * 1000 // hz
+
+
+@given(vecs=st.lists(
+    st.lists(st.floats(-3, 3, allow_nan=False, width=32),
+             min_size=8, max_size=8),
+    min_size=4, max_size=32))
+@settings(max_examples=20, deadline=None)
+def test_pq_codes_are_argmin_of_codebook(vecs):
+    """PQ encoding of arbitrary vectors always picks the sub-codeword
+    with minimal L2 distance (ties to the lowest index)."""
+    import numpy as np
+
+    from pythonql_spark.operators.pq import _subspace_kmeans
+    X = np.array(vecs, dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.maximum(norms, 1e-12)
+    for s in range(2):                       # two 4-dim subspaces
+        Xs = np.ascontiguousarray(X[:, s * 4:(s + 1) * 4])
+        C = _subspace_kmeans(Xs, 4, iters=5, seed=7 + s)
+        D = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        codes = (-2.0 * (Xs @ C.T) + (C * C).sum(axis=1)).argmin(axis=1)
+        # the production argmin (dot-product form) must agree with the
+        # brute-force distance argmin up to exact ties
+        brute = D.argmin(axis=1)
+        same = codes == brute
+        ties = np.isclose(D[np.arange(len(D)), codes],
+                          D[np.arange(len(D)), brute])
+        assert np.all(same | ties)
