@@ -86,6 +86,7 @@ def main() -> None:
                                                      lsh_topk,
                                                      semantic_dedup)
     from pythonql_spark.operators.bitext import mine_bitext
+    from pythonql_spark.operators.window_clause import predicate_windows
     from pythonql_spark.operators.pq import pq_topk
     from pythonql_spark.operators.spans import dup_span_stats
     from pythonql_spark.operators.timeseries import (merge_rollups,
@@ -220,6 +221,20 @@ def main() -> None:
                 embs.filter("label % 2 = 0 AND vec_id < 500"),
                 embs.filter("label % 2 = 1"), k=4,
                 threshold=1.0).count(),
+            # predicate windows over a key count that GROWS with the
+            # corpus (distinct per-replica user spaces): the sorted-run
+            # mapInPandas dispatch ships one Arrow batch per core, so
+            # sec/unit should stay ~flat — per-key applyInPandas would
+            # pay one Arrow round-trip per key and blow up instead
+            "pred_window": lambda: predicate_windows(
+                evs.select("user_id", "ts", "value"),
+                order_by=["ts"],
+                start_when=lambda c, a, p, n: c["value"] > 150
+                    and (p is None or p["value"] <= 150),
+                end_when=lambda c, a, p, n, sc, sa:
+                    (n is not None and n["value"] < sc["value"] * 0.5)
+                    or (a - sa >= 8),
+                partition_by="user_id", only_end=True).count(),
             # compound-key as-of: one sort-shuffle on (user, type)
             "asof_join": lambda: asof_join(
                 evs.filter("event_type = 'purchase'")
