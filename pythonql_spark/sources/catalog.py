@@ -393,3 +393,61 @@ def merge_upsert(spark: SparkSession, target_path: str,
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
     return {"inserted": inserted, "updated": updated,
             "rewritten_partitions": n_parts}
+
+
+def write_training_shards(df: DataFrame, path: str, *,
+                          rows_per_shard: int,
+                          order_col: str = "doc_id",
+                          token_col: str | None = None,
+                          fmt: str = "parquet",
+                          mode: str = "overwrite") -> DataFrame:
+    """Terminal training-data sink: fixed-row shards + a manifest.
+
+    Training loaders want (a) shards of a KNOWN uniform size so a
+    data-parallel job can assign shard ranges to workers, and (b) a
+    manifest recording per-shard row/token counts and a content
+    digest, so resumption and integrity checks never rescan the
+    corpus.  Rows are laid out in ``order_col`` order (pass a
+    :func:`~pythonql_spark.operators.sampling.shuffle_key`-derived
+    column for a shuffled epoch) and cut every ``rows_per_shard``
+    rows; the final shard holds the remainder.
+
+    Scale shape: the dense global position comes from
+    ``sampling.global_index`` (range partition + local number +
+    broadcast offsets — never a single-task window), the shard id is
+    per-row arithmetic, and the directory layout is an ordinary
+    ``partitionBy("shard")`` write.  The manifest is one keyed
+    aggregate over shard ids (|shards| rows out): row count, token
+    sum, and an order-insensitive content digest (sum of per-row
+    xxhash64 over the canonical row rendering — mergeable across
+    tasks, no sort).
+
+    Writes ``<path>/data/shard=N/...`` + ``<path>/manifest`` and
+    returns the manifest DataFrame."""
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.operators.sampling import global_index
+
+    pos = global_index(df, sort_cols=[order_col], out_col="__pos")
+    sharded = pos.withColumn(
+        "shard", (F.col("__pos") / F.lit(rows_per_shard))
+        .cast("bigint")).drop("__pos")
+    sharded = sharded.localCheckpoint(eager=False)   # one layout, two sinks
+    write_partitioned(sharded, f"{path}/data", fmt=fmt,
+                      partition_by=["shard"], mode=mode)
+
+    cols = [c for c in sharded.columns if c != "shard"]
+    row_digest = F.xxhash64(*[F.coalesce(F.col(c).cast("string"),
+                                         F.lit("∅")) for c in cols])
+    aggs = [F.count(F.lit(1)).alias("n_rows"),
+            F.sum(row_digest.cast("decimal(38,0)"))
+            .alias("content_digest"),
+            F.min(order_col).alias("first_key"),
+            F.max(order_col).alias("last_key")]
+    if token_col is not None:
+        aggs.insert(1, F.sum(F.col(token_col).cast("bigint"))
+                    .alias("n_tokens"))
+    manifest = sharded.groupBy("shard").agg(*aggs).orderBy("shard")
+    manifest.coalesce(1).write.format(fmt).mode(mode).save(
+        f"{path}/manifest")
+    return manifest

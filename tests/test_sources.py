@@ -453,3 +453,66 @@ def test_binaryfile_source_feeds_image_decode(spark, tmp_path):
     assert byname["img_0.png"].pixels_sample == list(range(0, 16))
     # distinct inputs decode to distinct intensities
     assert len({r.mean_intensity for r in rows}) > 1
+
+
+def test_write_training_shards_layout_and_manifest(spark, tables, tmp_path):
+    from pythonql_spark.sources.catalog import write_training_shards
+
+    docs = tables["documents"].select("doc_id", "lang", "n_chars")
+    n = docs.count()
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        docs, out, rows_per_shard=64, order_col="doc_id",
+        token_col="n_chars").collect()
+
+    # every shard is exactly 64 rows except the last remainder
+    sizes = [r.n_rows for r in manifest]
+    assert sizes[:-1] == [64] * (len(sizes) - 1)
+    assert sum(sizes) == n
+    assert [r.shard for r in manifest] == list(range(len(sizes)))
+
+    # shards cover contiguous, non-overlapping key ranges in order
+    for a, b in zip(manifest, manifest[1:]):
+        assert a.last_key < b.first_key
+
+    # reread: directory partitioning, per-shard counts and token sums
+    # match the manifest, and the content digest is recomputable
+    back = spark.read.parquet(f"{out}/data")
+    from pyspark.sql import functions as F
+    cols = [c for c in back.columns if c != "shard"]
+    digest = F.sum(F.xxhash64(*[F.coalesce(F.col(c).cast("string"),
+                                           F.lit("∅")) for c in cols])
+                   .cast("decimal(38,0)"))
+    re_agg = {r.shard: r for r in
+              (back.groupBy("shard")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("n_chars").alias("n_tokens"),
+                    digest.alias("content_digest")).collect())}
+    for r in manifest:
+        assert re_agg[r.shard].n_rows == r.n_rows
+        assert re_agg[r.shard].n_tokens == r.n_tokens
+        assert re_agg[r.shard].content_digest == r.content_digest
+
+
+def test_write_training_shards_shuffled_epoch(spark, tables, tmp_path):
+    """Composes with the seeded epoch shuffle: order by shuffle_key,
+    shards become a reproducible random permutation."""
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.operators.sampling import shuffle_key
+    from pythonql_spark.sources.catalog import write_training_shards
+
+    docs = (tables["documents"].select("doc_id", "lang")
+            .withColumn("sk", F.expr(shuffle_key("doc_id", seed=3))))
+    out1 = str(tmp_path / "e1")
+    out2 = str(tmp_path / "e2")
+    m1 = write_training_shards(docs, out1, rows_per_shard=100,
+                               order_col="sk").collect()
+    m2 = write_training_shards(docs, out2, rows_per_shard=100,
+                               order_col="sk").collect()
+    assert [(r.shard, r.n_rows, r.content_digest) for r in m1] == \
+           [(r.shard, r.n_rows, r.content_digest) for r in m2]
+    s0a = spark.read.parquet(f"{out1}/data").filter("shard = 0")
+    s0b = spark.read.parquet(f"{out2}/data").filter("shard = 0")
+    assert sorted(r.doc_id for r in s0a.collect()) == \
+           sorted(r.doc_id for r in s0b.collect())
