@@ -84,6 +84,51 @@ def main() -> None:
     print("BM25 top-5 for [query, join, hash]:")
     bm25_search(docs, ["query", "join", "hash"], k=5).show()
 
+    # language rebalancing: temperature sampling flattens the mix
+    # toward n^0.5, then fractional epoch factors oversample the
+    # languages the schedule wants more of
+    from pythonql_spark.operators.sampling import (sample_temperature,
+                                                   upsample_epochs)
+    mix = sample_temperature(docs.select("doc_id", "lang"), "lang")
+    epochs = upsample_epochs(mix, "lang", {"en": 1.5}, default_repeat=1.0)
+    print("temperature-rebalanced + epoch-weighted mix:")
+    epochs.groupBy("lang").count().orderBy("lang").show()
+
+    # compressed-domain ANN: 16-byte PQ codes instead of full vectors
+    from pythonql_spark.operators.pq import pq_topk
+    print("PQ asymmetric-distance top-3:")
+    pq_topk(emb, query_ids=[0, 1], k=3, m=16, nbits=8).show()
+
+    # parallel-corpus mining between two sides of the embedding space
+    from pythonql_spark.operators.bitext import mine_bitext
+    print("margin-mined aligned pairs (mutual-best):")
+    mine_bitext(emb.filter("label % 2 = 0"), emb.filter("label % 2 = 1"),
+                k=4, threshold=1.0).show(5)
+
+    # probe a mixed media column (container/frame-header truth only)
+    from pythonql_spark.operators import multimodal as MM
+    from pyspark.sql import functions as F
+    media = docs.limit(6).select(
+        "doc_id",
+        MM.make_media(
+            F.when(F.col("doc_id") % 2 == 0, MM.render_mp4("doc_id"))
+             .otherwise(MM.render_mp3("doc_id")),
+            "media", "mixed").alias("media"))
+    print("ffprobe-style media probe:")
+    MM.probe_media(media).drop("media").show()
+
+    # terminal sink: fixed-row shards + manifest for the loader
+    import tempfile
+    from pythonql_spark.operators.sampling import shuffle_key
+    from pythonql_spark.sources.catalog import write_training_shards
+    out = tempfile.mkdtemp() + "/shards"
+    manifest = write_training_shards(
+        docs.select("doc_id", "lang", "n_chars")
+            .withColumn("sk", F.expr(shuffle_key("doc_id", seed=1))),
+        out, rows_per_shard=200, order_col="sk", token_col="n_chars")
+    print("training-shard manifest:")
+    manifest.show()
+
 
 if __name__ == "__main__":
     main()
