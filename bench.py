@@ -56,7 +56,7 @@ def main() -> None:
         "dsir_sample", "boilerplate_clean", "text_bigram",
         "score_normalize",
         "media_probe", "media_mp4", "ann_pq", "mine_bitext",
-        "sample_temperature", "upsample_epochs",
+        "sample_temperature", "upsample_epochs", "snapshot_diff",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers, and spin up the Python worker

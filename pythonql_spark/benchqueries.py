@@ -2619,6 +2619,39 @@ def sample_weighted_q(spark, sf):
     return sample_weighted(docs, "n_chars / 600.0", 0.5)
 
 
+def _snapshot_diff_oracle() -> str:
+    from pythonql_spark.operators.diff import snapshot_diff_oracle_sql
+    old_sql = ("SELECT doc_id, lang, text FROM documents "
+               "WHERE doc_id % 7 != 0")
+    new_sql = ("SELECT doc_id, lang, "
+               "CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END "
+               "AS text FROM documents WHERE doc_id % 5 != 0")
+    return snapshot_diff_oracle_sql(old_sql, new_sql, key_col="doc_id",
+                                    compare_cols=["lang", "text"])
+
+
+@q("snapshot_diff", _snapshot_diff_oracle())
+def snapshot_diff_q(spark, sf):
+    """Corpus version diff: one full-outer join on the key where each
+    side ships only (key, 8-byte content hash) computed scan-side —
+    output is proportional to the CHANGE, never the corpus.  The two
+    snapshots are deterministic variants of the documents table
+    (every 7th doc absent from old, every 5th absent from new, every
+    11th edited), so added/removed/changed verdicts are exactly
+    derivable and the DuckDB oracle replays them on the rendered
+    strings."""
+    from pythonql_spark.operators.diff import snapshot_diff
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "text")
+    old = docs.filter("doc_id % 7 != 0")
+    new = (docs.filter("doc_id % 5 != 0")
+           .selectExpr("doc_id", "lang",
+                       "CASE WHEN doc_id % 11 = 0 THEN upper(text) "
+                       "ELSE text END AS text"))
+    return snapshot_diff(old, new, key_col="doc_id",
+                         compare_cols=["lang", "text"])
+
+
 def _temperature_oracle() -> str:
     from pythonql_spark.operators.sampling import (
         sample_temperature_oracle_sql)

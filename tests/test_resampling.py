@@ -84,3 +84,49 @@ def test_plans_stay_narrow(spark, tables):
               ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan_t
     assert "SortMergeJoin" not in plan_t
+
+
+def test_snapshot_diff_verdicts(spark, tables):
+    """added/removed/changed must match the planted construction and
+    unchanged rows must produce nothing."""
+    from pythonql_spark.operators.diff import snapshot_diff
+
+    docs = tables["documents"].select("doc_id", "lang", "text")
+    old = docs.filter("doc_id % 7 != 0")
+    new = (docs.filter("doc_id % 5 != 0")
+           .selectExpr("doc_id", "lang",
+                       "CASE WHEN doc_id % 11 = 0 THEN upper(text) "
+                       "ELSE text END AS text"))
+    out = {r.doc_id: r.change
+           for r in snapshot_diff(old, new, key_col="doc_id",
+                                  compare_cols=["lang", "text"]).collect()}
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    for i in ids:
+        in_old, in_new = i % 7 != 0, i % 5 != 0
+        edited = i % 11 == 0
+        if in_old and not in_new:
+            expect = "removed"
+        elif in_new and not in_old:
+            expect = "added"
+        elif in_old and in_new and edited:
+            expect = "changed"
+        else:
+            expect = None
+        assert out.get(i) == expect, (i, out.get(i), expect)
+    assert set(out.values()) == {"added", "removed", "changed"}
+
+
+def test_snapshot_diff_shuffles_hashes_not_bodies(spark, tables):
+    """The join input projects (key, hash) only: no text column may
+    survive into the Exchange."""
+    from pythonql_spark.operators.diff import snapshot_diff
+
+    docs = tables["documents"].select("doc_id", "lang", "text")
+    plan = (snapshot_diff(docs, docs, key_col="doc_id",
+                          compare_cols=["lang", "text"])
+            ._jdf.queryExecution().executedPlan().toString())
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
+    # the projected shuffle payload is the hash, not the body
+    assert "xxhash64" in plan
