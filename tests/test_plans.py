@@ -298,3 +298,36 @@ def test_broadcast_row_joins_never_cartesian(spark, sf_dir):
         p = formatted_plan(QUERIES[key](spark, sf_dir))
         assert "CartesianProduct" not in p, (key, p)
         assert "BroadcastNestedLoopJoin" in p, (key, p)
+
+
+def test_pq_search_never_shuffles_vectors(spark, sf_dir):
+    """PQ search consumes the m-byte code column only: no Exchange may
+    carry the embedding column (that is the whole point — the full-
+    vector corpus never flows through search), no cartesian product,
+    and the only exchange feeds the final per-query top-k over
+    candidate rows."""
+    p = formatted_plan(QUERIES["ann_pq"](spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "embedding" not in m.group(1), (m.group(1), p)
+    assert "q_id" in p
+
+
+def test_bitext_no_cartesian_and_bounded_exchanges(spark, sf_dir):
+    """Both knn_join directions are broadcast-probe mapInPandas scans;
+    the exchanges belong to the candidate top-k windows and the tiny
+    neighbourhood aggregates — never a cartesian product, and never an
+    exchange carrying the raw embedding column."""
+    p = formatted_plan(QUERIES["mine_bitext"](spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "embedding" not in m.group(1), (m.group(1), p)
+
+
+def test_snapshot_diff_single_join_level(spark, sf_dir):
+    """One full-outer SortMergeJoin (or shuffled hash join) on the
+    key; both inputs are scan-side hash projections."""
+    p = formatted_plan(QUERIES["snapshot_diff"](spark, sf_dir))
+    assert "FullOuter" in p or "full_outer" in p.lower(), p
+    assert p.count("Join") >= 1
+    assert "xxhash64" in p, p
