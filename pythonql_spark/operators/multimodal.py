@@ -347,6 +347,34 @@ def resample_audio(df: DataFrame, target_rate: int,
     return df.mapInPandas(run, df.schema)
 
 
+def _resize_gif(data: bytes, width: int, height: int) -> bytes:
+    """Animated-GIF resize: nearest-neighbour sampling per frame (a
+    palette format must not invent colours the way a box filter's
+    averaging would), shared palette rebuilt from the colours that
+    survive, delays preserved."""
+    from .gif import decode_gif, encode_gif
+    w, h, frames = decode_gif(data)
+    palette: list[tuple[int, int, int]] = []
+    index: dict[tuple[int, int, int], int] = {}
+    out_frames = []
+    for delay_ms, px in frames:
+        idx = bytearray(width * height)
+        for y in range(height):
+            sy = y * h // height
+            for x in range(width):
+                sx = x * w // width
+                o = (sy * w + sx) * 3
+                c = (px[o], px[o + 1], px[o + 2])
+                ci = index.get(c)
+                if ci is None:
+                    ci = index[c] = len(palette)
+                    palette.append(c)
+                idx[y * width + x] = ci
+        out_frames.append((delay_ms, bytes(idx)))
+    pal = bytes(v for c in palette for v in c)
+    return encode_gif(width, height, out_frames, palette=pal)
+
+
 def resize_image(df: DataFrame, width: int, height: int,
                  media_col: str = "media", *, fake: bool = False) -> DataFrame:
     """Resize: binary → binary with updated meta.
@@ -391,10 +419,15 @@ def resize_image(df: DataFrame, width: int, height: int,
                     from .vp8l import decode_webp, encode_webp
                     w, h, ch, px = decode_webp(data)
                     enc = lambda c, p: encode_webp(width, height, bytes(p))
+                elif data.startswith(b"GIF8"):
+                    out.append({"data": _resize_gif(data, width, height),
+                                "meta": {**m["meta"], "width": width,
+                                         "height": height}})
+                    continue
                 else:
                     raise NotImplementedError(
                         f"no codec for format {m['meta']['format']!r} "
-                        "(PNG, BMP, JPEG and lossless WEBP resize "
+                        "(PNG, BMP, JPEG, lossless WEBP and GIF resize "
                         "natively); pass fake=True")
                 resized = enc(ch, resize_box(w, h, ch, px, width, height))
                 out.append({"data": resized,

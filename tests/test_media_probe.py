@@ -172,3 +172,27 @@ def test_mp4_sample_frames_real_payloads(spark):
         expect = hashlib.sha256(
             f"{r.i}:{r.frame_ts_ms // 200}".encode()).digest()[:12]
         assert bytes(r.frame) == expect
+
+
+def test_resize_gif_preserves_animation(spark):
+    """GIF resize: nearest-neighbour per frame, palette rebuilt,
+    delays preserved — decode of the resized blob round-trips."""
+    from pythonql_spark.operators.gif import decode_gif
+
+    ids = spark.range(0, 3).select(F.col("id").cast("int").alias("i"))
+    media = ids.select(
+        "i", MM.make_media(MM.render_gif_anim("i", side=8, n_frames=3,
+                                              delay_ms=150),
+                           "image", "gif", 8, 8).alias("media"))
+    rows = MM.resize_image(media, 4, 4).collect()
+    for r in rows:
+        data = bytes(r.media["data"])
+        w, h, frames = decode_gif(data)
+        assert (w, h) == (4, 4)
+        assert [d for d, _ in frames] == [150, 150, 150]
+        # nearest-neighbour of a constant-intensity frame keeps the
+        # exact source colour (no invented averaged colours)
+        for f, (_, px) in enumerate(frames):
+            expect = (int(r.i) * 31 + f * 40) % 256
+            assert set(px[c] for c in range(len(px))) == {expect}
+        assert r.media["meta"]["width"] == 4
