@@ -379,10 +379,13 @@ def resize_image(df: DataFrame, width: int, height: int,
                  media_col: str = "media", *, fake: bool = False) -> DataFrame:
     """Resize: binary → binary with updated meta.
 
-    PNG resizes for REAL: stdlib decode → box-filter (png.resize_box)
-    → re-encode, inside Arrow-batched mapInPandas.  ``fake=True`` (or
-    a non-PNG format under fake) keeps the bytes and rewrites meta
-    only — the schema/partitioning contract without a codec."""
+    All five real codecs resize natively inside Arrow-batched
+    mapInPandas: PNG/BMP/JPEG/lossless-WEBP decode → box-filter
+    (png.resize_box) → re-encode in the source format; animated GIF
+    resamples nearest-neighbour per frame with a rebuilt palette and
+    preserved delays (_resize_gif).  ``fake=True`` keeps the bytes
+    and rewrites meta only — the schema/partitioning contract without
+    a codec."""
     if fake:
         return df.withColumn(
             media_col,
