@@ -367,8 +367,21 @@ def _resize_gif(data: bytes, width: int, height: int) -> bytes:
                 c = (px[o], px[o + 1], px[o + 2])
                 ci = index.get(c)
                 if ci is None:
-                    ci = index[c] = len(palette)
-                    palette.append(c)
+                    # Per-frame local colour tables can exceed 256
+                    # distinct colours across the animation: cap the
+                    # rebuilt shared palette and map overflow colours
+                    # to the nearest existing entry (cached per
+                    # colour) instead of emitting an out-of-range
+                    # index byte / corrupt GCT-size header.
+                    if len(palette) < 256:
+                        ci = index[c] = len(palette)
+                        palette.append(c)
+                    else:
+                        ci = index[c] = min(
+                            range(256),
+                            key=lambda i: (palette[i][0] - c[0]) ** 2
+                            + (palette[i][1] - c[1]) ** 2
+                            + (palette[i][2] - c[2]) ** 2)
                 idx[y * width + x] = ci
         out_frames.append((delay_ms, bytes(idx)))
     pal = bytes(v for c in palette for v in c)
@@ -787,6 +800,16 @@ def _probe_wav(data: bytes) -> dict:
 
 
 def _probe_one(data: bytes) -> dict:
+    """Dispatch on magic bytes; never raises — a probe is a diagnostic
+    scan, so any malformed/truncated container falls through to the
+    null row instead of killing the whole mapInPandas job."""
+    try:
+        return _probe_one_strict(data)
+    except Exception:
+        return {"format": None, "codec": None}
+
+
+def _probe_one_strict(data: bytes) -> dict:
     data = data or b""
     if data.startswith(b"\x89PNG") and len(data) >= 24:
         return {"format": "png", "codec": "deflate",

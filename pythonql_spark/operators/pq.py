@@ -120,7 +120,7 @@ def pq_encode(df: DataFrame, codebook: np.ndarray, *,
 def pq_topk(df: DataFrame, query_ids, k: int = 5, *,
             m: int = 8, nbits: int = 8, train_sample: int = 4096,
             kmeans_iters: int = 10, id_col: str = "vec_id",
-            vec_col: str = "embedding",
+            vec_col: str = "embedding", code_col: str = "pq_code",
             codebook: np.ndarray | None = None,
             encoded: DataFrame | None = None) -> DataFrame:
     """Approximate cosine top-k by asymmetric distance over PQ codes.
@@ -141,7 +141,8 @@ def pq_topk(df: DataFrame, query_ids, k: int = 5, *,
                             id_col=id_col, vec_col=vec_col)
     m, K, sub = codebook.shape
     if encoded is None:
-        encoded = pq_encode(df, codebook, vec_col=vec_col)
+        encoded = pq_encode(df, codebook, vec_col=vec_col,
+                            code_col=code_col)
 
     qrows = (df.filter(F.col(id_col).isin([int(q) for q in query_ids]))
              .select(F.col(id_col).alias("q"), F.col(vec_col).alias("v"))
@@ -186,7 +187,7 @@ def pq_topk(df: DataFrame, query_ids, k: int = 5, *,
             yield pd.concat(out, ignore_index=True)
 
     cand = (encoded.select(F.col(id_col).cast("long").alias("__id"),
-                           F.col("pq_code").alias("__c"))
+                           F.col(code_col).alias("__c"))
             .mapInPandas(batch_topk, "q_id long, n_id long, adc_cos double"))
     w = W.partitionBy("q_id").orderBy(F.col("adc_cos").desc(),
                                       F.col("n_id"))

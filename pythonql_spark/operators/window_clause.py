@@ -28,6 +28,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _norm_key(v):
+    """NaN/NaT → None so null partition keys compare equal (NaN != NaN
+    would splinter null-keyed rows into singleton groups).  Non-scalar
+    key values (arrays) pass through untouched."""
+    try:
+        return None if pd.isna(v) else v
+    except (TypeError, ValueError):
+        return v
+
+
 def predicate_windows(
     df: DataFrame,
     order_by: str | list[str],
@@ -107,22 +117,45 @@ def predicate_windows(
         # key's rows arrive contiguously but may span Arrow batches, so
         # the current key buffers across the boundary.
         out_cols = [*part, "window", "s_at", "e_at", "closed"]
+        # Yield incrementally (every ~_FLUSH_ROWS output rows) so peak
+        # worker memory is bounded by the largest single key plus one
+        # flush buffer, not the whole partition's output.
+        _FLUSH_ROWS = 1 << 14
 
         def gen(batches):
-            frames: list[pd.DataFrame] = []
+            pending: list[pd.DataFrame] = []
+            pending_rows = 0
             buf: list[pd.DataFrame] = []
             buf_key = None
 
             def flush():
+                nonlocal pending_rows
                 if buf:
                     pdf = (pd.concat(buf, ignore_index=True)
                            if len(buf) > 1 else buf[0])
-                    frames.append(run(pdf, presorted=True))
+                    res = run(pdf, presorted=True)
+                    if len(res):
+                        pending.append(res)
+                        pending_rows += len(res)
+
+            def drain():
+                nonlocal pending_rows
+                if pending:
+                    out = (pd.concat(pending, ignore_index=True)
+                           if len(pending) > 1 else pending[0])
+                    pending.clear()
+                    pending_rows = 0
+                    yield out[out_cols]
 
             for pdf in batches:
                 if not len(pdf):
                     continue
-                keys = list(pdf[part].itertuples(index=False, name=None))
+                # Null partition keys: NaN != NaN would splinter every
+                # null-keyed row into its own group — normalise to None
+                # so nulls group together (matching groupBy semantics).
+                keys = [tuple(_norm_key(v) for v in row)
+                        for row in
+                        pdf[part].itertuples(index=False, name=None)]
                 start = 0
                 for i in range(1, len(keys) + 1):
                     if i == len(keys) or keys[i] != keys[start]:
@@ -131,11 +164,12 @@ def predicate_windows(
                             buf.append(chunk)
                         else:
                             flush()
+                            if pending_rows >= _FLUSH_ROWS:
+                                yield from drain()
                             buf, buf_key = [chunk], keys[start]
                         start = i
             flush()
-            if frames:
-                yield pd.concat(frames, ignore_index=True)[out_cols]
+            yield from drain()
 
         return (df.repartition(*part)
                 .sortWithinPartitions(*part, *order)

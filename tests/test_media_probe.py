@@ -174,6 +174,88 @@ def test_mp4_sample_frames_real_payloads(spark):
         assert bytes(r.frame) == expect
 
 
+def test_probe_never_raises_on_corrupt_blobs(spark):
+    """The diagnostic-scan contract: a truncated/malformed container
+    yields a NULL probe row instead of killing the mapInPandas job."""
+    corrupt = [
+        b"BM\x01\x02",                       # truncated BMP header
+        b"GIF89a\x01",                       # truncated GIF
+        b"\x00\x00\x00\x0cftypisom",         # 12-byte 'ftyp' blob
+        b"\x89PNG\r\n",                      # truncated PNG
+        b"RIFF\x00\x00\x00\x00WEBPVP8L\x00",  # truncated WEBP
+        b"\xFF\xD8\x00",                     # truncated JPEG
+    ]
+    for blob in corrupt:
+        assert MM._probe_one(blob)["codec"] is None, blob
+    rows = [(i, b) for i, b in enumerate(corrupt)]
+    df = spark.createDataFrame(rows, "i int, blob binary")
+    out = (MM.probe_media(
+        df.select("i", MM.make_media("blob", "any", "any").alias("media")))
+        .select("i", "format").collect())
+    assert len(out) == len(corrupt)          # job survived every blob
+
+
+def _local_palette_frame(width, height, palette, indices, delay_ms=100):
+    """Raw GIF frame block with a LOCAL colour table (encode_gif only
+    writes global tables, so the >256-colour case is built by hand)."""
+    from pythonql_spark.operators.gif import _lzw_encode
+    n = len(palette) // 3
+    cbits = max((n - 1).bit_length(), 1)
+    out = bytearray()
+    out += b"\x21\xF9\x04" + struct.pack("<BHB", 0, delay_ms // 10, 0) \
+        + b"\x00"
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height,
+                                 0x80 | (cbits - 1))
+    out += palette + bytes(3 * ((1 << cbits) - n))
+    min_code = max(cbits, 2)
+    out.append(min_code)
+    lzw = _lzw_encode(min_code, indices)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def test_resize_gif_caps_palette_at_256():
+    """Per-frame local colour tables can put >256 distinct colours in
+    one animation; the resized output must stay a valid GIF (palette
+    capped, overflow mapped to nearest entry) instead of crashing or
+    emitting a corrupt GCT-size header."""
+    from pythonql_spark.operators.gif import decode_gif
+    from pythonql_spark.operators.multimodal import _resize_gif
+
+    w = h = 8
+    data = bytearray(b"GIF89a") + struct.pack("<HHBBB", w, h, 0, 0, 0)
+    for f in range(5):
+        pal = bytes(v for i in range(64)
+                    for v in (f * 50, i * 4, (f * 64 + i) % 256))
+        idx = bytes(i % 64 for i in range(w * h))
+        data += _local_palette_frame(w, h, pal, idx, delay_ms=120)
+    data.append(0x3B)
+    data = bytes(data)
+
+    _, _, frames = decode_gif(data)
+    colors = {tuple(px[3 * i:3 * i + 3])
+              for _, px in frames for i in range(w * h)}
+    assert len(colors) > 256                 # source really overflows
+
+    out = _resize_gif(data, 8, 8)
+    ow, oh, oframes = decode_gif(out)        # round-trips → valid GIF
+    assert (ow, oh) == (8, 8)
+    assert len(oframes) == 5
+    assert [d for d, _ in oframes] == [120] * 5
+    # colours present in the first 4 frames (≤256 seen so far) are
+    # preserved exactly; frame 5 maps to nearest existing entries
+    first_frame_colors = {tuple(px[3 * i:3 * i + 3])
+                          for i in range(w * h)
+                          for px in [oframes[0][1]]}
+    src_first = {tuple(px[3 * i:3 * i + 3])
+                 for i in range(w * h) for px in [frames[0][1]]}
+    assert first_frame_colors == src_first
+
+
 def test_resize_gif_preserves_animation(spark):
     """GIF resize: nearest-neighbour per frame, palette rebuilt,
     delays preserved — decode of the resized blob round-trips."""

@@ -87,6 +87,26 @@ def _normalize_global(df):
         for r in df.collect())
 
 
+def test_null_partition_keys_group_together(spark):
+    # NaN != NaN after Arrow conversion must NOT splinter null-keyed
+    # rows into singleton groups: all null-keyed rows form one
+    # sequence, matching groupBy semantics.
+    rows = [(None, 0, 1.0), (None, 1, 2.0), (None, 2, 3.0),
+            ("u1", 0, 4.0), ("u1", 1, 5.0)]
+    df = spark.createDataFrame(rows, "user_id string, pos int, value double")
+    w = predicate_windows(
+        df, order_by="pos",
+        start_when=lambda c, a, p, n: a == 0,
+        end_when=lambda c, a, p, n, sc, sa: n is None,
+        partition_by="user_id", only_end=True)
+    got = sorted(((r.user_id, r.s_at, r.e_at, len(r.window))
+                  for r in w.collect()),
+                 key=lambda t: (t[0] is not None, t))
+    # one window per key spanning the whole sequence — 3 rows for the
+    # null key (splintering would yield three 1-row windows instead)
+    assert got == [(None, 0, 2, 3), ("u1", 0, 1, 2)]
+
+
 def test_dsl_size_window_uses_native_path(spark, tables):
     from pythonql_spark.query import Query
     q = (Query(spark).for_("e", tables["events"])
