@@ -47,22 +47,98 @@ def word_ngrams(text_col: str, n: int = 3) -> str:
 
 def _bucket_pairs(buckets: DataFrame, key_cols: list[str],
                   max_bucket_size: int,
-                  elem_struct: str, pair_expr: str) -> DataFrame:
+                  elem_struct: str, pair_expr: str,
+                  oversize: str = "star") -> DataFrame:
     """Shared LSH bucket→pairs step: ONE shuffle (groupBy bucket key,
     map-side partial collect), size-capped, pairs generated in-bucket.
 
     Replaces the window-count + self-join shape (shuffle+sort, then a
     second shuffle for the join) with a single aggregation; the cap
-    bounds in-bucket pair generation to max_bucket_size²/2."""
-    return (buckets
-            .groupBy(*key_cols)
-            .agg(F.expr(f"array_sort(collect_list({elem_struct}))").alias("xs"))
-            .filter((F.size("xs") >= 2) & (F.size("xs") <= max_bucket_size))
-            .select(F.explode(F.expr(
-                "flatten(transform(sequence(1, size(xs) - 1), "
-                f"j -> transform(sequence(0, j - 1), i -> {pair_expr})))"
-            )).alias("p"))
+    bounds in-bucket pair generation to max_bucket_size²/2.
+
+    Buckets LARGER than ``max_bucket_size`` are the mass-duplicated
+    content a dedup pass most needs to catch, so they are never
+    silently dropped: with ``oversize="star"`` (default) an oversize
+    bucket emits linear star pairs — its min element paired with every
+    other member — which is exactly enough for the downstream
+    connected-components stage to merge the whole bucket into one
+    cluster, at |bucket| − 1 pairs instead of |bucket|²/2.
+    ``oversize="drop"`` restores the historical drop (candidate-pair
+    recall analysis only; use :func:`lsh_bucket_report` to see what a
+    cap would discard)."""
+    grouped = (buckets
+               .groupBy(*key_cols)
+               .agg(F.expr(f"array_sort(collect_list({elem_struct}))")
+                    .alias("xs"))
+               .filter(F.size("xs") >= 2))
+    all_pairs = F.expr(
+        "flatten(transform(sequence(1, size(xs) - 1), "
+        f"j -> transform(sequence(0, j - 1), i -> {pair_expr})))")
+    if oversize == "star":
+        # transform(array(0), i -> ...) binds i = 0 (the sorted
+        # bucket's min element) for the reused pair_expr lambda body.
+        star = F.expr(
+            "flatten(transform(array(0), i -> "
+            f"transform(sequence(1, size(xs) - 1), j -> {pair_expr})))")
+        pairs = F.when(F.size("xs") <= max_bucket_size,
+                       all_pairs).otherwise(star)
+    else:
+        grouped = grouped.filter(F.size("xs") <= max_bucket_size)
+        pairs = all_pairs
+    return (grouped.select(F.explode(pairs).alias("p"))
             .select("p.*"))
+
+
+def lsh_bucket_report(buckets: DataFrame, key_cols: list[str],
+                      max_bucket_size: int,
+                      id_col: str = "id") -> DataFrame:
+    """Observability for the bucket-size guard (the no-silent-caps
+    rule): one row per OVERSIZE bucket — its key, member count, and
+    min/max member ids — so a pipeline can log what the cap demotes to
+    star pairing (or would drop under ``oversize="drop"``).  Pure
+    aggregation (count + min + max), no collect_list: safe even when a
+    degenerate bucket holds millions of members."""
+    return (buckets.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(id_col).alias("min_id"),
+                 F.max(id_col).alias("max_id"))
+            .filter(F.col("n") > max_bucket_size))
+
+
+def minhash_bucket_report(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", *,
+                          num_hashes: int = 64, bands: int = 16,
+                          ngram: int = 3,
+                          max_bucket_size: int = 500) -> DataFrame:
+    """(band, h, n, min_id, max_id) for every MinHash band bucket
+    exceeding ``max_bucket_size`` — the dropped-bucket report for
+    :func:`minhash_lsh_pairs` and the bipartite/index paths."""
+    return lsh_bucket_report(
+        _minhash_band_buckets(df, id_col, text_col,
+                              num_hashes, bands, ngram),
+        ["band", "h"], max_bucket_size)
+
+
+def simhash_bucket_report(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", *,
+                          band_bits: int | None = None,
+                          max_bucket_size: int = 500,
+                          hash_fn: str = "xxhash64") -> DataFrame:
+    """(band, v, n, min_id, max_id) for oversize SimHash band buckets
+    — the dropped-bucket report for :func:`simhash_pairs`."""
+    bits = 60 if hash_fn == "md5" else 64
+    if band_bits is None:
+        band_bits = 15 if hash_fn == "md5" else 16
+    n_bands = bits // band_bits
+    sim = simhash_df(df, id_col, text_col, bits, hash_fn)
+    banded = sim.select(
+        "id",
+        F.explode(F.expr(
+            f"transform(sequence(0, {n_bands - 1}), "
+            f"b -> struct(b as band, "
+            f"shiftright(sh, b * {band_bits}) & {(1 << band_bits) - 1} as v))"
+        )).alias("bk")).select("id", "bk.band", "bk.v")
+    return lsh_bucket_report(banded, ["band", "v"], max_bucket_size)
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -89,8 +165,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     ``max_bucket_size`` is the skew guard: degenerate buckets
     (boilerplate/empty shingle sets hashing together) otherwise
     produce quadratic within-bucket pairs — the classic LSH-dedup
-    failure at corpus scale.  Oversized buckets are dropped (their
-    members still pair up via their other, more selective bands)."""
+    failure at corpus scale.  Oversize buckets fall back to linear
+    star pairing (min member vs the rest; see :func:`_bucket_pairs`)
+    so mass-duplicated content still fully clusters; use
+    :func:`minhash_bucket_report` to see which buckets the cap
+    demoted."""
     buckets = _minhash_band_buckets(df, id_col, text_col,
                                     num_hashes, bands, ngram)
     pairs = _bucket_pairs(
@@ -158,6 +237,21 @@ def _jaccard_verify(pairs: DataFrame, df_a: DataFrame, df_b: DataFrame,
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def _capped_corpus_buckets(cb: DataFrame,
+                           max_bucket_size: int) -> DataFrame:
+    """Corpus band buckets grouped to (band, h, xs, bucket_n): xs is
+    the bucket's ``max_bucket_size`` SMALLEST ids (sorted, so the
+    representative set is deterministic), ``bucket_n`` the true size —
+    oversize buckets are truncated to representatives, never dropped
+    (probing any representative of a mass-duplicated cluster answers
+    the membership question)."""
+    return (cb.groupBy("band", "h")
+            .agg(F.expr("array_sort(collect_list(id))").alias("xs0"))
+            .select("band", "h",
+                    F.expr(f"slice(xs0, 1, {max_bucket_size})").alias("xs"),
+                    F.size("xs0").alias("bucket_n")))
+
+
 def minhash_lsh_pairs_bipartite(new: DataFrame, corpus: DataFrame,
                                 id_col: str = "doc_id",
                                 text_col: str = "text", *,
@@ -173,14 +267,18 @@ def minhash_lsh_pairs_bipartite(new: DataFrame, corpus: DataFrame,
     The corpus side groups into capped bucket arrays (ONE shuffle of
     id+band keys, never text); the new side — typically orders of
     magnitude smaller — joins those buckets on (band, h) and explodes.
-    Cost scales with |new| + |corpus|, not their product."""
+    Cost scales with |new| + |corpus|, not their product.
+
+    An oversize corpus bucket keeps its ``max_bucket_size`` smallest
+    ids as representatives instead of being dropped: for the "is this
+    new doc a duplicate of the corpus?" question, matching ANY
+    representative of a mass-duplicated cluster suffices, and the
+    probe cost stays bounded."""
     nb = _minhash_band_buckets(new, id_col, text_col,
                                num_hashes, bands, ngram)
     cb = _minhash_band_buckets(corpus, id_col, text_col,
                                num_hashes, bands, ngram)
-    grouped = (cb.groupBy("band", "h")
-               .agg(F.collect_list("id").alias("xs"))
-               .filter(F.size("xs") <= max_bucket_size))
+    grouped = _capped_corpus_buckets(cb, max_bucket_size)
     pairs = (nb.join(grouped, ["band", "h"])
              .select(F.col("id").alias("id_a"),
                      F.explode("xs").alias("id_b"))
@@ -206,9 +304,7 @@ def build_minhash_index(corpus: DataFrame, table: str,
     from pythonql_spark.sources import write_bucketed
     cb = _minhash_band_buckets(corpus, id_col, text_col,
                                num_hashes, bands, ngram)
-    grouped = (cb.groupBy("band", "h")
-               .agg(F.collect_list("id").alias("xs"))
-               .filter(F.size("xs") <= max_bucket_size))
+    grouped = _capped_corpus_buckets(cb, max_bucket_size)
     write_bucketed(grouped, table, ["band", "h"], n_buckets=n_buckets)
 
 
@@ -475,7 +571,8 @@ def simhash_pairs_oracle_sql(*, id_col: str = "doc_id",
                              table: str = "documents") -> str:
     """DuckDB mirror of ``simhash_pairs(hash_fn="md5")``: the same
     60-bit word hashes, per-bit ±1 votes, banding, bucket-size guard
-    and hamming verify — bit-identical pairs."""
+    (all-pairs for in-cap buckets, star pairs for oversize) and
+    hamming verify — bit-identical pairs."""
     bits = 60
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
@@ -499,10 +596,20 @@ banded AS (
 counts AS (SELECT band, v, count(*) AS n FROM banded GROUP BY 1, 2),
 ok AS (SELECT banded.* FROM banded JOIN counts USING (band, v)
        WHERE n BETWEEN 2 AND {max_bucket_size}),
+big AS (SELECT banded.* FROM banded JOIN counts USING (band, v)
+        WHERE n > {max_bucket_size}),
+bigmin AS (SELECT band, v, min(id) AS mid FROM big GROUP BY 1, 2),
 pairs AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-         cast(bit_count(xor(a.sh, b.sh)) as int) AS hamming
-  FROM ok a JOIN ok b ON a.band = b.band AND a.v = b.v AND a.id < b.id)
+  SELECT DISTINCT id_a, id_b, hamming FROM (
+    SELECT a.id AS id_a, b.id AS id_b,
+           cast(bit_count(xor(a.sh, b.sh)) as int) AS hamming
+    FROM ok a JOIN ok b ON a.band = b.band AND a.v = b.v AND a.id < b.id
+    UNION ALL
+    SELECT m.mid AS id_a, b.id AS id_b,
+           cast(bit_count(xor(ma.sh, b.sh)) as int) AS hamming
+    FROM bigmin m
+    JOIN big ma ON ma.band = m.band AND ma.v = m.v AND ma.id = m.mid
+    JOIN big b  ON b.band = m.band AND b.v = m.v AND b.id > m.mid))
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}"""
 
 
@@ -607,9 +714,17 @@ banded AS (
 counts AS (SELECT band, h, count(*) AS n FROM banded GROUP BY 1, 2),
 ok AS (SELECT banded.* FROM banded JOIN counts USING (band, h)
        WHERE n BETWEEN 2 AND {max_bucket_size}),
+big AS (SELECT banded.* FROM banded JOIN counts USING (band, h)
+        WHERE n > {max_bucket_size}),
+bigmin AS (SELECT band, h, min(id) AS mid FROM big GROUP BY 1, 2),
 cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM ok a JOIN ok b ON a.band = b.band AND a.h = b.h AND a.id < b.id),
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM ok a JOIN ok b ON a.band = b.band AND a.h = b.h AND a.id < b.id
+    UNION ALL
+    SELECT m.mid AS id_a, b.id AS id_b
+    FROM bigmin m
+    JOIN big b ON b.band = m.band AND b.h = m.h AND b.id > m.mid)),
 side AS (SELECT id, list_distinct(ghs) AS grams FROM gl)
 SELECT c.id_a, c.id_b, round({jac}, 6) AS jaccard
 FROM cand c JOIN side a ON a.id = c.id_a JOIN side b ON b.id = c.id_b
@@ -657,9 +772,7 @@ def minhash_bipartite_md5(new: DataFrame, corpus: DataFrame,
                            num_hashes, bands, ngram)
     cb = _md5_band_buckets(corpus, id_col, text_col,
                            num_hashes, bands, ngram)
-    grouped = (cb.groupBy("band", "h")
-               .agg(F.collect_list("id").alias("xs"))
-               .filter(F.size("xs") <= max_bucket_size))
+    grouped = _capped_corpus_buckets(cb, max_bucket_size)
     pairs = (nb.join(grouped, ["band", "h"])
              .select(F.col("id").alias("id_a"),
                      F.explode("xs").alias("id_b"))
@@ -708,10 +821,10 @@ sig AS (SELECT id, isnew, {mins} FROM sh GROUP BY id, isnew),
 banded AS (
   SELECT id, isnew, bk.band AS band, bk.h AS h
   FROM (SELECT id, isnew, unnest([{bandsel}]) AS bk FROM sig)),
-counts AS (SELECT band, h, count(*) AS n FROM banded
-           WHERE NOT isnew GROUP BY 1, 2),
-cok AS (SELECT banded.* FROM banded JOIN counts USING (band, h)
-        WHERE NOT isnew AND n <= {max_bucket_size}),
+cork AS (SELECT band, h, id,
+                row_number() OVER (PARTITION BY band, h ORDER BY id) AS rn
+         FROM banded WHERE NOT isnew),
+cok AS (SELECT band, h, id FROM cork WHERE rn <= {max_bucket_size}),
 cand AS (
   SELECT DISTINCT a.id AS id_a, c.id AS id_b
   FROM banded a JOIN cok c ON a.band = c.band AND a.h = c.h

@@ -114,6 +114,62 @@ def test_dedup_increment(spark, docs):
     assert kept == {101}
 
 
+def test_oversize_bucket_clique_still_dedups(spark):
+    """The no-silent-caps rule: a clique of max_bucket_size + 10
+    identical-shingle docs lands every band bucket over the cap; the
+    star-pair fallback must still fully dedup it (one survivor), and
+    the bucket report must surface the demoted buckets."""
+    from pythonql_spark.operators.dedup import minhash_bucket_report
+    cap = 8
+    n = cap + 10
+    rows = [(i, "the same boilerplate text repeated everywhere forever")
+            for i in range(n)] + \
+           [(1000, "a genuinely unique document unlike the others")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, ngram=1, jaccard_threshold=0.5,
+                              max_bucket_size=cap)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # star pairing: min id 0 paired with every clique member
+    assert {(0, j) for j in range(1, n)} <= got
+    kept = {r.doc_id for r in dedup_keep(df, pairs).collect()}
+    assert kept == {0, 1000}
+    report = minhash_bucket_report(df, ngram=1, max_bucket_size=cap)
+    rrows = report.collect()
+    assert rrows and all(r.n == n for r in rrows)
+    assert all((r.min_id, r.max_id) == (0, n - 1) for r in rrows)
+
+
+def test_oversize_bucket_star_simhash(spark):
+    cap = 6
+    n = cap + 10
+    rows = [(i, "identical words every time across this whole clique")
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_pairs(df, max_hamming=3, max_bucket_size=cap)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(0, j) for j in range(1, n)}
+
+
+def test_oversize_corpus_bucket_keeps_representatives(spark, docs):
+    """Bipartite path: an oversize corpus bucket is truncated to its
+    smallest-id representatives, not dropped — a new doc duplicating
+    mass-replicated corpus content is still caught."""
+    from pythonql_spark.operators.dedup import minhash_lsh_pairs_bipartite
+    cap = 5
+    corpus = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere forever")
+         for i in range(cap + 7)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(500, "the same boilerplate text repeated everywhere forever")],
+        "doc_id long, text string")
+    cross = minhash_lsh_pairs_bipartite(new, corpus, ngram=1,
+                                        jaccard_threshold=0.5,
+                                        max_bucket_size=cap)
+    got = {(r.id_a, r.id_b) for r in cross.collect()}
+    assert got                                  # caught, not dropped
+    assert got <= {(500, j) for j in range(cap)}  # min-id representatives
+
+
 @pytest.fixture(scope="module")
 def vecs(spark):
     import numpy as np
