@@ -3341,13 +3341,18 @@ def profile_overlap(spark, sf):
 @q("score_normalize", None)  # oracle attached below (generated SQL)
 def score_normalize(spark, sf):
     """Percentile calibration of heterogeneous curation signals:
-    n_chars rank-normalized globally and within language — one window
-    shuffle per key spec, deterministic tie-breaks."""
+    TWO signals (n_chars, n_tokens) rank-normalized globally in ONE
+    narrow range exchange (the multi-column composition the operator
+    exists for), then n_chars within language — one window shuffle
+    per key spec, deterministic tie-breaks."""
+    from pythonql_spark.operators import text as TX
     from pythonql_spark.operators.profile import percentile_normalize
-    docs = load_table(spark, sf, "documents").select(
-        "doc_id", "lang", "n_chars")
+    docs = load_table(spark, sf, "documents").selectExpr(
+        "doc_id", "lang", "n_chars",
+        TX.token_count("text") + " as n_tokens")
     both = percentile_normalize(
-        percentile_normalize(docs, ["n_chars"], suffix="_gpct"),
+        percentile_normalize(docs, ["n_chars", "n_tokens"],
+                             suffix="_gpct"),
         ["n_chars"], keys=["lang"], suffix="_lpct")
     return both
 
@@ -3481,10 +3486,18 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc('exp(logweight / n_tokens)', 0.7)}"""
     ORACLE["text_bigram"] = bigram_logprob_oracle_sql()
     from pythonql_spark.operators.profile import (
         percentile_normalize_oracle_sql as _pn)
+    from pythonql_spark.operators import text as _TXo
+    _sn_base = (f"(SELECT doc_id, lang, n_chars, "
+                f"{_TXo.token_count('text', 'duck')} AS n_tokens "
+                f"FROM documents) b")
+    _sn_inner = _pn(["n_chars", "n_tokens"], suffix="_gpct",
+                    select="doc_id, lang, n_chars, n_tokens",
+                    table=_sn_base)
     ORACLE["score_normalize"] = _pn(
         ["n_chars"], keys=["lang"], suffix="_lpct",
-        select="doc_id, lang, n_chars, n_chars_gpct",
-        table=f"({_pn(['n_chars'], suffix='_gpct', select='doc_id, lang, n_chars')}) g")
+        select=("doc_id, lang, n_chars, n_tokens, "
+                "n_chars_gpct, n_tokens_gpct"),
+        table=f"({_sn_inner}) g")
     from pythonql_spark.operators.text import remove_boilerplate_oracle_sql
     from pythonql_spark.operators.projection import jl_project_oracle_sql
     ORACLE["embed_project"] = jl_project_oracle_sql(64, 8)

@@ -105,14 +105,23 @@ def percentile_normalize(df, score_cols: list[str],
     shuffle per key spec — strata parallelize across tasks.  The
     GLOBAL mode must NOT be ``percent_rank() OVER (ORDER BY ...)``:
     an empty partition spec funnels the whole corpus through ONE task.
-    Instead it composes :func:`..sampling.global_index` — range-
-    partition on (score, id), number rows locally, broadcast the tiny
-    per-partition offset/total table — and computes
-    ``pos / (n - 1)`` arithmetically.  Because (score, id) is a
-    total order, rank == row_number == pos + 1, so the result is
-    bit-identical to the window form (the DuckDB oracle keeps using
-    percent_rank()).  Score columns are assumed non-null (nulls would
-    order differently between engines).
+    And it must not range-shuffle the corpus once PER SCORE COLUMN
+    (the ≥2-signal calibration use case would multiply full corpus
+    exchanges): instead ALL columns explode to narrow
+    (id, col_idx, score) rows and ride ONE range exchange — the
+    :func:`..sampling.global_index` composition (range-partition on
+    (col_idx, score, id), number locally, broadcast the tiny offset
+    table) numbers every column's sort order in a single pass, each
+    column's rows forming a contiguous (col_idx) run whose 0-base is
+    ``col_idx * n``.  Percentiles pivot back over id (narrow rows)
+    and join to the untouched original frame — the only full-width
+    exchange is that one join, regardless of how many score columns
+    are normalized.  Because (score, id) is a total order,
+    rank == row_number == pos + 1, so the result is bit-identical to
+    the window form (the DuckDB oracle keeps using percent_rank()).
+    Score columns are compared AS DOUBLE with ``id_col`` tie-break
+    (exact for |ints| < 2^53) and assumed non-null; ``id_col`` must
+    be unique (it already must be for deterministic tie-breaks).
     """
     from pyspark.sql import functions as F
     out = df
@@ -124,14 +133,27 @@ def percentile_normalize(df, score_cols: list[str],
                 f"ORDER BY {c}, {id_col}), 6) as double)"))
         return out
     from .sampling import global_index
-    for c in score_cols:
-        out = global_index(out, [F.col(c), F.col(id_col)],
-                           out_col="__pnrk", total_col="__pnn")
-        out = (out.withColumn(c + suffix, F.expr(
-                   "cast(round(__pnrk / greatest(__pnn - 1, 1), 6) "
-                   "as double)"))
-               .drop("__pnrk", "__pnn"))
-    return out
+    ncols = len(score_cols)
+    arr = F.array(*[
+        F.struct(F.lit(i).alias("__ci"),
+                 F.col(c).cast("double").alias("__s"))
+        for i, c in enumerate(score_cols)])
+    narrow = (df.select(F.col(id_col).alias("__id"),
+                        F.explode(arr).alias("x"))
+              .select("__id", F.col("x.__ci").alias("__ci"),
+                      F.col("x.__s").alias("__s")))
+    idx = global_index(narrow,
+                       [F.col("__ci"), F.col("__s"), F.col("__id")],
+                       out_col="__pos", total_col="__tot")
+    pct = idx.select(
+        "__id", "__ci",
+        F.expr(f"cast(round((__pos - __ci * (__tot div {ncols})) / "
+               f"greatest(__tot div {ncols} - 1, 1), 6) as double)")
+        .alias("__pct"))
+    wide = pct.groupBy("__id").agg(*[
+        F.max(F.when(F.col("__ci") == i, F.col("__pct")))
+        .alias(score_cols[i] + suffix) for i in range(ncols)])
+    return df.join(wide.withColumnRenamed("__id", id_col), id_col)
 
 
 def percentile_normalize_oracle_sql(score_cols: list[str],

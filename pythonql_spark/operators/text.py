@@ -266,11 +266,16 @@ def remove_boilerplate(df, id_col: str = "doc_id",
                           F.explode(F.expr(segs)).alias("seg"))
                 .select("__id", F.expr(h("seg")).alias("sh"))
                 .distinct())
-    n_docs = df.count()
-    cut = max(int(min_doc_frac * n_docs), min_docs)
+    # the cut threshold joins against a LAZY 1-row keyless count
+    # (broadcast nested-loop on one row) instead of an eager
+    # df.count() action — the whole operator stays one job
+    n_row = F.broadcast(df.agg(F.count(F.lit(1)).alias("__ndocs")))
     frequent = (seg_rows.groupBy("sh")
                 .agg(F.count(F.lit(1)).alias("nd"))
-                .filter(F.col("nd") >= cut)
+                .crossJoin(n_row)
+                .filter(F.col("nd") >= F.greatest(
+                    F.floor(F.lit(min_doc_frac) * F.col("__ndocs"))
+                    .cast("long"), F.lit(min_docs)))
                 .select("sh"))
     freq_set = F.broadcast(
         frequent.agg(F.collect_set("sh").alias("bad")))

@@ -272,6 +272,28 @@ def test_score_normalize_no_global_window(spark, sf_dir):
         assert m.group(1).startswith("lang"), p
 
 
+def test_multi_column_percentile_one_range_exchange(spark):
+    """The ≥2-signal global calibration must range-shuffle the corpus
+    ONCE (all columns exploded to narrow rows in one exchange), not
+    once per score column."""
+    from pythonql_spark.operators.profile import percentile_normalize
+    df = spark.range(100).selectExpr(
+        "id as doc_id", "cast(id * 7 % 13 as double) as s1",
+        "cast(id * 11 % 17 as double) as s2",
+        "cast(id * 3 % 19 as double) as s3")
+    p = formatted_plan(percentile_normalize(df, ["s1", "s2", "s3"],
+                                            id_col="doc_id"))
+    # global_index's range exchange sits behind its localCheckpoint
+    # boundary, surfacing as Scan ExistingRDD over ONE MapPartitionsRDD
+    # (referenced twice: numbering + offsets).  The old per-column loop
+    # produced one checkpointed exchange PER column — three distinct
+    # RDD ids — and any residual rangepartitioning in the visible plan
+    # would mean an extra corpus shuffle.
+    rdd_ids = set(re.findall(r"MapPartitionsRDD\[(\d+)\]", p))
+    assert len(rdd_ids) == 1, (rdd_ids, p)
+    assert "rangepartitioning" not in p, p
+
+
 def test_mix_budget_no_stratum_serial_window(spark, sf_dir):
     """Budget mixing must NOT plan the per-stratum running sum as
     sum() OVER (PARTITION BY stratum ORDER BY <corpus keys>) — with
