@@ -959,7 +959,7 @@ def media_decode(spark, sf):
     """Real multimodal decode path: synthesize one PNG per document
     (deterministic pixels from the doc's text hash), then run the
     actual stdlib PNG decoder distributed via mapInPandas — no
-    fake= stub anywhere.  The decoded pixel sample surfaces as a
+    stub anywhere.  The decoded pixel sample surfaces as a
     SCALAR md5 digest (never array<...>: the driver's canonicalizer
     sorts rows pandas-side and list cells are unhashable — the r4
     driver-ERR; oracle_check now rejects list columns outright)."""
@@ -981,7 +981,7 @@ def media_decode(spark, sf):
 
 @q("media_frames", None)  # rows-only: binary frame extraction is not SQL
 def media_frames(spark, sf):
-    """Real multimodal frame pipeline, no fake= stub anywhere:
+    """Real multimodal frame pipeline, no stub anywhere:
     synthesize a PNG filmstrip per document (4 stacked frames), sample
     frames at 250 ms (real scanline slice + re-encode), box-resize
     each sampled frame 6x6→4x4, decode and aggregate mean intensity
@@ -1017,7 +1017,7 @@ def media_gif(spark, sf):
     document (4 frames, real 250 ms Graphic-Control delays), decode
     the LZW stream and walk the true frame timeline in sample_frames,
     re-encode each sampled frame as PNG, decode and aggregate — a
-    genuine multi-frame format end-to-end, no fake= stub."""
+    genuine multi-frame format end-to-end, no stub."""
     from pyspark.sql import functions as F
 
     from pythonql_spark.operators import multimodal as MM
@@ -1105,7 +1105,7 @@ def media_webp(spark, sf):
     per document (deterministic pixels from the text hash, rotating
     through the plain / subtract-green / predictor / palette encoder
     transforms), decode with the from-scratch stdlib codec
-    (operators/vp8l.py) distributed via mapInPandas — no fake= stub.
+    (operators/vp8l.py) distributed via mapInPandas — no stub.
     Output follows the scalar-digest convention (no array columns)."""
     from pyspark.sql import functions as F
 
@@ -1207,7 +1207,7 @@ def profile_quantiles(spark, sf):
 def media_audio(spark, sf):
     """Real audio decode path: synthesize one WAV tone per document
     (frequency derived from doc_id), decode distributed with the
-    stdlib codec — no fake= stub."""
+    stdlib codec — no stub."""
     from pyspark.sql import functions as F
 
     from pythonql_spark.operators import multimodal as MM

@@ -6,8 +6,9 @@ tables, and reports duration, average bitrate, sample rate, channel
 mode and frame count — what ``probe_media`` (multimodal.py) needs
 from an MP3 column.  Decoding to PCM needs the huffman + IMDCT +
 synthesis filterbank pipeline of a real codec library this container
-doesn't ship, and stays out of scope (``decode_audio`` keeps raising
-for MP3 unless ``fake=True``).
+doesn't ship, and stays out of scope (``decode_audio`` raises for
+MP3 unless a production codec is plugged in via its ``decoder=``
+seam).
 
 ``make_mp3`` synthesises a valid frame sequence (correct header bits
 and frame lengths, zero payload) so tests can round-trip the parser.

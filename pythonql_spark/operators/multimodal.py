@@ -9,12 +9,17 @@ vp8l.py), audio for WAV PCM + mu-law.  MP4 and MP3 parse for REAL at
 the container/frame-header level (operators/mp4.py, mp3.py):
 ``probe_media`` reports their true dimensions/duration/bitrate/frame
 tables and ``sample_frames`` extracts real encoded MP4 access units
-at real ``stts`` timestamps — but decoding those payloads to
-pixels/PCM needs a codec library this container doesn't ship, so
-``decode_image``/``decode_audio`` raise ``NotImplementedError`` for
-them unless ``fake=True``, which produces a *deterministic* synthetic
-decode from the bytes themselves (so pipelines and tests exercise the
-full path for any format).
+at real ``stts`` timestamps.  Decoding those payloads (AVC/HEVC
+pixels, MP3 PCM, lossy-WEBP pixels) needs a codec library this
+container doesn't ship — each operator exposes a documented callback
+seam for that production stage instead: ``decode_image(decoder=)``,
+``decode_audio(decoder=)``, ``resize_image(transcode=)``,
+``sample_frames(frame_decoder=)``.  The callback runs executor-side
+inside the mapInPandas closure and is invoked only for blobs no
+built-in codec claims; without one, those blobs raise
+``NotImplementedError``.  ``sample_frames``' MP4 output — encoded
+access-unit bytes at real timestamps — is the contract a downstream
+GPU/ffmpeg decode stage consumes.
 
 Schema contract:
     media: struct<data: binary,
@@ -46,23 +51,33 @@ MEDIA = T.StructType([
 ])
 
 
-def _fake_pixels(data: bytes, n: int = 16) -> list[int]:
+def stub_pixels(data: bytes, n: int = 16) -> list[int]:
     """Deterministic stand-in for a decoded sample: first n bytes of
-    the blob's sha256 — stable across runs/executors."""
+    the blob's sha256 — stable across runs/executors.  Building block
+    for test-fixture ``decoder=`` callbacks (see tests); never used by
+    any production path."""
     return list(hashlib.sha256(data or b"").digest()[:n])
 
 
 def decode_image(df: DataFrame, media_col: str = "media", *,
-                 fake: bool = False) -> DataFrame:
+                 decoder=None) -> DataFrame:
     """binary image → features (mean intensity, first-16 pixel sample).
 
     PNG, BMP, GIF, baseline JPEG and lossless WEBP decode for real via
     the stdlib codecs (operators/png.py, bmp.py, gif.py, jpeg.py,
-    vp8l.py).  Other formats need a library this container doesn't
-    ship: they raise ``NotImplementedError`` unless ``fake=True``,
-    which substitutes the deterministic stub for EVERY row (so
-    mixed-format pipelines stay exercisable).
-    """
+    vp8l.py).  Formats beyond those need a codec library this
+    container doesn't ship: plug one in via ``decoder``, the
+    production seam for a PIL/ffmpeg/GPU decode stage —
+
+        decoder(data: bytes, meta: dict)
+            -> (width: int, height: int, channels: int, pixels: bytes)
+
+    (the same tuple the built-in codecs return; ``pixels`` is
+    row-major interleaved).  It is called only for blobs no built-in
+    codec claims; without one those blobs raise
+    ``NotImplementedError``.  The callback is shipped to executors
+    inside the Arrow-batched mapInPandas closure — it must be
+    picklable and import its libraries lazily."""
     out_schema = T.StructType(
         list(df.schema.fields) + [
             T.StructField("pixels_sample", T.ArrayType(T.IntegerType())),
@@ -70,9 +85,6 @@ def decode_image(df: DataFrame, media_col: str = "media", *,
         ])
 
     def decode(data: bytes, meta) -> tuple[list[int], float]:
-        if fake:
-            px = _fake_pixels(data)
-            return px, sum(px) / len(px)
         from .png import decode_png, mean_intensity
         if (data or b"").startswith(b"\x89PNG"):
             _, _, ch, pixels = decode_png(data)
@@ -94,10 +106,13 @@ def decode_image(df: DataFrame, media_col: str = "media", *,
             from .vp8l import decode_webp
             _, _, ch, pixels = decode_webp(data)
             return list(pixels[:16]), mean_intensity(pixels, ch)
+        if decoder is not None:
+            _, _, ch, pixels = decoder(data, meta)
+            return list(pixels[:16]), mean_intensity(pixels, ch)
         raise NotImplementedError(
             f"no codec for format {meta['format']!r} in this "
             "environment (PNG, BMP, GIF, baseline JPEG and lossless "
-            "WEBP decode natively); pass fake=True or plug a decoder")
+            "WEBP decode natively); plug one in via decoder=")
 
     cols = df.columns
 
@@ -113,13 +128,20 @@ def decode_image(df: DataFrame, media_col: str = "media", *,
 
 
 def decode_audio(df: DataFrame, media_col: str = "media", *,
-                 fake: bool = False) -> DataFrame:
+                 decoder=None) -> DataFrame:
     """binary audio → features (sample_rate, n_channels, duration_ms,
     mean_abs_amplitude, first-16 samples).
 
-    WAV (RIFF PCM, 8/16-bit) decodes for REAL via the stdlib ``wave``
-    module; other formats raise ``NotImplementedError`` unless
-    ``fake=True`` (deterministic stub, same as decode_image)."""
+    WAV (RIFF PCM 8/16-bit + G.711 mu-law) decodes for REAL via the
+    stdlib; other formats (e.g. MP3 PCM) go through the ``decoder``
+    seam —
+
+        decoder(data: bytes, meta: dict)
+            -> (rate: int, channels: int, samples: sequence[int])
+
+    called only for non-RIFF blobs; without one they raise
+    ``NotImplementedError``.  Same executor-side contract as
+    :func:`decode_image`'s decoder."""
     out_schema = T.StructType(
         list(df.schema.fields) + [
             T.StructField("sample_rate", T.IntegerType()),
@@ -130,14 +152,17 @@ def decode_audio(df: DataFrame, media_col: str = "media", *,
         ])
 
     def decode(data: bytes, meta):
-        if fake:
-            px = _fake_pixels(data)
-            return 16000, 1, int(meta["duration_ms"] or 0), \
-                sum(px) / len(px), px
         if not (data or b"").startswith(b"RIFF"):
+            if decoder is not None:
+                rate, ch, samples = decoder(data, meta)
+                n = len(samples) // max(ch, 1)
+                mean_abs = (sum(abs(s) for s in samples) / len(samples)
+                            if samples else 0.0)
+                return rate, ch, int(n * 1000 / max(rate, 1)), \
+                    mean_abs, list(samples[:16])
             raise NotImplementedError(
                 f"no codec for format {meta['format']!r} (WAV decodes "
-                "natively); pass fake=True or plug a decoder")
+                "natively); plug one in via decoder=")
         import io
         import struct as _struct
         import wave
@@ -389,29 +414,23 @@ def _resize_gif(data: bytes, width: int, height: int) -> bytes:
 
 
 def resize_image(df: DataFrame, width: int, height: int,
-                 media_col: str = "media", *, fake: bool = False) -> DataFrame:
+                 media_col: str = "media", *, transcode=None) -> DataFrame:
     """Resize: binary → binary with updated meta.
 
     All five real codecs resize natively inside Arrow-batched
     mapInPandas: PNG/BMP/JPEG/lossless-WEBP decode → box-filter
     (png.resize_box) → re-encode in the source format; animated GIF
     resamples nearest-neighbour per frame with a rebuilt palette and
-    preserved delays (_resize_gif).  ``fake=True`` keeps the bytes
-    and rewrites meta only — the schema/partitioning contract without
-    a codec."""
-    if fake:
-        return df.withColumn(
-            media_col,
-            F.struct(
-                F.col(f"{media_col}.data").alias("data"),
-                F.struct(
-                    F.col(f"{media_col}.meta.kind").alias("kind"),
-                    F.col(f"{media_col}.meta.format").alias("format"),
-                    F.lit(width).alias("width"),
-                    F.lit(height).alias("height"),
-                    F.col(f"{media_col}.meta.duration_ms").alias("duration_ms"),
-                ).alias("meta")))
+    preserved delays (_resize_gif).  Formats beyond those go through
+    the ``transcode`` seam —
 
+        transcode(data: bytes, meta: dict, width: int, height: int)
+            -> bytes
+
+    returning the resized blob in whatever container the production
+    decode stage emits; called only for blobs no built-in codec
+    claims (meta width/height are rewritten either way).  Without one
+    those blobs raise ``NotImplementedError``."""
     cols = df.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -440,11 +459,17 @@ def resize_image(df: DataFrame, width: int, height: int,
                                 "meta": {**m["meta"], "width": width,
                                          "height": height}})
                     continue
+                elif transcode is not None:
+                    out.append({"data": transcode(data, m["meta"],
+                                                  width, height),
+                                "meta": {**m["meta"], "width": width,
+                                         "height": height}})
+                    continue
                 else:
                     raise NotImplementedError(
                         f"no codec for format {m['meta']['format']!r} "
                         "(PNG, BMP, JPEG, lossless WEBP and GIF resize "
-                        "natively); pass fake=True")
+                        "natively); plug one in via transcode=")
                 resized = enc(ch, resize_box(w, h, ch, px, width, height))
                 out.append({"data": resized,
                             "meta": {**m["meta"], "width": width,
@@ -457,48 +482,39 @@ def resize_image(df: DataFrame, width: int, height: int,
 
 
 def sample_frames(df: DataFrame, every_ms: int,
-                  media_col: str = "media", *, fake: bool = False) -> DataFrame:
+                  media_col: str = "media", *,
+                  frame_decoder=None) -> DataFrame:
     """Video frame sampling: one output row per sampled frame
     (explode), each row a frame media struct + frame_ts_ms.
 
-    REAL for two formats this container can actually decode:
+    REAL for three formats this container can actually parse:
 
     * animated GIF (operators/gif.py, LZW) — true multi-frame media
       with per-frame delays from the Graphic Control Extension; the
-      sampled timestamp walks the real frame timeline.
+      sampled timestamp walks the real frame timeline.  Frames
+      re-encode as standalone PNGs.
     * PNG filmstrips — frames stacked vertically in one PNG
       (meta.width is the frame width/height; sprite-sheet layout),
       ``duration_ms`` spread evenly across frames.
+    * MP4 (ISO-BMFF) — real ``stts`` timestamps drive the timeline
+      and each sampled frame is the ENCODED access-unit bytes from
+      the ``mdat`` byte range.  That encoded-AU output IS the
+      decoder-stage contract: a downstream GPU/ffmpeg stage consumes
+      (frame_ts_ms, frame) rows and decodes the payload; this
+      operator's job is the distributed container walk.
 
-    Each sampled frame is re-encoded as a standalone PNG.  Other
-    formats raise without a codec; ``fake=True`` emits deterministic
-    byte slices — same explode/partition shape, no decode."""
-    if not fake:
-        return _sample_frames_real(df, every_ms, media_col)
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField("frame_ts_ms", T.IntegerType()),
-                                  T.StructField("frame", T.BinaryType())])
-    cols = df.columns
+    Other formats go through the ``frame_decoder`` seam —
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                m = r[media_col]
-                dur = (m["meta"]["duration_ms"] or 0)
-                data = m["data"] or b""
-                for ts in range(0, max(dur, 1), every_ms):
-                    lo = (ts * 7) % max(len(data), 1)
-                    rows.append({**{c: r[c] for c in cols},
-                                 "frame_ts_ms": ts,
-                                 "frame": bytes(data[lo:lo + 16])})
-            yield pd.DataFrame(rows, columns=cols + ["frame_ts_ms", "frame"])
+        frame_decoder(data: bytes, meta: dict, every_ms: int)
+            -> iterable[(ts_ms: int, frame: bytes)]
 
-    return df.mapInPandas(run, out_schema)
+    called only for blobs no built-in parser claims; without one
+    they raise ``NotImplementedError``."""
+    return _sample_frames_real(df, every_ms, media_col, frame_decoder)
 
 
 def _sample_frames_real(df: DataFrame, every_ms: int,
-                        media_col: str) -> DataFrame:
+                        media_col: str, frame_decoder=None) -> DataFrame:
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("frame_ts_ms", T.IntegerType()),
                                   T.StructField("frame", T.BinaryType())])
@@ -569,11 +585,14 @@ def _sample_frames_real(df: DataFrame, every_ms: int,
                     gen = gif_frames(m, data)
                 elif data[4:8] == b"ftyp":
                     gen = mp4_frames(m, data)
+                elif frame_decoder is not None:
+                    gen = frame_decoder(data, m["meta"], every_ms)
                 else:
                     raise NotImplementedError(
                         f"no codec for format {m['meta']['format']!r} "
                         "(PNG filmstrips, animated GIF and MP4 "
-                        "containers parse natively); pass fake=True")
+                        "containers parse natively); plug one in via "
+                        "frame_decoder=")
                 for ts, frame in gen:
                     rows.append({**{c: r[c] for c in cols},
                                  "frame_ts_ms": ts, "frame": frame})

@@ -353,26 +353,58 @@ def test_pack_sequences(spark):
     assert rows[9].start_offset == 0 and rows[9].seq_id == 0
 
 
-def test_multimodal_roundtrip(spark):
+def test_multimodal_decoder_seam(spark):
+    """The four unsupported-payload operators route unknown formats
+    through their documented callback seams (decode_image decoder=,
+    resize_image transcode=, sample_frames frame_decoder=) — the
+    schema/partitioning plumbing runs for real, the payload decode is
+    the pluggable stage."""
+    import hashlib as _hl
+
+    def stub_image_decoder(data, meta):
+        # test fixture for the decoder= seam: deterministic pixels
+        # from the blob's sha256 (a GPU/ffmpeg stage plugs in here)
+        return 4, 4, 1, _hl.sha256(data or b"").digest()[:16]
+
     rows = [(i, bytes(range(i, i + 32)), 64 + i, 48, 400) for i in range(4)]
     df = (spark.createDataFrame(rows, "id long, data binary, w int, h int, dur int")
-          .select("id", MM.make_media("data", "image", "png", F.col("w"),
+          .select("id", MM.make_media("data", "video", "avc1", F.col("w"),
                                       F.col("h"), F.col("dur")).alias("media")))
-    dec = MM.decode_image(df, fake=True)
+    dec = MM.decode_image(df, decoder=stub_image_decoder)
     got = dec.select("id", "pixels_sample", "mean_intensity").collect()
     assert len(got) == 4
     assert all(len(r.pixels_sample) == 16 for r in got)
     # deterministic: same bytes → same features
-    again = MM.decode_image(df, fake=True).select("mean_intensity").collect()
+    again = MM.decode_image(df, decoder=stub_image_decoder) \
+        .select("mean_intensity").collect()
     assert [r.mean_intensity for r in again] == [r.mean_intensity for r in got]
 
-    resized = MM.resize_image(df, 32, 24, fake=True)
+    resized = MM.resize_image(df, 32, 24,
+                              transcode=lambda d, meta, w, h: d)
     m = resized.select("media.meta.width", "media.meta.height").first()
     assert (m[0], m[1]) == (32, 24)
 
-    frames = MM.sample_frames(df, every_ms=100, fake=True)
+    def stub_frames(data, meta, every_ms):
+        for ts in range(0, max(meta["duration_ms"] or 0, 1), every_ms):
+            lo = (ts * 7) % max(len(data), 1)
+            yield ts, bytes(data[lo:lo + 16])
+
+    frames = MM.sample_frames(df, every_ms=100, frame_decoder=stub_frames)
     per = frames.groupBy("id").count().collect()
     assert all(r["count"] == 4 for r in per)   # 400ms / 100ms
+
+
+def test_decode_audio_decoder_seam(spark):
+    df = (spark.createDataFrame([(0, b"\xff\xfbmp3bytes", 0, 0, 500)],
+                                "id long, data binary, w int, h int, dur int")
+          .select("id", MM.make_media("data", "audio", "mp3",
+                                      duration_ms=F.col("dur")).alias("media")))
+    got = MM.decode_audio(
+        df, decoder=lambda d, meta: (8000, 1, [1, -2, 3, -4] * 100)).first()
+    assert (got.sample_rate, got.n_channels) == (8000, 1)
+    assert got.audio_ms == 400 // 8            # 400 samples at 8 kHz
+    assert got.mean_abs_amplitude == pytest.approx(2.5)
+    assert got.samples_head == [1, -2, 3, -4] * 4
 
 
 def test_multimodal_real_decode_raises(spark):
@@ -721,7 +753,7 @@ def test_png_palette_expands_to_rgb():
 
 def test_multimodal_decodes_real_png(spark):
     """decode_image must decode genuine PNG bytes distributed, without
-    fake=True, and report the true mean intensity."""
+    a decoder seam, and report the true mean intensity."""
     from pythonql_spark.operators import png
 
     imgs = []
@@ -848,7 +880,7 @@ def test_asof_join_compound_keys(spark):
 
 def test_multimodal_decodes_real_wav(spark):
     """decode_audio must decode genuine 16-bit PCM WAV distributed,
-    without fake=True, reporting true rate/duration/amplitude."""
+    without any decoder seam, reporting true rate/duration/amplitude."""
     import math as m
 
     rows = []
