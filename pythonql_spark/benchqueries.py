@@ -3599,15 +3599,17 @@ _register_generated_oracles()
 
 # ----------------------------------------------------------- registration order
 # The correctness driver checks only the FIRST 50 registered keys.  Policy
-# (fixed, not curated): keys that have NEVER passed a driver check sort FIRST,
-# in registration order, so the newest / least-verified code is always inside
-# the externally-checked window; already-verified keys fill the remaining
-# slots for re-verification.  _DRIVER_VERIFIED is the literal set of keys
-# fully green (rows+schema+hash, no err) in any recorded CORRECTNESS_r*.json;
-# append newly-green keys each round.  Every key — inside or outside the
-# window — is additionally oracle-verified in-repo (tests/test_oracle.py).
-_DRIVER_VERIFIED = frozenset([
-    # green in CORRECTNESS_r01 / r02 / r03
+# (fixed, not curated): keys that have NEVER been driver-checked sort FIRST
+# (in registration order) so new code is always inside the externally-checked
+# window; the remaining slots go to the STALEST previously-checked keys —
+# every key rotates back through the window over successive rounds, and keys
+# last verified under the lenient early canonicalizer (r1-r3) re-verify under
+# the strict one first.  _DRIVER_CHECKED_ROUND maps each key to the round of
+# its most recent clean driver check (hash-green for oracled keys, ran-clean
+# for rows-only keys, per the recorded CORRECTNESS_r*.json); update it each
+# round.  Every key — inside or outside the window — is additionally
+# oracle-verified in-repo (tests/test_oracle.py).
+_R123_GREEN = [
     "analytic_window", "asof_join", "chunk_docs", "corpus_profile",
     "corpus_stats", "count_clause", "cube_stats", "decontaminate",
     "dedup_clusters", "dedup_corpus", "dedup_exact", "dedup_jaccard",
@@ -3624,7 +3626,8 @@ _DRIVER_VERIFIED = frozenset([
     "tpch_q19", "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "try_except", "vocab_stats", "window_predicate",
     "window_sliding_fixed", "window_tumbling_count",
-    # green (rows+schema+hash) in CORRECTNESS_r04
+]
+_R4_GREEN = [
     "ann_topk", "asof_forward", "cohort_retention", "corr_stats",
     "dedup_corpus_cosine", "doc_keywords", "doc_pipeline",
     "histogram_prices", "knn_join", "neardup_cosine", "pivot_status",
@@ -3635,7 +3638,30 @@ _DRIVER_VERIFIED = frozenset([
     "text_top_ngram", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q2",
     "tpch_q20", "tpch_q21", "tpch_q5", "training_pipeline",
     "unpivot_metrics",
-])
+]
+_R5_CHECKED = [
+    # hash-green in CORRECTNESS_r05
+    "band_join", "boilerplate_clean", "curation_pipeline", "curation_v2",
+    "decontam_bloom", "dedup_bipartite_md5", "dedup_minhash_md5",
+    "dedup_simhash", "dsir_sample", "dsir_weights", "dup_spans",
+    "embed_project", "filter_where", "join_equi", "join_multi",
+    "let_compute", "mine_bitext", "mix_budget", "profile_overlap",
+    "rag_retrieval", "sample_temperature", "scd2_history",
+    "score_normalize", "select_project", "skew_report", "snapshot_diff",
+    "strip_spans", "text_bigram", "text_c4", "upsample_epochs",
+    "window_aux",
+    # rows-only keys that ran clean in the r05 window
+    "ann_ivf", "ann_lsh", "ann_pq", "cluster_embed",
+    "dedup_corpus_minhash", "dedup_increment", "dedup_minhash",
+    "dedup_semantic", "media_audio", "media_decode", "media_frames",
+    "media_gif", "media_mp4", "media_probe", "media_webp",
+    "profile_quantiles", "profile_sketch", "quality_classify",
+    "text_bpe",
+]
+_DRIVER_CHECKED_ROUND: dict[str, int] = {}
+for _r, _keys in ((3, _R123_GREEN), (4, _R4_GREEN), (5, _R5_CHECKED)):
+    for _k in _keys:
+        _DRIVER_CHECKED_ROUND[_k] = _r
 
 
 def _wrap_rows_only_checksums() -> None:
@@ -3664,10 +3690,14 @@ _wrap_rows_only_checksums()
 
 
 def _reorder_registry() -> None:
+    """Never-checked keys first (registration order), then ascending
+    last-checked round — the stalest greens rotate back into the
+    driver's 50-key window each round."""
     global QUERIES, ORACLE
-    unverified = [k for k in QUERIES if k not in _DRIVER_VERIFIED]
-    verified = [k for k in QUERIES if k in _DRIVER_VERIFIED]
-    QUERIES = {k: QUERIES[k] for k in unverified + verified}
+    reg_pos = {k: i for i, k in enumerate(QUERIES)}
+    ordered = sorted(QUERIES, key=lambda k: (
+        _DRIVER_CHECKED_ROUND.get(k, -1), reg_pos[k]))
+    QUERIES = {k: QUERIES[k] for k in ordered}
     ORACLE = {k: ORACLE[k] for k in QUERIES if k in ORACLE}
 
 
