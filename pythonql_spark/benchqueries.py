@@ -1671,6 +1671,28 @@ def ann_ivf(spark, sf):
     return ivf_topk(emb, query_ids=list(range(10)), k=5)
 
 
+@q("ann_lsh_md5", None)  # oracle attached below (generated SQL)
+def ann_lsh_md5(spark, sf):
+    """LSH ANN under a FULL value oracle: md5-derived sign hyperplanes
+    make the signatures (and so the candidate sets) bit-reproducible
+    in DuckDB; exact-cosine re-rank as in ann_topk.  Production search
+    stays on the BLAS lsh_topk path (ann_lsh)."""
+    from pythonql_spark.operators.similarity import lsh_topk_md5
+    emb = load_table(spark, sf, "embeddings")
+    return lsh_topk_md5(emb, query_ids=list(range(10)), k=5)
+
+
+@q("classify_features", None)  # oracle attached below (generated SQL)
+def classify_features(spark, sf):
+    """The quality classifier's hashed-BoW feature extraction under a
+    FULL value oracle (bucket ids + tf normalization are SQL; only the
+    gradient-descent weights are not — those stay checksum-bound in
+    quality_classify)."""
+    from pythonql_spark.operators.classifier import bow_features
+    docs = load_table(spark, sf, "documents")
+    return bow_features(docs, n_buckets=512)
+
+
 def _bitext_oracle() -> str:
     from pythonql_spark.operators.bitext import bitext_oracle_sql
     return bitext_oracle_sql(k=4, threshold=1.0, mutual=True,
@@ -3484,6 +3506,10 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc('exp(logweight / n_tokens)', 0.7)}"""
     ORACLE["strip_spans"] = strip_dup_spans_oracle_sql(k=5)
     from pythonql_spark.operators.text import bigram_logprob_oracle_sql
     ORACLE["text_bigram"] = bigram_logprob_oracle_sql()
+    from pythonql_spark.operators.similarity import lsh_topk_oracle_sql
+    ORACLE["ann_lsh_md5"] = lsh_topk_oracle_sql(list(range(10)), k=5)
+    from pythonql_spark.operators.classifier import bow_features_oracle_sql
+    ORACLE["classify_features"] = bow_features_oracle_sql(n_buckets=512)
     from pythonql_spark.operators.profile import (
         percentile_normalize_oracle_sql as _pn)
     from pythonql_spark.operators import text as _TXo

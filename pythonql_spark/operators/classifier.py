@@ -117,6 +117,48 @@ def quality_score(df: DataFrame, model: dict, *,
             .drop("__qw"))
 
 
+def bow_features(df: DataFrame, *, text_col: str = "text",
+                 id_col: str = "doc_id", n_buckets: int = 2048,
+                 hash_fn: str = "md5") -> DataFrame:
+    """(id, bucket, cnt, tf): the exact hashed-BoW features the
+    classifier trains and scores on, as a value-oracle surface —
+    bucket ids and tf normalization are pure SQL (dual-dialect md5
+    bucket hash), so the feature pipeline is DuckDB-verifiable even
+    though the trained weights (gradient descent) are not.  One
+    explode + one (id, bucket) groupBy; the shuffle carries hashed
+    bucket ids, never text."""
+    b = bucket_expr("w", n_buckets, "spark", hash_fn)
+    ws = _words(text_col)
+    rows = df.selectExpr(
+        f"{id_col}", f"size({ws}) as __nw",
+        f"explode(transform({ws}, w -> {b})) as bucket")
+    return (rows.groupBy(id_col, "bucket", "__nw")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .selectExpr(id_col, "bucket", "cnt",
+                        "cast(round(cnt / cast(__nw as double), 6) "
+                        "as double) as tf"))
+
+
+def bow_features_oracle_sql(*, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            n_buckets: int = 2048,
+                            table: str = "documents") -> str:
+    """DuckDB mirror of :func:`bow_features` (md5 path)."""
+    b = bucket_expr("w", n_buckets, "duck")
+    return f"""
+WITH sp AS (
+  SELECT {id_col}, str_split_regex(trim(lower({text_col})),
+                                   '{_ws('duck')}') AS ws
+  FROM {table}),
+w AS (
+  SELECT {id_col}, len(ws) AS nw,
+         unnest(list_transform(ws, w -> {b})) AS bucket
+  FROM sp)
+SELECT {id_col}, bucket, count(*) AS cnt,
+       round(count(*) / cast(nw as double), 6) AS tf
+FROM w GROUP BY {id_col}, bucket, nw"""
+
+
 def classify_quality(df: DataFrame, label_expr: str, *,
                      text_col: str = "text", id_col: str = "doc_id",
                      n_buckets: int = 2048, sample_docs: int = 2048,

@@ -419,6 +419,132 @@ def lsh_topk(df: DataFrame, query_ids, k: int = 5, *,
             .select("q_id", "n_id", "cosine", "rank"))
 
 
+def lsh_sign_exprs(dim: int, n_planes: int, n_tables: int, *,
+                   vec_col: str = "embedding", seed: int = 5,
+                   dialect: str = "spark") -> list[str]:
+    """One bigint signature expression per LSH table whose hyperplanes
+    are ±1 sign matrices derived from md5 parity (the jl_project
+    trick): bit ``p`` of table ``t`` is 1 iff the fixed left-to-right
+    ± chain over the vector's elements is positive.  Both dialects run
+    the identical IEEE double chain, so signatures — and therefore the
+    LSH candidate sets — reproduce bit-for-bit in DuckDB."""
+    import hashlib as _hl
+    sig_exprs = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            terms = []
+            for i in range(dim):
+                el = (f"cast(element_at({vec_col}, {i + 1}) as double)"
+                      if dialect == "spark"
+                      else f"cast({vec_col}[{i + 1}] as double)")
+                pos = _hl.md5(
+                    f"lsh:{seed}:{t}:{p}:{i}".encode()).digest()[0] & 1
+                terms.append(("+ " if pos else "- ") + el)
+            chain = " ".join(terms).lstrip("+ ")
+            bits.append(f"(cast(({chain}) > 0 as bigint) << {p})")
+        sig_exprs.append("(" + " + ".join(bits) + ")")
+    return sig_exprs
+
+
+def lsh_topk_md5(df: DataFrame, query_ids, k: int = 5, *,
+                 n_planes: int = 10, n_tables: int = 2,
+                 probe_hamming: int = 1, dim: int | None = None,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Multi-table multiprobe LSH ANN on md5-derived sign hyperplanes
+    — the dual-dialect oracle path of :func:`lsh_topk` (same plan
+    shape: signature explode, broadcast probe expansion, equi-join
+    candidates, exact-cosine re-rank; nothing driver-side but the
+    query-id literals).  Signatures are unrolled codegen expressions
+    (n_tables × n_planes × dim terms) instead of the BLAS Pandas UDF,
+    so this path trades throughput for bit-exact DuckDB
+    reproducibility (`lsh_topk_oracle_sql`) — production search stays
+    on :func:`lsh_topk`.  ``probe_hamming`` ≤ 1 (0 = exact bucket,
+    1 adds single-bit flips)."""
+    if dim is None:
+        dim = _dim(df, vec_col)
+    sig_exprs = lsh_sign_exprs(dim, n_planes, n_tables, vec_col=vec_col,
+                               dialect="spark")
+    sigs = df.selectExpr(
+        f"{id_col} as __id", vec_col,
+        f"array({', '.join(sig_exprs)}) as __sigs")
+    corpus = (sigs.select(F.col("__id").alias("n_id"),
+                          F.col(vec_col).alias("c_vec"),
+                          vector_norm(vec_col, dim).alias("c_norm"),
+                          F.posexplode("__sigs").alias("t", "sig")))
+    masks = [0] + ([1 << j for j in range(n_planes)]
+                   if probe_hamming >= 1 else [])
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    probes = (sigs.filter(F.expr(f"__id in ({ids})"))
+              .select(F.col("__id").alias("q_id"),
+                      F.col(vec_col).alias("q_vec"),
+                      vector_norm(vec_col, dim).alias("q_norm"),
+                      F.posexplode("__sigs").alias("t", "qsig"))
+              .select("q_id", "q_vec", "q_norm", "t",
+                      F.explode(F.array(*[F.expr(f"qsig ^ {m}")
+                                          for m in masks]))
+                      .alias("probe_sig")))
+    cand = (corpus.join(F.broadcast(probes),
+                        (corpus.t == probes.t)
+                        & (corpus.sig == probes.probe_sig)
+                        & (corpus.n_id != probes.q_id))
+            .dropDuplicates(["q_id", "n_id"]))
+    scored = cand.select(
+        "q_id", "n_id",
+        cosine_score("q_vec", "c_vec", "q_norm", "c_norm",
+                     dim).alias("cosine"))
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "cosine", "rank"))
+
+
+def lsh_topk_oracle_sql(query_ids, k: int = 5, *, n_planes: int = 10,
+                        n_tables: int = 2, probe_hamming: int = 1,
+                        dim: int = 64, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        table: str = "embeddings") -> str:
+    """DuckDB mirror of :func:`lsh_topk_md5` — identical sign chains,
+    probe expansion, candidate dedup and cosine re-rank."""
+    sig_exprs = lsh_sign_exprs(dim, n_planes, n_tables, vec_col=vec_col,
+                               dialect="duck")
+    sig_cols = ", ".join(f"{e} AS s{t}" for t, e in enumerate(sig_exprs))
+    sig_case = ("CASE t " + " ".join(
+        f"WHEN {t} THEN s{t}" for t in range(n_tables)) + " END")
+    masks = [0] + ([1 << j for j in range(n_planes)]
+                   if probe_hamming >= 1 else [])
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    cos = cosine_expr("qv.q_vec", "cv.c_vec", dim, base=1)
+    return f"""
+WITH sigs AS (
+  SELECT {id_col} AS id, {vec_col} AS vec, {sig_cols} FROM {table}),
+banded AS (
+  SELECT id, vec, tt.t AS t, {sig_case} AS sig
+  FROM sigs, (SELECT unnest([{', '.join(map(str, range(n_tables)))}]) AS t) tt),
+probes AS (
+  SELECT id AS q_id, t, xor(sig, m.m) AS probe_sig
+  FROM banded, (SELECT unnest([{', '.join(map(str, masks))}]) AS m) m
+  WHERE id IN ({ids})),
+cand AS (
+  SELECT DISTINCT p.q_id, c.id AS n_id
+  FROM banded c JOIN probes p
+    ON c.t = p.t AND c.sig = p.probe_sig AND c.id <> p.q_id),
+qv AS (SELECT {id_col} AS q_id, {vec_col} AS q_vec FROM {table}
+       WHERE {id_col} IN ({ids})),
+cv AS (SELECT {id_col} AS n_id, {vec_col} AS c_vec FROM {table}),
+s AS (
+  SELECT cand.q_id, cand.n_id, {cos} AS cosine
+  FROM cand JOIN qv ON qv.q_id = cand.q_id
+            JOIN cv ON cv.n_id = cand.n_id)
+SELECT q_id, n_id, cosine, rank FROM (
+  SELECT q_id, n_id, cosine,
+         cast(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, n_id) AS INTEGER)
+           AS rank
+  FROM s) WHERE rank <= {k}"""
+
+
 # -------------------------------------------------------------- SemDeDup
 
 def _train_centroids(df: DataFrame, *, n_clusters: int, train_sample: int,
