@@ -516,3 +516,64 @@ def test_write_training_shards_shuffled_epoch(spark, tables, tmp_path):
     s0b = spark.read.parquet(f"{out2}/data").filter("shard = 0")
     assert sorted(r.doc_id for r in s0a.collect()) == \
            sorted(r.doc_id for r in s0b.collect())
+
+
+def test_incremental_refresh_untouched_shards_byte_identical(spark, tmp_path):
+    """snapshot_diff ∘ re-embed-changed ∘ merge_upsert: an incremental
+    corpus refresh rewrites ONLY the shard partitions holding
+    added/changed docs; every other shard's files stay byte-identical,
+    and the refreshed table equals a full rebuild of the new corpus."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "curation_example",
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "curation.py"))
+    ex = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ex)
+
+    path = str(tmp_path / "curated")
+    v1 = spark.createDataFrame(
+        [(i, f"doc number {i} original body text") for i in range(40)],
+        "doc_id long, text string")
+    ex.build_shard_table(spark, v1, path, n_shards=4)
+
+    def files(shard):
+        d = os.path.join(path, f"shard={shard}")
+        return sorted((f, os.path.getmtime(os.path.join(d, f)),
+                       os.path.getsize(os.path.join(d, f)))
+                      for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before = {s: files(s) for s in range(4)}
+    # v2: edit docs 3 and 17, add docs 100/101, remove doc 5
+    v2 = spark.createDataFrame(
+        [(i, f"doc number {i} original body text")
+         for i in range(40) if i not in (3, 17, 5)]
+        + [(3, "doc number 3 EDITED body"), (17, "doc number 17 EDITED"),
+           (100, "brand new document"), (101, "another new document")],
+        "doc_id long, text string")
+    stats = ex.incremental_refresh(spark, v1, v2, path, n_shards=4)
+    assert (stats["added"], stats["changed"], stats["removed"]) == (2, 2, 1)
+    touched = {r.shard for r in spark.sql(
+        f"SELECT DISTINCT pmod(xxhash64(doc_id), 4) AS shard "
+        f"FROM VALUES (3L), (17L), (100L), (101L) t(doc_id)").collect()}
+    assert stats["rewritten_partitions"] == len(touched)
+    for s in range(4):
+        if s in touched:
+            assert files(s) != before[s], s       # rewritten
+        else:
+            assert files(s) == before[s], s       # byte-identical
+    # refreshed table == full rebuild of v2 (minus the removal, which
+    # upsert cannot delete — doc 5 survives by contract)
+    got = spark.read.parquet(path)
+    assert got.count() == 42                      # 40 - 0 + 2 new
+    assert got.filter("doc_id = 3").first().text == "doc number 3 EDITED body"
+    full = str(tmp_path / "full")
+    ex.build_shard_table(spark, v2, full, n_shards=4)
+    a = {(r.doc_id, r.text, tuple(r.embedding))
+         for r in got.filter("doc_id != 5")
+         .select("doc_id", "text", "embedding").collect()}
+    b = {(r.doc_id, r.text, tuple(r.embedding))
+         for r in spark.read.parquet(full)
+         .select("doc_id", "text", "embedding").collect()}
+    assert a == b
