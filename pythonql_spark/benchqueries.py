@@ -3275,6 +3275,18 @@ def search_bm25(spark, sf):
     return bm25_search(docs, ["query", "join", "hash"], k=20)
 
 
+@q("search_hybrid", None)  # oracle attached below (generated SQL)
+def search_hybrid(spark, sf):
+    """Hybrid lexical+dense retrieval: BM25 and exact-cosine candidate
+    lists fused by reciprocal-rank fusion — the RAG-stack fusion step,
+    fully value-oracled (both legs' ranks are deterministic)."""
+    from pythonql_spark.operators.retrieval import hybrid_search
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    return hybrid_search(docs, emb, ["query", "join", "hash"],
+                         query_vec_id=1, k=10, k_each=20)
+
+
 @q("doc_keywords", None)  # oracle attached below (generated SQL)
 def doc_keywords(spark, sf):
     """TF-IDF top-3 keywords per document — the inverted-index build:
@@ -3492,6 +3504,9 @@ def _register_retrieval_oracles():
     from pythonql_spark.operators.spans import dup_span_stats_oracle_sql
     ORACLE["search_bm25"] = bm25_oracle_sql(
         ["query", "join", "hash"], k=20)
+    from pythonql_spark.operators.retrieval import hybrid_oracle_sql
+    ORACLE["search_hybrid"] = hybrid_oracle_sql(
+        ["query", "join", "hash"], query_vec_id=1, k=10, k_each=20)
     ORACLE["doc_keywords"] = tfidf_keywords_oracle_sql(top_n=3)
     ORACLE["dsir_weights"] = dsir_oracle_sql("lang = 'en'")
     from pythonql_spark.operators.sampling import (hash_bucket as _hb,

@@ -192,3 +192,81 @@ ranked AS (
 SELECT {id_col}, cast(rank as int) AS rank, tok AS token,
        cast(w as double) AS tfidf
 FROM ranked WHERE rank <= {top_n}"""
+
+
+def hybrid_search(docs: DataFrame, emb: DataFrame, query_terms,
+                  query_vec_id: int, k: int = 10, *, k_each: int = 20,
+                  rrf_k: int = 60, id_col: str = "doc_id",
+                  text_col: str = "text", vec_id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Hybrid lexical + dense retrieval via reciprocal-rank fusion
+    (Cormack et al. 2009): the RAG-stack fusion step — BM25 top-k_each
+    over the text corpus, exact-cosine top-k_each around a query
+    vector, fused by ``Σ 1/(rrf_k + rank)`` over a full-outer join of
+    the two candidate lists.
+
+    Scale shape: each leg keeps its own scale story (bm25_search: one
+    scan + a 1-row exchange + TakeOrderedAndProject; brute_topk:
+    broadcast query, streamed corpus — swap in lsh/ivf/pq_topk for
+    larger k_each); the fusion itself touches only 2·k_each candidate
+    rows.  Returns (id_col, lex_rank, dense_rank, rrf_score) ordered
+    by score desc, id asc.  Ranks are deterministic (score ties break
+    on id in both legs), so the whole operator is value-oracled
+    (`hybrid_oracle_sql`)."""
+    from pythonql_spark.operators.similarity import brute_topk
+
+    lex = (bm25_search(docs, query_terms, k=k_each, id_col=id_col,
+                       text_col=text_col)
+           .withColumn("lex_rank", F.expr(
+               f"cast(row_number() OVER (ORDER BY score DESC, {id_col}) "
+               "as int)"))
+           .select(F.col(id_col).alias("__id"), "lex_rank"))
+    dense = (brute_topk(emb, [query_vec_id], k=k_each,
+                        id_col=vec_id_col, vec_col=vec_col)
+             .select(F.col("n_id").alias("__id"),
+                     F.col("rank").alias("dense_rank")))
+    rrf = (f"cast(round(coalesce(1.0 / ({rrf_k} + lex_rank), 0.0) + "
+           f"coalesce(1.0 / ({rrf_k} + dense_rank), 0.0), 6) as double)")
+    return (lex.join(dense, "__id", "full_outer")
+            .withColumn("rrf_score", F.expr(rrf))
+            .orderBy(F.desc("rrf_score"), F.col("__id"))
+            .limit(k)
+            .select(F.col("__id").alias(id_col), "lex_rank",
+                    "dense_rank", "rrf_score"))
+
+
+def hybrid_oracle_sql(query_terms, query_vec_id: int, k: int = 10, *,
+                      k_each: int = 20, rrf_k: int = 60, dim: int = 64,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      vec_id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      doc_table: str = "documents",
+                      emb_table: str = "embeddings") -> str:
+    """DuckDB mirror of :func:`hybrid_search`."""
+    from pythonql_spark.operators.similarity import cosine_expr
+    bm25 = bm25_oracle_sql(query_terms, k=k_each, id_col=id_col,
+                           text_col=text_col, table=doc_table)
+    cos = cosine_expr("q.q_vec", "c.c_vec", dim, base=1)
+    return f"""
+WITH lex0 AS ({bm25}),
+lex AS (
+  SELECT {id_col} AS id,
+         cast(row_number() OVER (ORDER BY score DESC, {id_col}) as int)
+           AS lex_rank
+  FROM lex0),
+q AS (SELECT {vec_col} AS q_vec FROM {emb_table}
+      WHERE {vec_id_col} = {query_vec_id}),
+c AS (SELECT {vec_id_col} AS id, {vec_col} AS c_vec FROM {emb_table}
+      WHERE {vec_id_col} <> {query_vec_id}),
+dense0 AS (
+  SELECT c.id, {cos} AS cosine FROM c CROSS JOIN q),
+dense AS (
+  SELECT id, cast(rank as int) AS dense_rank FROM (
+    SELECT id, row_number() OVER (ORDER BY cosine DESC, id) AS rank
+    FROM dense0) WHERE rank <= {k_each})
+SELECT coalesce(lex.id, dense.id) AS {id_col}, lex_rank, dense_rank,
+       cast(round(coalesce(1.0 / ({rrf_k} + lex_rank), 0.0) +
+                  coalesce(1.0 / ({rrf_k} + dense_rank), 0.0), 6)
+            as double) AS rrf_score
+FROM lex FULL OUTER JOIN dense ON lex.id = dense.id
+ORDER BY rrf_score DESC, {id_col} LIMIT {k}"""

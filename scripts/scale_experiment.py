@@ -1,6 +1,8 @@
 """Scaling experiment: replicate the sf0.1 corpus Nx (unique ids, a
 per-replica suffix token so near-dup structure stays realistic) and
-measure the dedup / decontamination / ANN operators at 1x, 4x, 16x.
+measure the dedup / decontamination / ANN operators at 1x, 4x, 16x —
+plus a 64x octave for the heaviest operators (PQ ANN, bitext mining,
+snapshot diff, the curation composition).
 
 What this demonstrates (SURVEY §4): the candidate-generation operators
 are bucket joins, so runtime should grow ~linearly with corpus size as
@@ -93,6 +95,32 @@ def main() -> None:
                                                      rollup_delta)
     from pythonql_spark.operators.topk import top_k_per_group
 
+    from pythonql_spark.operators.diff import snapshot_diff
+
+    def _curation_composition(docs, n):
+        from pythonql_spark.benchqueries import _LINED
+        from pythonql_spark.operators.bloom import decontaminate_bloom
+        from pythonql_spark.operators.text import c4_clean
+        lined = docs.selectExpr("doc_id", "lang", "n_chars",
+                                _LINED + " as text")
+        c4 = (c4_clean(lined, min_words=4, min_lines=2,
+                       extra_cols=["lang", "n_chars"])
+              .filter("c4_keep")).localCheckpoint(eager=False)
+        kept = c4.filter("doc_id % 97 != 0").select(
+            "doc_id", "lang", "n_chars", "text")
+        bench = c4.filter("doc_id % 97 = 0").select("text")
+        flags = decontaminate_bloom(kept, bench, ngram=5,
+                                    hash_fn="xxhash64")
+        clean = kept.join(flags.filter("NOT contaminated")
+                          .select("doc_id"), "doc_id")
+        pct = percentile_normalize(
+            clean.select("doc_id", "lang", "n_chars"), ["n_chars"])
+        return select_to_budget(
+            pct, "lang",
+            {"en": 20000 * n, "de": 6000 * n, "fr": 6000 * n},
+            size_col="n_chars", order="n_chars_pct DESC",
+            default_budget=5000 * n)
+
     def attribution(ev):
         p = ev.filter("event_type = 'purchase'").select(
             F.col("event_id").alias("pid"), "user_id",
@@ -103,8 +131,12 @@ def main() -> None:
         return range_join(c, p, point="cts", start="lo", end="hi",
                           on="user_id", bin_width=4 * 3600)
 
+    # the 64x octave runs only the round-6 heavyweights (the 16x
+    # evidence covers the rest): one more doubling octave catches
+    # superlinear terms the 16x point hides
+    _64X_OPS = {"ann_pq", "bitext", "snap_diff", "curation"}
     results = []
-    for n in (1, 4, 16):
+    for n in (1, 4, 16, 64):
         d = SCRATCH / f"x{n}"
         replicate_docs(spark, n, str(d / "documents.parquet"))
         replicate_embs(spark, n, str(d / "embeddings.parquet"))
@@ -235,6 +267,23 @@ def main() -> None:
                     (n is not None and n["value"] < sc["value"] * 0.5)
                     or (a - sa >= 8),
                 partition_by="user_id", only_end=True).count(),
+            # snapshot diff: one full-outer join on (key, 8-byte
+            # hash) — shuffle carries hashes, output ∝ change (~3% of
+            # the corpus here at every scale)
+            "snap_diff": lambda: snapshot_diff(
+                docs.select("doc_id", "text"),
+                docs.filter("doc_id % 100 != 7").selectExpr(
+                    "doc_id",
+                    "case when doc_id % 100 = 3 "
+                    "then concat(text, ' EDITED') else text end as text")
+                .union(docs.filter("doc_id % 100 = 7").selectExpr(
+                    "doc_id + 1000000000 as doc_id", "text")),
+                key_col="doc_id", compare_cols=["text"]).count(),
+            # the curation_v2 composition: C4 gate -> Bloom decontam
+            # (fixed 128 KB bits) -> global percentile (one narrow
+            # range exchange) -> budget mixing (two-phase prefix sum).
+            # Four scale-safe stages; sec/unit should stay ~flat
+            "curation": lambda: _curation_composition(docs, n).count(),
             # compound-key as-of: one sort-shuffle on (user, type)
             "asof_join": lambda: asof_join(
                 evs.filter("event_type = 'purchase'")
@@ -249,6 +298,8 @@ def main() -> None:
         only = os.environ.get("SCALE_OPS")
         if only:
             ops = {k: v for k, v in ops.items() if k in only.split(",")}
+        if n >= 64:
+            ops = {k: v for k, v in ops.items() if k in _64X_OPS}
         for name, fn in ops.items():
             t0 = time.perf_counter()
             rows = fn()
