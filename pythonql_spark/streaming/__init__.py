@@ -15,4 +15,5 @@ __all__ = ["dedup_stream", "session_agg", "sliding_agg", "tumbling_agg",
            "stateful_predicate_windows", "interval_join",
            "run_to_completion", "write_stream_files"]
 from pythonql_spark.streaming.ingest import (bloom_dedup_ingest_stream,
-                                              dedup_ingest_stream)
+                                             dedup_ingest_stream,
+                                             pq_index_ingest_stream)

@@ -173,3 +173,44 @@ def bloom_dedup_ingest_stream(stream_df: DataFrame, corpus: DataFrame,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def pq_index_ingest_stream(stream_df: DataFrame, codebook,
+                           out_path: str, checkpoint: str, *,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           trigger_available_now: bool = True
+                           ) -> StreamingQuery:
+    """Streaming ANN index maintenance: vectors arrive continuously,
+    the PQ index stays searchable without ever rebuilding.
+
+    Each micro-batch is encoded with a FIXED pre-trained codebook
+    (``operators.pq.train_pq`` — train once on a bounded corpus
+    sample; codebook drift is an offline rebuild decision, never an
+    ingest-path concern) and lands as one ``(id, pq_code)`` partition
+    per micro-batch — the stored index rows are the m-byte codes
+    only, the raw vectors never land.  One Arrow encode pass per
+    batch, no shuffle, no state; the same dynamic partition-overwrite
+    sink as :func:`dedup_ingest_stream` makes a replayed batch
+    overwrite its own partition (exactly-once output).
+
+    Search: ``pq_topk(queries_df, ..., codebook=codebook,
+    encoded=spark.read.parquet(out_path))`` — the
+    encode-once/search-many deployment shape, now fed incrementally.
+    """
+    from pythonql_spark.operators.pq import pq_encode
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        enc = pq_encode(batch_df, codebook, vec_col=vec_col) \
+            .select(id_col, "pq_code")
+        (enc.withColumn(BATCH_COL, F.lit(batch_id))
+         .write.mode("overwrite")
+         .partitionBy(BATCH_COL)
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(out_path))
+
+    writer = (stream_df.writeStream.foreachBatch(_apply)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -428,3 +428,49 @@ def test_bloom_dedup_ingest_exact_and_replay(spark, tables, tmp_path):
     run_to_completion(bloom_dedup_ingest_stream(stream2, corpus, out, ck))
     again = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert again == got
+
+
+def test_pq_index_ingest_stream_parity_and_replay(spark, tables, tmp_path):
+    """Streaming PQ index maintenance: streamed encodes are byte-equal
+    to a batch pq_encode with the same codebook, a replayed batch is
+    idempotent, and search over the incrementally-built index equals
+    search over a batch-built one."""
+    import shutil
+
+    from pythonql_spark.operators.pq import pq_encode, pq_topk, train_pq
+    from pythonql_spark.streaming import (pq_index_ingest_stream,
+                                          run_to_completion)
+
+    emb = tables["embeddings"]
+    corpus = emb.filter("vec_id < 350").cache()
+    arriving = emb.filter("vec_id >= 350")
+    codebook = train_pq(corpus, m=8, nbits=4, train_sample=512)
+
+    src, out, ck = (str(tmp_path / d) for d in ("in", "idx", "ck"))
+    arriving.write.parquet(src)
+    stream = spark.readStream.schema(arriving.schema).parquet(src)
+    run_to_completion(pq_index_ingest_stream(stream, codebook, out, ck))
+
+    streamed = {r.vec_id: bytes(r.pq_code)
+                for r in spark.read.parquet(out).collect()}
+    batch = {r.vec_id: bytes(r.pq_code)
+             for r in pq_encode(arriving, codebook)
+             .select("vec_id", "pq_code").collect()}
+    assert streamed == batch                     # byte-equal codes
+
+    # replay from a fresh checkpoint: partition overwritten, not doubled
+    shutil.rmtree(ck)
+    stream2 = spark.readStream.schema(arriving.schema).parquet(src)
+    run_to_completion(pq_index_ingest_stream(stream2, codebook, out, ck))
+    assert spark.read.parquet(out).count() == len(batch)
+
+    # search over corpus-encode ∪ streamed index == search over a
+    # batch-built index of the same rows
+    full = corpus.union(arriving)
+    inc_index = pq_encode(corpus, codebook).select("vec_id", "pq_code") \
+        .unionByName(spark.read.parquet(out).select("vec_id", "pq_code"))
+    got = pq_topk(full, [1, 2, 3], k=5, codebook=codebook,
+                  encoded=inc_index).collect()
+    want = pq_topk(full, [1, 2, 3], k=5, codebook=codebook,
+                   encoded=pq_encode(full, codebook)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
