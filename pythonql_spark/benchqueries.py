@@ -1689,7 +1689,10 @@ def classify_features(spark, sf):
     gradient-descent weights are not — those stay checksum-bound in
     quality_classify)."""
     from pythonql_spark.operators.classifier import bow_features
-    docs = load_table(spark, sf, "documents")
+    # deterministic quarter-corpus: the oracle binds the feature
+    # pipeline, not the corpus size, and the md5 word hash costs ~1 µs
+    # per word (the dual-dialect price; production trains on xxhash64)
+    docs = load_table(spark, sf, "documents").filter("doc_id % 4 = 0")
     return bow_features(docs, n_buckets=512)
 
 
@@ -3524,7 +3527,9 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc('exp(logweight / n_tokens)', 0.7)}"""
     from pythonql_spark.operators.similarity import lsh_topk_oracle_sql
     ORACLE["ann_lsh_md5"] = lsh_topk_oracle_sql(list(range(10)), k=5)
     from pythonql_spark.operators.classifier import bow_features_oracle_sql
-    ORACLE["classify_features"] = bow_features_oracle_sql(n_buckets=512)
+    ORACLE["classify_features"] = bow_features_oracle_sql(
+        n_buckets=512,
+        table="(SELECT * FROM documents WHERE doc_id % 4 = 0) q")
     from pythonql_spark.operators.profile import (
         percentile_normalize_oracle_sql as _pn)
     from pythonql_spark.operators import text as _TXo

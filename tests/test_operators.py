@@ -359,12 +359,10 @@ def test_multimodal_decoder_seam(spark):
     resize_image transcode=, sample_frames frame_decoder=) — the
     schema/partitioning plumbing runs for real, the payload decode is
     the pluggable stage."""
-    import hashlib as _hl
-
     def stub_image_decoder(data, meta):
         # test fixture for the decoder= seam: deterministic pixels
         # from the blob's sha256 (a GPU/ffmpeg stage plugs in here)
-        return 4, 4, 1, _hl.sha256(data or b"").digest()[:16]
+        return 4, 4, 1, bytes(MM.stub_pixels(data))
 
     rows = [(i, bytes(range(i, i + 32)), 64 + i, 48, 400) for i in range(4)]
     df = (spark.createDataFrame(rows, "id long, data binary, w int, h int, dur int")
