@@ -57,7 +57,7 @@ def main() -> None:
         "score_normalize",
         "media_probe", "media_mp4", "ann_pq", "mine_bitext",
         "sample_temperature", "upsample_epochs", "snapshot_diff",
-        "search_hybrid", "classify_features",
+        "search_hybrid", "classify_features", "ann_ivfpq",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers, and spin up the Python worker

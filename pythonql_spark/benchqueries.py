@@ -1671,6 +1671,17 @@ def ann_ivf(spark, sf):
     return ivf_topk(emb, query_ids=list(range(10)), k=5)
 
 
+@q("ann_ivfpq")
+def ann_ivfpq(spark, sf):
+    """Composed FAISS-style IVF-PQ: coarse cells prune the search to
+    n_probe/n_cells of the corpus, PQ residual codes answer by ADC —
+    the standard 100 TB ANN deployment shape."""
+    from pythonql_spark.operators.pq import ivfpq_topk
+    emb = load_table(spark, sf, "embeddings")
+    return ivfpq_topk(emb, query_ids=list(range(10)), k=5,
+                      n_cells=32, n_probe=8)
+
+
 @q("ann_lsh_md5", None)  # oracle attached below (generated SQL)
 def ann_lsh_md5(spark, sf):
     """LSH ANN under a FULL value oracle: md5-derived sign hyperplanes

@@ -195,3 +195,185 @@ def pq_topk(df: DataFrame, query_ids, k: int = 5, *,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "n_id", "adc_cos", "rank"))
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+def train_ivfpq(df: DataFrame, *, n_cells: int = 64, m: int = 8,
+                nbits: int = 8, train_sample: int = 4096,
+                kmeans_iters: int = 10, id_col: str = "vec_id",
+                vec_col: str = "embedding"):
+    """(centroids, codebook) for the composed FAISS-style IVF-PQ
+    index: a spherical k-means coarse quantizer picks each vector's
+    cell; PQ codes the RESIDUAL against its cell centroid (residuals
+    concentrate near zero, so the same code budget quantizes far more
+    precisely than raw-vector PQ — Jégou 2011 §IV).  Both stages
+    train driver-side on one bounded deterministic sample; the
+    combined index parameters (n_cells × dim + m × K × dim/m doubles)
+    stay broadcastable at any corpus size."""
+    from .similarity import _spherical_kmeans
+    pdf = (df.select(F.col(vec_col)).orderBy(F.col(id_col))
+           .limit(train_sample).toPandas())
+    X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    centroids = _spherical_kmeans(X, n_cells, kmeans_iters)
+    R = X - centroids[(X @ centroids.T).argmax(axis=1)]
+    sub, K = dim // m, 1 << nbits
+    codebook = np.stack([
+        _subspace_kmeans(np.ascontiguousarray(R[:, s * sub:(s + 1) * sub]),
+                         K, kmeans_iters, seed=7 + s)
+        for s in range(m)])
+    return centroids, codebook
+
+
+def ivfpq_encode(df: DataFrame, centroids: np.ndarray,
+                 codebook: np.ndarray, *, vec_col: str = "embedding",
+                 cell_col: str = "ivf_cell",
+                 code_col: str = "pq_code") -> DataFrame:
+    """Append (cell id, m-byte residual code) per vector — ONE Arrow
+    pass, one BLAS matmul for the cell assignment plus one per
+    subspace, no shuffle.  Persisted next to the corpus (ideally
+    partitioned by ``cell_col``, so a probe's cell filter prunes
+    files before any row is read)."""
+    m, K, sub = codebook.shape
+    bc = df.sparkSession.sparkContext.broadcast((centroids, codebook))
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<cell: int, code: binary>")
+    def encode(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                 "code": pd.Series([], dtype="object")})
+        C, B = bc.value
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        cells = (X @ C.T).argmax(axis=1)
+        R = X - C[cells]
+        codes = np.empty((len(X), m), dtype=np.uint8)
+        for s in range(m):
+            Rs = R[:, s * sub:(s + 1) * sub]
+            Cs = B[s]
+            D = -2.0 * (Rs @ Cs.T) + (Cs * Cs).sum(axis=1)
+            codes[:, s] = D.argmin(axis=1)
+        return pd.DataFrame({"cell": cells.astype("int32"),
+                             "code": [c.tobytes() for c in codes]})
+
+    return (df.withColumn("__e", encode(F.col(vec_col)))
+            .withColumn(cell_col, F.col("__e.cell"))
+            .withColumn(code_col, F.col("__e.code"))
+            .drop("__e"))
+
+
+def ivfpq_topk(df: DataFrame, query_ids, k: int = 5, *,
+               n_cells: int = 64, n_probe: int = 8, m: int = 8,
+               nbits: int = 8, train_sample: int = 4096,
+               kmeans_iters: int = 10, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               centroids: np.ndarray | None = None,
+               codebook: np.ndarray | None = None,
+               encoded: DataFrame | None = None,
+               cell_col: str = "ivf_cell",
+               code_col: str = "pq_code") -> DataFrame:
+    """Approximate cosine top-k over the IVF-PQ index — the standard
+    100 TB ANN deployment (FAISS IVFPQ): each query probes its
+    ``n_probe`` nearest cells and scores ONLY those cells' m-byte
+    residual codes by ADC.
+
+    Scale shape: the cell filter is a plan-side ``isin`` over the
+    (tiny) union of probed cells — partition/file pruning when the
+    encoded index is stored partitioned by cell — so search touches
+    ~``n_probe / n_cells`` of the code column and none of the raw
+    vectors; per-(query, cell) ADC tables
+    (nq × n_probe × m × K doubles, ~1 MB) broadcast; per-batch
+    partial top-k as in :func:`pq_topk`.  Pass
+    ``centroids``/``codebook``/``encoded`` to reuse a persisted index
+    (built once, probed many — see also
+    ``streaming.pq_index_ingest_stream`` for the incremental-encode
+    shape)."""
+    if centroids is None or codebook is None:
+        centroids, codebook = train_ivfpq(
+            df, n_cells=n_cells, m=m, nbits=nbits,
+            train_sample=train_sample, kmeans_iters=kmeans_iters,
+            id_col=id_col, vec_col=vec_col)
+    n_cells = len(centroids)
+    m, K, sub = codebook.shape
+    n_probe = min(n_probe, n_cells)
+    if encoded is None:
+        encoded = ivfpq_encode(df, centroids, codebook, vec_col=vec_col,
+                               cell_col=cell_col, code_col=code_col)
+
+    qrows = (df.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+             .select(F.col(id_col).alias("q"), F.col(vec_col).alias("v"))
+             .collect())
+    if not qrows:
+        raise ValueError("no query vectors found")
+    q_ids = np.array([int(r.q) for r in qrows], dtype=np.int64)
+    Q = np.array([[float(x) for x in r.v] for r in qrows])
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    nq = len(Q)
+    # n_probe nearest cells per query (deterministic: stable argsort)
+    probes = np.argsort(-(Q @ centroids.T), axis=1,
+                        kind="stable")[:, :n_probe].astype(np.int32)
+    # T[q, p, s, code] = ||(q - c_probe)_s - codeword||²
+    T = np.empty((nq, n_probe, m, K))
+    for qi in range(nq):
+        resid = Q[qi] - centroids[probes[qi]]        # (n_probe, dim)
+        for s in range(m):
+            Rs = resid[:, s * sub:(s + 1) * sub]     # (n_probe, sub)
+            Cs = codebook[s]                         # (K, sub)
+            T[qi, :, s, :] = ((Rs * Rs).sum(axis=1, keepdims=True)
+                              - 2.0 * (Rs @ Cs.T)
+                              + (Cs * Cs).sum(axis=1))
+    bc = df.sparkSession.sparkContext.broadcast((q_ids, probes, T))
+    probed_cells = sorted({int(c) for c in probes.ravel()})
+
+    def batch_topk(batches):
+        q_ids_, probes_, T_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["__c"].to_numpy()),
+                dtype=np.uint8).reshape(len(pdf), m)
+            cells = pdf["__cell"].to_numpy()
+            n_ids = pdf["__id"].to_numpy()
+            out = []
+            for qi in range(len(q_ids_)):
+                ids_parts, d2_parts = [], []
+                for pi in range(probes_.shape[1]):
+                    mask = cells == probes_[qi, pi]
+                    if not mask.any():
+                        continue
+                    sc = codes[mask]
+                    S = np.zeros(len(sc))
+                    for s in range(m):
+                        S += T_[qi, pi, s, sc[:, s]]
+                    ids_parts.append(n_ids[mask])
+                    d2_parts.append(S)
+                if not ids_parts:
+                    continue
+                ids = np.concatenate(ids_parts)
+                cos = np.round(1.0 - np.concatenate(d2_parts) / 2.0, 6)
+                kk = min(k + 1, len(ids))
+                idx = np.lexsort((ids, -cos))[:kk]
+                out.append(pd.DataFrame({
+                    "q_id": np.full(len(idx), q_ids_[qi]),
+                    "n_id": ids[idx], "adc_cos": cos[idx]}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cand = (encoded
+            .filter(F.col(cell_col).isin(probed_cells))
+            .select(F.col(id_col).cast("long").alias("__id"),
+                    F.col(cell_col).alias("__cell"),
+                    F.col(code_col).alias("__c"))
+            .mapInPandas(batch_topk, "q_id long, n_id long, adc_cos double"))
+    w = W.partitionBy("q_id").orderBy(F.col("adc_cos").desc(),
+                                      F.col("n_id"))
+    return (cand.filter(F.col("q_id") != F.col("n_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "adc_cos", "rank"))

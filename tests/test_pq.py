@@ -102,3 +102,75 @@ def test_reused_index_matches_fresh_search(spark, emb):
     b = sorted(map(tuple, pq_topk(emb, [1, 2], k=5, m=16,
                                   nbits=8).collect()))
     assert a == b
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+def test_ivfpq_full_probe_matches_residual_quality(spark, emb):
+    """With n_probe == n_cells the IVF filter admits everything, so
+    recall vs the exact path must be at least as good as raw PQ at
+    the same code budget (residual coding is strictly finer)."""
+    from pythonql_spark.operators.pq import ivfpq_topk
+    qids = list(range(8))
+    exact = {(r.q_id, r.n_id)
+             for r in brute_topk(emb, qids, k=5).collect()}
+    ivf = {(r.q_id, r.n_id)
+           for r in ivfpq_topk(emb, qids, k=5, n_cells=16, n_probe=16,
+                               m=8, nbits=8).collect()}
+    raw = {(r.q_id, r.n_id)
+           for r in pq_topk(emb, qids, k=5, m=8, nbits=8).collect()}
+    assert len(ivf & exact) >= len(raw & exact)
+    assert len(ivf & exact) / len(exact) >= 0.45
+
+
+def test_ivfpq_reused_index_matches_fresh(spark, emb):
+    from pythonql_spark.operators.pq import (ivfpq_encode, ivfpq_topk,
+                                             train_ivfpq)
+    cents, cb = train_ivfpq(emb, n_cells=16, m=8, nbits=4,
+                            train_sample=256)
+    enc = ivfpq_encode(emb, cents, cb).select(
+        "vec_id", "ivf_cell", "pq_code").cache()
+    reused = ivfpq_topk(emb, [1, 2, 3], k=5, centroids=cents,
+                        codebook=cb, encoded=enc).collect()
+    fresh = ivfpq_topk(emb, [1, 2, 3], k=5, n_cells=16, m=8, nbits=4,
+                       train_sample=256).collect()
+    assert sorted(map(tuple, reused)) == sorted(map(tuple, fresh))
+    # determinism across partitionings (the rows-only contract)
+    re8 = ivfpq_topk(emb.repartition(8), [1, 2, 3], k=5,
+                     centroids=cents, codebook=cb,
+                     encoded=enc.repartition(8)).collect()
+    assert sorted(map(tuple, re8)) == sorted(map(tuple, reused))
+
+
+def test_ivfpq_probe_prunes_cells(spark, emb):
+    """The plan must filter the encoded index to the probed cells
+    BEFORE the Python stage — the property that turns into
+    partition/file pruning on a cell-partitioned index."""
+    from pythonql_spark.operators.pq import ivfpq_topk
+    df = ivfpq_topk(emb, [1], k=5, n_cells=16, n_probe=2, m=8, nbits=4)
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    # the probed-cell filter survives as a plan-side IN over the cell
+    # column (n_probe=2 -> exactly two literals), evaluated before the
+    # ADC Python stage
+    import re as _re
+    m_ = _re.search(r"\.cell IN \((\d+(?:,\d+)*)\)", plan)
+    assert m_ and len(m_.group(1).split(",")) == 2, plan
+    assert df.count() > 0
+
+
+def test_ivfpq_planted_duplicates_rank_first(spark):
+    rng = np.random.RandomState(11)
+    base = rng.randn(60, 64).astype("f8")
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(60)]
+    # plant near-duplicates of vectors 0 and 1
+    rows += [(100, (base[0] + 0.01 * rng.randn(64)).tolist()),
+             (101, (base[1] + 0.01 * rng.randn(64)).tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from pythonql_spark.operators.pq import ivfpq_topk
+    got = {r.q_id: r.n_id
+           for r in ivfpq_topk(df, [0, 1], k=1, n_cells=8, n_probe=4,
+                               m=8, nbits=4, train_sample=64).collect()}
+    assert got == {0: 100, 1: 101}
