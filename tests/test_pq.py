@@ -174,3 +174,33 @@ def test_ivfpq_planted_duplicates_rank_first(spark):
            for r in ivfpq_topk(df, [0, 1], k=1, n_cells=8, n_probe=4,
                                m=8, nbits=4, train_sample=64).collect()}
     assert got == {0: 100, 1: 101}
+
+
+def test_ivfpq_persisted_index_partition_pruning(spark, emb, tmp_path):
+    """The documented deployment: the encoded index persisted
+    partitioned by cell — a probe's cell filter must surface as
+    parquet PartitionFilters (files of unprobed cells are never
+    read), and search over the persisted index must equal search over
+    the in-memory encode."""
+    from pythonql_spark.operators.pq import (ivfpq_encode, ivfpq_topk,
+                                             train_ivfpq)
+    cents, cb = train_ivfpq(emb, n_cells=16, m=8, nbits=4,
+                            train_sample=256)
+    path = str(tmp_path / "ivfpq_index")
+    (ivfpq_encode(emb, cents, cb)
+     .select("vec_id", "ivf_cell", "pq_code")
+     .write.partitionBy("ivf_cell").parquet(path))
+    index = spark.read.parquet(path)
+    df = ivfpq_topk(emb, [1, 2], k=5, n_probe=2, centroids=cents,
+                    codebook=cb, encoded=index)
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    import re as _re
+    m_ = _re.search(r"PartitionFilters: \[.*ivf_cell.*IN \(([^)]*)\)", plan)
+    assert m_ and 1 <= len(m_.group(1).split(",")) <= 4, plan
+    mem = ivfpq_topk(emb, [1, 2], k=5, n_probe=2, centroids=cents,
+                     codebook=cb,
+                     encoded=ivfpq_encode(emb, cents, cb))
+    assert sorted(map(tuple, df.collect())) == \
+        sorted(map(tuple, mem.collect()))
