@@ -177,6 +177,7 @@ def bloom_dedup_ingest_stream(stream_df: DataFrame, corpus: DataFrame,
 
 def pq_index_ingest_stream(stream_df: DataFrame, codebook,
                            out_path: str, checkpoint: str, *,
+                           centroids=None,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            trigger_available_now: bool = True
@@ -197,15 +198,28 @@ def pq_index_ingest_stream(stream_df: DataFrame, codebook,
     Search: ``pq_topk(queries_df, ..., codebook=codebook,
     encoded=spark.read.parquet(out_path))`` — the
     encode-once/search-many deployment shape, now fed incrementally.
+
+    Pass ``centroids`` (from ``operators.pq.train_ivfpq``) to
+    maintain the composed IVF-PQ index instead: batches encode to
+    (cell, residual code) and land partitioned by (batch, cell), so
+    ``ivfpq_topk``'s probe filter prunes the incrementally-built
+    index at the FILE level exactly like a batch-built one.
     """
-    from pythonql_spark.operators.pq import pq_encode
+    from pythonql_spark.operators.pq import ivfpq_encode, pq_encode
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        enc = pq_encode(batch_df, codebook, vec_col=vec_col) \
-            .select(id_col, "pq_code")
+        if centroids is None:
+            enc = pq_encode(batch_df, codebook, vec_col=vec_col) \
+                .select(id_col, "pq_code")
+            parts = [BATCH_COL]
+        else:
+            enc = ivfpq_encode(batch_df, centroids, codebook,
+                               vec_col=vec_col) \
+                .select(id_col, "ivf_cell", "pq_code")
+            parts = [BATCH_COL, "ivf_cell"]
         (enc.withColumn(BATCH_COL, F.lit(batch_id))
          .write.mode("overwrite")
-         .partitionBy(BATCH_COL)
+         .partitionBy(*parts)
          .option("partitionOverwriteMode", "dynamic")
          .parquet(out_path))
 

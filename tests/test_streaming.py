@@ -474,3 +474,41 @@ def test_pq_index_ingest_stream_parity_and_replay(spark, tables, tmp_path):
     want = pq_topk(full, [1, 2, 3], k=5, codebook=codebook,
                    encoded=pq_encode(full, codebook)).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_ivfpq_index_ingest_stream(spark, tables, tmp_path):
+    """Streaming IVF-PQ maintenance: batches land cell-partitioned
+    residual codes; search over the incrementally-built index equals
+    a batch-built one, and the probe filter prunes partitions."""
+    from pythonql_spark.operators.pq import (ivfpq_encode, ivfpq_topk,
+                                             train_ivfpq)
+    from pythonql_spark.streaming import (pq_index_ingest_stream,
+                                          run_to_completion)
+
+    emb = tables["embeddings"]
+    corpus = emb.filter("vec_id < 350").cache()
+    arriving = emb.filter("vec_id >= 350")
+    cents, cb = train_ivfpq(corpus, n_cells=16, m=8, nbits=4,
+                            train_sample=256)
+
+    src, out, ck = (str(tmp_path / d) for d in ("in", "idx", "ck"))
+    arriving.write.parquet(src)
+    stream = spark.readStream.schema(arriving.schema).parquet(src)
+    run_to_completion(pq_index_ingest_stream(stream, cb, out, ck,
+                                             centroids=cents))
+
+    inc_index = (ivfpq_encode(corpus, cents, cb)
+                 .select("vec_id", "ivf_cell", "pq_code")
+                 .unionByName(spark.read.parquet(out)
+                              .select("vec_id", "ivf_cell", "pq_code")))
+    full = corpus.union(arriving)
+    got = ivfpq_topk(full, [1, 2, 3], k=5, n_probe=4, centroids=cents,
+                     codebook=cb, encoded=inc_index).collect()
+    want = ivfpq_topk(full, [1, 2, 3], k=5, n_probe=4, centroids=cents,
+                      codebook=cb,
+                      encoded=ivfpq_encode(full, cents, cb)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # cell directories exist under each batch partition (file-level
+    # pruning surface for the probe filter)
+    import glob
+    assert glob.glob(f"{out}/{'_ingest_batch'}=*/ivf_cell=*")
