@@ -89,7 +89,7 @@ def main() -> None:
                                                      semantic_dedup)
     from pythonql_spark.operators.bitext import mine_bitext
     from pythonql_spark.operators.window_clause import predicate_windows
-    from pythonql_spark.operators.pq import pq_topk
+    from pythonql_spark.operators.pq import ivfpq_topk, pq_topk
     from pythonql_spark.operators.spans import dup_span_stats
     from pythonql_spark.operators.timeseries import (merge_rollups,
                                                      rollup_delta)
@@ -241,6 +241,13 @@ def main() -> None:
             # search over the m-byte code column with per-batch
             # partial top-k — only k x |Q| x batches rows shuffle, so
             # sec/unit should FALL toward the scan cost
+            # composed IVF-PQ: the probe's plan-side cell filter keeps
+            # the ADC stage at ~n_probe/n_cells of the code column, so
+            # sec/unit should fall even faster than raw PQ
+            "ann_ivfpq": lambda: ivfpq_topk(
+                embs, query_ids=list(range(10)), k=5, n_cells=64,
+                n_probe=8, m=16, nbits=8,
+                id_col="vec_id", vec_col="embedding").count(),
             "ann_pq": lambda: pq_topk(
                 embs, query_ids=list(range(10)), k=5, m=16, nbits=8,
                 id_col="vec_id", vec_col="embedding").count(),
