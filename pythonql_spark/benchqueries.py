@@ -1689,8 +1689,12 @@ def ann_lsh_md5(spark, sf):
     in DuckDB; exact-cosine re-rank as in ann_topk.  Production search
     stays on the BLAS lsh_topk path (ann_lsh)."""
     from pythonql_spark.operators.similarity import lsh_topk_md5
-    emb = load_table(spark, sf, "embeddings")
-    return lsh_topk_md5(emb, query_ids=list(range(10)), k=5)
+    # deterministic half-corpus: the oracle binds the signature/probe/
+    # re-rank pipeline, not the corpus size, and the unrolled sign
+    # chains run interpreted (the dual-dialect price; production
+    # search stays on the BLAS lsh_topk path)
+    emb = load_table(spark, sf, "embeddings").filter("vec_id % 2 = 0")
+    return lsh_topk_md5(emb, query_ids=list(range(0, 20, 2)), k=5)
 
 
 @q("classify_features", None)  # oracle attached below (generated SQL)
@@ -3536,7 +3540,9 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc('exp(logweight / n_tokens)', 0.7)}"""
     from pythonql_spark.operators.text import bigram_logprob_oracle_sql
     ORACLE["text_bigram"] = bigram_logprob_oracle_sql()
     from pythonql_spark.operators.similarity import lsh_topk_oracle_sql
-    ORACLE["ann_lsh_md5"] = lsh_topk_oracle_sql(list(range(10)), k=5)
+    ORACLE["ann_lsh_md5"] = lsh_topk_oracle_sql(
+        list(range(0, 20, 2)), k=5,
+        table="(SELECT * FROM embeddings WHERE vec_id % 2 = 0) e")
     from pythonql_spark.operators.classifier import bow_features_oracle_sql
     ORACLE["classify_features"] = bow_features_oracle_sql(
         n_buckets=512,

@@ -447,6 +447,56 @@ def lsh_sign_exprs(dim: int, n_planes: int, n_tables: int, *,
     return sig_exprs
 
 
+def _md5_sign_matrix(dim: int, n_planes: int, n_tables: int,
+                     seed: int = 5) -> "np.ndarray":
+    """(n_tables, n_planes, dim) ±1 matrix, md5-parity derived — the
+    same signs :func:`lsh_sign_exprs` embeds as expression literals."""
+    import hashlib as _hl
+    S = np.empty((n_tables, n_planes, dim), dtype=np.float64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for i in range(dim):
+                S[t, p, i] = 1.0 if _hl.md5(
+                    f"lsh:{seed}:{t}:{p}:{i}".encode()).digest()[0] & 1 \
+                    else -1.0
+    return S
+
+
+def _md5_sigs_col(dim: int, n_planes: int, n_tables: int,
+                  vec_col: str, seed: int = 5):
+    """array<long> signature column computing the SAME left-to-right
+    IEEE chains as :func:`lsh_sign_exprs`, but vectorized over the
+    Arrow batch: the dim-loop accumulates ``acc ± x_i`` sequentially
+    per row (bit-identical to the SQL chain — each step is one double
+    add; numpy's pairwise-summing ``sum()`` would NOT be), while every
+    row in the batch advances together.  ~50× faster than evaluating
+    the 1000+-term unrolled expression interpreted (it exceeds janino
+    codegen limits), with the identical result."""
+    from pyspark.sql.functions import pandas_udf
+    S = _md5_sign_matrix(dim, n_planes, n_tables, seed)
+
+    @pandas_udf("array<long>")
+    def sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        out = np.zeros((len(X), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            sig = np.zeros(len(X), dtype=np.int64)
+            for p in range(n_planes):
+                acc = np.zeros(len(X))
+                for i in range(dim):
+                    if S[t, p, i] > 0:
+                        acc += X[:, i]
+                    else:
+                        acc -= X[:, i]
+                sig |= (acc > 0).astype(np.int64) << p
+            out[:, t] = sig
+        return pd.Series([row.tolist() for row in out])
+
+    return sigs(F.col(vec_col))
+
+
 def lsh_topk_md5(df: DataFrame, query_ids, k: int = 5, *,
                  n_planes: int = 10, n_tables: int = 2,
                  probe_hamming: int = 1, dim: int | None = None,
@@ -456,19 +506,18 @@ def lsh_topk_md5(df: DataFrame, query_ids, k: int = 5, *,
     — the dual-dialect oracle path of :func:`lsh_topk` (same plan
     shape: signature explode, broadcast probe expansion, equi-join
     candidates, exact-cosine re-rank; nothing driver-side but the
-    query-id literals).  Signatures are unrolled codegen expressions
-    (n_tables × n_planes × dim terms) instead of the BLAS Pandas UDF,
-    so this path trades throughput for bit-exact DuckDB
-    reproducibility (`lsh_topk_oracle_sql`) — production search stays
-    on :func:`lsh_topk`.  ``probe_hamming`` ≤ 1 (0 = exact bucket,
-    1 adds single-bit flips)."""
+    query-id literals).  Signature bits are fixed left-to-right IEEE
+    ± chains over the vector elements, evaluated Arrow-vectorized
+    with sequential per-row accumulation (:func:`_md5_sigs_col`) so
+    they reproduce BIT-FOR-BIT in DuckDB's unrolled expression form
+    (`lsh_topk_oracle_sql`) without paying interpreted-expression
+    cost.  ``probe_hamming`` ≤ 1 (0 = exact bucket, 1 adds
+    single-bit flips)."""
     if dim is None:
         dim = _dim(df, vec_col)
-    sig_exprs = lsh_sign_exprs(dim, n_planes, n_tables, vec_col=vec_col,
-                               dialect="spark")
-    sigs = df.selectExpr(
-        f"{id_col} as __id", vec_col,
-        f"array({', '.join(sig_exprs)}) as __sigs")
+    sigs = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col),
+        _md5_sigs_col(dim, n_planes, n_tables, vec_col).alias("__sigs"))
     corpus = (sigs.select(F.col("__id").alias("n_id"),
                           F.col(vec_col).alias("c_vec"),
                           vector_norm(vec_col, dim).alias("c_norm"),
