@@ -1515,6 +1515,21 @@ def dedup_corpus(spark, sf):
     return dedup_keep(docs, pairs).select("doc_id", "source", "lang")
 
 
+@q("dedup_corpus_md5", None)  # oracle attached below (generated SQL)
+def dedup_corpus_md5(spark, sf):
+    """The ENTIRE production LSH dedup pipeline under one value
+    oracle: md5 MinHash signatures → banded buckets (star fallback on
+    oversize) → hashed-shingle Jaccard verify → connected components
+    → keep min id per cluster.  dedup_corpus_minhash is the same
+    composition on the xxhash64 production hashes (rows-only); this
+    key proves the composition end-to-end against DuckDB's
+    recursive-CTE replay."""
+    from pythonql_spark.operators.dedup import dedup_keep, minhash_pairs_md5
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_pairs_md5(docs)
+    return dedup_keep(docs, pairs).select("doc_id", "lang", "source")
+
+
 @q("dedup_corpus_cosine", None)  # oracle registered below (recursive CTE)
 def dedup_corpus_cosine(spark, sf):
     """Embedding-space end-to-end dedup: cosine near-dup pairs within
@@ -3568,6 +3583,19 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc('exp(logweight / n_tokens)', 0.7)}"""
     ORACLE["dedup_simhash"] = simhash_pairs_oracle_sql(max_hamming=3)
     from pythonql_spark.operators.dedup import minhash_pairs_oracle_sql
     ORACLE["dedup_minhash_md5"] = minhash_pairs_oracle_sql()
+    ORACLE["dedup_corpus_md5"] = f"""
+WITH RECURSIVE prs AS ({minhash_pairs_oracle_sql()}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM prs
+  UNION ALL SELECT id_b, id_a FROM prs),
+reach(src, dst) AS (
+  SELECT cast(doc_id as bigint), cast(doc_id as bigint) FROM documents
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+comp AS (SELECT src AS id, min(dst) AS comp FROM reach GROUP BY src)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN comp ON cast(d.doc_id as bigint) = comp.id
+WHERE comp.id = comp.comp"""
     from pythonql_spark.operators.dedup import minhash_bipartite_oracle_sql
     ORACLE["dedup_bipartite_md5"] = minhash_bipartite_oracle_sql(
         new_where="doc_id % 10 = 0", corpus_where="doc_id % 10 != 0")
