@@ -44,7 +44,7 @@ def main() -> None:
         "ann_topk", "ann_lsh", "ann_ivf", "knn_join", "embed_project",
         "text_quality", "text_langid", "window_sliding_fixed", "window_aux",
         "stream_tumbling", "sessionize", "doc_pipeline", "training_pipeline",
-        "decontaminate", "decontam_bloom",
+        "decontaminate", "decontam_bloom", "decontam_multi",
         "sample_stratified", "chunk_docs", "pack_sequences", "skew_report",
         "search_bm25", "doc_keywords", "dsir_weights", "dup_spans",
         "cluster_embed", "text_bpe", "dedup_semantic", "quality_classify",

@@ -1408,6 +1408,19 @@ def decontaminate_q(spark, sf):
     return decontaminate(corpus, bench, ngram=5)
 
 
+@q("decontam_multi", None)  # oracle attached below (generated SQL)
+def decontam_multi(spark, sf):
+    """Multi-benchmark decontamination: three synthetic eval sets
+    checked in ONE corpus scan via a shingle→benchmark-bitmask
+    broadcast; output is one row per contaminated (doc, benchmark)
+    pair with per-pair overlap fractions."""
+    from pythonql_spark.operators.decontam import decontaminate_multi
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter("doc_id % 97 = 0").selectExpr(
+        "concat('b', cast(doc_id % 3 as string)) as bench", "text")
+    return decontaminate_multi(docs, bench, ngram=5)
+
+
 @q("skew_report", """
 WITH t AS (SELECT count(*) AS total FROM events),
 c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
@@ -3143,6 +3156,11 @@ SELECT cg.doc_id, count(*) AS n_grams, count(b.g) AS n_matched,
 FROM cg LEFT JOIN bench b ON cg.g = b.g
 GROUP BY cg.doc_id
 """
+    from pythonql_spark.operators.decontam import (
+        decontaminate_multi_oracle_sql)
+    ORACLE["decontam_multi"] = decontaminate_multi_oracle_sql(
+        "SELECT 'b' || cast(doc_id % 3 as varchar) AS bench, text "
+        "FROM documents WHERE doc_id % 97 = 0", ngram=5)
     ORACLE["dedup_exact"] = (
         f"SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents "
         f"GROUP BY {TX.fingerprint('text', 'duck')}")

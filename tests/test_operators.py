@@ -1727,3 +1727,30 @@ def test_resample_audio_real_wav_and_ulaw(spark):
     # identity resample keeps the exact sample count
     same = MM.decode_audio(MM.resample_audio(media, 8000)).collect()
     assert {r.audio_ms for r in same} == {100, 50}
+
+
+def test_decontaminate_multi_attribution(spark):
+    """Per-benchmark attribution in one scan: overlapping docs hit
+    exactly the benchmarks containing their shingles; clean docs
+    produce no rows; shared shingles attribute to EVERY benchmark."""
+    from pythonql_spark.operators.decontam import decontaminate_multi
+    bench = spark.createDataFrame(
+        [("arc", "alpha beta gamma delta epsilon zeta"),
+         ("mmlu", "one two three four five six"),
+         ("gsm", "alpha beta gamma delta epsilon zeta")],
+        "bench string, text string")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta extra words here"),
+         (2, "one two three four five six and some more padding"),
+         (3, "completely clean document with no overlap at all here")],
+        "doc_id long, text string")
+    out = decontaminate_multi(corpus, bench, ngram=5)
+    got = {(r.doc_id, r.bench): (r.n_matched, r.contamination)
+           for r in out.collect()}
+    # the 6-word bench phrase yields two 5-gram shingles
+    assert got[(1, "arc")][0] == 2 and got[(1, "gsm")][0] == 2
+    assert got[(2, "mmlu")][0] == 2
+    assert not any(d == 3 for d, _ in got)
+    assert set(b for _, b in got) == {"arc", "gsm", "mmlu"}
+    with pytest.raises(ValueError, match="max_benchmarks"):
+        decontaminate_multi(corpus, bench, max_benchmarks=2)
