@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pythonql_spark.operators.text import ngram_list
+from pythonql_spark.operators.text import ngram_list, sql_str as _sql_str
 
 
 def decontaminate(corpus: DataFrame, benchmark: DataFrame,
@@ -48,15 +48,16 @@ def decontaminate_multi(corpus: DataFrame, benchmarks: DataFrame,
                         id_col: str = "doc_id",
                         text_col: str = "text", *,
                         ngram: int = 5,
-                        max_benchmarks: int = 64) -> DataFrame:
+                        max_benchmarks: int = 63) -> DataFrame:
     """Per-(doc, benchmark) contamination against MANY eval sets in
     ONE corpus scan — production pipelines decontaminate against
     dozens of benchmarks, and scanning the corpus once per benchmark
     is the naive 100 TB mistake this operator exists to avoid.
 
     ``benchmarks`` holds (bench_col, text_col) rows.  Each distinct
-    benchmark shingle carries a BITMASK of the (≤64, sorted-name
-    indexed) benchmarks containing it; the broadcast shingle→mask map
+    benchmark shingle carries a BITMASK of the (≤63, sorted-name
+    indexed — bit 63 is the bigint sign bit and stays unused)
+    benchmarks containing it; the broadcast shingle→mask map
     is at most one long bigger per row than the single-set variant.
     The corpus scan ORs nothing — per-doc, per-benchmark match counts
     are ``n_benchmarks`` codegen'd conditional sums over the joined
@@ -67,11 +68,12 @@ def decontaminate_multi(corpus: DataFrame, benchmarks: DataFrame,
     shingles) is a bounded driver collect, sorted for determinism."""
     names = sorted(r[0] for r in
                    benchmarks.select(bench_col).distinct().collect())
-    if len(names) > max_benchmarks:
+    if len(names) > min(max_benchmarks, 63):
         raise ValueError(
-            f"{len(names)} benchmarks > max_benchmarks={max_benchmarks} "
-            "(bitmask packs into one bigint; raise the cap by sharding "
-            "the benchmark set)")
+            f"{len(names)} benchmarks > max_benchmarks="
+            f"{min(max_benchmarks, 63)} (the bitmask packs into one "
+            "bigint's 63 value bits; shard the benchmark set to go "
+            "wider)")
     grams = ngram_list(text_col, ngram, "spark")
     bidx = {n: i for i, n in enumerate(names)}
     mask_of = F.expr("cast(" + " + ".join(
@@ -106,10 +108,6 @@ def decontaminate_multi(corpus: DataFrame, benchmarks: DataFrame,
                     F.round(F.col("p.n_matched").cast("double") /
                             F.col("n_grams").cast("double"), 6)
                     .alias("contamination")))
-
-
-def _sql_str(t: str) -> str:
-    return "'" + t.replace("'", "''") + "'"
 
 
 def decontaminate_multi_oracle_sql(bench_sql: str, *,

@@ -156,10 +156,12 @@ def decode_audio(df: DataFrame, media_col: str = "media", *,
             if decoder is not None:
                 rate, ch, samples = decoder(data, meta)
                 n = len(samples) // max(ch, 1)
-                mean_abs = (sum(abs(s) for s in samples) / len(samples)
-                            if samples else 0.0)
+                # len(), not truthiness: a numpy array return (the
+                # natural codec-binding type) raises on bool()
+                mean_abs = (sum(abs(int(s)) for s in samples)
+                            / len(samples) if len(samples) else 0.0)
                 return rate, ch, int(n * 1000 / max(rate, 1)), \
-                    mean_abs, list(samples[:16])
+                    mean_abs, [int(s) for s in samples[:16]]
             raise NotImplementedError(
                 f"no codec for format {meta['format']!r} (WAV decodes "
                 "natively); plug one in via decoder=")

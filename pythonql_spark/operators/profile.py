@@ -124,7 +124,9 @@ def percentile_normalize(df, score_cols: list[str],
     be unique (it already must be for deterministic tie-breaks).
     """
     from pyspark.sql import functions as F
-    out = df
+    if not score_cols:
+        return df                  # no signals: the identity (the old
+    out = df                       # per-column loop's behaviour)
     if keys:
         part = f"PARTITION BY {', '.join(keys)} "
         for c in score_cols:

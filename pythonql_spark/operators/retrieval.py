@@ -31,11 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pythonql_spark.operators.text import _ws, words
-
-
-def _sql_str(t: str) -> str:
-    return "'" + t.replace("'", "''") + "'"
+from pythonql_spark.operators.text import _ws, sql_str as _sql_str, words
 
 
 def _norm_terms(query_terms) -> list[str]:

@@ -513,6 +513,11 @@ def lsh_topk_md5(df: DataFrame, query_ids, k: int = 5, *,
     (`lsh_topk_oracle_sql`) without paying interpreted-expression
     cost.  ``probe_hamming`` ≤ 1 (0 = exact bucket, 1 adds
     single-bit flips)."""
+    query_ids = [int(q) for q in query_ids]
+    if not query_ids:
+        raise ValueError("query_ids must not be empty")
+    if df.filter(F.col(id_col).isin(query_ids)).limit(1).count() == 0:
+        raise ValueError("no query_ids found in the corpus")
     if dim is None:
         dim = _dim(df, vec_col)
     sigs = df.select(

@@ -31,6 +31,12 @@ def _ws(dialect: str) -> str:
     return "\\\\s+" if dialect == "spark" else "\\s+"
 
 
+def sql_str(t: str) -> str:
+    """SQL string literal (shared by every expression builder that
+    embeds user text — one place to harden escaping)."""
+    return "'" + t.replace("'", "''") + "'"
+
+
 def words(col: str = "text", dialect: str = "spark") -> str:
     if dialect == "spark":
         return f"split(trim({col}), '{_ws(dialect)}')"
