@@ -353,3 +353,31 @@ def test_snapshot_diff_single_join_level(spark, sf_dir):
     assert "FullOuter" in p or "full_outer" in p.lower(), p
     assert p.count("Join") >= 1
     assert "xxhash64" in p, p
+
+
+def test_snapshot_diff_bucketed_zero_exchange(spark, tables):
+    """diff.py's 100 TB claim: two snapshots bucketed on the key
+    diff with NO shuffle Exchange at all — the hash projection
+    preserves the storage bucketing through to the full-outer join."""
+    import shutil
+    from pythonql_spark.operators.diff import snapshot_diff
+    from pythonql_spark.sources.catalog import write_bucketed
+    warehouse = spark.conf.get("spark.sql.warehouse.dir") \
+        .removeprefix("file:")
+    for t in ("snap_v1", "snap_v2"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    docs = tables["documents"].select("doc_id", "text")
+    write_bucketed(docs, "snap_v1", ["doc_id"], n_buckets=8)
+    write_bucketed(
+        docs.filter("doc_id % 10 != 3")
+        .selectExpr("doc_id",
+                    "case when doc_id % 7 = 0 then upper(text) "
+                    "else text end as text"),
+        "snap_v2", ["doc_id"], n_buckets=8)
+    d = snapshot_diff(spark.table("snap_v1"), spark.table("snap_v2"),
+                      compare_cols=["text"])
+    p = formatted_plan(d)
+    assert "Exchange" not in p, p
+    assert d.filter("change = 'removed'").count() > 0
+    assert d.filter("change = 'changed'").count() > 0
