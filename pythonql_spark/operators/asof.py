@@ -43,6 +43,8 @@ def asof_join(left: DataFrame, right: DataFrame,
     runs both window passes — one Exchange, two local sorts."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be backward | forward | nearest")
+    if how not in ("left", "inner"):
+        raise ValueError("how must be left | inner")
     keys = [on] if isinstance(on, str) else list(on)
     r_payload = [c for c in right.columns if c not in keys]
     l_payload = [c for c in left.columns if c not in keys]

@@ -99,7 +99,15 @@ def band_join(left: DataFrame, right: DataFrame, *,
     """|left_val - right_val| <= eps join (both endpoints inclusive):
     the right value expands to the interval [v-eps, v+eps] and the
     range join above does the rest — one equi shuffle, no nested loop.
-    For timestamp columns `eps` is in seconds."""
+    For timestamp columns `eps` is in seconds.  ``eps`` must be
+    positive: the bin width derives from it, and a ~zero width makes
+    timestamp-scale bucket ids overflow into ONE bucket — the per-key
+    cross join this operator exists to avoid (use an equi join for
+    exact matching)."""
+    if not eps > 0:
+        raise ValueError(
+            "eps must be > 0 (exact matching is an equi join, "
+            "not a band join)")
     iv = (right
           .withColumn("__lo", _num(right, right_val) - F.lit(float(eps)))
           .withColumn("__hi", _num(right, right_val) + F.lit(float(eps))))

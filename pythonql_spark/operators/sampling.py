@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pythonql_spark.operators.text import sql_str
+
 BUCKETS = 10_000
 
 
@@ -48,7 +50,8 @@ def stratified_sample(df: DataFrame, strata_col: str,
     languages and 10% of the dominant one.  ``fractions`` maps stratum
     value -> keep fraction; anything absent gets ``default_fraction``."""
     cut = "CASE " + " ".join(
-        f"WHEN {strata_col} = '{k}' THEN {int(round(v * BUCKETS))}"
+        f"WHEN {strata_col} = {sql_str(str(k))} "
+        f"THEN {int(round(v * BUCKETS))}"
         for k, v in sorted(fractions.items())
     ) + f" ELSE {int(round(default_fraction * BUCKETS))} END"
     return df.filter(F.expr(f"{hash_bucket(id_col)} < {cut}"))
@@ -215,7 +218,8 @@ def sample_oracle_where(fractions: dict[str, float] | float,
     if isinstance(fractions, float):
         return f"{hash_bucket(id_col, 'duck')} < {int(round(fractions * BUCKETS))}"
     cut = "CASE " + " ".join(
-        f"WHEN {strata_col} = '{k}' THEN {int(round(v * BUCKETS))}"
+        f"WHEN {strata_col} = {sql_str(str(k))} "
+        f"THEN {int(round(v * BUCKETS))}"
         for k, v in sorted(fractions.items())
     ) + f" ELSE {int(round(default_fraction * BUCKETS))} END"
     return f"{hash_bucket(id_col, 'duck')} < {cut}"
@@ -237,11 +241,14 @@ def split_expr(fractions: dict[str, float], id_col: str = "doc_id",
                     dialect)
     cum, cases = 0.0, []
     names = list(fractions)
+    if len(names) == 1:
+        # a WHEN-less CASE is a parse error; one split = a literal
+        return sql_str(names[0])
     for name in names[:-1]:
         cum += fractions[name]
         cases.append(f"WHEN {b} < {int(round(cum * BUCKETS))} "
-                     f"THEN '{name}'")
-    return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+                     f"THEN {sql_str(name)}")
+    return "CASE " + " ".join(cases) + f" ELSE {sql_str(names[-1])} END"
 
 
 def train_test_split(df: DataFrame,
@@ -266,16 +273,8 @@ def _order_columns(order: str | list[str] | None, id_col: str):
         items = [order]
     else:
         items = list(order)
-    cols = []
-    for it in items:
-        s = it.strip()
-        low = s.lower()
-        if low.endswith(" desc"):
-            cols.append(F.expr(s[:-5]).desc())
-        elif low.endswith(" asc"):
-            cols.append(F.expr(s[:-4]).asc())
-        else:
-            cols.append(F.expr(s).asc())
+    from .topk import _order_cols
+    cols = _order_cols(items)        # one "expr [asc|desc]" parser
     cols.append(F.col(id_col).asc())
     return cols
 
@@ -359,7 +358,7 @@ def select_to_budget(df: DataFrame, strata_col: str,
 
     local = keyed.mapInPandas(run, out_schema)
     budget = "CASE " + " ".join(
-        f"WHEN {strata_col} = '{k}' THEN {int(v)}"
+        f"WHEN {strata_col} = {sql_str(str(k))} THEN {int(v)}"
         for k, v in sorted(budgets.items())
     ) + f" ELSE {int(default_budget)} END"
     return (local.join(F.broadcast(offs),
@@ -381,7 +380,7 @@ def select_to_budget_oracle_sql(strata_col: str, budgets: dict[str, int],
     order_sql = order if order else \
         f"{shuffle_key(id_col, dialect='duck')}, {id_col}"
     budget = "CASE " + " ".join(
-        f"WHEN {strata_col} = '{k}' THEN {int(v)}"
+        f"WHEN {strata_col} = {sql_str(str(k))} THEN {int(v)}"
         for k, v in sorted(budgets.items())
     ) + f" ELSE {int(default_budget)} END"
     return f"""
@@ -426,8 +425,10 @@ def sample_temperature(df: DataFrame, strata_col: str, *,
               .withColumn("__cut", F.expr(
                   f"cast(floor({frac} * {BUCKETS}) as bigint)"))
               .select("__s", "__cut"))
+    # null-safe: a NULL stratum is a real stratum — a plain equality
+    # join would drop its rows while its count still skewed __nmin
     return (df.join(F.broadcast(counts),
-                    F.col(strata_col) == F.col("__s"))
+                    F.col(strata_col).eqNullSafe(F.col("__s")))
             .filter(F.expr(f"{hash_bucket(id_col)} < __cut"))
             .select(df.columns))
 
@@ -449,7 +450,7 @@ WITH c AS (SELECT {strata_col} AS __s, count(*) AS __n
 cut AS (SELECT __s, cast(floor({frac} * {BUCKETS}) as bigint) AS __cut
         FROM (SELECT __s, __n, min(__n) OVER () AS __nmin FROM c)),
 k AS (SELECT t.*, cut.__cut FROM {table} t
-      JOIN cut ON t.{strata_col} = cut.__s)
+      JOIN cut ON t.{strata_col} IS NOT DISTINCT FROM cut.__s)
 SELECT {select} FROM k
 WHERE {hash_bucket(id_col, dialect='duck')} < __cut"""
 
@@ -459,12 +460,12 @@ def _repeat_cases(strata_col: str, repeats: dict[str, float],
     """Static CASE expressions for :func:`upsample_epochs`:
     (whole-epoch count, fractional-copy bucket cut) per stratum."""
     full = "CASE " + " ".join(
-        f"WHEN {strata_col} = '{k}' THEN {int(v)}"
+        f"WHEN {strata_col} = {sql_str(str(k))} THEN {int(v)}"
         for k, v in sorted(repeats.items())
     ) + f" ELSE {int(default_repeat)} END"
     d_cut = int(round((default_repeat - int(default_repeat)) * BUCKETS))
     frac_cut = "CASE " + " ".join(
-        f"WHEN {strata_col} = '{k}' THEN "
+        f"WHEN {strata_col} = {sql_str(str(k))} THEN "
         f"{int(round((v - int(v)) * BUCKETS))}"
         for k, v in sorted(repeats.items())
     ) + f" ELSE {d_cut} END"
@@ -489,8 +490,13 @@ def upsample_epochs(df: DataFrame, strata_col: str,
     fractional copy — no shuffle, no window, no driver data."""
     full, frac_cut = _repeat_cases(strata_col, repeats, default_repeat)
     hb = hash_bucket(f"concat(epoch, ':', {id_col})")
+    # integer repeats (frac_cut = 0) need no trailing maybe-copy: trim
+    # the fan-out to exactly floor(r) rows instead of exploding a dead
+    # copy the filter would discard (2x waste at the default r = 1.0).
+    # slice() keeps the sequence empty when r = 0.
+    upper = f"(({full}) - CASE WHEN ({frac_cut}) <= 0 THEN 1 ELSE 0 END)"
     return (df.withColumn("epoch", F.explode(F.expr(
-        f"sequence(0, {full})")))
+        f"slice(sequence(0, greatest({upper}, 0)), 1, ({upper}) + 1)")))
         .filter(F.expr(
             f"epoch < ({full}) OR {hb} < ({frac_cut})")))
 

@@ -40,9 +40,20 @@ def resample(df: DataFrame, ts_col: str, step_s: int, *,
     # the trailing PARTIAL bin still holds events that pass the
     # ts < end filter — truncating n_bins would silently drop them
     # from the spine join.  The last bin is simply shorter.
-    n_bins = spark.range(1).select(
-        F.ceil((F.unix_timestamp(F.lit(end)) - F.unix_timestamp(F.lit(start)))
-               / step_s).cast("long")).first()[0]
+    # driver-side arithmetic (raises a CLEAR error on an unparseable
+    # bound instead of a null-propagated TypeError, and avoids
+    # launching a Spark job to subtract two literals); the difference
+    # of two same-format naive datetimes matches unix_timestamp's.
+    import math
+    from datetime import datetime
+    try:
+        span_s = (datetime.strptime(end, "%Y-%m-%d %H:%M:%S")
+                  - datetime.strptime(start, "%Y-%m-%d %H:%M:%S")
+                  ).total_seconds()
+    except ValueError as e:
+        raise ValueError(
+            f"start/end must be 'YYYY-MM-DD HH:MM:SS' timestamps: {e}")
+    n_bins = int(math.ceil(span_s / step_s))
     if n_bins <= 0:
         raise ValueError("end must be after start")
 
@@ -60,12 +71,20 @@ def resample(df: DataFrame, ts_col: str, step_s: int, *,
         # not a second scan of the input
         spine = spine.crossJoin(F.broadcast(binned.select(*keys).distinct()))
 
-    out = (spine.join(binned, [*keys, "__bin"], "left")
-           .select(*keys,
-                   F.timestamp_seconds(lo + F.col("__bin") * step_s)
+    # null-safe key equality: a NULL-valued key is a real group (the
+    # spine carries its NULL row from the distinct() above) — a plain
+    # name join would never match it and silently replace its real
+    # aggregates with the fill value
+    sp, bn = spine.alias("sp"), binned.alias("bn")
+    cond = [F.col("sp.__bin") == F.col("bn.__bin")] + [
+        F.col(f"sp.{k}").eqNullSafe(F.col(f"bn.{k}")) for k in keys]
+    out = (sp.join(bn, cond, "left")
+           .select(*[F.col(f"sp.{k}").alias(k) for k in keys],
+                   F.timestamp_seconds(lo + F.col("sp.__bin") * step_s)
                     .alias("bin_start"),
-                   *[(F.col(n) if (n in fill and fill[n] is None)
-                      else F.coalesce(F.col(n), F.lit(fill.get(n, 0))
+                   *[(F.col(f"bn.{n}") if (n in fill and fill[n] is None)
+                      else F.coalesce(F.col(f"bn.{n}"),
+                                      F.lit(fill.get(n, 0))
                                       .cast(binned.schema[n].dataType)))
                      .alias(n) for n in aggs]))
     return out

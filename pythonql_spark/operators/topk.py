@@ -37,20 +37,25 @@ def _order_cols(order_by: list[str] | str):
 def top_k_per_group(df: DataFrame, keys: list[str] | str,
                     order_by: list[str] | str, k: int, *,
                     rank_col: str | None = "rank",
-                    dense: bool = False) -> DataFrame:
+                    ties: bool = False,
+                    dense: bool | None = None) -> DataFrame:
     """Keep the first `k` rows of each group under `order_by`.
 
     `order_by` specs are `"expr [asc|desc]"` strings; include a
     unique tiebreaker column for a deterministic result.  With
-    `dense=True` ties share a rank (`rank()` semantics — may return
-    more than k rows per group); default is strict `row_number`.
-    `rank_col=None` drops the rank from the output.
+    `ties=True` tied rows share a rank (SQL `rank()` semantics — may
+    return more than k rows per group, and ranks have gaps; this is
+    NOT dense_rank); default is strict `row_number`.  ``dense`` is
+    the deprecated old name for the same flag (it never meant
+    dense_rank).  `rank_col=None` drops the rank from the output.
     """
     if k <= 0:
         raise ValueError("k must be >= 1")
+    if dense is not None:
+        ties = dense
     keys = [keys] if isinstance(keys, str) else list(keys)
     w = W.partitionBy(*[F.col(c) for c in keys]).orderBy(*_order_cols(order_by))
-    fn = F.rank() if dense else F.row_number()
+    fn = F.rank() if ties else F.row_number()
     name = rank_col or "__rank"
     out = df.withColumn(name, fn.over(w)).filter(F.col(name) <= k)
     return out if rank_col else out.drop(name)

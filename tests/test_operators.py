@@ -1754,3 +1754,46 @@ def test_decontaminate_multi_attribution(spark):
     assert set(b for _, b in got) == {"arc", "gsm", "mmlu"}
     with pytest.raises(ValueError, match="max_benchmarks"):
         decontaminate_multi(corpus, bench, max_benchmarks=2)
+
+
+def test_sample_temperature_null_stratum_kept(spark):
+    """NULL strata are real strata: their rows survive (null-safe
+    join) and the smallest stratum keeps fraction 1 as documented."""
+    from pythonql_spark.operators.sampling import sample_temperature
+    rows = [(i, "en") for i in range(400)] + \
+           [(1000 + i, None) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sample_temperature(df, "lang", alpha=0.5)
+    by = {k: v for k, v in
+          out.groupBy("lang").count().collect()}
+    assert by.get(None) == 3              # smallest stratum keeps all
+    assert 0 < by["en"] < 400             # en downsampled toward sqrt
+
+
+def test_split_single_fraction_and_quotes(spark):
+    from pythonql_spark.operators.sampling import (stratified_sample,
+                                                   train_test_split)
+    df = spark.createDataFrame([(i, "O'Reilly") for i in range(20)],
+                               "doc_id long, source string")
+    assert train_test_split(df, {"all": 1.0}) \
+        .filter("split = 'all'").count() == 20
+    # quoted stratum values must not break the CASE builder
+    assert stratified_sample(df, "source", {"O'Reilly": 1.0}).count() == 20
+
+
+def test_upsample_integer_repeats_no_dead_copies(spark):
+    """Integer repeat factors fan out exactly floor(r) copies in the
+    explode (no discarded trailing copy), and r=0 yields nothing."""
+    from pythonql_spark.operators.sampling import upsample_epochs
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(10)] + [(100 + i, "b") for i in range(10)]
+        + [(200 + i, "c") for i in range(10)],
+        "doc_id long, lang string")
+    out = upsample_epochs(df, "lang", {"a": 2.0, "b": 0.0, "c": 1.5})
+    by = {k: v for k, v in out.groupBy("lang").count().collect()}
+    assert by["a"] == 20 and "b" not in by
+    assert 10 <= by["c"] <= 20
+    # the explode itself must not fan out dead rows for integer r:
+    # pre-filter row count equals post-filter count for stratum a
+    pre = upsample_epochs(df.filter("lang = 'a'"), "lang", {"a": 2.0})
+    assert pre.count() == 20

@@ -130,3 +130,29 @@ def test_snapshot_diff_shuffles_hashes_not_bodies(spark, tables):
         assert "text" not in m.group(1)
     # the projected shuffle payload is the hash, not the body
     assert "xxhash64" in plan
+
+
+def test_resample_null_key_group_kept(spark):
+    """A NULL-valued key is a real group: its bins must carry the real
+    aggregates, not the fill value (the spine join is null-safe)."""
+    from pythonql_spark.operators.timeseries import resample
+    rows = [("h1", "2024-01-01 00:00:30"), ("h1", "2024-01-01 00:01:30"),
+            (None, "2024-01-01 00:00:10"), (None, "2024-01-01 00:00:20")]
+    df = spark.createDataFrame(rows, "host string, ts string") \
+        .selectExpr("host", "cast(ts as timestamp) as ts")
+    out = resample(df, "ts", 60, start="2024-01-01 00:00:00",
+                   end="2024-01-01 00:02:00", keys=["host"])
+    got = {(r.host, str(r.bin_start)): r.n_events for r in out.collect()}
+    assert got[(None, "2024-01-01 00:00:00")] == 2
+    assert got[(None, "2024-01-01 00:01:00")] == 0
+    assert got[("h1", "2024-01-01 00:00:00")] == 1
+
+
+def test_resample_bad_bounds_clear_error(spark):
+    import pytest as _pytest
+    from pythonql_spark.operators.timeseries import resample
+    df = spark.createDataFrame([("2024-01-01 00:00:30",)], "ts string") \
+        .selectExpr("cast(ts as timestamp) as ts")
+    with _pytest.raises(ValueError, match="YYYY-MM-DD"):
+        resample(df, "ts", 60, start="2024-13-01 00:00:00",
+                 end="2024-01-02 00:00:00")
