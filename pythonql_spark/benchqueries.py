@@ -1427,7 +1427,7 @@ c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
 SELECT user_id, cast(n as bigint) AS n,
        cast(round(n / cast(total as double), 6) as double) AS share
 FROM c, t
-WHERE n >= greatest(1, cast(total * 0.002 as bigint))
+WHERE n >= greatest(1, cast(ceil(total * 0.002) as bigint))
 """)
 def skew_report_q(spark, sf):
     """Skew diagnosis (driver-oracled; the hot_keys machinery was
@@ -3564,9 +3564,12 @@ def _register_retrieval_oracles():
                                                    weighted_cut as _wc)
     ORACLE["dsir_sample"] = f"""
 WITH w AS ({dsir_oracle_sql("lang = 'en'")})
-SELECT d.doc_id, d.lang, w.n_tokens, w.logweight
-FROM documents d JOIN w ON d.doc_id = w.doc_id
-WHERE {_hb('d.doc_id', 'duck')} < {_wc('exp(logweight / n_tokens)', 0.7)}"""
+SELECT d.doc_id, d.lang,
+       coalesce(w.n_tokens, 0) AS n_tokens,
+       coalesce(w.logweight, 0.0) AS logweight
+FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+WHERE {_hb('d.doc_id', 'duck')} < {_wc(
+    'exp(coalesce(w.logweight / nullif(w.n_tokens, 0), 0.0))', 0.7)}"""
     ORACLE["dup_spans"] = dup_span_stats_oracle_sql(k=5)
     from pythonql_spark.operators.spans import strip_dup_spans_oracle_sql
     ORACLE["strip_spans"] = strip_dup_spans_oracle_sql(k=5)

@@ -137,12 +137,27 @@ def dsir_resample(df: DataFrame, target_pred: str, rate: float, *,
                                id_col=id_col, text_col=text_col)
                .select(id_col, F.col("n_tokens").alias("__dsir_n"),
                        F.col("logweight").alias("__dsir_lw")))
-    cut = weighted_cut("exp(__dsir_lw / __dsir_n)", rate)
-    out = (df.join(weights, id_col)
+    # LEFT join + coalesce: a zero-token doc (empty/whitespace text)
+    # has no weight row — it gets the neutral weight exp(0) = 1 and
+    # the plain min(1, rate) keep probability instead of silently
+    # vanishing from the corpus via an inner join
+    cut = weighted_cut(
+        "exp(coalesce(__dsir_lw / nullif(__dsir_n, 0), 0.0))", rate)
+    out = (df.join(weights, id_col, "left")
+           .withColumn("__dsir_n",
+                       F.coalesce("__dsir_n", F.lit(0).cast("bigint")))
+           .withColumn("__dsir_lw",
+                       F.coalesce("__dsir_lw", F.lit(0.0)))
            .filter(F.expr(f"{hash_bucket(id_col)} < {cut}")))
-    if "n_tokens" in df.columns or "logweight" in df.columns:
-        # the input already carries same-named columns (e.g. scored by
-        # a prior LM pass): keep ITS schema, drop our internals
-        return out.drop("__dsir_n", "__dsir_lw")
-    return (out.withColumnRenamed("__dsir_n", "n_tokens")
-            .withColumnRenamed("__dsir_lw", "logweight"))
+    # surface each computed column under its own name unless the
+    # input already carries it (e.g. scored by a prior LM pass) —
+    # independently, so one pre-existing name never drops the other
+    if "n_tokens" in df.columns:
+        out = out.drop("__dsir_n")
+    else:
+        out = out.withColumnRenamed("__dsir_n", "n_tokens")
+    if "logweight" in df.columns:
+        out = out.drop("__dsir_lw")
+    else:
+        out = out.withColumnRenamed("__dsir_lw", "logweight")
+    return out

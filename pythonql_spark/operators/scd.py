@@ -64,8 +64,20 @@ def scd2_current(dim: DataFrame) -> DataFrame:
 
 
 def scd2_as_of(dim: DataFrame, ts) -> DataFrame:
-    """Dimension snapshot as of timestamp ``ts`` (SQL literal or
-    column expression): the version whose interval covers ts."""
-    t = f"timestamp'{ts}'" if isinstance(ts, str) else ts
-    return dim.filter(F.expr(
-        f"valid_from <= {t} AND (valid_to IS NULL OR valid_to > {t})"))
+    """Dimension snapshot as of ``ts``: the version whose validity
+    interval covers it.  ``ts`` may be a 'YYYY-MM-DD[ HH:MM:SS]'
+    string (becomes a timestamp literal), a ``datetime``, or a
+    pyspark ``Column``."""
+    from datetime import date, datetime
+    if isinstance(ts, F.Column):
+        t = ts
+    elif isinstance(ts, (datetime, date)):
+        t = F.lit(str(ts)).cast("timestamp")
+    elif isinstance(ts, str):
+        t = F.expr(f"timestamp'{ts}'")
+    else:
+        raise TypeError(
+            f"ts must be a str, datetime/date or Column, got {type(ts)}")
+    return dim.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t)))

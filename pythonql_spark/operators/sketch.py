@@ -104,15 +104,25 @@ def sketch_quantiles(sketch_df: DataFrame,
                      quantiles: list[float] = (0.5, 0.9, 0.99),
                      keys: list[str] | None = None) -> DataFrame:
     """(keys, column, n, q_50, q_90, ...) from a quantile-sketch
-    table.  Column names use the percent (q_50 for 0.5) so they stay
-    valid identifiers on both engines."""
+    table.  Column names use the percent (q_50 for 0.5) when that is
+    unambiguous; quantiles that would collide at percent precision
+    (0.999 → q_999 via digit concatenation, never q_100) fall back to
+    the full digit string, and an outright duplicate raises."""
     keys = keys or []
+
+    def qname(q: float) -> str:
+        pct = f"q_{int(round(q * 100))}"
+        digits = "q_" + f"{q:g}".replace("0.", "").replace(".", "_")
+        return pct if abs(q * 100 - round(q * 100)) < 1e-9 else digits
+
+    names = [qname(q) for q in quantiles]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate quantile column names: {names}")
     return sketch_df.select(
         *keys, "column",
         F.kll_sketch_get_n_double("sketch").alias("n"),
         *[F.kll_sketch_get_quantile_double("sketch", F.lit(q))
-          .alias(f"q_{int(round(q * 100))}")
-          for q in quantiles])
+          .alias(n_) for q, n_ in zip(quantiles, names)])
 
 
 # ------------------------------------------------- Theta set sketches

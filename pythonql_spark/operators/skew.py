@@ -22,12 +22,12 @@ from pyspark.sql import functions as F
 
 def hot_keys(df: DataFrame, key: str, *, min_share: float = 0.01,
              max_keys: int = 1000) -> list:
-    """Keys holding at least ``min_share`` of rows (approximate scan:
-    one partial-agg shuffle over the key)."""
-    total = df.count()
-    rows = (df.groupBy(key).count()
-            .filter(F.col("count") >= max(1, int(total * min_share)))
-            .orderBy(F.col("count").desc())
+    """Keys holding at least ``min_share`` of rows — the same one-job
+    broadcast-total shape as :func:`skew_report` (no separate count
+    scan), collected because salting decisions are driver-side."""
+    rows = (skew_report(df, key, min_share=min_share)
+            .orderBy(F.col("n").desc(),
+                     F.col(key))           # deterministic tie order
             .limit(max_keys)
             .collect())
     return [r[key] for r in rows]
@@ -41,7 +41,15 @@ def salted_join(big: DataFrame, small: DataFrame, on: str, *,
     keep it for genuinely small-but-unbroadcastable sides; each hot
     key now lands on ``salt`` reducers instead of one.
 
-    Output columns match a plain ``big.join(small, on, how)``."""
+    Output columns match a plain ``big.join(small, on, how)``.
+    ``how`` is limited to inner/left: under right/full outer the
+    small side's unmatched SALT REPLICAS would each surface as their
+    own null-extended output row (salt× duplication) — semantics a
+    salted join cannot express."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "salted_join supports how='inner'|'left' only (outer "
+            "joins would emit one row per unmatched salt replica)")
     b = big.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     s = (small.withColumn(
             "__salt",
@@ -60,7 +68,10 @@ def skew_report(df: DataFrame, key: str, *,
     return (df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
             .join(F.broadcast(total))
             .filter(F.col("n") >= F.greatest(
-                F.lit(1), (F.col("__total") * min_share).cast("bigint")))
+                F.lit(1).cast("bigint"),
+                # ceil, not truncate: "at least min_share" must not
+                # admit keys strictly below the share
+                F.ceil(F.col("__total") * min_share)))
             .selectExpr(key, "n",
                         "cast(round(n / cast(__total as double), 6) "
                         "as double) as share"))

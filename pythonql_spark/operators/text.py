@@ -266,7 +266,11 @@ def remove_boilerplate(df, id_col: str = "doc_id",
             return _seg_hash(s, "spark")
     else:
         raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn!r}")
-    d = delim.replace("\\", "\\\\").replace("'", "\\'")
+    # split()'s second argument is a Java REGEX while array_join's is
+    # a literal: \Q...\E-quote the delimiter so metachar delimiters
+    # ('.', '|', '+') split literally and round-trip on rejoin
+    d = ("\\\\Q" + delim.replace("\\", "\\\\").replace("'", "\\'")
+         + "\\\\E")
     segs = f"split({text_col}, '{d}')"
     seg_rows = (df.select(F.col(id_col).alias("__id"),
                           F.explode(F.expr(segs)).alias("seg"))
@@ -280,7 +284,9 @@ def remove_boilerplate(df, id_col: str = "doc_id",
                 .agg(F.count(F.lit(1)).alias("nd"))
                 .crossJoin(n_row)
                 .filter(F.col("nd") >= F.greatest(
-                    F.floor(F.lit(min_doc_frac) * F.col("__ndocs"))
+                    # ceil: "appears in AT LEAST min_doc_frac of
+                    # docs" must not admit segments strictly below
+                    F.ceil(F.lit(min_doc_frac) * F.col("__ndocs"))
                     .cast("long"), F.lit(min_docs)))
                 .select("sh"))
     freq_set = F.broadcast(
@@ -314,7 +320,7 @@ sr AS (SELECT DISTINCT {id_col},
 nd AS (SELECT count(*) AS n FROM {table}),
 freq AS (
   SELECT sh FROM sr GROUP BY sh
-  HAVING count(*) >= (SELECT greatest(cast(floor({min_doc_frac} * n)
+  HAVING count(*) >= (SELECT greatest(cast(ceil({min_doc_frac} * n)
                       as bigint), {min_docs}) FROM nd)),
 bad AS (SELECT coalesce(list(sh), []) AS bad FROM freq)
 SELECT {id_col}, {extra_cols}

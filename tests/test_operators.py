@@ -1797,3 +1797,69 @@ def test_upsample_integer_repeats_no_dead_copies(spark):
     # pre-filter row count equals post-filter count for stratum a
     pre = upsample_epochs(df.filter("lang = 'a'"), "lang", {"a": 2.0})
     assert pre.count() == 20
+
+
+def test_remove_boilerplate_metachar_delim(spark):
+    """A regex-metachar delimiter ('.') must split literally and
+    round-trip on rejoin — split() quotes it, array_join is literal."""
+    docs = spark.createDataFrame(
+        [(i, f"unique part {i}.Shared Boilerplate.more {i}")
+         for i in range(6)],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.text, r.n_removed)
+           for r in TX.remove_boilerplate(docs, min_doc_frac=0.5,
+                                          delim=".").collect()}
+    for i in range(6):
+        assert out[i][0] == f"unique part {i}.more {i}"
+        assert out[i][1] == 1
+
+
+def test_dsir_resample_keeps_zero_token_docs(spark):
+    """Empty/whitespace docs have no weight row: they get the neutral
+    weight (keep prob = rate) instead of silently vanishing."""
+    from pythonql_spark.operators.dsir import dsir_resample
+    docs = spark.createDataFrame(
+        [(i, "some english words here", "en") for i in range(20)]
+        + [(100, "", "en"), (101, "   ", "en")],
+        "doc_id long, text string, lang string")
+    kept = {r.doc_id for r in
+            dsir_resample(docs, "lang = 'en'", rate=1.0).collect()}
+    assert {100, 101} <= kept                # rate=1 keeps everything
+    # and the surfaced columns exist with neutral values
+    row = (dsir_resample(docs, "lang = 'en'", rate=1.0)
+           .filter("doc_id = 100").first())
+    assert (row.n_tokens, row.logweight) == (0, 0.0)
+
+
+def test_salted_join_rejects_outer(spark):
+    from pythonql_spark.operators.skew import salted_join
+    big = spark.createDataFrame([(1, "x")], "k long, v string")
+    small = spark.createDataFrame([(1, "y")], "k long, w string")
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(big, small, "k", how="right")
+    # left keeps unmatched big rows exactly once
+    big2 = spark.createDataFrame([(1, "x"), (2, "z")], "k long, v string")
+    out = salted_join(big2, small, "k", how="left", salt=4)
+    assert out.count() == 2
+
+
+def test_scd2_as_of_accepts_datetime_and_column(spark):
+    from datetime import datetime
+    from pythonql_spark.operators.scd import scd2_as_of
+    dim = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00", "2024-06-01 00:00:00"),
+         (1, "a2", "2024-06-01 00:00:00", None),
+         (2, "b", "2024-01-01 00:00:00", None)],
+        "id long, val string, valid_from string, valid_to string") \
+        .selectExpr("id", "val",
+                    "cast(valid_from as timestamp) as valid_from",
+                    "cast(valid_to as timestamp) as valid_to")
+    at = scd2_as_of(dim, datetime(2024, 3, 1))
+    assert {r.val for r in at.collect()} == {"a", "b"}
+    at2 = scd2_as_of(dim, F.lit("2024-07-01").cast("timestamp"))
+    assert {r.val for r in at2.collect()} == {"a2", "b"}
+    assert {r.val for r in
+            scd2_as_of(dim, "2024-03-01 00:00:00").collect()} == {"a", "b"}
+    import pytest as _pytest
+    with _pytest.raises(TypeError):
+        scd2_as_of(dim, 12345)
