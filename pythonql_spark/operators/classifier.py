@@ -26,7 +26,6 @@ hash path dual-dialect so units can cross-check feature extraction.
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -49,7 +48,9 @@ def bucket_expr(var: str, n_buckets: int, dialect: str = "spark",
 
 
 def _words(col: str) -> str:
-    return f"split(trim(lower({col})), '{_ws('spark')}')"
+    # coalesce: NULL text must yield an empty word list, not a NULL
+    # feature array (a None in the training sample would crash len())
+    return f"split(trim(lower(coalesce({col}, ''))), '{_ws('spark')}')"
 
 
 def train_quality_classifier(df: DataFrame, label_expr: str, *,
@@ -68,15 +69,20 @@ def train_quality_classifier(df: DataFrame, label_expr: str, *,
     import numpy as np
 
     b = bucket_expr("w", n_buckets, "spark", hash_fn)
+    # NULL labels are excluded BEFORE the deterministic sample cut —
+    # one NaN in y would poison every weight through the first
+    # gradient step (w -= lr * X.T @ (p - y)), silently NaN-ing all
+    # corpus scores
     sample = (df.selectExpr(
                   f"md5(cast({id_col} as string)) as __o",
                   f"cast(({label_expr}) as int) as __y",
                   f"transform({_words(text_col)}, w -> {b}) as __f")
+              .filter("__y IS NOT NULL")
               .orderBy("__o").limit(sample_docs)
               .select("__y", "__f").toPandas())
     X = np.zeros((len(sample), n_buckets))
     for i, buckets in enumerate(sample["__f"]):
-        if len(buckets):
+        if buckets is not None and len(buckets):
             np.add.at(X[i], np.asarray(buckets, dtype=np.int64), 1.0)
             X[i] /= len(buckets)                       # tf normalize
     y = sample["__y"].to_numpy(dtype=np.float64)
@@ -109,12 +115,16 @@ def quality_score(df: DataFrame, model: dict, *,
     logit = (f"aggregate({ws}, cast(0 as double), "
              f"(acc, w) -> acc + element_at(__qw, cast({b} as int) + 1)) "
              f"/ greatest(size({ws}), 1) + {model['bias']!r}")
+    # evaluate the per-word aggregate ONCE (aggregate() is a
+    # codegen-fallback higher-order fn; interpolating it into both
+    # output expressions risks two full hashing passes per row)
     return (df.crossJoin(F.broadcast(wrow))
+            .withColumn("__logit", F.expr(f"cast(({logit}) as double)"))
             .withColumn(out_col, F.expr(
-                f"cast(round({logit}, 6) as double)"))
+                "cast(round(__logit, 6) as double)"))
             .withColumn(out_col + "_prob", F.expr(
-                f"cast(round(1.0 / (1.0 + exp(-({logit}))), 6) as double)"))
-            .drop("__qw"))
+                "cast(round(1.0 / (1.0 + exp(-__logit)), 6) as double)"))
+            .drop("__qw", "__logit"))
 
 
 def bow_features(df: DataFrame, *, text_col: str = "text",
@@ -147,8 +157,9 @@ def bow_features_oracle_sql(*, text_col: str = "text",
     b = bucket_expr("w", n_buckets, "duck")
     return f"""
 WITH sp AS (
-  SELECT {id_col}, str_split_regex(trim(lower({text_col})),
-                                   '{_ws('duck')}') AS ws
+  SELECT {id_col},
+         str_split_regex(trim(lower(coalesce({text_col}, ''))),
+                         '{_ws('duck')}') AS ws
   FROM {table}),
 w AS (
   SELECT {id_col}, len(ws) AS nw,
@@ -171,5 +182,3 @@ def classify_quality(df: DataFrame, label_expr: str, *,
     return quality_score(df, model, text_col=text_col)
 
 
-def sigmoid(z: float) -> float:
-    return 1.0 / (1.0 + math.exp(-z))

@@ -23,12 +23,13 @@ from pythonql_spark.operators.text import fingerprint
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Keep the min-id row per normalized-text fingerprint.
-
-    groupBy(min) + semi-join back would scan twice; a window
-    row_number needs a full sort per key.  min-id via groupBy then
-    broadcast-friendly join is the classic; here: single shuffle
-    groupBy fingerprint with min_by (keeps whole row)."""
+    """(id_col, dup_count): the min id per normalized-text
+    fingerprint with its duplicate count — join back on ``id_col`` (or
+    semi-join) to materialize surviving full rows.  One shuffle: a
+    groupBy on the fingerprint hash whose min/count aggregates are
+    map-side combined (a window row_number would need a full sort per
+    key; keeping whole rows here would carry text through the
+    shuffle)."""
     fp = F.expr(fingerprint(text_col))
     return (df.withColumn("__fp", fp)
             .groupBy("__fp")
@@ -119,6 +120,26 @@ def minhash_bucket_report(df: DataFrame, id_col: str = "doc_id",
         ["band", "h"], max_bucket_size)
 
 
+def _simhash_band_buckets(df: DataFrame, id_col: str, text_col: str,
+                          band_bits: int | None,
+                          hash_fn: str) -> DataFrame:
+    """(id, sh, band, v): banded SimHash bucket keys — ONE shared
+    banding (simhash_pairs and simhash_bucket_report both use it, so
+    the observability surface can never drift from the operator)."""
+    bits = 60 if hash_fn == "md5" else 64
+    if band_bits is None:
+        band_bits = 15 if hash_fn == "md5" else 16
+    n_bands = bits // band_bits
+    sim = simhash_df(df, id_col, text_col, bits, hash_fn)
+    return (sim.select(
+        "id", "sh",
+        F.explode(F.expr(
+            f"transform(sequence(0, {n_bands - 1}), "
+            f"b -> struct(b as band, "
+            f"shiftright(sh, b * {band_bits}) & {(1 << band_bits) - 1} as v))"
+        )).alias("bk")).select("id", "sh", "bk.band", "bk.v"))
+
+
 def simhash_bucket_report(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", *,
                           band_bits: int | None = None,
@@ -126,18 +147,8 @@ def simhash_bucket_report(df: DataFrame, id_col: str = "doc_id",
                           hash_fn: str = "xxhash64") -> DataFrame:
     """(band, v, n, min_id, max_id) for oversize SimHash band buckets
     — the dropped-bucket report for :func:`simhash_pairs`."""
-    bits = 60 if hash_fn == "md5" else 64
-    if band_bits is None:
-        band_bits = 15 if hash_fn == "md5" else 16
-    n_bands = bits // band_bits
-    sim = simhash_df(df, id_col, text_col, bits, hash_fn)
-    banded = sim.select(
-        "id",
-        F.explode(F.expr(
-            f"transform(sequence(0, {n_bands - 1}), "
-            f"b -> struct(b as band, "
-            f"shiftright(sh, b * {band_bits}) & {(1 << band_bits) - 1} as v))"
-        )).alias("bk")).select("id", "bk.band", "bk.v")
+    banded = _simhash_band_buckets(df, id_col, text_col, band_bits,
+                                   hash_fn).drop("sh")
     return lsh_bucket_report(banded, ["band", "v"], max_bucket_size)
 
 
@@ -197,12 +208,24 @@ def _gh_list(text_col: str, ngram: int) -> str:
             f"i -> xxhash64({idx})))[0]")
 
 
+def _check_bands(num_hashes: int, bands: int) -> None:
+    """bands must evenly divide num_hashes — a remainder would
+    silently discard the trailing min-hashes (weaker recall than the
+    requested parameters), and bands > num_hashes yields rows of
+    zero-hash bands (malformed SQL)."""
+    if bands <= 0 or num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must be positive and divide "
+            f"num_hashes={num_hashes} evenly")
+
+
 def _minhash_band_buckets(df: DataFrame, id_col: str, text_col: str,
                           num_hashes: int, bands: int,
                           ngram: int) -> DataFrame:
     """(id, band, h): banded MinHash bucket keys per doc — explode
     shingles, hash once, num_hashes codegen'd min-aggregates (map-side
     partial agg: the shuffle carries id → 64 longs, not text)."""
+    _check_bands(num_hashes, bands)
     r = num_hashes // bands
     shingles = (df.select(F.col(id_col).alias("id"),
                           F.explode(F.expr(_gh_list(text_col, ngram)))
@@ -222,11 +245,14 @@ def _minhash_band_buckets(df: DataFrame, id_col: str, text_col: str,
 
 def _jaccard_verify(pairs: DataFrame, df_a: DataFrame, df_b: DataFrame,
                     id_col: str, text_col: str, ngram: int,
-                    threshold: float) -> DataFrame:
+                    threshold: float, gh: str | None = None) -> DataFrame:
     """Exact-Jaccard verify pass on candidates only, over the HASHED
     shingle sets (set intersection is hash-collision-insensitive at
-    64 bits, and longs skip rebuilding shingle strings)."""
-    grams = F.expr(f"array_distinct({_gh_list(text_col, ngram)})")
+    64 bits, and longs skip rebuilding shingle strings).  ``gh``
+    overrides the shingle-hash expression (the md5 dual-dialect paths
+    pass theirs) — ONE copy of the join/intersect/union/round block
+    keeps production and oracle paths in sync."""
+    grams = F.expr(f"array_distinct({gh or _gh_list(text_col, ngram)})")
     a = df_a.select(F.col(id_col).alias("id_a"), grams.alias("grams_a"))
     b = df_b.select(F.col(id_col).alias("id_b"), grams.alias("grams_b"))
     return (pairs.join(a, "id_a").join(b, "id_b")
@@ -397,18 +423,8 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     ``max_bucket_size`` guards degenerate buckets (see
     minhash_lsh_pairs).  ``hash_fn="md5"`` is the 60-bit
     oracle-portable path (4×15-bit bands by default)."""
-    bits = 60 if hash_fn == "md5" else 64
-    if band_bits is None:
-        band_bits = 15 if hash_fn == "md5" else 16
-    n_bands = bits // band_bits
-    sim = simhash_df(df, id_col, text_col, bits, hash_fn)
-    banded = sim.select(
-        "id", "sh",
-        F.explode(F.expr(
-            f"transform(sequence(0, {n_bands - 1}), "
-            f"b -> struct(b as band, "
-            f"shiftright(sh, b * {band_bits}) & {(1 << band_bits) - 1} as v))"
-        )).alias("bk")).select("id", "sh", "bk.band", "bk.v")
+    banded = _simhash_band_buckets(df, id_col, text_col, band_bits,
+                                   hash_fn)
     return (_bucket_pairs(
                 banded, ["band", "v"], max_bucket_size,
                 elem_struct="struct(id, sh)",
@@ -646,15 +662,8 @@ def minhash_pairs_md5(df: DataFrame, id_col: str = "doc_id",
         pair_expr="struct(xs[i] as id_a, xs[j] as id_b)").distinct()
     if jaccard_threshold is None:
         return pairs
-    grams = F.expr(f"array_distinct({gh})")
-    a = df.select(F.col(id_col).alias("id_a"), grams.alias("grams_a"))
-    b = df.select(F.col(id_col).alias("id_b"), grams.alias("grams_b"))
-    return (pairs.join(a, "id_a").join(b, "id_b")
-            .withColumn("jaccard", F.expr(
-                "cast(size(array_intersect(grams_a, grams_b)) as double) / "
-                "cast(size(array_union(grams_a, grams_b)) as double)"))
-            .filter(F.col("jaccard") >= jaccard_threshold)
-            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    return _jaccard_verify(pairs, df, df, id_col, text_col, ngram,
+                           jaccard_threshold, gh=gh)
 
 
 def _gh_list_md5_spark(text_col: str, ngram: int) -> str:
@@ -689,6 +698,7 @@ def minhash_pairs_oracle_sql(*, id_col: str = "doc_id",
                              max_bucket_size: int = 500,
                              table: str = "documents") -> str:
     """DuckDB mirror of :func:`minhash_pairs_md5`."""
+    _check_bands(num_hashes, bands)
     r = num_hashes // bands
     gh = _gh_list_md5_duck(text_col, ngram)
     mins = ", ".join(
@@ -737,6 +747,7 @@ def _md5_band_buckets(df: DataFrame, id_col: str, text_col: str,
     """(id, band, h) on the dual-dialect md5 path (the
     minhash_pairs_md5 signature pipeline, shared by the bipartite
     form)."""
+    _check_bands(num_hashes, bands)
     r = num_hashes // bands
     gh = _gh_list_md5_spark(text_col, ngram)
     shingles = (df.select(F.col(id_col).alias("id"),
@@ -777,16 +788,9 @@ def minhash_bipartite_md5(new: DataFrame, corpus: DataFrame,
              .select(F.col("id").alias("id_a"),
                      F.explode("xs").alias("id_b"))
              .distinct())
-    gh = _gh_list_md5_spark(text_col, ngram)
-    grams = F.expr(f"array_distinct({gh})")
-    a = new.select(F.col(id_col).alias("id_a"), grams.alias("grams_a"))
-    b = corpus.select(F.col(id_col).alias("id_b"), grams.alias("grams_b"))
-    return (pairs.join(a, "id_a").join(b, "id_b")
-            .withColumn("jaccard", F.expr(
-                "cast(size(array_intersect(grams_a, grams_b)) as double) / "
-                "cast(size(array_union(grams_a, grams_b)) as double)"))
-            .filter(F.col("jaccard") >= jaccard_threshold)
-            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    return _jaccard_verify(pairs, new, corpus, id_col, text_col, ngram,
+                           jaccard_threshold,
+                           gh=_gh_list_md5_spark(text_col, ngram))
 
 
 def minhash_bipartite_oracle_sql(*, new_where: str, corpus_where: str,
@@ -798,6 +802,7 @@ def minhash_bipartite_oracle_sql(*, new_where: str, corpus_where: str,
                                  max_bucket_size: int = 500,
                                  table: str = "documents") -> str:
     """DuckDB mirror of :func:`minhash_bipartite_md5`."""
+    _check_bands(num_hashes, bands)
     r = num_hashes // bands
     gh = _gh_list_md5_duck(text_col, ngram)
     mins = ", ".join(

@@ -134,6 +134,11 @@ def pq_topk(df: DataFrame, query_ids, k: int = 5, *,
 
     Pass ``codebook``/``encoded`` to reuse a persisted index (the
     100 TB deployment shape: encode once, search many)."""
+    if encoded is not None and codebook is None:
+        raise ValueError(
+            "encoded= requires the codebook that produced it — "
+            "retraining here would score the stale codes against "
+            "different codewords (silently garbage neighbours)")
     if codebook is None:
         codebook = train_pq(df, m=m, nbits=nbits,
                             train_sample=train_sample,
@@ -293,6 +298,11 @@ def ivfpq_topk(df: DataFrame, query_ids, k: int = 5, *,
     (built once, probed many — see also
     ``streaming.pq_index_ingest_stream`` for the incremental-encode
     shape)."""
+    if encoded is not None and (centroids is None or codebook is None):
+        raise ValueError(
+            "encoded= requires the centroids and codebook that "
+            "produced it — retraining here would score the stale "
+            "codes against different codewords")
     if centroids is None or codebook is None:
         centroids, codebook = train_ivfpq(
             df, n_cells=n_cells, m=m, nbits=nbits,

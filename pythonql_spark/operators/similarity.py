@@ -41,7 +41,12 @@ def cosine_expr(a: str, b: str, dim: int, base: int = 0) -> str:
 
 
 def _dim(df: DataFrame, col: str) -> int:
-    row = df.select(F.size(F.col(col)).alias("d")).first()
+    row = (df.select(F.size(F.col(col)).alias("d"))
+           .filter(F.col("d").isNotNull()).first())
+    if row is None:
+        raise ValueError(
+            f"cannot infer the vector dimension of {col!r}: input has "
+            "no non-null vectors (empty corpus?)")
     return int(row["d"])
 
 
@@ -142,22 +147,6 @@ def cosine_pairs(df: DataFrame, block_col: str, threshold: float,
             .filter(F.col("cosine") >= threshold))
 
 
-def lsh_signature_expr(vec_col: str, dim: int, n_planes: int = 16,
-                       plane_base: int = 0) -> str:
-    """Random-hyperplane signature: bit p = sign of <v, h_p> where
-    h_p[i] = ±1 derived from xxhash64(p, i) — deterministic, no
-    stored projection matrix, computable at read time anywhere.
-    ``plane_base`` offsets the plane seeds so independent hash tables
-    get independent hyperplanes."""
-    terms = lambda p: " + ".join(
-        f"CASE WHEN (shiftright(xxhash64(cast({p} as bigint), {i // 63}), {i % 63}) & 1) = 1 "
-        f"THEN cast({vec_col}[{i}] as double) ELSE -cast({vec_col}[{i}] as double) END"
-        for i in range(dim))
-    return ("(" + " + ".join(
-        f"CASE WHEN ({terms(plane_base + p)}) > 0 THEN {1 << p} ELSE 0 END"
-        for p in range(n_planes)) + ")")
-
-
 def _probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
     """All bit masks over n_planes bits with popcount ≤ probe_hamming."""
     from itertools import combinations
@@ -247,21 +236,15 @@ def ivf_topk(df: DataFrame, query_ids, k: int = 5, *,
     scan ~25% of cells: 0.76 recall@5 on the UNclustered synthetic
     testdata (the hard case — real embedding corpora cluster, pushing
     recall up at the same scan fraction)."""
-    from pyspark.sql.functions import pandas_udf
-
-    tp = (df.select(F.col(vec_col)).orderBy(F.col(id_col))
-          .limit(train_sample).toPandas())
-    X = np.vstack(tp[vec_col].to_numpy()).astype(np.float64)
-    dim = X.shape[1]
-    C = _spherical_kmeans(X, n_centroids, kmeans_iters)
-
-    @pandas_udf("int")
-    def cell_of(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype="int32")
-        M = np.vstack(v.to_numpy()).astype(np.float64)
-        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        return pd.Series((M @ C.T).argmax(axis=1).astype("int32"))
+    # shared bounded-train + assignment helpers (also used by
+    # semantic_pairs / cluster_embeddings): one copy of the
+    # normalization/argmax logic keeps the determinism contract
+    C = _train_centroids(df, n_clusters=n_centroids,
+                         train_sample=train_sample,
+                         kmeans_iters=kmeans_iters,
+                         id_col=id_col, vec_col=vec_col)
+    dim = C.shape[1]
+    cell_of = _cell_udf(C)
 
     qrows = (df.filter(F.col(id_col).isin(list(query_ids)))
              .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
