@@ -77,22 +77,22 @@ def _child(obj: Any, key: str | None) -> list:
 
 
 def _desc(obj: Any, key: str | None) -> list:
+    """Pre-order (document-order) descendant walk — sequence order
+    matters downstream (count clause, windows), so a stack-pop
+    reversal would be observably wrong."""
     out = []
-    stack: list[tuple[str | None, Any]] = []
 
-    def push(o: Any):
+    def walk(o: Any):
         if isinstance(o, list):
             for i in _flatten(o):
-                push(i)
+                walk(i)
         elif isinstance(o, dict):
-            stack.extend((k, v) for k, v in o.items())
+            for k, v in o.items():
+                if key is None or k == key:
+                    out.append(v)
+                walk(v)
 
-    push(obj)
-    while stack:
-        k, v = stack.pop()
-        if key is None or k == key:
-            out.append(v)
-        push(v)
+    walk(obj)
     return out
 
 

@@ -145,7 +145,10 @@ def _struct_fast_path(df, col, pattern, exact, bind_parent):
         if isinstance(spec, Bind):
             if spec.where is not None:
                 return None
-            cond = cond & c.isNotNull()
+            # no isNotNull: the dynamic walker binds a PRESENT key
+            # whose value is null (JSON '{"k": null}' matches with
+            # x = None) — a struct field is always present, so the
+            # same logical data must match here too
             binds.append((spec.name, c.cast("string")))
         elif isinstance(spec, dict):
             return None  # nested → dynamic walker

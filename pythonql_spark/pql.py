@@ -33,8 +33,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pythonql_spark import expr as X
 from pythonql_spark.query import Query, _split_as
 
+# NB: clause-`if` (the reference's where synonym) must not swallow the
+# SQL function call `if(cond, a, b)` — the lookahead rejects `if(`.
+# (A bare Python ternary `x if c else y` still needs parentheses.)
 _CLAUSE_RE = re.compile(
-    r"\b(select|for|let|where|if|count|group\s+by|order\s+by|match)\b",
+    r"\b(select|for|let|where|if(?!\s*\()|count|group\s+by|order\s+by"
+    r"|match)\b",
     re.IGNORECASE)
 
 
@@ -108,13 +112,42 @@ def _clauses(q: str) -> list[tuple[str, str]]:
 
 def _translate_py(e: str) -> str:
     """Python-isms → Spark SQL (beyond expr.translate)."""
-    # try E except D
-    m = re.search(r"\btry\b(.*)\bexcept\b(.*)", X.strip_strings(e), re.DOTALL)
+    # try E except D — preserve any text before `try`, keep the
+    # wrapped cast's own type (str(x) must stay a string, not get
+    # re-cast to double), and move unbalanced trailing parens out of
+    # the default so `( try f(x) except 0 )` stays balanced
+    m = re.search(r"\btry\b(.*?)\bexcept\b(.*)", X.strip_strings(e),
+                  re.DOTALL)
     if m:
+        prefix = e[:m.start()]
         body = e[m.start(1):m.end(1)].strip()
         default = e[m.start(2):m.end(2)].strip()
-        body = _coerce_casts(body)
-        e = f"coalesce(try_cast({body} as double), {default})"
+        suffix = ""
+        # a trailing `as alias` belongs to the whole expression, not
+        # the default value (anchor on the `as` token itself — a \s+
+        # prefix would eat backwards through a masked string literal)
+        ma = re.search(r"\bas\s+\w+\s*$", X.strip_strings(default))
+        if ma and default[:ma.start()].strip():
+            suffix = " " + default[ma.start():]
+            default = default[:ma.start()].strip()
+        depth = 0
+        for i, ch in enumerate(X.strip_strings(default)):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    suffix = default[i:] + suffix
+                    default = default[:i].strip()
+                    break
+        coerced = _coerce_casts(body)
+        if coerced != body:
+            # the cast functions are now try_cast (NULL on failure):
+            # coalesce directly, keeping each cast's own result type
+            out = f"coalesce({coerced}, {default})"
+        else:
+            out = f"coalesce(try_cast(({coerced}) as double), {default})"
+        e = prefix + out + suffix
     # x ** k → power(x, k)
     e = re.sub(r"(\w+(?:\.\w+)*|\([^()]*\))\s*\*\*\s*(\w+(?:\.\w+)*)",
                r"power(\1, \2)", e)
@@ -174,6 +207,12 @@ def _as_df(spark: SparkSession, val: Any, var: str,
         return val.df(), False
     if isinstance(val, range):
         val = list(val)
+    if isinstance(val, (list, tuple)) and not len(val):
+        # iterating an empty sequence yields zero rows (reference
+        # semantics), not an unresolved-source error
+        schema = (f"__pos bigint, {var} string" if with_pos
+                  else f"{var} string")
+        return spark.createDataFrame([], schema), True
     if isinstance(val, (list, tuple)) and len(val):
         first = val[0]
         if isinstance(first, dict) or hasattr(first, "_fields"):
@@ -388,8 +427,13 @@ def _window_clause(spark, q: Query, wm: re.Match, env) -> str:
     if seq is None:
         raise ValueError(f"window source {src!r} is empty or unsupported")
     if "__pos" not in seq.columns:
-        from pyspark.sql import functions as F
-        seq = seq.withColumn("__pos", F.monotonically_increasing_id())
+        # windows walk a SEQUENCE; a DataFrame has no inherent order
+        # (monotonically_increasing_id depends on partition layout —
+        # nondeterministic window contents after any shuffle)
+        raise ValueError(
+            f"window source {src!r} is a DataFrame without a __pos "
+            "order column; add one (e.g. via sampling.global_index "
+            "over your ordering) or pass a Python sequence")
 
     from pythonql_spark.operators.window_clause import predicate_windows
     wdf = predicate_windows(seq, order_by="__pos",
@@ -430,5 +474,10 @@ def _match_clause(spark, q: Query, body: str, env) -> None:
         val = spark.createDataFrame(
             [(json.dumps(v, sort_keys=True),) for v in val],
             f"{parent or 'z'} string")
-    matched = match_pattern(val, val.columns[0], pattern, exact=exact)
+        matched = match_pattern(val, val.columns[0], pattern, exact=exact)
+    else:
+        # `as NAME` binds the matched parent value for DataFrame
+        # sources too (it is the column name for list sources above)
+        matched = match_pattern(val, val.columns[0], pattern,
+                                exact=exact, bind_parent=parent)
     q.raw_for_(matched)

@@ -278,7 +278,15 @@ class _Compiler:
         for j in range(for_idx + 1, len(self.clauses)):
             cj = self.clauses[j]
             if cj["kind"] != "where":
-                if cj["kind"] in ("groupby", "select", "orderby", "distinct", "limit"):
+                # stop at any clause whose semantics observe the
+                # UNfiltered binding sequence: lifting a later where
+                # past a count (running index over all bindings) or a
+                # set op (the where must also filter the other side's
+                # rows) changes results, not just the plan
+                if cj["kind"] in ("groupby", "select", "orderby",
+                                  "distinct", "limit", "count",
+                                  "union", "intersect", "except",
+                                  "setop", "window"):
                     break
                 continue
             if isinstance(cj["cond"], Column):
@@ -356,9 +364,15 @@ class _Compiler:
             cj = self.clauses[j]
             if cj["kind"] == "groupby":
                 break
-            for field in ("cond", "expression", "source", "order"):
-                if isinstance(cj.get(field), str):
-                    later_exprs.append((j, field, cj[field]))
+            for field in ("cond", "expression", "source", "order",
+                          "on", "order_by", "partition_by"):
+                val = cj.get(field)
+                if isinstance(val, str):
+                    later_exprs.append((j, field, val))
+                elif isinstance(val, (list, tuple)):
+                    for n, it in enumerate(val):
+                        if isinstance(it, str):
+                            later_exprs.append((j, f"{field}.{n}", it))
             if cj["kind"] == "select":
                 for n, e in enumerate(cj["exprs"]):
                     if isinstance(e, str):
@@ -424,6 +438,16 @@ class _Compiler:
             if new_text != cur:
                 self._rewrite_clause(j, field, new_text)
 
+        if (not agg_cols and not collect_cols
+                and (c.get("rollup") or c.get("cube")
+                     or c.get("grouping_sets") is not None)):
+            # GroupedData.agg() rejects zero exprs; a keys-only
+            # rollup/cube is still meaningful (the grouping levels),
+            # so count the groups as the implicit aggregate
+            agg_cols = [F.count(F.lit(1)).alias("__n")]
+            drop_implicit = True
+        else:
+            drop_implicit = False
         if c.get("grouping_sets") is not None:
             # groupingSets matches set entries to grouping columns by
             # expression — aliased exprs get fresh ids per use and
@@ -445,6 +469,8 @@ class _Compiler:
         else:
             # pure key grouping — equivalent to DISTINCT over the keys
             self.df = self.df.select(*key_cols).distinct()
+        if drop_implicit:
+            self.df = self.df.drop("__n")
         self.visible = set(self.df.columns)
 
     def _var_used_later(self, v: str, later_exprs) -> bool:

@@ -145,3 +145,54 @@ def test_cli_runner(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "1-URGENT" in out
     assert "----Time: compile=" in out
+
+
+def test_try_except_preserves_prefix_type_and_parens(spark):
+    from pythonql_spark.pql import pql
+    rows = pql(spark, """
+        select (x, 1 + (try int(x) except 0) as plus,
+                try str(x) except 'n/a' as s)
+        for x in xs
+    """, env={"xs": [1, 2]}).orderBy("x").collect()
+    # prefix '1 + ' survives; int stays integral; str stays a string
+    assert [(r.x, r.plus, r.s) for r in rows] == [(1, 2, "1"), (2, 3, "2")]
+
+
+def test_empty_sequence_yields_zero_rows(spark):
+    from pythonql_spark.pql import pql
+    assert pql(spark, "select x for x in xs",
+               env={"xs": []}).count() == 0
+
+
+def test_if_function_call_not_a_clause(spark):
+    from pythonql_spark.pql import pql
+    rows = pql(spark, """
+        select (x, if(x > 1, x, 0) as big)
+        for x in xs
+        if x != 99
+    """, env={"xs": [1, 2, 99]}).orderBy("x").collect()
+    assert [(r.x, r.big) for r in rows] == [(1, 0), (2, 2)]
+
+
+def test_window_dataframe_source_requires_pos(spark, tables):
+    import pytest as _pytest
+    from pythonql_spark.pql import pql
+    with _pytest.raises(ValueError, match="__pos"):
+        pql(spark, """
+            select s
+            for sliding window w in ev
+            start y at s when True
+            end at e when e - s == 1
+        """, env={"ev": tables["events"].select("value")})
+
+
+def test_match_as_binds_parent_on_dataframe(spark):
+    from pythonql_spark.pql import pql
+    df = spark.createDataFrame(
+        [('{"k": 7, "x": 1}',), ('{"j": 2}',)], "z string")
+    rows = pql(spark, """
+        select (k, w)
+        match {"k": as k} as w in src
+    """, env={"src": df}).collect()
+    assert len(rows) == 1
+    assert rows[0].k == "7" and '"k"' in rows[0].w

@@ -131,3 +131,52 @@ def test_set_operations(spark):
     q = (Query(spark).for_("t", a).select("t.x as x")
          .intersect_(qb).distinct().order_by("x desc"))
     assert [r.x for r in q.to_list()] == [3, 2]
+
+
+def test_where_not_lifted_past_count(spark):
+    """A where AFTER a count clause must filter already-indexed rows
+    (the count indexes the unfiltered binding sequence) — the join
+    lifter must not consume it into the upstream join."""
+    from pythonql_spark.query import Query
+    xs = spark.createDataFrame([(1,), (2,), (3,)], "a int")
+    ys = spark.createDataFrame([(2,), (3,)], "b int")
+    rows = (Query(spark).for_("x", xs).for_("y", ys)
+            .count_("i")
+            .where("x.a == y.b")
+            .select("x.a as a", "y.b as b", "i").df().collect())
+    got = sorted((r.a, r.b, r.i) for r in rows)
+    # i indexes the 3x2 = 6 unfiltered pairs; the two matches keep
+    # their original indexes (NOT 0 and 1)
+    assert [t[:2] for t in got] == [(2, 2), (3, 3)]
+    assert {t[2] for t in got} != {0, 1}
+
+
+def test_rollup_keys_only_no_crash(spark, tables):
+    from pythonql_spark.query import Query
+    rows = (Query(spark).for_("o", tables["orders"])
+            .group_by("o.o_orderstatus as st", rollup=True)
+            .select("st").df().collect())
+    sts = [r.st for r in rows]
+    assert None in sts and len(sts) >= 2      # grand-total level present
+
+
+def test_struct_match_binds_null_field(spark):
+    """Struct fast path parity with the JSON walker: a present-but-
+    null field matches and binds null (the same logical data must not
+    pass or fail by column type)."""
+    from pythonql_spark.operators.match_clause import Bind, match_pattern
+    js = spark.createDataFrame([('{"k": null, "v": 1}',),
+                                ('{"v": 2}',)], "z string")
+    st = spark.sql(
+        "SELECT named_struct('k', cast(NULL as int), 'v', 1) AS z "
+        "UNION ALL SELECT named_struct('k', 5, 'v', 2)")
+    j = match_pattern(js, "z", {"k": Bind("x")}).count()
+    s = match_pattern(st, "z", {"k": Bind("x")}).count()
+    assert (j, s) == (1, 2)   # both null-k rows match (struct k always present)
+
+
+def test_descendants_document_order(spark):
+    from pythonql_spark.functions.path import _desc
+    assert _desc({"a": 1, "b": 2, "c": {"a": 3}}, None) == \
+        [1, 2, {"a": 3}, 3]
+    assert _desc({"a": 1, "b": {"a": 2, "c": {"a": 3}}}, "a") == [1, 2, 3]
