@@ -157,6 +157,10 @@ def jdbc_table(spark: SparkSession, url: str, table: str,
     across executors instead of a single JDBC cursor."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partition_column requires lower_bound and "
+                             "upper_bound (they became the string 'None' "
+                             "in the JDBC options otherwise)")
         reader = (reader.option("partitionColumn", partition_column)
                   .option("lowerBound", str(lower_bound))
                   .option("upperBound", str(upper_bound))
@@ -361,12 +365,21 @@ def merge_upsert(spark: SparkSession, target_path: str,
         raise ValueError(f"updates schema must match target; differs on "
                          f"{sorted(missing)}")
     if partition_by:
+        from functools import reduce
+
+        from pyspark.sql import functions as F
         pvals = updates.select(*partition_by).distinct().collect()
-        clause = " OR ".join(
-            "(" + " AND ".join(
-                f"{c} = '{r[c]}'" if isinstance(r[c], str) else f"{c} = {r[c]}"
-                for c in partition_by) + ")"
-            for r in pvals)
+        # Column-typed predicate, not string SQL: literals of any type
+        # (date, timestamp, quoted strings, NULL) render correctly and
+        # Catalyst still prunes partitions on it.  A string-built
+        # `c = 2024-01-01` parses as integer arithmetic.
+        clause = reduce(
+            lambda a, b: a | b,
+            (reduce(lambda a, b: a & b,
+                    ((F.col(c).isNull() if r[c] is None
+                      else (F.col(c) == F.lit(r[c])))
+                     for c in partition_by))
+             for r in pvals))
         affected = tgt.filter(clause)
         n_parts = len(pvals)
     else:

@@ -52,8 +52,12 @@ def interval_join(left: DataFrame, right: DataFrame, *,
 
     rt = F.col(ren[right_ts])
     lt = F.col(left_ts)
-    cond = ((rt >= lt + F.expr(f"INTERVAL {float(lower)} SECONDS"))
-            & (rt <= lt + F.expr(f"INTERVAL {float(upper)} SECONDS")))
+    # fixed-point rendering: repr(1e-05) is scientific notation, which
+    # the INTERVAL literal parser rejects; 6 dp == microseconds, the
+    # timestamp resolution
+    lo, hi = f"{float(lower):.6f}", f"{float(upper):.6f}"
+    cond = ((rt >= lt + F.expr(f"INTERVAL '{lo}' SECOND"))
+            & (rt <= lt + F.expr(f"INTERVAL '{hi}' SECOND")))
     for k in keys:
         cond = cond & (left[k] == r[ren[k]])
     out = left.join(r, cond, "inner")

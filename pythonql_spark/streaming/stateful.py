@@ -16,6 +16,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+# Spark SQL type -> pandas dtype for the key column of an EMPTY output
+# chunk (a bare [] Series defaults to float64, which Arrow can't cast
+# to string/long); non-numeric keys ride as object.
+_KEY_PD_DTYPE = {"bigint": "int64", "int": "int32", "smallint": "int16",
+                 "tinyint": "int8", "double": "float64", "float": "float32"}
+
+
+def _key_sql_type(events: DataFrame, key_col: str) -> str:
+    return events.schema[key_col].dataType.simpleString()
+
 
 def stateful_predicate_windows(
         events: DataFrame, *,
@@ -76,6 +86,8 @@ def stateful_predicate_windows(
         import pandas as _pd
         from pyspark.sql import types as T
 
+        key_pd = _KEY_PD_DTYPE.get(_key_sql_type(events, key_col),
+                                   "object")
         schema = T.StructType([
             events.schema[key_col],
             T.StructField("s_at", T.LongType()),
@@ -115,7 +127,7 @@ def stateful_predicate_windows(
             # which can't cast to timestamp)
             return _pd.DataFrame({
                 key_col: _pd.Series([c[0] for c in closed],
-                                    dtype="int64"),
+                                    dtype=key_pd),
                 "s_at": _pd.Series([c[1] for c in closed],
                                    dtype="int64"),
                 "e_at": _pd.Series([c[2] for c in closed],
@@ -169,7 +181,8 @@ def stateful_predicate_windows(
                 .repartition(key_col)
                 .sortWithinPartitions(key_col, ts_col, value_col)
                 .mapInPandas(gen, schema))
-    out_schema = (f"{key_col} long, s_at long, e_at long, "
+    out_schema = (f"{key_col} {_key_sql_type(events, key_col)}, "
+                  f"s_at long, e_at long, "
                   f"s_ts timestamp, e_ts timestamp, "
                   f"n_events long, sum_value double")
     state_schema = ("idx long, open boolean, s_at long, s_ts long, "
@@ -260,7 +273,8 @@ def stateful_sessionize(events: DataFrame, *, gap_ms: int,
     from ..helpers import ensure_event_time
 
     events = ensure_event_time(events, [ts_col])
-    out_schema = (f"{key_col} long, session_start timestamp, "
+    out_schema = (f"{key_col} {_key_sql_type(events, key_col)}, "
+                  f"session_start timestamp, "
                   f"n_events long, sum_value double")
     state_schema = "start long, last long, n long, s double"
     gap_us = gap_ms * 1000

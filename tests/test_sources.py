@@ -297,6 +297,53 @@ def test_merge_upsert_partitioned_cow(spark, tmp_path):
     assert got.filter("day = 'd1'").count() == 10
 
 
+def test_merge_upsert_date_partition(spark, tmp_path):
+    """Partition predicates must be built as typed Columns: a DATE
+    partition value rendered into string SQL parses as integer
+    arithmetic (`day = 2024-01-01` -> `day = 2022`) and either fails
+    analysis or silently mis-filters — non-updated rows in the touched
+    partition would then be dropped by the dynamic overwrite."""
+    import datetime
+    from pythonql_spark.sources.catalog import merge_upsert
+    path = str(tmp_path / "dt")
+    d1, d2 = datetime.date(2024, 1, 1), datetime.date(2024, 1, 2)
+    base = spark.createDataFrame(
+        [(1, d1, "a"), (2, d1, "b"), (3, d2, "c")],
+        "id int, day date, v string")
+    merge_upsert(spark, path, base, ["id"], partition_by=["day"])
+    upd = spark.createDataFrame([(2, d1, "B")], "id int, day date, v string")
+    stats = merge_upsert(spark, path, upd, ["id"], partition_by=["day"])
+    assert stats == {"inserted": 0, "updated": 1, "rewritten_partitions": 1}
+    got = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+    # id=1 lives in the SAME partition as the update and must survive
+    assert got == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_merge_upsert_quoted_string_partition(spark, tmp_path):
+    """A partition value containing a single quote must not break the
+    predicate (string-SQL rendering would)."""
+    from pythonql_spark.sources.catalog import merge_upsert
+    path = str(tmp_path / "q")
+    base = spark.createDataFrame(
+        [(1, "o'brien", "a"), (2, "o'brien", "b"), (3, "plain", "c")],
+        "id int, src string, v string")
+    merge_upsert(spark, path, base, ["id"], partition_by=["src"])
+    upd = spark.createDataFrame([(2, "o'brien", "B")],
+                                "id int, src string, v string")
+    stats = merge_upsert(spark, path, upd, ["id"], partition_by=["src"])
+    assert stats["updated"] == 1 and stats["inserted"] == 0
+    got = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+    assert got == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_jdbc_table_requires_bounds_with_partition_column(spark):
+    import pytest as _pytest
+    from pythonql_spark.sources.catalog import jdbc_table
+    with _pytest.raises(ValueError, match="lower_bound"):
+        jdbc_table(spark, "jdbc:derby:memory:x", "t",
+                   partition_column="id")
+
+
 def test_merge_upsert_schema_mismatch_raises(spark, tmp_path):
     import pytest as _pytest
     from pythonql_spark.sources.catalog import merge_upsert

@@ -512,3 +512,61 @@ def test_ivfpq_index_ingest_stream(spark, tables, tmp_path):
     # pruning surface for the probe filter)
     import glob
     assert glob.glob(f"{out}/{'_ingest_batch'}=*/ivf_cell=*")
+
+
+def test_interval_join_fractional_seconds(spark):
+    """Sub-second bounds: repr(1e-05) is scientific notation, which the
+    INTERVAL literal parser rejects — bounds must render fixed-point."""
+    import datetime
+    from pythonql_spark.streaming import interval_join
+    t0 = datetime.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t0)], "k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, t0), (1, t0 + datetime.timedelta(seconds=1))],
+        "k int, ts timestamp")
+    out = interval_join(left, right, on="k", lower=-1e-05, upper=1e-05)
+    assert out.count() == 1          # only the exact-time match
+
+
+def test_stateful_ops_string_keys(spark, tmp_path):
+    """Key columns are not restricted to long: the output schema and the
+    batch path's empty-chunk dtypes must derive from the input schema.
+    Covers batch predicate windows, batch sessionize, and a streaming
+    sessionize whose session closes mid-stream (gap elapsed in data)."""
+    import datetime
+    from pythonql_spark.streaming import (stateful_predicate_windows,
+                                          stateful_sessionize,
+                                          with_watermark)
+    TS = datetime.datetime
+    rows = ([("alice", TS(2024, 1, 1, 0, 0, s), float(s)) for s in (0, 1, 2)]
+            + [("alice", TS(2024, 1, 1, 0, 0, s), float(s)) for s in (30, 31)]
+            + [("bob", TS(2024, 1, 1, 0, 0, 5), 5.0)])
+    ev = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+
+    w = stateful_predicate_windows(
+        ev,
+        start_when=lambda c, at, p, n: c["value"] >= 1,
+        end_when=lambda c, at, p, n, sc, sa: c["value"] >= sc["value"] + 29,
+        only_end=True)
+    got = sorted((r.user_id, r.s_at, r.e_at) for r in w.collect())
+    assert got == [("alice", 1, 3)]
+
+    s = stateful_sessionize(ev, gap_ms=10_000, key_col="user_id")
+    got = sorted((r.user_id, r.n_events) for r in s.collect())
+    assert got == [("alice", 2), ("alice", 3), ("bob", 1)]
+
+    # streaming: alice's first session closes when the s=30 event
+    # arrives (28s >= 10s gap) — emitted even though the watermark
+    # never times the final sessions out
+    src, ck = str(tmp_path / "skey_in"), str(tmp_path / "skey_ck")
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    st = stateful_sessionize(with_watermark(stream, "ts", "1 minute"),
+                             gap_ms=10_000, key_col="user_id")
+    q = (st.writeStream.format("memory").queryName("skey_sessions")
+         .outputMode("append").option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r.user_id, r.n_events)
+                 for r in spark.table("skey_sessions").collect())
+    assert got == [("alice", 3)]
