@@ -21,6 +21,7 @@ Public API:
 from pythonql_spark.session import get_spark
 from pythonql_spark.query import Query
 from pythonql_spark import helpers
+from pythonql_spark import plans
 
-__all__ = ["Query", "get_spark", "helpers"]
+__all__ = ["Query", "get_spark", "helpers", "plans"]
 __version__ = "0.1.0"

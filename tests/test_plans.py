@@ -13,10 +13,7 @@ import pytest
 from pythonql_spark.benchqueries import QUERIES
 
 
-def formatted_plan(df) -> str:
-    jvm = df.sparkSession._jvm
-    return df._jdf.queryExecution().explainString(
-        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+from pythonql_spark.plans import formatted_plan
 
 
 @pytest.fixture(scope="module")
@@ -381,3 +378,59 @@ def test_snapshot_diff_bucketed_zero_exchange(spark, tables):
     assert "Exchange" not in p, p
     assert d.filter("change = 'removed'").count() > 0
     assert d.filter("change = 'changed'").count() > 0
+
+
+# ------------------------------------------------- public plan-gate API
+
+def test_plan_report_counts_and_scans(spark, sf_dir):
+    """plan_report on the TPC-H Q5 shape: broadcast dims counted,
+    no cartesian, pushdown + pruning visible per scan, zero
+    row-at-a-time Python."""
+    from pythonql_spark.plans import plan_report
+    df = QUERIES["join_multi"](spark, sf_dir)
+    rep = plan_report(df)
+    assert rep["broadcast_exchanges"] >= 2
+    assert rep["broadcast_hash_joins"] >= 2
+    assert rep["cartesian_products"] == 0
+    assert rep["python_row_evals"] == 0
+    assert rep["codegen_spans"] == 0      # AQE: not finalized yet
+    df.collect()
+    assert plan_report(df)["codegen_spans"] >= 1   # visible post-action
+    assert rep["scans"], "no scans parsed"
+    # lineitem scan must be pruned to the few referenced columns
+    assert any(0 < len(s["read_columns"]) <= 4 for s in rep["scans"]), \
+        [s["read_columns"] for s in rep["scans"]]
+
+
+def test_assert_plan_passes_and_fails(spark, sf_dir):
+    from pythonql_spark.plans import PlanAssertionError, assert_plan
+    df = QUERIES["join_multi"](spark, sf_dir)
+    rep = assert_plan(df, no_cartesian=True, no_python_row_udf=True,
+                      require_broadcast_joins=2)
+    assert rep["broadcast_hash_joins"] >= 2
+    with pytest.raises(PlanAssertionError, match="broadcast"):
+        assert_plan(df, require_broadcast_joins=99)
+    # an aggregation-only plan has data shuffles; a 0-shuffle bound fails
+    with pytest.raises(PlanAssertionError, match="shuffles"):
+        assert_plan(QUERIES["group_agg"](spark, sf_dir), max_exchanges=0)
+
+
+def test_assert_plan_flags_row_udf(spark):
+    """A row-at-a-time Python UDF (the 10-100x slow path) must trip
+    the no_python_row_udf gate; an Arrow-batched pandas UDF must not."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from pythonql_spark.plans import PlanAssertionError, assert_plan
+    df = spark.range(10)
+    slow = df.select(F.udf(lambda x: x + 1, LongType())("id").alias("y"))
+    with pytest.raises(PlanAssertionError, match="row-at-a-time"):
+        assert_plan(slow)
+    assert_plan(df.selectExpr("id + 1 as y"))   # pure JVM passes
+
+
+def test_assert_plan_window_group_limit(spark, sf_dir):
+    from pythonql_spark.plans import assert_plan
+    rep = assert_plan(QUERIES["topk_group"](spark, sf_dir),
+                      require_window_group_limit=True)
+    assert rep["window_group_limits"] >= 1
