@@ -10,11 +10,19 @@ drive PyQuery directly with hand-built clause lists, exactly what its
 preprocessor would emit.  Nothing is copied; the reference runs from
 /root/reference.
 
-Two queries both engines support:
+Three queries both engines support:
   q1_groupby — TPC-H Q1 shape: filter lineitem, group by returnflag,
                sum quantity (matches our `group_agg`-lite).
   join_agg   — customer x orders equi-join, group by segment,
                count + sum (matches our `join_equi`).
+  window_agg — the reference's SIGNATURE feature: per-user predicate
+               windows over the event stream (tumbling, start at every
+               50th event, close after 10), total window count + value
+               sum.  The reference runs its Window clause per user
+               sequence (Executor.py:568-638); ours runs the same
+               semantics distributed (stateful_predicate_windows batch
+               dispatch — sorted-run mapInPandas).  Both totals are
+               asserted equal before timing is reported.
 
 Run: python scripts/reference_baseline.py [sf ...]   (default 0.001 0.01)
 """
@@ -89,6 +97,76 @@ def run_reference(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_reference_window(sf_dir: str) -> dict[str, float]:
+    """The reference's Window clause per user: one (user, values)
+    tuple per user (values in (ts, value) order — built OUTSIDE the
+    timed region, same as parquet loading), tumbling windows that
+    start at every 50th element and close after 10 elements."""
+    from collections import namedtuple
+
+    from pythonql.Executor import PyQuery
+    from pythonql.algebra.operators import For, Select, Window
+
+    # Falsy values are filtered on BOTH sides: the reference's
+    # generate_triplets (Executor.py:560 `while nxt:`) stops at the
+    # first falsy lookahead element, silently truncating any sequence
+    # at a 0.0/None value — 6 zero-values at sf0.1 cost it 6 windows.
+    # Filtering keeps the comparison apples-to-apples without tripping
+    # that reference bug.
+    rows = duckdb.sql(
+        f"select user_id, value from '{sf_dir}/events.parquet' "
+        "where value is not null and value <> 0 "
+        "order by user_id, ts, value").fetchall()
+    seqs: dict[int, list[float]] = {}
+    for uid, v in rows:
+        seqs.setdefault(uid, []).append(v)
+    U = namedtuple("U", ["user", "vals"])
+    env = {"user_seqs": [U(u, vs) for u, vs in sorted(seqs.items())]}
+
+    t0 = time.perf_counter()
+    res = PyQuery(
+        [For(["u"], False, "user_seqs"),
+         Window("w", True, False, "u.vals",
+                "sa % 50 == 0", "ea - sa == 9",
+                {"var": "w", "s_at": "sa", "e_at": "ea"}),
+         Select("(u.user, len(w), sum(w))")],
+        env, env, "list")
+    # drop trailing unclosed windows (len < 10) to mirror only_end=True
+    n_windows = sum(1 for r in res if r[1] == 10)
+    total = sum(r[2] for r in res if r[1] == 10)
+    return {"window_agg": time.perf_counter() - t0,
+            "window_n": n_windows, "window_sum": round(total, 6)}
+
+
+def run_ours_window(sf_dir: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from pythonql_spark import get_spark
+    from pythonql_spark.sources import load_table
+    from pythonql_spark.streaming.stateful import stateful_predicate_windows
+
+    spark = get_spark("ref-baseline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def q():
+        ev = load_table(spark, sf_dir, "events").filter(
+            "value is not null and value <> 0")   # mirror reference filter
+        w = stateful_predicate_windows(
+            ev,
+            start_when=lambda c, at, p, n: at % 50 == 0,
+            end_when=lambda c, at, p, n, sc, sa: at - sa == 9,
+            only_end=True)
+        return w.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("sum_value").alias("total"))
+
+    q().collect()                         # warm the shape
+    t0 = time.perf_counter()
+    row = q().collect()[0]
+    return {"window_agg": time.perf_counter() - t0,
+            "window_n": int(row["n"]),
+            "window_sum": round(float(row["total"]), 6)}
+
+
 def run_ours(sf_dir: str) -> dict[str, float]:
     from pyspark.sql import functions as F
 
@@ -131,6 +209,13 @@ def main() -> None:
         sf_dir = f"/root/testdata/sf{sf}"
         ref = run_reference(sf_dir)
         ours = run_ours(sf_dir)
+        refw, ourw = run_reference_window(sf_dir), run_ours_window(sf_dir)
+        assert (refw["window_n"], refw["window_sum"]) == \
+               (ourw["window_n"], ourw["window_sum"]), (refw, ourw)
+        print(f"sf{sf:>5s} window_agg  reference="
+              f"{refw['window_agg']:8.2f}s ours={ourw['window_agg']:6.2f}s"
+              f"  speedup={refw['window_agg'] / ourw['window_agg']:7.1f}x"
+              f"  ({refw['window_n']} windows, equal sums)", flush=True)
         for q in ("q1_groupby", "join_agg"):
             r, o = ref[q], ours[q]
             if r != r:                      # NaN: skipped as intractable
