@@ -1685,6 +1685,51 @@ def knn_join_q(spark, sf):
                     emb.filter("vec_id % 97 != 0"), k=5)
 
 
+@q("mine_negatives", None)  # oracle attached below (needs cosine_expr)
+def mine_negatives_q(spark, sf):
+    """Hard-negative mining: top-5 nearest DIFFERENT-label vectors per
+    anchor — label mask inside the per-batch partial top-k."""
+    from pythonql_spark.operators.similarity import mine_hard_negatives
+    emb = load_table(spark, sf, "embeddings")
+    return mine_hard_negatives(emb.filter("vec_id < 10"), emb, k=5)
+
+
+@q("mine_triplets", None)  # oracle attached below
+def mine_triplets_q(spark, sf):
+    """(anchor, nearest positive, 3 hardest negatives) training
+    triplets with portable 6-dp margins."""
+    from pythonql_spark.operators.similarity import mine_triplets
+    emb = load_table(spark, sf, "embeddings")
+    return mine_triplets(emb.filter("vec_id < 10"), emb, n_neg=3)
+
+
+_PSI_ARGS = dict(col="n_chars", lo=0.0, hi=600.0, nbins=20,
+                 keys=["lang"])
+
+
+@q("drift_psi")
+def drift_psi_q(spark, sf):
+    """Per-language PSI between two halves of the documents corpus
+    (even vs odd doc_id) over the n_chars distribution — the
+    snapshot-to-snapshot drift monitor.  Corpus-sized work is two
+    partial-aggregated groupBys; everything after runs on
+    |langs| x 20 rows."""
+    from pythonql_spark.operators.profile import psi_drift
+    docs = load_table(spark, sf, "documents")
+    return psi_drift(docs.filter("doc_id % 2 = 0"),
+                     docs.filter("doc_id % 2 = 1"), **_PSI_ARGS)
+
+
+def _attach_drift_psi_oracle():
+    from pythonql_spark.operators.profile import psi_drift_oracle_sql
+    ORACLE["drift_psi"] = psi_drift_oracle_sql(
+        "(SELECT * FROM documents WHERE doc_id % 2 = 0) sa",
+        "(SELECT * FROM documents WHERE doc_id % 2 = 1) sb", **_PSI_ARGS)
+
+
+_attach_drift_psi_oracle()
+
+
 @q("ann_lsh")
 def ann_lsh(spark, sf):
     from pythonql_spark.operators.similarity import lsh_topk
@@ -3310,6 +3355,45 @@ SELECT q_id, n_id, cosine, rank FROM (
          cast(row_number() OVER (PARTITION BY q_id
                                  ORDER BY cosine DESC, n_id) AS INTEGER) AS rank
   FROM s) WHERE rank <= 5
+"""
+    ORACLE["mine_negatives"] = f"""
+WITH s AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id, {qcos} AS cosine
+  FROM embeddings q JOIN embeddings c ON c.label <> q.label
+  WHERE q.vec_id < 10)
+SELECT q_id, n_id, cosine, rank FROM (
+  SELECT q_id, n_id, cosine,
+         cast(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, n_id) AS INTEGER) AS rank
+  FROM s) WHERE rank <= 5
+"""
+    ORACLE["mine_triplets"] = f"""
+WITH sp AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id, {qcos} AS cosine
+  FROM embeddings q JOIN embeddings c
+    ON c.label = q.label AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10),
+pos AS (
+  SELECT q_id, n_id AS pos_id, cosine AS pos_cosine FROM (
+    SELECT q_id, n_id, cosine,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cosine DESC, n_id) AS rnk
+    FROM sp) WHERE rnk = 1),
+sn AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id, {qcos} AS cosine
+  FROM embeddings q JOIN embeddings c ON c.label <> q.label
+  WHERE q.vec_id < 10),
+neg AS (
+  SELECT q_id, n_id AS neg_id, cosine AS neg_cosine, rank AS neg_rank
+  FROM (
+    SELECT q_id, n_id, cosine,
+           cast(row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, n_id) AS INTEGER)
+             AS rank
+    FROM sn) WHERE rank <= 3)
+SELECT pos.q_id, pos_id, pos_cosine, neg_id, neg_cosine, neg_rank,
+       round(pos_cosine - neg_cosine, 6) AS margin
+FROM pos JOIN neg ON pos.q_id = neg.q_id
 """
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 
 def table_profile(df: DataFrame, cols: list[str] | None = None, *,
@@ -156,6 +157,113 @@ def percentile_normalize(df, score_cols: list[str],
         F.max(F.when(F.col("__ci") == i, F.col("__pct")))
         .alias(score_cols[i] + suffix) for i in range(ncols)])
     return df.join(wide.withColumnRenamed("__id", id_col), id_col)
+
+
+def psi_drift(df_a: DataFrame, df_b: DataFrame, col: str,
+              lo: float, hi: float, nbins: int,
+              keys: list[str] | None = None, *,
+              smooth: float = 0.5) -> DataFrame:
+    """Population Stability Index between two snapshots of a corpus —
+    the drift monitor a curation pipeline runs between crawls: did the
+    distribution of ``col`` (a length, a quality score, a perplexity)
+    move, overall or within each ``keys`` stratum?
+
+    PSI = Σ_bins (p_a - p_b) · ln(p_a / p_b) over the same fixed
+    equi-width bins as :func:`histogram` (values outside [lo, hi]
+    dropped on BOTH sides, identically).  Bin probabilities are
+    additively smoothed — p = (count + smooth) / (n + smooth·nbins) —
+    so empty bins contribute finitely and the formula is total.
+    Conventional read: < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+
+    Output: (keys..., psi, n_a, n_b) with psi rounded to 6 dp.
+
+    Scale shape: each snapshot passes through ONE partial-aggregated
+    groupBy on (keys, bin) — the only corpus-sized work; the union,
+    per-key totals window and PSI sum all run on ≤ |strata| × nbins
+    rows.  Nothing corpus-sized is joined, windowed or collected."""
+    if nbins <= 0 or hi <= lo:
+        raise ValueError("need nbins >= 1 and hi > lo")
+    if smooth <= 0:
+        raise ValueError("smooth must be > 0 (keeps ln() total)")
+    keys = keys or []
+    w = (hi - lo) / nbins
+    bin_ = F.least(F.floor((F.col(col) - F.lit(lo)) / F.lit(w)),
+                   F.lit(nbins - 1)).cast("bigint")
+
+    def counts(df, side):
+        return (df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+                .groupBy(*keys, bin_.alias("__bin"))
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .withColumn("__side", F.lit(side)))
+
+    both = counts(df_a, "a").unionByName(counts(df_b, "b"))
+    # tiny from here on: ≤ |strata| × nbins × 2 rows
+    per_bin = (both.groupBy(*keys, "__bin")
+               .agg(F.sum(F.when(F.col("__side") == "a", F.col("__c"))
+                          .otherwise(F.lit(0))).alias("ca"),
+                    F.sum(F.when(F.col("__side") == "b", F.col("__c"))
+                          .otherwise(F.lit(0))).alias("cb")))
+    kw = (W.partitionBy(*keys) if keys
+          else W.partitionBy(F.lit(1)))
+    per_bin = (per_bin
+               .withColumn("na", F.sum("ca").over(kw))
+               .withColumn("nb", F.sum("cb").over(kw)))
+    pa = (f"(cast(ca + {smooth} as double) / "
+          f"cast(na + {smooth} * {nbins} as double))")
+    pb = (f"(cast(cb + {smooth} as double) / "
+          f"cast(nb + {smooth} * {nbins} as double))")
+    # Each bin's contribution is rounded to 9 dp and summed as exact
+    # decimal: the total is then independent of partial-agg order (and
+    # of last-ulp ln() differences between engines), so the 6-dp psi
+    # is engine-portable.
+    contrib = F.expr(f"cast(round(({pa} - {pb}) * ln({pa} / {pb}), 9) "
+                     f"as decimal(38,9))")
+    return (per_bin.withColumn("__x", contrib)
+            .groupBy(*keys)
+            .agg(F.round(F.sum("__x").cast("double"), 6).alias("psi"),
+                 F.max("na").alias("n_a"), F.max("nb").alias("n_b")))
+
+
+def psi_drift_oracle_sql(table_a: str, table_b: str, col: str,
+                         lo: float, hi: float, nbins: int,
+                         keys: list[str] | None = None, *,
+                         smooth: float = 0.5) -> str:
+    """DuckDB mirror of :func:`psi_drift` — identical bin formula,
+    smoothing and contribution expression (missing bins materialize as
+    zero counts via the side-conditional sums, same as the engine)."""
+    keys = keys or []
+    w = (hi - lo) / nbins
+    b = f"cast(least(floor(({col} - {lo}) / {w}), {nbins - 1}) as bigint)"
+    ks = ("".join(k + ", " for k in keys))
+    kcols = ", ".join(keys) if keys else None
+    pa = (f"(cast(ca + {smooth} as double) / "
+          f"cast(na + {smooth} * {nbins} as double))")
+    pb = (f"(cast(cb + {smooth} as double) / "
+          f"cast(nb + {smooth} * {nbins} as double))")
+    grp_tail = f"GROUP BY {kcols}" if kcols else ""
+    part = f"PARTITION BY {kcols}" if kcols else ""
+    sel_keys = f"{kcols}, " if kcols else ""
+    return f"""
+WITH u AS (
+  SELECT {ks}{b} AS bin, count(*) AS c, 'a' AS side FROM {table_a}
+  WHERE {col} >= {lo} AND {col} <= {hi} GROUP BY {ks}bin
+  UNION ALL
+  SELECT {ks}{b} AS bin, count(*) AS c, 'b' AS side FROM {table_b}
+  WHERE {col} >= {lo} AND {col} <= {hi} GROUP BY {ks}bin),
+pb AS (
+  SELECT {ks}bin,
+         sum(CASE WHEN side = 'a' THEN c ELSE 0 END) AS ca,
+         sum(CASE WHEN side = 'b' THEN c ELSE 0 END) AS cb
+  FROM u GROUP BY {ks}bin),
+pt AS (
+  SELECT *, sum(ca) OVER ({part}) AS na, sum(cb) OVER ({part}) AS nb
+  FROM pb)
+SELECT {sel_keys}round(cast(sum(cast(round(({pa} - {pb}) * ln({pa} / {pb}),
+                                           9) as decimal(38,9)))
+                            as double), 6) AS psi,
+       cast(max(na) as bigint) AS n_a, cast(max(nb) as bigint) AS n_b
+FROM pt {grp_tail}
+"""
 
 
 def percentile_normalize_oracle_sql(score_cols: list[str],

@@ -339,6 +339,134 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5, *,
             .select("q_id", "n_id", "cosine", "rank"))
 
 
+def _label_topk(anchors: DataFrame, corpus: DataFrame, k: int, *,
+                match: bool, label_col: str, q_id_col: str,
+                c_id_col: str, vec_col: str) -> DataFrame:
+    """Shared engine for :func:`mine_hard_negatives` /
+    :func:`mine_positives`: exact cosine top-k per anchor over the
+    corpus rows whose label does (``match=True``) / does not
+    (``match=False``) equal the anchor's label.  Self-pairs
+    (same id) are always excluded.
+
+    Same scale shape as :func:`knn_join` — the anchor side is the
+    small broadcast side; the corpus streams through ``mapInPandas``
+    emitting a PARTIAL top-k per Arrow batch (label mask applied to
+    the batch score matrix before selection), so only
+    k x |anchors| x num_batches rows reach the final per-anchor
+    top-k shuffle.  The |A| x |C| matrix is never materialized."""
+    qrows = anchors.select(F.col(q_id_col).alias("q"),
+                           F.col(label_col).alias("l"),
+                           F.col(vec_col).alias("v")).collect()
+    if not qrows:
+        raise ValueError("empty anchor side")
+    q_ids = np.array([int(r.q) for r in qrows], dtype=np.int64)
+    q_labels = np.array([int(r.l) for r in qrows], dtype=np.int64)
+    Q = np.array([[float(x) for x in r.v] for r in qrows])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (q_ids, q_labels, Qn, match))
+
+    def batch_topk(batches):
+        q_ids_, q_labels_, Qn_, match_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+            Mn = M / np.maximum(
+                np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            S = np.round(Qn_ @ Mn.T, 6)                    # q × batch
+            n_ids = pdf["__id"].to_numpy()
+            c_labels = pdf["__l"].to_numpy()
+            out_q, out_n, out_c = [], [], []
+            for qi in range(S.shape[0]):
+                keep = ((c_labels == q_labels_[qi]) if match_
+                        else (c_labels != q_labels_[qi]))
+                keep &= n_ids != q_ids_[qi]                # never self
+                if not keep.any():
+                    continue
+                ids_k, s_k = n_ids[keep], S[qi][keep]
+                idx = np.lexsort((ids_k, -s_k))[:min(k, len(ids_k))]
+                out_q.append(np.full(len(idx), q_ids_[qi]))
+                out_n.append(ids_k[idx])
+                out_c.append(s_k[idx])
+            if not out_q:
+                continue
+            yield pd.DataFrame({"q_id": np.concatenate(out_q),
+                                "n_id": np.concatenate(out_n),
+                                "cosine": np.concatenate(out_c)})
+
+    cand = (corpus.select(F.col(c_id_col).cast("long").alias("__id"),
+                          F.col(label_col).cast("long").alias("__l"),
+                          F.col(vec_col).alias("__v"))
+            .mapInPandas(batch_topk, "q_id long, n_id long, cosine double"))
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "cosine", "rank"))
+
+
+def mine_hard_negatives(anchors: DataFrame, corpus: DataFrame,
+                        k: int = 5, *, label_col: str = "label",
+                        q_id_col: str = "vec_id",
+                        c_id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: for
+    each anchor, the top-``k`` most-similar corpus vectors with a
+    DIFFERENT label — the highest-scoring wrong answers, which are the
+    negatives that actually move a bi-encoder (random negatives are
+    trivially separable).  Output: (q_id, n_id, cosine, rank).
+
+    The label mask lives INSIDE the per-batch partial top-k (not a
+    post-filter on plain knn_join, which would be wrong whenever an
+    anchor has more than k same-label near neighbours).  See
+    :func:`_label_topk` for the scale shape."""
+    return _label_topk(anchors, corpus, k, match=False,
+                       label_col=label_col, q_id_col=q_id_col,
+                       c_id_col=c_id_col, vec_col=vec_col)
+
+
+def mine_positives(anchors: DataFrame, corpus: DataFrame,
+                   k: int = 1, *, label_col: str = "label",
+                   q_id_col: str = "vec_id", c_id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Top-``k`` most-similar SAME-label corpus vectors per anchor
+    (self excluded) — the positive side of a training triplet."""
+    return _label_topk(anchors, corpus, k, match=True,
+                       label_col=label_col, q_id_col=q_id_col,
+                       c_id_col=c_id_col, vec_col=vec_col)
+
+
+def mine_triplets(anchors: DataFrame, corpus: DataFrame,
+                  n_neg: int = 3, *, label_col: str = "label",
+                  q_id_col: str = "vec_id", c_id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(anchor, positive, negative) training triplets: the single
+    nearest same-label vector joined with the ``n_neg`` nearest
+    different-label vectors per anchor.  ``margin`` =
+    pos_cosine - neg_cosine (rounded 6 dp; both inputs are already
+    6-dp, so the subtraction is engine-portable) — a triplet with a
+    small or negative margin is exactly the hard case contrastive
+    losses want.  One broadcast-keyed equi-join of two k x |anchors|
+    frames; the corpus is scanned twice (once per side), never
+    shuffled."""
+    pos = (mine_positives(anchors, corpus, 1, label_col=label_col,
+                          q_id_col=q_id_col, c_id_col=c_id_col,
+                          vec_col=vec_col)
+           .select("q_id", F.col("n_id").alias("pos_id"),
+                   F.col("cosine").alias("pos_cosine")))
+    neg = (mine_hard_negatives(anchors, corpus, n_neg,
+                               label_col=label_col, q_id_col=q_id_col,
+                               c_id_col=c_id_col, vec_col=vec_col)
+           .select("q_id", F.col("n_id").alias("neg_id"),
+                   F.col("cosine").alias("neg_cosine"),
+                   F.col("rank").alias("neg_rank")))
+    return (pos.join(neg, "q_id")
+            .withColumn("margin", F.round(
+                F.col("pos_cosine") - F.col("neg_cosine"), 6))
+            .select("q_id", "pos_id", "pos_cosine", "neg_id",
+                    "neg_cosine", "neg_rank", "margin"))
+
+
 def lsh_topk(df: DataFrame, query_ids, k: int = 5, *,
              n_planes: int = 10, probe_hamming: int = 2,
              n_tables: int = 6,

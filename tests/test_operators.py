@@ -224,6 +224,99 @@ def test_knn_join_matches_brute(vecs):
     assert sorted(r.n_id for r in got4.collect()) == sorted(n for n, _ in g)
 
 
+def test_mine_hard_negatives_matches_numpy(vecs):
+    import numpy as np
+    from pythonql_spark.operators.similarity import mine_hard_negatives
+    got = mine_hard_negatives(vecs.filter("vec_id = 0"), vecs, k=3)
+    rows = sorted(got.collect(), key=lambda r: r.rank)
+    data = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label)
+            for r in vecs.collect()}
+    q, ql = data[0]
+    qn = q / np.linalg.norm(q)
+    scored = sorted(
+        ((-round(float(qn @ (v / np.linalg.norm(v))), 6), i)
+         for i, (v, l) in data.items() if l != ql and i != 0))
+    assert [r.n_id for r in rows] == [i for _, i in scored[:3]]
+    assert all(data[r.n_id][1] != ql for r in rows)
+    # label mask must live INSIDE the partial top-k: a post-filter on
+    # knn_join would lose negatives whenever > k same-label vectors
+    # outrank them; the multi-partition run must agree with 1-partition
+    got4 = mine_hard_negatives(vecs.filter("vec_id = 0"),
+                               vecs.repartition(4), k=3)
+    assert sorted(r.n_id for r in got4.collect()) == \
+        sorted(r.n_id for r in rows)
+
+
+def test_mine_positives_same_label_no_self(vecs):
+    from pythonql_spark.operators.similarity import mine_positives
+    rows = mine_positives(vecs.filter("vec_id = 0"), vecs, k=4).collect()
+    labels = {r.vec_id: r.label for r in vecs.collect()}
+    assert len(rows) == 4
+    assert all(labels[r.n_id] == labels[0] for r in rows)
+    assert all(r.n_id != 0 for r in rows)
+    assert rows[0].n_id != 0
+
+
+def test_mine_triplets(vecs):
+    from pythonql_spark.operators.similarity import (mine_hard_negatives,
+                                                     mine_positives,
+                                                     mine_triplets)
+    trip = mine_triplets(vecs.filter("vec_id < 4"), vecs, n_neg=2)
+    rows = trip.collect()
+    assert len(rows) == 4 * 2                    # 1 pos x 2 negs each
+    pos = {r.q_id: (r.n_id, r.cosine) for r in
+           mine_positives(vecs.filter("vec_id < 4"), vecs, k=1).collect()}
+    neg = {(r.q_id, r.n_id): r.cosine for r in
+           mine_hard_negatives(vecs.filter("vec_id < 4"), vecs,
+                               k=2).collect()}
+    for r in rows:
+        assert (r.pos_id, r.pos_cosine) == pos[r.q_id]
+        assert neg[(r.q_id, r.neg_id)] == r.neg_cosine
+        assert r.margin == round(r.pos_cosine - r.neg_cosine, 6)
+
+
+def test_psi_drift(spark):
+    import math
+    from pythonql_spark.operators.profile import psi_drift
+    a = spark.createDataFrame([(i, float(i % 10)) for i in range(200)],
+                              "id long, x double")
+    # identical distributions: every bin contribution is exactly 0
+    same = psi_drift(a, a, "x", 0.0, 10.0, 10).collect()
+    assert len(same) == 1 and same[0].psi == 0.0
+    assert (same[0].n_a, same[0].n_b) == (200, 200)
+    # shifted by half the range: clearly over the 0.25 "shifted" bar
+    b = spark.createDataFrame([(i, float(i % 10) / 2) for i in range(200)],
+                              "id long, x double")
+    psi = psi_drift(a, b, "x", 0.0, 10.0, 10).collect()[0].psi
+    assert psi > 0.25
+    # hand-check the smoothed formula on a tiny two-bin case
+    c = spark.createDataFrame([(0, 0.0), (1, 0.0), (2, 1.0)],
+                              "id long, x double")
+    d = spark.createDataFrame([(0, 0.0), (1, 1.0), (2, 1.0)],
+                              "id long, x double")
+    got = psi_drift(c, d, "x", 0.0, 2.0, 2, smooth=0.5).collect()[0].psi
+    exp = 0.0
+    for ca, cb in ((2, 1), (1, 2)):
+        pa, pb = (ca + 0.5) / 4.0, (cb + 0.5) / 4.0
+        exp += round((pa - pb) * math.log(pa / pb), 9)
+    assert got == round(exp, 6)
+
+
+def test_psi_drift_keys_and_validation(spark):
+    import pytest as _pytest
+    from pythonql_spark.operators.profile import psi_drift
+    a = spark.createDataFrame(
+        [(i, "g" + str(i % 2), float(i % 5)) for i in range(100)],
+        "id long, g string, x double")
+    out = psi_drift(a, a, "x", 0.0, 5.0, 5, keys=["g"]).collect()
+    assert sorted(r.g for r in out) == ["g0", "g1"]
+    assert all(r.psi == 0.0 for r in out)
+    with _pytest.raises(ValueError):
+        psi_drift(a, a, "x", 0.0, 0.0, 5)
+    with _pytest.raises(ValueError):
+        psi_drift(a, a, "x", 0.0, 5.0, 5, smooth=0.0)
+
+
 def test_shuffle_rows(spark):
     from pythonql_spark.operators.sampling import shuffle_rows
     df = spark.createDataFrame([(i, f"d{i}") for i in range(500)],
