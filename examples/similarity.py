@@ -79,6 +79,15 @@ def main() -> None:
         print(f"incrementally-maintained index: {merged.count()} codes "
               f"({index.count()} base + streamed)")
 
+    # 5. turn the labeled corpus into contrastive training triplets:
+    #    nearest same-label positive + hardest different-label
+    #    negatives per anchor (label mask inside the partial top-k)
+    from pythonql_spark.operators.similarity import mine_triplets
+    trips = mine_triplets(emb.filter("vec_id < 5"), emb, n_neg=3)
+    hard = trips.filter("margin < 0.05")
+    print(f"training triplets: {trips.count()} "
+          f"({hard.count()} hard, margin < 0.05)")
+
 
 if __name__ == "__main__":
     main()

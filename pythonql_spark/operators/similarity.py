@@ -360,7 +360,9 @@ def _label_topk(anchors: DataFrame, corpus: DataFrame, k: int, *,
     if not qrows:
         raise ValueError("empty anchor side")
     q_ids = np.array([int(r.q) for r in qrows], dtype=np.int64)
-    q_labels = np.array([int(r.l) for r in qrows], dtype=np.int64)
+    if any(r.l is None for r in qrows):
+        raise ValueError("anchor labels must be non-null")
+    q_labels = np.array([r.l for r in qrows])   # any hashable dtype
     Q = np.array([[float(x) for x in r.v] for r in qrows])
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     bc = corpus.sparkSession.sparkContext.broadcast(
@@ -395,9 +397,10 @@ def _label_topk(anchors: DataFrame, corpus: DataFrame, k: int, *,
                                 "n_id": np.concatenate(out_n),
                                 "cosine": np.concatenate(out_c)})
 
-    cand = (corpus.select(F.col(c_id_col).cast("long").alias("__id"),
-                          F.col(label_col).cast("long").alias("__l"),
-                          F.col(vec_col).alias("__v"))
+    cand = (corpus.filter(F.col(label_col).isNotNull())  # unlabeled rows
+            .select(F.col(c_id_col).cast("long").alias("__id"),  # are
+                    F.col(label_col).alias("__l"),  # neither pos nor neg
+                    F.col(vec_col).alias("__v"))
             .mapInPandas(batch_topk, "q_id long, n_id long, cosine double"))
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (cand.withColumn("rank", F.row_number().over(w))

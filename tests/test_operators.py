@@ -275,6 +275,25 @@ def test_mine_triplets(vecs):
         assert r.margin == round(r.pos_cosine - r.neg_cosine, 6)
 
 
+def test_mine_negatives_string_and_null_labels(spark):
+    import numpy as np
+    from pythonql_spark.operators.similarity import (mine_hard_negatives,
+                                                     mine_positives)
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(6)],
+             None if i == 7 else ("web" if i % 2 else "code"))
+            for i in range(12)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+    neg = mine_hard_negatives(vecs.filter("vec_id = 0"), vecs, k=20).collect()
+    pos = mine_positives(vecs.filter("vec_id = 0"), vecs, k=20).collect()
+    got_neg = {r.n_id for r in neg}
+    got_pos = {r.n_id for r in pos}
+    assert got_neg == {i for i in range(12) if i % 2 and i != 7}
+    assert got_pos == {i for i in range(2, 12, 2)}        # self excluded
+    assert 7 not in got_neg | got_pos                     # null label
+
+
 def test_psi_drift(spark):
     import math
     from pythonql_spark.operators.profile import psi_drift
