@@ -58,7 +58,7 @@ def main() -> None:
         "media_probe", "media_mp4", "ann_pq", "mine_bitext",
         "sample_temperature", "upsample_epochs", "snapshot_diff",
         "search_hybrid", "classify_features", "ann_ivfpq",
-        "mine_negatives", "mine_triplets", "drift_psi",
+        "mine_negatives", "mine_triplets", "drift_psi", "source_filter",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers, and spin up the Python worker

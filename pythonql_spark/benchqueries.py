@@ -1730,6 +1730,32 @@ def _attach_drift_psi_oracle():
 _attach_drift_psi_oracle()
 
 
+_SRC_STATS = {"n_docs": "count(*)",
+              "avg_chars": "avg(n_chars)",
+              "n_langs": "count(distinct lang)"}
+_SRC_KEEP = "n_docs >= 10 AND avg_chars >= 300 AND n_langs >= 2"
+
+
+@q("source_filter")
+def source_filter_q(spark, sf):
+    """Source-level curation gate: keep documents only from sources
+    whose aggregate stats pass thresholds (the drop-spammy-domains
+    step).  One partial-agg shuffle on source + a broadcast join of
+    the surviving source list; the corpus never shuffles."""
+    from pythonql_spark.operators.profile import group_stats_filter
+    docs = load_table(spark, sf, "documents")
+    return group_stats_filter(docs, ["source"], _SRC_STATS, _SRC_KEEP)
+
+
+def _attach_source_filter_oracle():
+    from pythonql_spark.operators.profile import group_stats_filter_oracle_sql
+    ORACLE["source_filter"] = group_stats_filter_oracle_sql(
+        ["source"], _SRC_STATS, _SRC_KEEP)
+
+
+_attach_source_filter_oracle()
+
+
 @q("ann_lsh")
 def ann_lsh(spark, sf):
     from pythonql_spark.operators.similarity import lsh_topk

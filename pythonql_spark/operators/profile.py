@@ -279,3 +279,53 @@ def percentile_normalize_oracle_sql(score_cols: list[str],
         f"ORDER BY {c}, {id_col}), 6) as double) AS {c}{suffix}"
         for c in score_cols)
     return f"SELECT {select}, {cols} FROM {table}"
+
+
+def group_stats_filter(df: DataFrame, keys: list[str],
+                       stats: dict[str, str], keep_when: str,
+                       *, broadcast_groups: bool = True) -> DataFrame:
+    """Keep only rows whose GROUP passes aggregate thresholds — the
+    source/domain-level curation gate ("drop every domain whose mean
+    quality is low or that has fewer than N docs"), where the verdict
+    is a property of the group, not the row.
+
+    ``stats`` maps output names to SQL aggregate expressions evaluated
+    per ``keys`` group; ``keep_when`` is a boolean SQL expression over
+    those names.  Rows from passing groups are returned unchanged.
+
+    Scale shape: one partial-aggregated groupBy on ``keys`` produces
+    the per-group stats (|groups| rows — sources/domains number in the
+    millions at 100 TB, not billions), the failing groups are filtered
+    OUT of that tiny frame, and the corpus inner-joins the survivor
+    keys broadcast (``broadcast_groups=False`` falls back to a shuffle
+    join for pathological group cardinality).  The corpus itself is
+    never shuffled and no window runs over it.
+    """
+    if not keys:
+        raise ValueError("need at least one group key")
+    if not stats:
+        raise ValueError("need at least one stats aggregate")
+    bad = {n for n in stats if n in df.columns}
+    if bad:
+        raise ValueError(f"stats names collide with input columns: {bad}")
+    grp = (df.groupBy(*keys)
+           .agg(*[F.expr(e).alias(n) for n, e in stats.items()])
+           .filter(keep_when)
+           .select(*keys))
+    if broadcast_groups:
+        grp = F.broadcast(grp)
+    return df.join(grp, keys, "inner")
+
+
+def group_stats_filter_oracle_sql(keys: list[str], stats: dict[str, str],
+                                  keep_when: str, *,
+                                  select: str = "*",
+                                  table: str = "documents") -> str:
+    """DuckDB mirror of :func:`group_stats_filter` (semi-join against
+    the HAVING-filtered group list)."""
+    kcols = ", ".join(keys)
+    scols = ", ".join(f"{e} AS {n}" for n, e in stats.items())
+    on = " AND ".join(f"t.{k} = g.{k}" for k in keys)
+    return (f"SELECT {select} FROM {table} t WHERE EXISTS ("
+            f"SELECT 1 FROM (SELECT {kcols}, {scols} FROM {table} "
+            f"GROUP BY {kcols}) g WHERE {on} AND ({keep_when}))")

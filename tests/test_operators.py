@@ -321,6 +321,29 @@ def test_psi_drift(spark):
     assert got == round(exp, 6)
 
 
+def test_group_stats_filter(spark):
+    import pytest as _pytest
+    from pythonql_spark.operators.profile import group_stats_filter
+    df = spark.createDataFrame(
+        [(i, "good" if i < 20 else "bad", 100 + (i % 3)) for i in range(30)],
+        "id long, src string, score long")
+    out = group_stats_filter(df, ["src"],
+                             {"n": "count(*)", "avg_s": "avg(score)"},
+                             "n >= 15 AND avg_s >= 100")
+    rows = out.collect()
+    assert {r.src for r in rows} == {"good"} and len(rows) == 20
+    assert sorted(out.columns) == sorted(df.columns)   # rows unchanged
+    # the group list must be the broadcast side
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    with _pytest.raises(ValueError):
+        group_stats_filter(df, [], {"n": "count(*)"}, "n > 0")
+    with _pytest.raises(ValueError):
+        group_stats_filter(df, ["src"], {}, "true")
+    with _pytest.raises(ValueError):
+        group_stats_filter(df, ["src"], {"score": "count(*)"}, "score > 0")
+
+
 def test_psi_drift_keys_and_validation(spark):
     import pytest as _pytest
     from pythonql_spark.operators.profile import psi_drift
