@@ -171,6 +171,21 @@ def main() -> None:
     print(f"vs previous snapshot: {ov.n_only_a} new docs, "
           f"jaccard {ov.jaccard}")
 
+    # 7b. gate whole SOURCES whose aggregate stats fail (the verdict
+    #     is a property of the source, not the row), then check the
+    #     curated set's length distribution didn't drift vs the
+    #     previous snapshot (PSI per language)
+    from pythonql_spark.operators.profile import group_stats_filter, psi_drift
+    gated = group_stats_filter(
+        mixed, ["source"],
+        {"n_docs": "count(*)", "avg_chars": "avg(n_chars)"},
+        "n_docs >= 5 AND avg_chars >= 250")
+    drift = psi_drift(gated, prev, "n_chars", 0.0, 600.0, 20,
+                      keys=["lang"]).orderBy("lang")
+    print(f"source gate kept {gated.count()}/{mixed.count()} docs; "
+          "PSI vs previous snapshot per lang:")
+    drift.show()
+
     # 8. incremental refresh: diff the new snapshot against the old,
     #    re-embed only the changed docs, rewrite only their shards
     import tempfile

@@ -80,12 +80,15 @@ def main() -> None:
     from pythonql_spark.operators.retrieval import bm25_search
     from pythonql_spark.operators.bloom import decontaminate_bloom
     from pythonql_spark.operators.classifier import classify_quality
-    from pythonql_spark.operators.profile import percentile_normalize
+    from pythonql_spark.operators.profile import (group_stats_filter,
+                                                  percentile_normalize,
+                                                  psi_drift)
     from pythonql_spark.operators.sampling import (sample_exact_n_stratified,
                                                    select_to_budget)
     from pythonql_spark.operators.similarity import (brute_topk,
                                                      cluster_embeddings,
                                                      lsh_topk,
+                                                     mine_hard_negatives,
                                                      semantic_dedup)
     from pythonql_spark.operators.bitext import mine_bitext
     from pythonql_spark.operators.window_clause import predicate_windows
@@ -291,6 +294,25 @@ def main() -> None:
             # range exchange) -> budget mixing (two-phase prefix sum).
             # Four scale-safe stages; sec/unit should stay ~flat
             "curation": lambda: _curation_composition(docs, n).count(),
+            # hard-negative mining: fixed anchor set (the deployment
+            # shape — mine per training-batch chunk), corpus grows;
+            # per-batch masked partial top-k keeps it linear in the
+            # corpus scan, so sec/unit should FALL toward scan cost
+            "mine_neg": lambda: mine_hard_negatives(
+                embs.filter("vec_id < 10"), embs, k=5).count(),
+            # PSI drift: two partial-aggregated (lang, bin) scans are
+            # the only corpus-sized work; everything after runs on
+            # |langs| x nbins rows — sec/unit should be ~flat
+            "psi": lambda: psi_drift(
+                docs.filter("doc_id % 2 = 0"),
+                docs.filter("doc_id % 2 = 1"),
+                "n_chars", 0.0, 600.0, 20, keys=["lang"]).count(),
+            # group-stats gate: one partial agg on source + broadcast
+            # join of survivor keys — corpus never shuffles, ~flat
+            "src_filter": lambda: group_stats_filter(
+                docs, ["source"],
+                {"n_docs": "count(*)", "avg_chars": "avg(n_chars)"},
+                "n_docs >= 10 AND avg_chars >= 290").count(),
             # compound-key as-of: one sort-shuffle on (user, type)
             "asof_join": lambda: asof_join(
                 evs.filter("event_type = 'purchase'")
