@@ -159,6 +159,25 @@ def percentile_normalize(df, score_cols: list[str],
     return df.join(wide.withColumnRenamed("__id", id_col), id_col)
 
 
+def binned_counts(df: DataFrame, col: str, lo: float, hi: float,
+                  nbins: int, keys: list[str] | None = None) -> DataFrame:
+    """(keys..., __bin, __c) — per-stratum fixed equi-width bin counts
+    (same formula as :func:`histogram`; values outside [lo, hi]
+    dropped).  One partial-aggregated groupBy; the building block
+    :func:`psi_drift` runs per side — compute a reference snapshot's
+    counts ONCE and reuse them against every new batch via
+    :func:`psi_from_binned`."""
+    if nbins <= 0 or hi <= lo:
+        raise ValueError("need nbins >= 1 and hi > lo")
+    keys = keys or []
+    w = (hi - lo) / nbins
+    bin_ = F.least(F.floor((F.col(col) - F.lit(lo)) / F.lit(w)),
+                   F.lit(nbins - 1)).cast("bigint")
+    return (df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+            .groupBy(*keys, bin_.alias("__bin"))
+            .agg(F.count(F.lit(1)).alias("__c")))
+
+
 def psi_drift(df_a: DataFrame, df_b: DataFrame, col: str,
               lo: float, hi: float, nbins: int,
               keys: list[str] | None = None, *,
@@ -172,8 +191,12 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, col: str,
     equi-width bins as :func:`histogram` (values outside [lo, hi]
     dropped on BOTH sides, identically).  Bin probabilities are
     additively smoothed — p = (count + smooth) / (n + smooth·nbins) —
-    so empty bins contribute finitely and the formula is total.
-    Conventional read: < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+    so bins observed on only one side contribute finitely.  Bins empty
+    on BOTH sides are omitted from the sum (their smoothed
+    contribution is not exactly zero when n_a ≠ n_b, but it is
+    O(smooth²/n²) and the omission is applied identically in the
+    engine and the oracle).  Conventional read: < 0.1 stable,
+    0.1–0.25 drifting, > 0.25 shifted.
 
     Output: (keys..., psi, n_a, n_b) with psi rounded to 6 dp.
 
@@ -181,22 +204,23 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, col: str,
     groupBy on (keys, bin) — the only corpus-sized work; the union,
     per-key totals window and PSI sum all run on ≤ |strata| × nbins
     rows.  Nothing corpus-sized is joined, windowed or collected."""
-    if nbins <= 0 or hi <= lo:
-        raise ValueError("need nbins >= 1 and hi > lo")
+    a = binned_counts(df_a, col, lo, hi, nbins, keys)
+    b = binned_counts(df_b, col, lo, hi, nbins, keys)
+    return psi_from_binned(a, b, nbins, keys, smooth=smooth)
+
+
+def psi_from_binned(counts_a: DataFrame, counts_b: DataFrame,
+                    nbins: int, keys: list[str] | None = None, *,
+                    smooth: float = 0.5) -> DataFrame:
+    """PSI from two pre-aggregated :func:`binned_counts` frames — the
+    streaming/incremental entry point: the reference side's counts are
+    |strata| × nbins rows computed once, not a corpus re-scan per
+    comparison."""
     if smooth <= 0:
         raise ValueError("smooth must be > 0 (keeps ln() total)")
     keys = keys or []
-    w = (hi - lo) / nbins
-    bin_ = F.least(F.floor((F.col(col) - F.lit(lo)) / F.lit(w)),
-                   F.lit(nbins - 1)).cast("bigint")
-
-    def counts(df, side):
-        return (df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
-                .groupBy(*keys, bin_.alias("__bin"))
-                .agg(F.count(F.lit(1)).alias("__c"))
-                .withColumn("__side", F.lit(side)))
-
-    both = counts(df_a, "a").unionByName(counts(df_b, "b"))
+    both = (counts_a.withColumn("__side", F.lit("a"))
+            .unionByName(counts_b.withColumn("__side", F.lit("b"))))
     # tiny from here on: ≤ |strata| × nbins × 2 rows
     per_bin = (both.groupBy(*keys, "__bin")
                .agg(F.sum(F.when(F.col("__side") == "a", F.col("__c"))

@@ -16,4 +16,7 @@ __all__ = ["dedup_stream", "session_agg", "sliding_agg", "tumbling_agg",
            "run_to_completion", "write_stream_files"]
 from pythonql_spark.streaming.ingest import (bloom_dedup_ingest_stream,
                                              dedup_ingest_stream,
+                                             drift_monitor_stream,
                                              pq_index_ingest_stream)
+__all__ += ["bloom_dedup_ingest_stream", "dedup_ingest_stream",
+            "drift_monitor_stream", "pq_index_ingest_stream"]

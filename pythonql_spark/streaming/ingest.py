@@ -228,3 +228,50 @@ def pq_index_ingest_stream(stream_df: DataFrame, codebook,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def drift_monitor_stream(stream_df: DataFrame, reference: DataFrame,
+                         col: str, lo: float, hi: float, nbins: int,
+                         out_path: str, checkpoint: str, *,
+                         keys: list[str] | None = None,
+                         smooth: float = 0.5,
+                         trigger_available_now: bool = True
+                         ) -> StreamingQuery:
+    """Continuous distribution-drift monitoring: every arriving
+    micro-batch's distribution of ``col`` is PSI-compared against a
+    FIXED reference snapshot (operators.profile.psi_drift semantics;
+    the batch is side "a", the reference side "b"), and one
+    (keys..., psi, n_a, n_b) row per stratum lands per batch — the
+    alert log a curation pipeline tails to catch an upstream crawl
+    shift while it is happening, not at the next full rebuild.
+
+    The reference corpus is scanned ONCE at stream start: its
+    |strata| × nbins binned counts materialize eagerly (checkpointed,
+    so the corpus scan is not re-planned per batch) and only that tiny
+    frame joins each batch's counts.  Per batch the corpus-sized work
+    is one partial-aggregated groupBy over the batch itself.
+
+    The log is partitioned by micro-batch id with dynamic partition
+    overwrite, so a replayed batch rewrites its own rows — the same
+    exactly-once convention as the ingest sinks."""
+    from pythonql_spark.operators.profile import (binned_counts,
+                                                  psi_from_binned)
+
+    ref_counts = binned_counts(reference, col, lo, hi, nbins, keys) \
+        .localCheckpoint()                      # one corpus scan, ever
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_counts = binned_counts(batch_df, col, lo, hi, nbins, keys)
+        (psi_from_binned(batch_counts, ref_counts, nbins, keys,
+                         smooth=smooth)
+         .withColumn(BATCH_COL, F.lit(batch_id))
+         .write.mode("overwrite")
+         .partitionBy(BATCH_COL)
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(out_path))
+
+    writer = (stream_df.writeStream.foreachBatch(_apply)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

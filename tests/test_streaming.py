@@ -570,3 +570,45 @@ def test_stateful_ops_string_keys(spark, tmp_path):
     got = sorted((r.user_id, r.n_events)
                  for r in spark.table("skey_sessions").collect())
     assert got == [("alice", 3)]
+
+
+def test_drift_monitor_stream_matches_batch(spark, tables, tmp_path):
+    """foreachBatch PSI monitor: the streamed per-batch PSI row equals
+    the batch psi_drift on the same data, and a replayed run is
+    idempotent (partition overwrite, not double-append)."""
+    import shutil
+
+    from pythonql_spark.operators.profile import psi_drift
+    from pythonql_spark.streaming import drift_monitor_stream, run_to_completion
+
+    docs = tables["documents"]
+    reference = docs.filter("doc_id % 2 = 1").select("lang", "n_chars")
+    arriving = docs.filter("doc_id % 2 = 0").select("lang", "n_chars")
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    arriving.write.parquet(src)
+
+    stream = spark.readStream.schema(arriving.schema).parquet(src)
+    q = drift_monitor_stream(stream, reference, "n_chars", 0.0, 600.0, 20,
+                             out, ck, keys=["lang"])
+    run_to_completion(q)
+
+    got = sorted((r.lang, r.psi, r.n_a, r.n_b)
+                 for r in spark.read.parquet(out).collect())
+    want = sorted((r.lang, r.psi, r.n_a, r.n_b)
+                  for r in psi_drift(arriving, reference, "n_chars",
+                                     0.0, 600.0, 20,
+                                     keys=["lang"]).collect())
+    assert got == want and len(got) > 0
+
+    # replay from a fresh checkpoint: the batch partition is rewritten
+    shutil.rmtree(ck)
+    stream2 = spark.readStream.schema(arriving.schema).parquet(src)
+    q2 = drift_monitor_stream(stream2, reference, "n_chars", 0.0, 600.0,
+                              20, out, ck, keys=["lang"])
+    run_to_completion(q2)
+    again = sorted((r.lang, r.psi, r.n_a, r.n_b)
+                   for r in spark.read.parquet(out).collect())
+    assert again == got
