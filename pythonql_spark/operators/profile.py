@@ -329,7 +329,7 @@ def group_stats_filter(df: DataFrame, keys: list[str],
         raise ValueError("need at least one group key")
     if not stats:
         raise ValueError("need at least one stats aggregate")
-    bad = {n for n in stats if n in df.columns}
+    bad = {n for n in stats if n in df.columns or n in keys}
     if bad:
         raise ValueError(f"stats names collide with input columns: {bad}")
     grp = (df.groupBy(*keys)

@@ -451,7 +451,9 @@ def mine_triplets(anchors: DataFrame, corpus: DataFrame,
     small or negative margin is exactly the hard case contrastive
     losses want.  One broadcast-keyed equi-join of two k x |anchors|
     frames; the corpus is scanned twice (once per side), never
-    shuffled."""
+    shuffled.  Anchors with no same-label peer or no different-label
+    candidate drop out (inner join) — an untrainable triplet is not
+    emitted half-formed."""
     pos = (mine_positives(anchors, corpus, 1, label_col=label_col,
                           q_id_col=q_id_col, c_id_col=c_id_col,
                           vec_col=vec_col)

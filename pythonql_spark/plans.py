@@ -71,7 +71,16 @@ def plan_report(df: DataFrame) -> dict:
       and column pruning actually reached the reader.
     """
     plan = formatted_plan(df)
-    out: dict = {name: len(re.findall(pat, plan))
+    # formatted mode renders every node TWICE — once in the tree
+    # ("+- Exchange (7)") and once in the numbered details
+    # ("(7) Exchange") — so counting the whole text doubles every
+    # figure; count nodes in the tree section only and parse scan
+    # pushdown from the details section (where PushedFilters /
+    # ReadSchema actually live)
+    detail_start = re.search(r"^\(\d+\) ", plan, re.MULTILINE)
+    tree = plan[:detail_start.start()] if detail_start else plan
+    details = plan[detail_start.start():] if detail_start else plan
+    out: dict = {name: len(re.findall(pat, tree))
                  for name, pat in _PATTERNS.items()}
     # codegen markers ("*(n) Op") live on the executed plan, which AQE
     # finalizes only after an action; reading it never executes anything
@@ -79,9 +88,9 @@ def plan_report(df: DataFrame) -> dict:
     out["codegen_spans"] = len(set(re.findall(r"\*\((\d+)\)", executed)))
     scans = []
     for m in re.finditer(
-            r"Scan (\w+) ([^\n]*)", plan):
+            r"Scan (\w+) ([^\n]*)", details):
         block_start = m.start()
-        block = plan[block_start:block_start + 2000]
+        block = details[block_start:block_start + 2000]
         pushed = re.search(r"PushedFilters: \[([^\]]*)\]", block)
         schema = re.search(r"ReadSchema: struct<([^>]*)>", block)
         scans.append({

@@ -434,3 +434,31 @@ def test_assert_plan_window_group_limit(spark, sf_dir):
     rep = assert_plan(QUERIES["topk_group"](spark, sf_dir),
                       require_window_group_limit=True)
     assert rep["window_group_limits"] >= 1
+
+
+def test_psi_drift_plan_shape(spark, sf_dir):
+    """PSI drift: corpus-sized work is two partial-aggregated
+    (keys, bin) groupBys; at most 3 data shuffles total and no
+    Python anywhere."""
+    from pythonql_spark.plans import assert_plan
+    rep = assert_plan(QUERIES["drift_psi"](spark, sf_dir),
+                      max_exchanges=3, no_nested_loop=True)
+    assert rep["python_row_evals"] == 0 and rep["python_arrow_evals"] == 0
+
+
+def test_source_filter_plan_shape(spark, sf_dir):
+    """Group-stats gate: one data shuffle (the stats groupBy) and the
+    survivor-key join must stay broadcast."""
+    from pythonql_spark.plans import assert_plan
+    assert_plan(QUERIES["source_filter"](spark, sf_dir),
+                max_exchanges=1, require_broadcast_joins=1,
+                no_nested_loop=True)
+
+
+def test_mine_negatives_plan_shape(spark, sf_dir):
+    """Masked partial top-k: one data shuffle (the final per-anchor
+    top-k over k x |anchors| x batches candidate rows); the corpus is
+    consumed by Arrow-batched mapInPandas, never row-at-a-time."""
+    from pythonql_spark.plans import assert_plan
+    assert_plan(QUERIES["mine_negatives"](spark, sf_dir),
+                max_exchanges=1, no_nested_loop=True)
