@@ -1756,6 +1756,35 @@ def _attach_source_filter_oracle():
 _attach_source_filter_oracle()
 
 
+_CHECKS = {
+    "text_null_rate": ("avg(cast(text IS NULL as double))", "value < 0.01"),
+    "langs_present": ("cast(count(distinct lang) as double)", "value >= 3"),
+    "chars_in_range": ("avg(n_chars)", "value >= 100 AND value <= 500"),
+    "doc_id_unique": ("cast(count(*) - count(distinct doc_id) as double)",
+                      "value = 0"),
+    "corpus_big_enough": ("cast(count(*) as double)", "value >= 1e9"),
+}
+
+
+@q("corpus_checks")
+def corpus_checks_q(spark, sf):
+    """Deequ-style expectation suite: every metric in ONE keyless
+    aggregate pass, verdicts on the |checks|-row result.  The
+    corpus_big_enough check fails by design at test scale — the suite
+    must discriminate, not rubber-stamp."""
+    from pythonql_spark.operators.profile import check_expectations
+    docs = load_table(spark, sf, "documents")
+    return check_expectations(docs, _CHECKS)
+
+
+def _attach_corpus_checks_oracle():
+    from pythonql_spark.operators.profile import check_expectations_oracle_sql
+    ORACLE["corpus_checks"] = check_expectations_oracle_sql(_CHECKS)
+
+
+_attach_corpus_checks_oracle()
+
+
 @q("ann_lsh")
 def ann_lsh(spark, sf):
     from pythonql_spark.operators.similarity import lsh_topk

@@ -14,6 +14,8 @@ For quick looks at huge tables swap `approx_count_distinct` in via
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -353,3 +355,57 @@ def group_stats_filter_oracle_sql(keys: list[str], stats: dict[str, str],
     return (f"SELECT {select} FROM {table} t WHERE EXISTS ("
             f"SELECT 1 FROM (SELECT {kcols}, {scols} FROM {table} "
             f"GROUP BY {kcols}) g WHERE {on} AND ({keep_when}))")
+
+
+def check_expectations(df: DataFrame,
+                       checks: dict[str, tuple[str, str]]) -> DataFrame:
+    """Data-quality expectation suite (the Deequ/Great-Expectations
+    role): every check's metric computes in ONE aggregation pass over
+    the corpus, then the pass/fail verdicts evaluate on the
+    |checks|-row result — the pre-flight gate a training build runs
+    before pointing 1000 executors at a new snapshot.
+
+    ``checks`` maps a check name to ``(metric_expr, pass_when)``:
+    ``metric_expr`` is a SQL aggregate producing one double;
+    ``pass_when`` is a boolean SQL expression over the column
+    ``value`` (the metric's result), e.g.::
+
+        {"text_null_rate": ("avg(cast(text IS NULL as double))",
+                            "value < 0.01"),
+         "langs_present":  ("cast(count(distinct lang) as double)",
+                            "value >= 3")}
+
+    Output: (check_name, value, passed), one row per check, in ``checks``
+    iteration order via the check name.
+
+    Scale shape: a single keyless aggregate — every metric partial-
+    aggregates map-side and one 1-row exchange finalizes; the explode
+    to rows and the verdicts run on |checks| rows.  Adding a check
+    adds a column to the agg, never a pass over the data."""
+    if not checks:
+        raise ValueError("need at least one check")
+    aggs = [F.expr(metric).cast("double").alias(f"__m_{i}")
+            for i, (metric, _) in enumerate(checks.values())]
+    one = df.agg(*aggs)
+    rows = one.select(F.explode(F.array(*[
+        F.struct(F.lit(name).alias("check_name"),
+                 F.col(f"__m_{i}").alias("value"),
+                 F.expr(re.sub(r"\bvalue\b", f"__m_{i}", pw))
+                 .alias("passed"))
+        for i, (name, (_, pw)) in enumerate(checks.items())]))
+        .alias("r"))
+    return rows.select("r.*")
+
+
+def check_expectations_oracle_sql(checks: dict[str, tuple[str, str]],
+                                  table: str = "documents") -> str:
+    """DuckDB mirror of :func:`check_expectations` — one SELECT per
+    check over the same table, verdict inlined over the metric."""
+    parts = []
+    for name, (metric, pw) in checks.items():
+        m = f"cast(({metric}) as double)"
+        verdict = re.sub(r"\bvalue\b", lambda _: m, pw)
+        parts.append(
+            f"SELECT '{name}' AS check_name, {m} AS value, "
+            f"({verdict}) AS passed FROM {table}")
+    return "\nUNION ALL\n".join(parts)

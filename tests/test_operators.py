@@ -344,6 +344,32 @@ def test_group_stats_filter(spark):
         group_stats_filter(df, ["src"], {"score": "count(*)"}, "score > 0")
 
 
+def test_check_expectations(spark):
+    import pytest as _pytest
+    from pythonql_spark.operators.profile import check_expectations
+    df = spark.createDataFrame(
+        [(i, None if i == 5 else f"t{i}") for i in range(10)],
+        "id long, text string")
+    out = {r.check_name: (r.value, r.passed)
+           for r in check_expectations(df, {
+               "null_rate": ("avg(cast(text IS NULL as double))",
+                             "value <= 0.1"),
+               "rows": ("cast(count(*) as double)", "value >= 100"),
+               "distinct_values_ok": ("cast(count(distinct text) as double)",
+                                      "value = 9"),
+           }).collect()}
+    assert out["null_rate"] == (0.1, True)
+    assert out["rows"] == (10.0, False)          # discriminates
+    assert out["distinct_values_ok"] == (9.0, True)
+    with _pytest.raises(ValueError):
+        check_expectations(df, {})
+    # single aggregation pass: no data shuffle beyond the 1-row final
+    from pythonql_spark.plans import plan_report
+    rep = plan_report(check_expectations(
+        df, {"rows": ("cast(count(*) as double)", "value > 0")}))
+    assert rep["exchanges"] - rep["broadcast_exchanges"] <= 1
+
+
 def test_psi_drift_keys_and_validation(spark):
     import pytest as _pytest
     from pythonql_spark.operators.profile import psi_drift
