@@ -84,6 +84,22 @@ def main() -> None:
     n0 = docs.count()
     print(f"raw corpus: {n0} docs")
 
+    # 0. pre-flight expectation gate: one aggregate pass over the raw
+    #    snapshot BEFORE any expensive stage runs on it
+    from pythonql_spark.operators.profile import check_expectations
+    gate = check_expectations(docs, {
+        "text_null_rate": ("avg(cast(text IS NULL as double))",
+                           "value < 0.01"),
+        "doc_id_unique": ("cast(count(*) - count(distinct doc_id) "
+                          "as double)", "value = 0"),
+        "langs_present": ("cast(count(distinct lang) as double)",
+                          "value >= 3"),
+    }).collect()
+    for r in gate:
+        print(f"  check {r.check_name}: value={r.value} "
+              f"{'ok' if r.passed else 'FAIL'}")
+    assert all(r.passed for r in gate), "snapshot failed pre-flight"
+
     # 1. C4 line surgery (terminal punctuation / min words / js lines
     #    dropped; lorem-ipsum & brace pages flagged), then the Gopher
     #    statistical gate — both pure scalar expressions fused into
