@@ -1785,6 +1785,32 @@ def _attach_corpus_checks_oracle():
 _attach_corpus_checks_oracle()
 
 
+_SRC_CHECKS = {
+    "docs_enough": ("cast(count(*) as double)", "value >= 10"),
+    "avg_chars_ok": ("avg(n_chars)", "value >= 290 AND value <= 340"),
+    "lang_spread": ("cast(count(distinct lang) as double)", "value >= 2"),
+}
+
+
+@q("source_checks")
+def source_checks_q(spark, sf):
+    """Per-source report card: the expectation suite grouped by
+    source — one aggregate exchange on the key, verdicts on
+    |sources| x |checks| rows."""
+    from pythonql_spark.operators.profile import check_expectations
+    docs = load_table(spark, sf, "documents")
+    return check_expectations(docs, _SRC_CHECKS, keys=["source"])
+
+
+def _attach_source_checks_oracle():
+    from pythonql_spark.operators.profile import check_expectations_oracle_sql
+    ORACLE["source_checks"] = check_expectations_oracle_sql(
+        _SRC_CHECKS, keys=["source"])
+
+
+_attach_source_checks_oracle()
+
+
 @q("ann_lsh")
 def ann_lsh(spark, sf):
     from pythonql_spark.operators.similarity import lsh_topk

@@ -358,7 +358,8 @@ def group_stats_filter_oracle_sql(keys: list[str], stats: dict[str, str],
 
 
 def check_expectations(df: DataFrame,
-                       checks: dict[str, tuple[str, str]]) -> DataFrame:
+                       checks: dict[str, tuple[str, str]],
+                       keys: list[str] | None = None) -> DataFrame:
     """Data-quality expectation suite (the Deequ/Great-Expectations
     role): every check's metric computes in ONE aggregation pass over
     the corpus, then the pass/fail verdicts evaluate on the
@@ -375,37 +376,44 @@ def check_expectations(df: DataFrame,
          "langs_present":  ("cast(count(distinct lang) as double)",
                             "value >= 3")}
 
-    Output: (check_name, value, passed), one row per check, in ``checks``
-    iteration order via the check name.
+    Output: (keys..., check_name, value, passed), one row per check
+    (per group when ``keys`` is given — the per-source report card;
+    global with one 1-row exchange otherwise).
 
-    Scale shape: a single keyless aggregate — every metric partial-
-    aggregates map-side and one 1-row exchange finalizes; the explode
-    to rows and the verdicts run on |checks| rows.  Adding a check
-    adds a column to the agg, never a pass over the data."""
+    Scale shape: a single aggregate — every metric partial-aggregates
+    map-side and one exchange (keyless or on ``keys``) finalizes; the
+    explode to rows and the verdicts run on |groups| × |checks| rows.
+    Adding a check adds a column to the agg, never a pass over the
+    data."""
     if not checks:
         raise ValueError("need at least one check")
+    keys = keys or []
     aggs = [F.expr(metric).cast("double").alias(f"__m_{i}")
             for i, (metric, _) in enumerate(checks.values())]
-    one = df.agg(*aggs)
-    rows = one.select(F.explode(F.array(*[
+    one = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    rows = one.select(*keys, F.explode(F.array(*[
         F.struct(F.lit(name).alias("check_name"),
                  F.col(f"__m_{i}").alias("value"),
                  F.expr(re.sub(r"\bvalue\b", f"__m_{i}", pw))
                  .alias("passed"))
         for i, (name, (_, pw)) in enumerate(checks.items())]))
         .alias("r"))
-    return rows.select("r.*")
+    return rows.select(*keys, "r.*")
 
 
 def check_expectations_oracle_sql(checks: dict[str, tuple[str, str]],
-                                  table: str = "documents") -> str:
+                                  table: str = "documents",
+                                  keys: list[str] | None = None) -> str:
     """DuckDB mirror of :func:`check_expectations` — one SELECT per
     check over the same table, verdict inlined over the metric."""
+    keys = keys or []
+    ks = "".join(k + ", " for k in keys)
+    grp = (" GROUP BY " + ", ".join(keys)) if keys else ""
     parts = []
     for name, (metric, pw) in checks.items():
         m = f"cast(({metric}) as double)"
         verdict = re.sub(r"\bvalue\b", lambda _: m, pw)
         parts.append(
-            f"SELECT '{name}' AS check_name, {m} AS value, "
-            f"({verdict}) AS passed FROM {table}")
+            f"SELECT {ks}'{name}' AS check_name, {m} AS value, "
+            f"({verdict}) AS passed FROM {table}{grp}")
     return "\nUNION ALL\n".join(parts)

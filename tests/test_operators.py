@@ -368,6 +368,14 @@ def test_check_expectations(spark):
     rep = plan_report(check_expectations(
         df, {"rows": ("cast(count(*) as double)", "value > 0")}))
     assert rep["exchanges"] - rep["broadcast_exchanges"] <= 1
+    # keyed mode: one verdict row per (group, check)
+    df2 = spark.createDataFrame(
+        [(i, "g" + str(i % 2)) for i in range(10)], "id long, g string")
+    keyed = {(r.g, r.check_name): r.passed
+             for r in check_expectations(
+                 df2, {"rows": ("cast(count(*) as double)", "value >= 5")},
+                 keys=["g"]).collect()}
+    assert keyed == {("g0", "rows"): True, ("g1", "rows"): True}
 
 
 def test_psi_drift_keys_and_validation(spark):
