@@ -59,7 +59,7 @@ def main() -> None:
         "sample_temperature", "upsample_epochs", "snapshot_diff",
         "search_hybrid", "classify_features", "ann_ivfpq",
         "mine_negatives", "mine_triplets", "drift_psi", "source_filter",
-        "corpus_checks", "source_checks",
+        "corpus_checks", "source_checks", "interleave_order",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers, and spin up the Python worker

@@ -1811,6 +1811,27 @@ def _attach_source_checks_oracle():
 _attach_source_checks_oracle()
 
 
+@q("interleave_order")
+def interleave_order_q(spark, sf):
+    """Round-robin training order across sources (longest docs first
+    within each source), one range exchange, no per-stratum window."""
+    from pythonql_spark.operators.sampling import interleave_order
+    docs = load_table(spark, sf, "documents")
+    return interleave_order(
+        docs.select("doc_id", "source", "n_chars"),
+        "source", ["n_chars DESC", "doc_id"])
+
+
+def _attach_interleave_oracle():
+    from pythonql_spark.operators.sampling import interleave_order_oracle_sql
+    ORACLE["interleave_order"] = interleave_order_oracle_sql(
+        "source", ["n_chars DESC", "doc_id"],
+        select="doc_id, source, n_chars")
+
+
+_attach_interleave_oracle()
+
+
 @q("ann_lsh")
 def ann_lsh(spark, sf):
     from pythonql_spark.operators.similarity import lsh_topk

@@ -522,3 +522,72 @@ SELECT {select} FROM (
   FROM {table} t CROSS JOIN generate_series(0, {max_full}) gs)
 WHERE epoch <= ({full})
   AND (epoch < ({full}) OR {hb} < ({frac_cut}))"""
+
+
+def interleave_order(df: DataFrame, stratum_col: str,
+                     order_by: list[str], *,
+                     out_col: str = "train_key") -> DataFrame:
+    """Deterministic round-robin interleave across strata — the
+    training-order step that stops a run from seeing a million code
+    documents in a row: sorting by ``out_col`` yields stratum 0's
+    first doc, stratum 1's first, ..., then every stratum's second,
+    with each stratum internally in ``order_by`` order.  Key formula:
+    ``pos_in_stratum * n_strata + stratum_rank`` — unique, and dense
+    until the smallest stratum exhausts (gaps after that keep the
+    order correct; re-number with ``global_index`` if a dense 0..n-1
+    contract matters downstream).
+
+    Scale shape: ONE range exchange — ``global_index`` sorted on
+    (stratum, order_by) numbers the corpus globally; per-stratum
+    positions fall out as ``global_pos - min(global_pos)`` per stratum
+    (a tiny per-stratum aggregate broadcast back).  No per-stratum
+    window ever runs, so a giant stratum cannot funnel into one task —
+    the same trap `select_to_budget`'s rewrite removed."""
+    if not order_by:
+        raise ValueError("need at least one order_by expression")
+    from pyspark.sql.window import Window as W
+
+    def sort_col(e: str):
+        # "expr DESC" / "expr ASC" suffixes (F.expr would parse the
+        # bare string as an alias, silently dropping the direction)
+        parts = e.rsplit(None, 1)
+        if len(parts) == 2 and parts[1].upper() in ("ASC", "DESC"):
+            c = F.expr(parts[0])
+            return c.desc() if parts[1].upper() == "DESC" else c.asc()
+        return F.expr(e)
+
+    idx = global_index(df, [F.col(stratum_col)]
+                       + [sort_col(e) for e in order_by],
+                       out_col="__gpos")
+    firsts = (idx.groupBy(stratum_col)
+              .agg(F.min("__gpos").alias("__first")))
+    # |strata| rows: rank strata and attach their count windowlessly
+    firsts = (firsts
+              .withColumn("__srank",
+                          F.row_number().over(W.orderBy(stratum_col)) - 1)
+              .withColumn("__n", F.count(F.lit(1)).over(
+                  W.partitionBy(F.lit(1)))))
+    out = idx.join(F.broadcast(firsts), stratum_col)
+    return (out.withColumn(
+        out_col,
+        (F.col("__gpos") - F.col("__first")) * F.col("__n")
+        + F.col("__srank"))
+        .drop("__gpos", "__first", "__srank", "__n"))
+
+
+def interleave_order_oracle_sql(stratum_col: str, order_by: list[str],
+                                *, out_col: str = "train_key",
+                                select: str = "*",
+                                table: str = "documents") -> str:
+    """DuckDB mirror of :func:`interleave_order` (window form — the
+    single-task shape the engine avoids, fine at oracle scale)."""
+    ob = ", ".join(order_by)
+    return f"""
+WITH t AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY {stratum_col}
+                            ORDER BY {ob}) - 1 AS __p,
+         dense_rank() OVER (ORDER BY {stratum_col}) - 1 AS __r,
+         count(distinct {stratum_col}) OVER () AS __n
+  FROM {table})
+SELECT {select}, cast(__p * __n + __r as bigint) AS {out_col} FROM t"""

@@ -393,6 +393,32 @@ def test_psi_drift_keys_and_validation(spark):
         psi_drift(a, a, "x", 0.0, 5.0, 5, smooth=0.0)
 
 
+def test_interleave_order(spark):
+    import pytest as _pytest
+    from pythonql_spark.operators.sampling import interleave_order
+    # uneven strata: a=6, b=3, c=1
+    rows = ([(i, "a", 100 - i) for i in range(6)]
+            + [(10 + i, "b", 50 - i) for i in range(3)]
+            + [(20, "c", 5)])
+    df = spark.createDataFrame(rows, "doc_id long, src string, score long")
+    out = sorted(interleave_order(df.repartition(4), "src",
+                                  ["score DESC", "doc_id"]).collect(),
+                 key=lambda r: r.train_key)
+    # round 0: one doc from each stratum, in stratum order, each
+    # stratum's HIGHEST score first (DESC honoured)
+    assert [r.src for r in out[:3]] == ["a", "b", "c"]
+    assert out[0].doc_id == 0 and out[1].doc_id == 10 and out[2].doc_id == 20
+    # strata stay internally ordered and keys are unique
+    for s in ("a", "b", "c"):
+        scores = [r.score for r in out if r.src == s]
+        assert scores == sorted(scores, reverse=True)
+    assert len({r.train_key for r in out}) == len(out)
+    # after c exhausts, a and b keep alternating
+    assert [r.src for r in out[3:5]] == ["a", "b"]
+    with _pytest.raises(ValueError):
+        interleave_order(df, "src", [])
+
+
 def test_shuffle_rows(spark):
     from pythonql_spark.operators.sampling import shuffle_rows
     df = spark.createDataFrame([(i, f"d{i}") for i in range(500)],
