@@ -1832,6 +1832,25 @@ def _attach_interleave_oracle():
 _attach_interleave_oracle()
 
 
+@q("quantile_bucket")
+def quantile_bucket_q(spark, sf):
+    """Scale-safe NTILE: length deciles over documents — range
+    exchange + local numbering, never a single-task ntile window."""
+    from pythonql_spark.operators.sampling import quantile_buckets
+    docs = load_table(spark, sf, "documents")
+    return quantile_buckets(docs.select("doc_id", "n_chars"),
+                            ["n_chars", "doc_id"], 10)
+
+
+def _attach_quantile_bucket_oracle():
+    from pythonql_spark.operators.sampling import quantile_buckets_oracle_sql
+    ORACLE["quantile_bucket"] = quantile_buckets_oracle_sql(
+        ["n_chars", "doc_id"], 10, select="doc_id, n_chars")
+
+
+_attach_quantile_bucket_oracle()
+
+
 @q("ann_lsh")
 def ann_lsh(spark, sf):
     from pythonql_spark.operators.similarity import lsh_topk

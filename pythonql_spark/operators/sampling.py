@@ -524,6 +524,17 @@ WHERE epoch <= ({full})
   AND (epoch < ({full}) OR {hb} < ({frac_cut}))"""
 
 
+def _sort_col(e: str):
+    """Parse an "expr [ASC|DESC]" ordering string into a sort Column —
+    ``F.expr("x DESC")`` parses DESC as an ALIAS and silently drops
+    the direction."""
+    parts = e.rsplit(None, 1)
+    if len(parts) == 2 and parts[1].upper() in ("ASC", "DESC"):
+        c = F.expr(parts[0])
+        return c.desc() if parts[1].upper() == "DESC" else c.asc()
+    return F.expr(e)
+
+
 def interleave_order(df: DataFrame, stratum_col: str,
                      order_by: list[str], *,
                      out_col: str = "train_key") -> DataFrame:
@@ -546,18 +557,8 @@ def interleave_order(df: DataFrame, stratum_col: str,
     if not order_by:
         raise ValueError("need at least one order_by expression")
     from pyspark.sql.window import Window as W
-
-    def sort_col(e: str):
-        # "expr DESC" / "expr ASC" suffixes (F.expr would parse the
-        # bare string as an alias, silently dropping the direction)
-        parts = e.rsplit(None, 1)
-        if len(parts) == 2 and parts[1].upper() in ("ASC", "DESC"):
-            c = F.expr(parts[0])
-            return c.desc() if parts[1].upper() == "DESC" else c.asc()
-        return F.expr(e)
-
     idx = global_index(df, [F.col(stratum_col)]
-                       + [sort_col(e) for e in order_by],
+                       + [_sort_col(e) for e in order_by],
                        out_col="__gpos")
     firsts = (idx.groupBy(stratum_col)
               .agg(F.min("__gpos").alias("__first")))
@@ -591,3 +592,41 @@ WITH t AS (
          count(distinct {stratum_col}) OVER () AS __n
   FROM {table})
 SELECT {select}, cast(__p * __n + __r as bigint) AS {out_col} FROM t"""
+
+
+def quantile_buckets(df: DataFrame, order_by: list[str], k: int, *,
+                     out_col: str = "bucket") -> DataFrame:
+    """Equal-frequency bucketing — the scale-safe NTILE: assign each
+    row its k-quantile bucket (0..k-1) of the global ``order_by``
+    order (difficulty deciles for curriculum phases, score quartiles
+    for tiered filtering).  ``bucket = (pos * k) div n`` — pure bigint
+    arithmetic, so the oracle reproduces it exactly; bucket sizes
+    differ by at most 1 (the distribution pattern differs from the
+    SQL NTILE spec, which front-loads remainders, but is equally
+    equal-frequency).
+
+    Scale shape: ``global_index`` (one range exchange + local
+    numbering + broadcast offsets) — never ``ntile() OVER (ORDER BY
+    ...)``, whose empty partition spec funnels the corpus through one
+    task.  ``order_by`` must be a total order (add a unique id
+    tiebreak) for deterministic assignment."""
+    if k <= 0:
+        raise ValueError("need k >= 1")
+    if not order_by:
+        raise ValueError("need at least one order_by expression")
+    idx = global_index(df, [_sort_col(e) for e in order_by],
+                       out_col="__pos", total_col="__tot")
+    return (idx.withColumn(out_col,
+                           F.expr(f"(__pos * {k}) div __tot"))
+            .drop("__pos", "__tot"))
+
+
+def quantile_buckets_oracle_sql(order_by: list[str], k: int, *,
+                                out_col: str = "bucket",
+                                select: str = "*",
+                                table: str = "documents") -> str:
+    """DuckDB mirror of :func:`quantile_buckets` (window form)."""
+    ob = ", ".join(order_by)
+    return (f"SELECT {select}, "
+            f"((row_number() OVER (ORDER BY {ob}) - 1) * {k}) "
+            f"// count(*) OVER () AS {out_col} FROM {table}")

@@ -80,9 +80,11 @@ def main() -> None:
     from pythonql_spark.operators.retrieval import bm25_search
     from pythonql_spark.operators.bloom import decontaminate_bloom
     from pythonql_spark.operators.classifier import classify_quality
-    from pythonql_spark.operators.profile import (group_stats_filter,
+    from pythonql_spark.operators.profile import (check_expectations,
+                                                  group_stats_filter,
                                                   percentile_normalize,
                                                   psi_drift)
+    from pythonql_spark.operators.sampling import interleave_order
     from pythonql_spark.operators.sampling import (sample_exact_n_stratified,
                                                    select_to_budget)
     from pythonql_spark.operators.similarity import (brute_topk,
@@ -313,6 +315,19 @@ def main() -> None:
                 docs, ["source"],
                 {"n_docs": "count(*)", "avg_chars": "avg(n_chars)"},
                 "n_docs >= 10 AND avg_chars >= 290").count(),
+            # expectation suite: one aggregate pass, verdicts on
+            # |checks| rows — should track the scan alone
+            "checks": lambda: check_expectations(docs, {
+                "null_rate": ("avg(cast(text IS NULL as double))",
+                              "value < 0.01"),
+                "ids_unique": ("cast(count(*) - count(distinct doc_id) "
+                               "as double)", "value = 0"),
+            }).count(),
+            # round-robin interleave: one range exchange + broadcast
+            # per-stratum minima — ~the cost of one global sort, flat
+            "interleave": lambda: interleave_order(
+                docs.select("doc_id", "source", "n_chars"),
+                "source", ["n_chars DESC", "doc_id"]).count(),
             # compound-key as-of: one sort-shuffle on (user, type)
             "asof_join": lambda: asof_join(
                 evs.filter("event_type = 'purchase'")

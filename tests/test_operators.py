@@ -419,6 +419,27 @@ def test_interleave_order(spark):
         interleave_order(df, "src", [])
 
 
+def test_quantile_buckets(spark):
+    import pytest as _pytest
+    from pythonql_spark.operators.sampling import quantile_buckets
+    df = spark.createDataFrame([(i, float(i)) for i in range(103)],
+                               "id long, x double")
+    out = quantile_buckets(df.repartition(5), ["x", "id"], 4).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r.x)
+    # 4 buckets, sizes differ by at most 1, order-respecting
+    assert set(by_bucket) == {0, 1, 2, 3}
+    sizes = [len(v) for _, v in sorted(by_bucket.items())]
+    assert max(sizes) - min(sizes) <= 1 and sum(sizes) == 103
+    assert max(by_bucket[0]) < min(by_bucket[1])
+    assert max(by_bucket[2]) < min(by_bucket[3])
+    with _pytest.raises(ValueError):
+        quantile_buckets(df, ["x"], 0)
+    with _pytest.raises(ValueError):
+        quantile_buckets(df, [], 4)
+
+
 def test_shuffle_rows(spark):
     from pythonql_spark.operators.sampling import shuffle_rows
     df = spark.createDataFrame([(i, f"d{i}") for i in range(500)],
