@@ -117,6 +117,22 @@ def main() -> None:
     print("ffprobe-style media probe:")
     MM.probe_media(media).drop("media").show()
 
+    # training order: difficulty deciles (scale-safe NTILE), then a
+    # round-robin interleave across sources so no source dominates a
+    # stretch of the schedule; hard-negative triplets for the
+    # retrieval head
+    from pythonql_spark.operators.sampling import (interleave_order,
+                                                   quantile_buckets)
+    from pythonql_spark.operators.similarity import mine_triplets
+    tiers = quantile_buckets(docs.select("doc_id", "source", "n_chars"),
+                             ["n_chars", "doc_id"], 10)
+    order = interleave_order(tiers, "source", ["bucket", "doc_id"])
+    print("interleaved schedule head (one doc per source per round):")
+    order.orderBy("train_key").limit(5).show()
+    print("contrastive triplets (smallest margins are the hard cases):")
+    mine_triplets(emb.filter("vec_id < 3"), emb, n_neg=2) \
+        .orderBy("margin").show(3)
+
     # terminal sink: fixed-row shards + manifest for the loader
     import tempfile
     from pythonql_spark.operators.sampling import shuffle_key
