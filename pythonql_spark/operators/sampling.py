@@ -553,7 +553,11 @@ def interleave_order(df: DataFrame, stratum_col: str,
     positions fall out as ``global_pos - min(global_pos)`` per stratum
     (a tiny per-stratum aggregate broadcast back).  No per-stratum
     window ever runs, so a giant stratum cannot funnel into one task —
-    the same trap `select_to_budget`'s rewrite removed."""
+    the same trap `select_to_budget`'s rewrite removed.
+
+    Strata and order keys should be non-null: engines disagree on
+    default null ordering (Spark NULLS FIRST vs DuckDB NULLS LAST
+    ascending), so null keys make the assignment engine-specific."""
     if not order_by:
         raise ValueError("need at least one order_by expression")
     from pyspark.sql.window import Window as W
@@ -609,7 +613,8 @@ def quantile_buckets(df: DataFrame, order_by: list[str], k: int, *,
     numbering + broadcast offsets) — never ``ntile() OVER (ORDER BY
     ...)``, whose empty partition spec funnels the corpus through one
     task.  ``order_by`` must be a total order (add a unique id
-    tiebreak) for deterministic assignment."""
+    tiebreak) for deterministic assignment, and non-null (engines
+    disagree on default null ordering)."""
     if k <= 0:
         raise ValueError("need k >= 1")
     if not order_by:
