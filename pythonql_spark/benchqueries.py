@@ -1851,6 +1851,28 @@ def _attach_quantile_bucket_oracle():
 _attach_quantile_bucket_oracle()
 
 
+@q("token_shards")
+def token_shards_q(spark, sf):
+    """Equal-WEIGHT sharding: split the corpus into 8 equal-character
+    shards (weighted quantile buckets) — two-phase prefix sum, one
+    range exchange, no single-task running-sum window."""
+    from pythonql_spark.operators.sampling import quantile_buckets
+    docs = load_table(spark, sf, "documents")
+    return quantile_buckets(docs.select("doc_id", "n_chars"),
+                            ["doc_id"], 8, weight_col="n_chars",
+                            out_col="shard")
+
+
+def _attach_token_shards_oracle():
+    from pythonql_spark.operators.sampling import quantile_buckets_oracle_sql
+    ORACLE["token_shards"] = quantile_buckets_oracle_sql(
+        ["doc_id"], 8, weight_col="n_chars", out_col="shard",
+        select="doc_id, n_chars")
+
+
+_attach_token_shards_oracle()
+
+
 @q("ann_lsh")
 def ann_lsh(spark, sf):
     from pythonql_spark.operators.similarity import lsh_topk

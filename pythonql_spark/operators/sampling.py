@@ -599,6 +599,7 @@ SELECT {select}, cast(__p * __n + __r as bigint) AS {out_col} FROM t"""
 
 
 def quantile_buckets(df: DataFrame, order_by: list[str], k: int, *,
+                     weight_col: str | None = None,
                      out_col: str = "bucket") -> DataFrame:
     """Equal-frequency bucketing — the scale-safe NTILE: assign each
     row its k-quantile bucket (0..k-1) of the global ``order_by``
@@ -609,29 +610,85 @@ def quantile_buckets(df: DataFrame, order_by: list[str], k: int, *,
     SQL NTILE spec, which front-loads remainders, but is equally
     equal-frequency).
 
-    Scale shape: ``global_index`` (one range exchange + local
-    numbering + broadcast offsets) — never ``ntile() OVER (ORDER BY
-    ...)``, whose empty partition spec funnels the corpus through one
-    task.  ``order_by`` must be a total order (add a unique id
-    tiebreak) for deterministic assignment, and non-null (engines
-    disagree on default null ordering)."""
+    With ``weight_col`` the buckets hold equal WEIGHT instead of
+    equal row counts — "split the corpus into 8 equal-TOKEN shards":
+    ``bucket = (exclusive_prefix_weight × k) div total_weight``.
+    Weights must be non-negative integers (token counts, byte sizes).
+
+    Scale shape: one range exchange either way.  Unweighted rides
+    ``global_index``; weighted is the same two-phase prefix sum as
+    ``select_to_budget`` without the strata — per-partition weight
+    sums (a tiny aggregate) broadcast cumulative offsets back, one
+    Arrow pass adds the local running sum.  Never ``ntile()/sum()
+    OVER (ORDER BY ...)``, whose empty partition spec funnels the
+    corpus through one task.  ``order_by`` must be a total order (add
+    a unique id tiebreak) for deterministic assignment, and non-null
+    (engines disagree on default null ordering)."""
     if k <= 0:
         raise ValueError("need k >= 1")
     if not order_by:
         raise ValueError("need at least one order_by expression")
-    idx = global_index(df, [_sort_col(e) for e in order_by],
-                       out_col="__pos", total_col="__tot")
-    return (idx.withColumn(out_col,
-                           F.expr(f"(__pos * {k}) div __tot"))
-            .drop("__pos", "__tot"))
+    if weight_col is None:
+        idx = global_index(df, [_sort_col(e) for e in order_by],
+                           out_col="__pos", total_col="__tot")
+        return (idx.withColumn(out_col,
+                               F.expr(f"(__pos * {k}) div __tot"))
+                .drop("__pos", "__tot"))
+
+    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.window import Window as W
+    ordcols = [_sort_col(e) for e in order_by]
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    keyed = (df.repartitionByRange(n, *ordcols)
+             .sortWithinPartitions(*ordcols)
+             .withColumn("__pid", F.spark_partition_id())
+             .localCheckpoint(eager=False))
+    partials = (keyed.groupBy("__pid")
+                .agg(F.sum(weight_col).cast("bigint").alias("__n")))
+    offs = (partials
+            .withColumn("__off", F.coalesce(
+                F.sum("__n").over(
+                    W.orderBy("__pid")
+                     .rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0)))
+            .withColumn("__tot", F.sum("__n").over(
+                W.partitionBy(F.lit(1))))
+            .select(F.col("__pid").alias("__opid"), "__off", "__tot"))
+
+    out_schema = StructType(keyed.schema.fields +
+                            [StructField("__cumloc", LongType())])
+
+    def run(batches):
+        acc = 0
+        for pdf in batches:
+            sizes = pdf[weight_col].astype("int64")
+            out = pdf.assign(__cumloc=(sizes.cumsum() + acc)
+                             .astype("int64"))
+            acc += int(sizes.sum())
+            yield out
+
+    local = keyed.mapInPandas(run, out_schema)
+    return (local.join(F.broadcast(offs),
+                       F.col("__pid") == F.col("__opid"))
+            .withColumn(out_col, F.expr(
+                f"((__off + __cumloc - {weight_col}) * {k}) div __tot"))
+            .select(*df.columns, out_col))
 
 
 def quantile_buckets_oracle_sql(order_by: list[str], k: int, *,
+                                weight_col: str | None = None,
                                 out_col: str = "bucket",
                                 select: str = "*",
                                 table: str = "documents") -> str:
-    """DuckDB mirror of :func:`quantile_buckets` (window form)."""
+    """DuckDB mirror of :func:`quantile_buckets` (window form — the
+    single-task shape the engine avoids)."""
     ob = ", ".join(order_by)
-    return (f"SELECT {select}, "
-            f"((row_number() OVER (ORDER BY {ob}) - 1) * {k}) "
-            f"// count(*) OVER () AS {out_col} FROM {table}")
+    if weight_col is None:
+        return (f"SELECT {select}, "
+                f"((row_number() OVER (ORDER BY {ob}) - 1) * {k}) "
+                f"// count(*) OVER () AS {out_col} FROM {table}")
+    w = f"cast({weight_col} as bigint)"
+    pre = (f"(sum({w}) OVER (ORDER BY {ob} "
+           f"ROWS UNBOUNDED PRECEDING) - {w})")
+    return (f"SELECT {select}, cast(({pre} * {k}) "
+            f"// (sum({w}) OVER ()) as bigint) AS {out_col} FROM {table}")

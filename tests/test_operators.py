@@ -440,6 +440,32 @@ def test_quantile_buckets(spark):
         quantile_buckets(df, [], 4)
 
 
+def test_quantile_buckets_weighted(spark):
+    from pythonql_spark.operators.sampling import quantile_buckets
+    # one heavy row (weight 50) among 50 light ones (weight 1 each)
+    rows = [(0, 50)] + [(i, 1) for i in range(1, 51)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = sorted(quantile_buckets(df.repartition(4), ["id"], 4,
+                                  weight_col="w").collect(),
+                 key=lambda r: r.id)
+    # total weight 100 -> 25 per bucket: the heavy head row spans
+    # buckets 0-1 but is assigned its STARTING bucket (exclusive
+    # prefix 0), then ids 1..25 fill bucket 2, 26..50 bucket 3
+    assert out[0].bucket == 0
+    weights = {}
+    for r in out:
+        weights[r.bucket] = weights.get(r.bucket, 0) + r.w
+    assert weights == {0: 50, 2: 25, 3: 25}
+    # buckets are non-decreasing in sort order
+    buckets = [r.bucket for r in out]
+    assert buckets == sorted(buckets)
+    # partition-layout invariance
+    again = sorted(quantile_buckets(df.repartition(11), ["id"], 4,
+                                    weight_col="w").collect(),
+                   key=lambda r: r.id)
+    assert [r.bucket for r in again] == buckets
+
+
 def test_shuffle_rows(spark):
     from pythonql_spark.operators.sampling import shuffle_rows
     df = spark.createDataFrame([(i, f"d{i}") for i in range(500)],
