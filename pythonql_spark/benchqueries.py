@@ -1873,6 +1873,30 @@ def _attach_token_shards_oracle():
 _attach_token_shards_oracle()
 
 
+@q("moving_avg")
+def moving_avg_q(spark, sf):
+    """Trailing 1-hour RANGE-frame count/sum/avg per user over
+    purchase events — one keyed window shuffle shared by all three
+    aggregates."""
+    from pythonql_spark.operators.timeseries import moving_agg
+    ev = load_table(spark, sf, "events")
+    return moving_agg(
+        ev.filter("event_type = 'purchase'")
+          .select("event_id", "user_id", "ts", "value"),
+        "ts", "value", 3600, "user_id").drop("ts")
+
+
+def _attach_moving_avg_oracle():
+    from pythonql_spark.operators.timeseries import moving_agg_oracle_sql
+    ORACLE["moving_avg"] = moving_agg_oracle_sql(
+        "ts", "value", 3600, "user_id",
+        select="event_id, user_id, value",
+        table="(SELECT * FROM events WHERE event_type = 'purchase') pe")
+
+
+_attach_moving_avg_oracle()
+
+
 @q("ann_lsh")
 def ann_lsh(spark, sf):
     from pythonql_spark.operators.similarity import lsh_topk

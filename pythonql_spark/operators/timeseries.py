@@ -147,3 +147,62 @@ def merge_rollups(*rollups: DataFrame) -> DataFrame:
             .agg(F.sum("n").alias("n"),
                  F.sum("sum_v").cast("decimal(38,6)").alias("sum_v"),
                  F.min("min_v").alias("min_v"), F.max("max_v").alias("max_v")))
+
+
+def moving_agg(df: DataFrame, ts_col: str, value_col: str,
+               window_s: int, keys: list[str] | str, *,
+               prefix: str = "mov_") -> DataFrame:
+    """Trailing time-RANGE aggregates per key — "each event's 1-hour
+    running count/sum/avg for this user": a RANGE frame over event
+    time, so the window holds however many rows fall inside the
+    interval (ROWS frames can't express this).  Adds
+    ``{prefix}n / {prefix}sum / {prefix}avg`` columns; the frame is
+    [ts - window_s, ts] inclusive, tie rows (equal timestamps) are
+    all included by RANGE semantics, making the result independent of
+    tie order.
+
+    Sums accumulate as decimal(38,6) (order-insensitive, exact) and
+    the average divides that exact sum — engine-portable without
+    rounding tricks.
+
+    Scale shape: ONE shuffle on ``keys`` shared by all three window
+    functions; keys (users, devices) parallelize across tasks.  For a
+    single giant key this is the documented per-key-window caveat —
+    sessionize or bucket first."""
+    if window_s <= 0:
+        raise ValueError("window_s must be > 0")
+    from pyspark.sql.window import Window as W
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    us = window_s * 1_000_000
+    ecol = F.unix_micros(F.col(ts_col))
+    w = (W.partitionBy(*keys).orderBy(ecol.cast("long"))
+         .rangeBetween(-us, 0))
+    dec = F.col(value_col).cast("decimal(38,6)")
+    out = (df.withColumn(f"{prefix}n", F.count(F.lit(1)).over(w))
+           .withColumn("__s", F.sum(dec).over(w)))
+    # avg divides the DOUBLE sum (identical in both engines) by the
+    # count — decimal division result scales differ across engines
+    return (out.withColumn(f"{prefix}sum",
+                           F.col("__s").cast("double"))
+            .withColumn(f"{prefix}avg",
+                        F.col(f"{prefix}sum") / F.col(f"{prefix}n"))
+            .drop("__s"))
+
+
+def moving_agg_oracle_sql(ts_col: str, value_col: str, window_s: int,
+                          keys: list[str] | str, *,
+                          prefix: str = "mov_", select: str = "*",
+                          table: str = "events") -> str:
+    """DuckDB mirror of :func:`moving_agg` — identical microsecond
+    RANGE frame and decimal accumulation."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    us = window_s * 1_000_000
+    part = ", ".join(keys)
+    frame = (f"OVER (PARTITION BY {part} ORDER BY epoch_us({ts_col}) "
+             f"RANGE BETWEEN {us} PRECEDING AND CURRENT ROW)")
+    dec = f"cast({value_col} as decimal(38,6))"
+    return (f"SELECT {select}, "
+            f"count(*) {frame} AS {prefix}n, "
+            f"cast(sum({dec}) {frame} as double) AS {prefix}sum, "
+            f"cast(sum({dec}) {frame} as double) / (count(*) {frame}) "
+            f"AS {prefix}avg FROM {table}")

@@ -466,6 +466,28 @@ def test_quantile_buckets_weighted(spark):
     assert [r.bucket for r in again] == buckets
 
 
+def test_moving_agg(spark):
+    import datetime as dt
+    import pytest as _pytest
+    from pythonql_spark.operators.timeseries import moving_agg
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0 + dt.timedelta(minutes=m), float(v))
+            for m, v in ((0, 10.0), (30, 20.0), (59, 30.0),
+                         (61, 40.0), (200, 50.0))]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, value double")
+    out = {int(r.ts.timestamp() - t0.timestamp()) // 60:
+           (r.mov_n, r.mov_sum, r.mov_avg)
+           for r in moving_agg(df, "ts", "value", 3600, "uid").collect()}
+    assert out[0] == (1, 10.0, 10.0)
+    assert out[59] == (3, 60.0, 20.0)           # 0, 30, 59 all inside
+    # frame is [ts-3600s, ts] inclusive: at minute 61 the minute-0
+    # event is 61 min back and falls out; 30, 59, 61 remain
+    assert out[61] == (3, 90.0, 30.0)
+    assert out[200] == (1, 50.0, 50.0)          # everything expired
+    with _pytest.raises(ValueError):
+        moving_agg(df, "ts", "value", 0, "uid")
+
+
 def test_shuffle_rows(spark):
     from pythonql_spark.operators.sampling import shuffle_rows
     df = spark.createDataFrame([(i, f"d{i}") for i in range(500)],
