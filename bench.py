@@ -60,7 +60,7 @@ def main() -> None:
         "search_hybrid", "classify_features", "ann_ivfpq",
         "mine_negatives", "mine_triplets", "drift_psi", "source_filter",
         "corpus_checks", "source_checks", "interleave_order",
-        "quantile_bucket", "token_shards", "moving_avg",
+        "quantile_bucket", "token_shards", "moving_avg", "eval_retrieval",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers, and spin up the Python worker

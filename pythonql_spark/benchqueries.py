@@ -1897,6 +1897,48 @@ def _attach_moving_avg_oracle():
 _attach_moving_avg_oracle()
 
 
+@q("eval_retrieval")
+def eval_retrieval_q(spark, sf):
+    """IR metrics (MRR / recall@5 / nDCG@5) of brute-ANN retrieval
+    against same-label relevance — the retriever evaluation gate."""
+    from pyspark.sql import functions as F
+    from pythonql_spark.operators.retrieval import retrieval_metrics
+    from pythonql_spark.operators.similarity import brute_topk
+    emb = load_table(spark, sf, "embeddings")
+    run = brute_topk(emb, query_ids=list(range(10)), k=5)
+    anchors = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("ql"))
+    qrels = (anchors.join(emb.select(F.col("vec_id").alias("n_id"),
+                                     "label"),
+                          F.col("ql") == F.col("label"))
+             .filter("q_id <> n_id").select("q_id", "n_id"))
+    return retrieval_metrics(run, qrels, 5)
+
+
+def _attach_eval_retrieval_oracle():
+    from pythonql_spark.operators.retrieval import retrieval_metrics_oracle_sql
+    from pythonql_spark.operators.similarity import cosine_expr
+    qcos = cosine_expr("q.embedding", "c.embedding", 64, base=1)
+    run_sql = f"""
+SELECT q_id, n_id, rank FROM (
+  SELECT q_id, n_id,
+         cast(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, n_id) AS INTEGER)
+           AS rank
+  FROM (SELECT q.vec_id AS q_id, c.vec_id AS n_id, {qcos} AS cosine
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10)) WHERE rank <= 5"""
+    qrels_sql = ("SELECT q.vec_id AS q_id, c.vec_id AS n_id "
+                 "FROM embeddings q JOIN embeddings c "
+                 "ON q.label = c.label AND q.vec_id <> c.vec_id "
+                 "WHERE q.vec_id < 10")
+    ORACLE["eval_retrieval"] = retrieval_metrics_oracle_sql(
+        run_sql, qrels_sql, 5)
+
+
+_attach_eval_retrieval_oracle()
+
+
 @q("ann_lsh")
 def ann_lsh(spark, sf):
     from pythonql_spark.operators.similarity import lsh_topk

@@ -266,3 +266,111 @@ SELECT coalesce(lex.id, dense.id) AS {id_col}, lex_rank, dense_rank,
             as double) AS rrf_score
 FROM lex FULL OUTER JOIN dense ON lex.id = dense.id
 ORDER BY rrf_score DESC, {id_col} LIMIT {k}"""
+
+
+def retrieval_metrics(run: DataFrame, qrels: DataFrame, k: int, *,
+                      q_col: str = "q_id", d_col: str = "n_id",
+                      rank_col: str = "rank") -> DataFrame:
+    """IR evaluation of a retrieval run — the gate before a mined /
+    indexed corpus feeds retrieval training: MRR, recall@k and
+    (binary) nDCG@k of ``run`` (q, doc, 1-based rank) against
+    ``qrels`` (q, doc) relevant pairs.  Queries present in ``qrels``
+    but absent from ``run`` score 0 (a retriever must be penalized
+    for returning nothing).
+
+    Output: one row (n_queries, mrr, recall_at_k, ndcg_at_k), each
+    metric the mean over qrels-queries, rounded to 6 dp.
+
+    Engine-portability: every per-query metric is either an exact
+    rational (1/min_rank, hit-count ratios) or a sum of per-rank
+    ``1/log2(rank+1)`` gains each rounded to 9 dp and accumulated as
+    exact decimal (order-independent), so a DuckDB oracle reproduces
+    the values bit-for-bit.
+
+    Scale shape: run and qrels join on (q, doc) — one hash-key
+    shuffle of rank/flag rows (never text or vectors); everything
+    after the per-query groupBy is |queries| rows.  The ideal-DCG
+    table is k rows broadcast."""
+    if k <= 0:
+        raise ValueError("need k >= 1")
+    spark = run.sparkSession
+    gain = "cast(round(1.0 / log2(%s + 1), 9) as decimal(38,9))"
+    topk = (run.filter(F.col(rank_col) <= k)
+            .select(F.col(q_col).alias("__q"),
+                    F.col(d_col).alias("__d"),
+                    F.col(rank_col).alias("__r")))
+    rel = (qrels.select(F.col(q_col).alias("__q"),
+                        F.col(d_col).alias("__d"))
+           .distinct())
+    hits = (topk.join(rel, ["__q", "__d"])
+            .groupBy("__q")
+            .agg(F.min("__r").alias("__minr"),
+                 F.count(F.lit(1)).alias("__nhit"),
+                 F.sum(F.expr(gain % "__r")).alias("__dcg")))
+    totals = rel.groupBy("__q").agg(F.count(F.lit(1)).alias("__nrel"))
+    # ideal DCG for R relevant docs = prefix sum of gains at ranks
+    # 1..min(R, k): a k-row broadcast lookup
+    from pyspark.sql.window import Window as W
+    ideal = spark.range(1, k + 1).select(
+        F.col("id").alias("__n"),
+        F.sum(F.expr(gain % "id")).over(
+            W.orderBy("id").rowsBetween(W.unboundedPreceding, 0))
+        .alias("__idcg"))
+    per_q = (totals.join(hits, "__q", "left")
+             .withColumn("__n", F.least(F.col("__nrel"), F.lit(k)))
+             .join(F.broadcast(ideal), "__n")
+             .select(
+                 F.coalesce(1.0 / F.col("__minr"), F.lit(0.0))
+                 .alias("rr"),
+                 (F.coalesce(F.col("__nhit"), F.lit(0)).cast("double")
+                  / F.col("__nrel")).alias("recall"),
+                 (F.coalesce(F.col("__dcg").cast("double"), F.lit(0.0))
+                  / F.col("__idcg").cast("double")).alias("ndcg")))
+    dec = "cast(round(%s, 9) as decimal(38,9))"
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.sum(F.expr(dec % "rr")).cast("double")
+                / F.count(F.lit(1)), 6).alias("mrr"),
+        F.round(F.sum(F.expr(dec % "recall")).cast("double")
+                / F.count(F.lit(1)), 6).alias("recall_at_k"),
+        F.round(F.sum(F.expr(dec % "ndcg")).cast("double")
+                / F.count(F.lit(1)), 6).alias("ndcg_at_k"))
+
+
+def retrieval_metrics_oracle_sql(run_sql: str, qrels_sql: str,
+                                 k: int, *, q_col: str = "q_id",
+                                 d_col: str = "n_id",
+                                 rank_col: str = "rank") -> str:
+    """DuckDB mirror of :func:`retrieval_metrics` — identical 9-dp
+    gain rounding, decimal accumulation and ideal-DCG prefix table."""
+    gain = "cast(round(1.0 / log2(%s + 1), 9) as decimal(38,9))"
+    dec = "cast(round(%s, 9) as decimal(38,9))"
+    return f"""
+WITH topk AS (
+  SELECT {q_col} AS q, {d_col} AS d, {rank_col} AS r
+  FROM ({run_sql}) WHERE {rank_col} <= {k}),
+rel AS (SELECT DISTINCT {q_col} AS q, {d_col} AS d FROM ({qrels_sql})),
+hits AS (
+  SELECT t.q, min(t.r) AS minr, count(*) AS nhit,
+         sum({gain % 't.r'}) AS dcg
+  FROM topk t JOIN rel ON t.q = rel.q AND t.d = rel.d GROUP BY t.q),
+totals AS (SELECT q, count(*) AS nrel FROM rel GROUP BY q),
+ideal AS (
+  SELECT n, sum({gain % 'n'}) OVER (ORDER BY n
+            ROWS UNBOUNDED PRECEDING) AS idcg
+  FROM (SELECT unnest(generate_series(1, {k})) AS n)),
+per_q AS (
+  SELECT coalesce(1.0 / hits.minr, 0.0) AS rr,
+         cast(coalesce(hits.nhit, 0) as double) / totals.nrel AS recall,
+         cast(coalesce(hits.dcg, 0) as double)
+           / cast(ideal.idcg as double) AS ndcg
+  FROM totals LEFT JOIN hits ON totals.q = hits.q
+  JOIN ideal ON ideal.n = least(totals.nrel, {k}))
+SELECT cast(count(*) as bigint) AS n_queries,
+       round(cast(sum({dec % 'rr'}) as double) / count(*), 6) AS mrr,
+       round(cast(sum({dec % 'recall'}) as double) / count(*), 6)
+         AS recall_at_k,
+       round(cast(sum({dec % 'ndcg'}) as double) / count(*), 6)
+         AS ndcg_at_k
+FROM per_q
+"""

@@ -124,3 +124,28 @@ def test_cluster_assignment_no_shuffle(spark):
     explained = cluster_embeddings(df, n_clusters=3, train_sample=90) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in explained, explained
+
+
+def test_retrieval_metrics(spark):
+    import math
+
+    import pytest as _pytest
+    from pythonql_spark.operators.retrieval import retrieval_metrics
+    # q1: relevant {11, 12}; top-3 has 11 at rank 2 (12 at rank 4 is
+    # cut by k).  q2: relevant {13}, retriever misses.  q3: in qrels
+    # but entirely absent from the run -> all zeros.
+    run = spark.createDataFrame(
+        [(1, 99, 1), (1, 11, 2), (1, 98, 3), (1, 12, 4),
+         (2, 97, 1), (2, 96, 2)],
+        "q_id long, n_id long, rank int")
+    qrels = spark.createDataFrame(
+        [(1, 11), (1, 12), (2, 13), (3, 14)], "q_id long, n_id long")
+    row = retrieval_metrics(run, qrels, 3).collect()[0]
+    g = lambda r: round(1.0 / math.log2(r + 1), 9)
+    ndcg1 = g(2) / (g(1) + g(2))                 # dcg@{rank2} / idcg(R=2)
+    assert row.n_queries == 3
+    assert row.mrr == round((0.5 + 0 + 0) / 3, 6)
+    assert row.recall_at_k == round((0.5 + 0 + 0) / 3, 6)
+    assert row.ndcg_at_k == round(round(ndcg1, 9) / 3, 6)
+    with _pytest.raises(ValueError):
+        retrieval_metrics(run, qrels, 0)
