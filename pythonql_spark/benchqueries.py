@@ -1939,6 +1939,28 @@ SELECT q_id, n_id, rank FROM (
 _attach_eval_retrieval_oracle()
 
 
+@q("eval_classifier")
+def eval_classifier_q(spark, sf):
+    """Per-class precision/recall/F1 of the language-ID heuristic
+    against the known lang column — one (label, pred) groupBy."""
+    from pythonql_spark.operators import text as TX
+    from pythonql_spark.operators.classifier import classification_report
+    docs = load_table(spark, sf, "documents")
+    preds = docs.selectExpr("lang", TX.lang_id("text") + " as pred")
+    return classification_report(preds, "lang", "pred")
+
+
+def _attach_eval_classifier_oracle():
+    from pythonql_spark.operators import text as TX
+    from pythonql_spark.operators.classifier import (
+        classification_report_oracle_sql)
+    ORACLE["eval_classifier"] = classification_report_oracle_sql(
+        "lang", TX.lang_id("text", "duck"))
+
+
+_attach_eval_classifier_oracle()
+
+
 @q("ann_lsh")
 def ann_lsh(spark, sf):
     from pythonql_spark.operators.similarity import lsh_topk

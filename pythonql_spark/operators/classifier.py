@@ -182,3 +182,79 @@ def classify_quality(df: DataFrame, label_expr: str, *,
     return quality_score(df, model, text_col=text_col)
 
 
+
+
+def classification_report(df: DataFrame, label_col: str,
+                          pred_col: str) -> DataFrame:
+    """Per-class precision / recall / F1 from (label, prediction)
+    columns — the evaluation table for any labelling stage (a quality
+    classifier against held-out labels, a language-ID heuristic
+    against known languages).  Classes are the union of observed
+    labels and predictions, so a class the model invents (or never
+    predicts) still gets a row.
+
+    All ratios are exact rationals of counts — F1 computes as
+    ``2·tp / (n_pred + n_true)`` (algebraically 2PR/(P+R)) so no
+    chained floating division — making the DuckDB oracle bit-exact
+    without rounding tricks (6-dp rounding applied anyway for
+    uniformity).
+
+    Scale shape: ONE partial-aggregated groupBy on (label, pred) is
+    the only corpus-sized work; everything after runs on at most
+    |classes|² confusion cells."""
+    cm = (df.groupBy(F.col(label_col).alias("__l"),
+                     F.col(pred_col).alias("__p"))
+          .agg(F.count(F.lit(1)).alias("__n")))
+    n_true = (cm.groupBy(F.col("__l").alias("class"))
+              .agg(F.sum("__n").alias("n_true")))
+    n_pred = (cm.groupBy(F.col("__p").alias("class"))
+              .agg(F.sum("__n").alias("n_pred")))
+    tp = (cm.filter(F.col("__l") == F.col("__p"))
+          .select(F.col("__l").alias("class"),
+                  F.col("__n").alias("tp")))
+    out = (n_true.join(n_pred, "class", "full_outer")
+           .join(tp, "class", "left")
+           .select("class",
+                   F.coalesce("n_true", F.lit(0)).alias("n_true"),
+                   F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+                   F.coalesce("tp", F.lit(0)).alias("tp")))
+    rat = (lambda num, den:
+           F.round(F.when(F.col(den) > 0,
+                          F.col(num).cast("double") / F.col(den))
+                   .otherwise(F.lit(0.0)), 6))
+    return (out.withColumn("precision", rat("tp", "n_pred"))
+            .withColumn("recall", rat("tp", "n_true"))
+            .withColumn("f1", F.round(F.when(
+                F.col("n_pred") + F.col("n_true") > 0,
+                2.0 * F.col("tp") / (F.col("n_pred") + F.col("n_true")))
+                .otherwise(F.lit(0.0)), 6)))
+
+
+def classification_report_oracle_sql(label_expr: str, pred_expr: str,
+                                     table: str = "documents") -> str:
+    """DuckDB mirror of :func:`classification_report`."""
+    return f"""
+WITH cm AS (
+  SELECT {label_expr} AS l, {pred_expr} AS p, count(*) AS n
+  FROM {table} GROUP BY l, p),
+nt AS (SELECT l AS class, sum(n) AS n_true FROM cm GROUP BY l),
+np AS (SELECT p AS class, sum(n) AS n_pred FROM cm GROUP BY p),
+tp AS (SELECT l AS class, n AS tp FROM cm WHERE l = p),
+base AS (
+  SELECT coalesce(nt.class, np.class) AS class,
+         cast(coalesce(n_true, 0) as bigint) AS n_true,
+         cast(coalesce(n_pred, 0) as bigint) AS n_pred,
+         cast(coalesce(tp.tp, 0) as bigint) AS tp
+  FROM nt FULL OUTER JOIN np ON nt.class = np.class
+  LEFT JOIN tp ON coalesce(nt.class, np.class) = tp.class)
+SELECT class, n_true, n_pred, tp,
+       round(CASE WHEN n_pred > 0
+             THEN cast(tp as double) / n_pred ELSE 0.0 END, 6)
+         AS precision,
+       round(CASE WHEN n_true > 0
+             THEN cast(tp as double) / n_true ELSE 0.0 END, 6)
+         AS recall,
+       round(CASE WHEN n_pred + n_true > 0
+             THEN 2.0 * tp / (n_pred + n_true) ELSE 0.0 END, 6) AS f1
+FROM base
+"""

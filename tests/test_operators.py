@@ -2127,3 +2127,17 @@ def test_scd2_as_of_accepts_datetime_and_column(spark):
     import pytest as _pytest
     with _pytest.raises(TypeError):
         scd2_as_of(dim, 12345)
+
+
+def test_classification_report(spark):
+    from pythonql_spark.operators.classifier import classification_report
+    rows = ([("a", "a")] * 3 + [("a", "b")] * 1     # a: tp=3, fn=1
+            + [("b", "b")] * 2 + [("b", "c")] * 2)  # b: tp=2; c invented
+    df = spark.createDataFrame(rows, "y string, p string")
+    got = {r["class"]: (r.n_true, r.n_pred, r.tp, r.precision,
+                        r.recall, r.f1)
+           for r in classification_report(df, "y", "p").collect()}
+    assert got["a"] == (4, 3, 3, 1.0, 0.75, round(6 / 7, 6))
+    assert got["b"] == (4, 3, 2, round(2 / 3, 6), 0.5, round(4 / 7, 6))
+    # a class only ever PREDICTED still gets a row with zero scores
+    assert got["c"] == (0, 2, 0, 0.0, 0.0, 0.0)
