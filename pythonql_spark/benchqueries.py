@@ -1961,6 +1961,23 @@ def _attach_eval_classifier_oracle():
 _attach_eval_classifier_oracle()
 
 
+@q("winnow_prints")
+def winnow_prints_q(spark, sf):
+    """Winnowing (MOSS) document fingerprints: window-min of 36-bit
+    k-gram hashes, guaranteed-density sketch for clone detection."""
+    from pythonql_spark.operators.spans import winnow_fingerprints
+    docs = load_table(spark, sf, "documents")
+    return winnow_fingerprints(docs, k=5, w=4)
+
+
+def _attach_winnow_oracle():
+    from pythonql_spark.operators.spans import winnow_fingerprints_oracle_sql
+    ORACLE["winnow_prints"] = winnow_fingerprints_oracle_sql(k=5, w=4)
+
+
+_attach_winnow_oracle()
+
+
 @q("ann_lsh")
 def ann_lsh(spark, sf):
     from pythonql_spark.operators.similarity import lsh_topk

@@ -42,9 +42,11 @@ def _kgram_hash(s: str, dialect: str) -> str:
 
 
 def _kgram_rows(df: DataFrame, k: int, id_col: str,
-                text_col: str) -> DataFrame:
+                text_col: str, hash_fn=None) -> DataFrame:
     """(id, start, h): one row per k-gram occurrence; start is
-    1-based token position."""
+    1-based token position.  ``hash_fn`` defaults to the 60-bit
+    :func:`_kgram_hash` (winnowing passes the 36-bit variant)."""
+    hash_fn = hash_fn or _kgram_hash
     w = words(f"lower({text_col})")
     gram = f"concat_ws(' ', slice(w, i, {k}))"
     # NB: Spark's sequence(1, 0) is a DESCENDING [1, 0], not empty —
@@ -52,7 +54,7 @@ def _kgram_rows(df: DataFrame, k: int, id_col: str,
     kg = (f"transform(array({w}), w -> "
           f"CASE WHEN size(w) < {k} THEN array() "
           f"ELSE transform(sequence(1, size(w) - {k} + 1), "
-          f"i -> {_kgram_hash(gram, 'spark')}) END"
+          f"i -> {hash_fn(gram, 'spark')}) END"
           f")[0]")
     return (df.select(F.col(id_col), F.posexplode(F.expr(kg)))
             .select(F.col(id_col), (F.col("pos") + 1).alias("start"),
@@ -197,3 +199,86 @@ def strip_dup_spans(df: DataFrame, k: int = 8, *,
     return (df.join(removable, id_col, "left")
             .select(*out_cols, F.expr(rebuilt).alias(text_col),
                     F.expr(n_rm).alias("n_removed_tokens")))
+
+
+def _kgram_hash36(s: str, dialect: str) -> str:
+    """36-bit variant of :func:`_kgram_hash` — small enough that
+    ``hash * 2^24 + position`` stays inside a SIGNED bigint
+    (36 + 24 = 60 bits)."""
+    if dialect == "spark":
+        return f"cast(conv(substring(md5({s}), 1, 9), 16, 10) as bigint)"
+    return f"cast(('0x' || substring(md5({s}), 1, 9)) as bigint)"
+
+
+_POS_BITS = 1 << 24          # positions < 16.7M tokens per document
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4, *,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): from each window of ``w`` consecutive
+    word-k-gram hashes keep the MINIMUM, deduplicated — a guaranteed-
+    density sketch (any shared substring of ≥ w + k - 1 tokens shares
+    at least one fingerprint) that is far smaller than the full k-gram
+    set, the standard plagiarism / clone-detection index.
+
+    Output: (id, fp_hash, fp_start) — one row per selected
+    fingerprint, ``fp_start`` the 1-based token position of the
+    winning k-gram.  Ties inside a window break to the LEFTMOST
+    position (any consistent rule preserves the guarantee); documents
+    shorter than w + k - 1 tokens yield no fingerprints (no full
+    window).
+
+    Engine-portability: the (hash, position) pair packs into ONE
+    bigint — ``h36 · 2²⁴ + start`` (36-bit md5-derived hash, positions
+    < 2²⁴) — so the window min is plain bigint ``min()`` in both
+    engines; hash and position unpack by div/mod.
+
+    Scale shape: k-grams leave the scan as bigints (never text); the
+    only shuffle is the per-document window sort, which parallelizes
+    across documents.  The fingerprint set is ~2/(w+1) of the k-gram
+    count."""
+    if k <= 0 or w <= 0:
+        raise ValueError("need k >= 1 and w >= 1")
+    from pyspark.sql.window import Window as W
+    grams = _kgram_rows(df, k, id_col, text_col,
+                        hash_fn=_kgram_hash36)
+    win = (W.partitionBy(id_col).orderBy("start")
+           .rowsBetween(-(w - 1), 0))
+    return (grams
+            .withColumn("__m", F.min(
+                F.expr(f"h * {_POS_BITS} + start")).over(win))
+            .filter(F.col("start") >= w)
+            .select(F.col(id_col),
+                    F.expr(f"__m div {_POS_BITS}").alias("fp_hash"),
+                    F.expr(f"cast(__m % {_POS_BITS} as bigint)")
+                    .alias("fp_start"))
+            .distinct())
+
+
+def winnow_fingerprints_oracle_sql(k: int = 5, w: int = 4, *,
+                                   id_col: str = "doc_id",
+                                   text_col: str = "text",
+                                   table: str = "documents") -> str:
+    """DuckDB mirror of :func:`winnow_fingerprints` — identical 36-bit
+    hash, packed-bigint window min and full-window guard."""
+    wd = words(f"lower({text_col})", "duck")
+    kg_str = f"array_to_string(list_slice(w, i, i + {k} - 1), ' ')"
+    return f"""
+WITH sp AS (SELECT {id_col}, {wd} AS w FROM {table}),
+kg AS (
+  SELECT {id_col}, unnest(list_transform(
+    range(1, greatest(len(w) - {k} + 1, 0) + 1),
+    i -> {{'s': i, 'h': {_kgram_hash36(kg_str, 'duck')}}})) AS u
+  FROM sp),
+kg2 AS (SELECT {id_col}, u.s AS start, u.h AS h FROM kg),
+sel AS (
+  SELECT {id_col}, start,
+         min(h * {_POS_BITS} + start) OVER (
+           PARTITION BY {id_col} ORDER BY start
+           ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS m
+  FROM kg2)
+SELECT DISTINCT {id_col}, m // {_POS_BITS} AS fp_hash,
+       cast(m % {_POS_BITS} as bigint) AS fp_start
+FROM sel WHERE start >= {w}"""

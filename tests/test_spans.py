@@ -65,3 +65,34 @@ def test_shuffles_carry_hashes_not_text(corpus):
     for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)",
                            explained):
         assert "text" not in keys, explained
+
+
+def test_winnow_fingerprints(spark):
+    import pytest as _pytest
+    from pythonql_spark.operators.spans import winnow_fingerprints
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [(1, "one two three four " + shared + " five six seven eight"),
+         (2, "red blue " + shared + " green yellow purple orange pink"),
+         (3, "tiny doc")],                       # < w+k-1 tokens: none
+        "doc_id long, text string")
+    fp = winnow_fingerprints(docs, k=5, w=4).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, []).append((r.fp_hash, r.fp_start))
+    # winnowing guarantee: a shared run of >= w + k - 1 = 8 tokens
+    # must contribute at least one common fingerprint HASH
+    h1 = {h for h, _ in by_doc[1]}
+    h2 = {h for h, _ in by_doc[2]}
+    assert h1 & h2
+    assert 3 not in by_doc                       # no full window
+    # density: selected positions never leave a w-gap uncovered
+    for d in (1, 2):
+        starts = sorted({s for _, s in by_doc[d]})
+        gaps = [b - a for a, b in zip(starts, starts[1:])]
+        assert all(g <= 4 for g in gaps)
+    # partition invariance
+    again = winnow_fingerprints(docs.repartition(4), k=5, w=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, fp))
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(docs, k=0, w=4)
