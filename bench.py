@@ -61,7 +61,7 @@ def main() -> None:
         "mine_negatives", "mine_triplets", "drift_psi", "source_filter",
         "corpus_checks", "source_checks", "interleave_order",
         "quantile_bucket", "token_shards", "moving_avg", "eval_retrieval",
-        "eval_classifier", "winnow_prints",
+        "eval_classifier", "winnow_prints", "clone_pairs",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers, and spin up the Python worker

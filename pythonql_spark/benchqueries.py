@@ -1978,6 +1978,26 @@ def _attach_winnow_oracle():
 _attach_winnow_oracle()
 
 
+@q("clone_pairs")
+def clone_pairs_q(spark, sf):
+    """MOSS clone detection end-to-end: document pairs sharing >= 2
+    winnowing fingerprints (ubiquitous fingerprints excluded by the
+    oracle-mirrored stop rule)."""
+    from pythonql_spark.operators.spans import clone_pairs
+    docs = load_table(spark, sf, "documents")
+    return clone_pairs(docs, k=5, w=4, min_shared=2,
+                       max_docs_per_fp=50)
+
+
+def _attach_clone_pairs_oracle():
+    from pythonql_spark.operators.spans import clone_pairs_oracle_sql
+    ORACLE["clone_pairs"] = clone_pairs_oracle_sql(
+        k=5, w=4, min_shared=2, max_docs_per_fp=50)
+
+
+_attach_clone_pairs_oracle()
+
+
 @q("ann_lsh")
 def ann_lsh(spark, sf):
     from pythonql_spark.operators.similarity import lsh_topk

@@ -282,3 +282,67 @@ sel AS (
 SELECT DISTINCT {id_col}, m // {_POS_BITS} AS fp_hash,
        cast(m % {_POS_BITS} as bigint) AS fp_start
 FROM sel WHERE start >= {w}"""
+
+
+def clone_pairs(df: DataFrame, k: int = 5, w: int = 4, *,
+                min_shared: int = 2, max_docs_per_fp: int = 50,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """MOSS end-to-end: document pairs ranked by how many winnowing
+    fingerprints they share — the clone-detection report (near-verbatim
+    reuse, licence boilerplate, mirrored pages) over a whole corpus.
+
+    Fingerprints held by more than ``max_docs_per_fp`` documents are
+    excluded BEFORE pairing (the standard stop-fingerprint rule:
+    a phrase every page contains identifies nothing and would square
+    the pair count) — an explicit, oracle-mirrored parameter, not a
+    silent cap; count excluded ones via
+    ``winnow_fingerprints(...).groupBy("fp_hash")`` if needed.
+
+    Output: (id_a, id_b, shared) with id_a < id_b and
+    shared >= ``min_shared``.
+
+    Scale shape: fingerprints are ~2/(w+1) of the k-gram count; the
+    pair join shuffles on fp_hash with bucket sizes bounded by
+    ``max_docs_per_fp``, so in-bucket pairing is
+    O(max_docs_per_fp²/2) per fingerprint — the same bounded-bucket
+    contract as the LSH dedup paths."""
+    if min_shared <= 0 or max_docs_per_fp <= 1:
+        raise ValueError("need min_shared >= 1 and max_docs_per_fp >= 2")
+    fps = (winnow_fingerprints(df, k, w, id_col=id_col,
+                               text_col=text_col)
+           .select(id_col, "fp_hash").distinct())
+    keep = (fps.groupBy("fp_hash")
+            .agg(F.count(F.lit(1)).alias("__nd"))
+            .filter(F.col("__nd") <= max_docs_per_fp)
+            .select("fp_hash"))
+    fps = fps.join(keep, "fp_hash")
+    a = fps.select(F.col("fp_hash"), F.col(id_col).alias("id_a"))
+    b = fps.select(F.col("fp_hash"), F.col(id_col).alias("id_b"))
+    return (a.join(b, "fp_hash")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= min_shared))
+
+
+def clone_pairs_oracle_sql(k: int = 5, w: int = 4, *,
+                           min_shared: int = 2,
+                           max_docs_per_fp: int = 50,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           table: str = "documents") -> str:
+    """DuckDB mirror of :func:`clone_pairs`."""
+    inner = winnow_fingerprints_oracle_sql(
+        k, w, id_col=id_col, text_col=text_col, table=table)
+    return f"""
+WITH fp0 AS ({inner}),
+fp AS (SELECT DISTINCT {id_col}, fp_hash FROM fp0),
+keep AS (SELECT fp_hash FROM fp GROUP BY fp_hash
+         HAVING count(*) <= {max_docs_per_fp}),
+fpk AS (SELECT fp.* FROM fp JOIN keep USING (fp_hash))
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       cast(count(*) as bigint) AS shared
+FROM fpk a JOIN fpk b
+  ON a.fp_hash = b.fp_hash AND a.{id_col} < b.{id_col}
+GROUP BY id_a, id_b HAVING count(*) >= {min_shared}"""

@@ -96,3 +96,28 @@ def test_winnow_fingerprints(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, fp))
     with _pytest.raises(ValueError):
         winnow_fingerprints(docs, k=0, w=4)
+
+
+def test_clone_pairs(spark):
+    import pytest as _pytest
+    from pythonql_spark.operators.spans import clone_pairs
+    shared = ("alpha beta gamma delta epsilon zeta eta theta iota "
+              "kappa lam mu nu xi omicron pi")
+    ubiq = "the quick brown fox jumps over the lazy dog again"
+    docs = spark.createDataFrame(
+        [(1, "one two three " + shared + " four five six"),
+         (2, "seven eight " + shared + " nine ten eleven"),
+         # every doc shares the ubiquitous phrase -> stop rule kills it
+         (3, ubiq + " twelve thirteen fourteen fifteen sixteen"),
+         (4, ubiq + " seventeen eighteen nineteen twenty twentyone"),
+         (5, ubiq + " red green blue purple orange pink")],
+        "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.shared
+           for r in clone_pairs(docs, k=5, w=4, min_shared=2,
+                                max_docs_per_fp=2).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 2    # the planted clone
+    # the ubiquitous phrase is held by 3 docs > max_docs_per_fp=2, so
+    # its fingerprints are excluded and docs 3/4/5 never pair up
+    assert not any(set(p) <= {3, 4, 5} for p in got)
+    with _pytest.raises(ValueError):
+        clone_pairs(docs, min_shared=0)
