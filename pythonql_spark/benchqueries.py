@@ -1998,6 +1998,29 @@ def _attach_clone_pairs_oracle():
 _attach_clone_pairs_oracle()
 
 
+@q("decontam_winnow")
+def decontam_winnow_q(spark, sf):
+    """Sketch-based decontamination: corpus docs sharing winnowing
+    fingerprints with the held-out benchmark slice — the sparse-index
+    point on the decontamination trade-off curve."""
+    from pythonql_spark.operators.spans import winnow_decontaminate
+    docs = load_table(spark, sf, "documents")
+    return winnow_decontaminate(docs.filter("doc_id % 50 != 0"),
+                                docs.filter("doc_id % 50 = 0"),
+                                k=5, w=4)
+
+
+def _attach_decontam_winnow_oracle():
+    from pythonql_spark.operators.spans import (
+        winnow_decontaminate_oracle_sql)
+    ORACLE["decontam_winnow"] = winnow_decontaminate_oracle_sql(
+        "SELECT * FROM documents WHERE doc_id % 50 != 0",
+        "SELECT * FROM documents WHERE doc_id % 50 = 0", k=5, w=4)
+
+
+_attach_decontam_winnow_oracle()
+
+
 @q("ann_lsh")
 def ann_lsh(spark, sf):
     from pythonql_spark.operators.similarity import lsh_topk

@@ -346,3 +346,60 @@ SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
 FROM fpk a JOIN fpk b
   ON a.fp_hash = b.fp_hash AND a.{id_col} < b.{id_col}
 GROUP BY id_a, id_b HAVING count(*) >= {min_shared}"""
+
+
+def winnow_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                         k: int = 5, w: int = 4, *,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Sketch-based benchmark decontamination: flag corpus documents
+    sharing winnowing fingerprints with an eval set.  The winnowing
+    guarantee turns into a contamination guarantee — any verbatim
+    overlap of ≥ w + k - 1 tokens is caught — while indexing only
+    ~2/(w+1) of the benchmark's k-grams (the shingle-set and Bloom
+    decontaminators pay for every shingle; this is the sparse-sketch
+    point on the same trade-off curve, with a bounded miss: overlaps
+    shorter than w + k - 1 tokens can escape).
+
+    Output: (id_col, n_prints, n_matched) per corpus doc —
+    ``n_matched > 0`` is the drop signal.
+
+    Scale shape: the benchmark's fingerprint hashes collect to a
+    broadcast set side (eval sets are small by definition); the corpus
+    winnows in one pass and probes the broadcast — the corpus never
+    shuffles on content, only its per-doc fingerprint counts
+    aggregate."""
+    bench = (winnow_fingerprints(benchmark, k, w, id_col=id_col,
+                                 text_col=text_col)
+             .select("fp_hash").distinct())
+    fps = winnow_fingerprints(corpus, k, w, id_col=id_col,
+                              text_col=text_col)
+    return (fps.join(F.broadcast(bench.withColumn("__hit", F.lit(1))),
+                     "fp_hash", "left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_prints"),
+                 F.sum(F.coalesce("__hit", F.lit(0)))
+                 .cast("bigint").alias("n_matched")))
+
+
+def winnow_decontaminate_oracle_sql(corpus_sql: str, bench_sql: str,
+                                    k: int = 5, w: int = 4, *,
+                                    id_col: str = "doc_id",
+                                    text_col: str = "text") -> str:
+    """DuckDB mirror of :func:`winnow_decontaminate`."""
+    c = winnow_fingerprints_oracle_sql(
+        k, w, id_col=id_col, text_col=text_col,
+        table=f"({corpus_sql})")
+    b = winnow_fingerprints_oracle_sql(
+        k, w, id_col=id_col, text_col=text_col,
+        table=f"({bench_sql})")
+    return f"""
+WITH cfp AS ({c}),
+bfp AS (SELECT DISTINCT fp_hash FROM ({b})),
+probe AS (
+  SELECT cfp.{id_col},
+         cast(bfp.fp_hash IS NOT NULL as bigint) AS hit
+  FROM cfp LEFT JOIN bfp ON cfp.fp_hash = bfp.fp_hash)
+SELECT {id_col}, count(*) AS n_prints,
+       cast(sum(hit) as bigint) AS n_matched
+FROM probe GROUP BY {id_col}"""

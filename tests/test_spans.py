@@ -121,3 +121,19 @@ def test_clone_pairs(spark):
     assert not any(set(p) <= {3, 4, 5} for p in got)
     with _pytest.raises(ValueError):
         clone_pairs(docs, min_shared=0)
+
+
+def test_winnow_decontaminate(spark):
+    from pythonql_spark.operators.spans import winnow_decontaminate
+    leak = ("question one what is the capital of france answer paris "
+            "question two name the largest planet answer jupiter")
+    bench = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "clean document about cooking pasta with tomato sauce and basil"),
+         (2, "intro text " + leak + " outro text"),      # verbatim leak
+         (3, "another clean doc on gardening tips for growing herbs")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.n_matched
+           for r in winnow_decontaminate(corpus, bench, k=5, w=4).collect()}
+    assert got[2] > 0                    # the planted leak is caught
+    assert got[1] == 0 and got[3] == 0   # clean docs untouched
