@@ -62,7 +62,7 @@ def main() -> None:
         "corpus_checks", "source_checks", "interleave_order",
         "quantile_bucket", "token_shards", "moving_avg", "eval_retrieval",
         "eval_classifier", "winnow_prints", "clone_pairs",
-        "decontam_winnow",
+        "decontam_winnow", "calibration",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers, and spin up the Python worker

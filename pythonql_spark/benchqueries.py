@@ -2021,6 +2021,29 @@ def _attach_decontam_winnow_oracle():
 _attach_decontam_winnow_oracle()
 
 
+@q("calibration")
+def calibration_q(spark, sf):
+    """Reliability bins + ECE decomposition: does the heuristic
+    quality score's value track the observed long-document rate?"""
+    from pythonql_spark.operators import text as TX
+    from pythonql_spark.operators.classifier import calibration_report
+    docs = load_table(spark, sf, "documents")
+    scored = docs.selectExpr(
+        TX.quality_score("text") + " as prob", "n_chars >= 300 as y")
+    return calibration_report(scored, "prob", "y", nbins=10)
+
+
+def _attach_calibration_oracle():
+    from pythonql_spark.operators import text as TX
+    from pythonql_spark.operators.classifier import (
+        calibration_report_oracle_sql)
+    ORACLE["calibration"] = calibration_report_oracle_sql(
+        TX.quality_score("text", "duck"), "n_chars >= 300", nbins=10)
+
+
+_attach_calibration_oracle()
+
+
 @q("ann_lsh")
 def ann_lsh(spark, sf):
     from pythonql_spark.operators.similarity import lsh_topk

@@ -258,3 +258,67 @@ SELECT class, n_true, n_pred, tp,
              THEN 2.0 * tp / (n_pred + n_true) ELSE 0.0 END, 6) AS f1
 FROM base
 """
+
+
+def calibration_report(df: DataFrame, prob_col: str, label_col: str,
+                       nbins: int = 10) -> DataFrame:
+    """Reliability diagram + ECE decomposition for a probabilistic
+    scorer: bin predictions by confidence, compare each bin's mean
+    predicted probability against its observed positive rate — the
+    check that a quality/contamination score actually MEANS its value
+    before it gates a corpus by threshold.
+
+    Output, one row per non-empty bin: (bin, n, conf, acc, gap,
+    w_gap) where ``conf`` = mean predicted prob, ``acc`` = positive
+    fraction, ``gap`` = acc − conf and ``w_gap`` = (n/N)·|gap| — so
+    ``sum(w_gap)`` is exactly the Expected Calibration Error.
+
+    Engine-portability: ``conf`` sums 9-dp-rounded decimals
+    (partial-agg-order independent); ``acc`` and weights are exact
+    rationals of counts; all outputs round to 6 dp.
+
+    Scale shape: ONE partial-aggregated groupBy on the bin id is the
+    only corpus-sized work; the total-count join is a 1-row broadcast
+    and everything else runs on ≤ nbins rows."""
+    if nbins <= 0:
+        raise ValueError("need nbins >= 1")
+    bin_ = F.least(F.floor(F.col(prob_col) * nbins),
+                   F.lit(nbins - 1)).cast("bigint")
+    dec = f"cast(round({prob_col}, 9) as decimal(38,9))"
+    per_bin = (df.groupBy(bin_.alias("bin"))
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.expr(dec)).alias("__ps"),
+                    F.sum(F.expr(f"cast({label_col} as bigint)"))
+                    .alias("__pos")))
+    total = per_bin.agg(F.sum("n").alias("__N"))
+    out = per_bin.join(F.broadcast(total))
+    conf = F.col("__ps").cast("double") / F.col("n")
+    acc = F.col("__pos").cast("double") / F.col("n")
+    return (out.select(
+        "bin", "n",
+        F.round(conf, 6).alias("conf"),
+        F.round(acc, 6).alias("acc"),
+        F.round(acc - conf, 6).alias("gap"),
+        F.round(F.abs(acc - conf) * F.col("n") / F.col("__N"), 6)
+        .alias("w_gap")))
+
+
+def calibration_report_oracle_sql(prob_expr: str, label_expr: str,
+                                  nbins: int = 10, *,
+                                  table: str = "documents") -> str:
+    """DuckDB mirror of :func:`calibration_report`."""
+    b = f"cast(least(floor(({prob_expr}) * {nbins}), {nbins - 1}) as bigint)"
+    dec = f"cast(round({prob_expr}, 9) as decimal(38,9))"
+    return f"""
+WITH pb AS (
+  SELECT {b} AS bin, count(*) AS n, sum({dec}) AS ps,
+         sum(cast({label_expr} as bigint)) AS pos
+  FROM {table} GROUP BY bin),
+t AS (SELECT sum(n) AS ntot FROM pb)
+SELECT bin, n,
+       round(cast(ps as double) / n, 6) AS conf,
+       round(cast(pos as double) / n, 6) AS acc,
+       round(cast(pos as double) / n - cast(ps as double) / n, 6) AS gap,
+       round(abs(cast(pos as double) / n - cast(ps as double) / n)
+             * n / ntot, 6) AS w_gap
+FROM pb, t"""

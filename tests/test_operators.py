@@ -2141,3 +2141,23 @@ def test_classification_report(spark):
     assert got["b"] == (4, 3, 2, round(2 / 3, 6), 0.5, round(4 / 7, 6))
     # a class only ever PREDICTED still gets a row with zero scores
     assert got["c"] == (0, 2, 0, 0.0, 0.0, 0.0)
+
+
+def test_calibration_report(spark):
+    import pytest as _pytest
+    from pythonql_spark.operators.classifier import calibration_report
+    # bin [0.0,0.5): probs 0.2 x4, 1 positive -> conf 0.2, acc 0.25
+    # bin [0.5,1.0]: probs 0.8 x4, all positive -> conf 0.8, acc 1.0
+    rows = ([(0.2, i == 0) for i in range(4)]
+            + [(0.8, True) for _ in range(4)])
+    df = spark.createDataFrame(rows, "p double, y boolean")
+    got = {r.bin: (r.n, r.conf, r.acc, r.gap, r.w_gap)
+           for r in calibration_report(df, "p", "y", nbins=2).collect()}
+    assert got[0] == (4, 0.2, 0.25, 0.05, 0.025)
+    assert got[1] == (4, 0.8, 1.0, 0.2, 0.1)
+    assert round(sum(v[4] for v in got.values()), 6) == 0.125  # ECE
+    # prob exactly 1.0 clamps into the last bin
+    edge = spark.createDataFrame([(1.0, True)], "p double, y boolean")
+    assert calibration_report(edge, "p", "y", 2).collect()[0].bin == 1
+    with _pytest.raises(ValueError):
+        calibration_report(df, "p", "y", 0)
