@@ -4168,8 +4168,26 @@ _R5_CHECKED = [
     "profile_quantiles", "profile_sketch", "quality_classify",
     "text_bpe",
 ]
+_R6_CHECKED = [
+    # hash-green in CORRECTNESS_r06 (49 keys) ...
+    "decontam_multi", "dedup_corpus_md5", "mine_negatives", "mine_triplets",
+    "drift_psi", "source_filter", "corpus_checks", "source_checks",
+    "interleave_order", "quantile_bucket", "token_shards", "moving_avg",
+    "eval_retrieval", "eval_classifier", "winnow_prints", "clone_pairs",
+    "decontam_winnow", "calibration", "ann_lsh_md5", "classify_features",
+    "search_hybrid", "group_agg", "group_lists", "order_multi",
+    "count_clause", "distinct_set", "join_left_outer", "join_semi",
+    "join_anti", "lateral_explode", "vocab_stats", "subquery_in", "tpch_q6",
+    "tpch_q3", "tpch_q9", "tpch_q18", "path_child", "path_descendants",
+    "try_except", "match_partial", "match_exact", "window_sliding_fixed",
+    "window_tumbling_count", "window_predicate", "sessionize",
+    "funnel_sessions", "stream_tumbling", "stream_sliding", "text_tokens",
+    # ... plus the one expected no_oracle entry that ran clean (50 rows)
+    "ann_ivfpq",
+]
 _DRIVER_CHECKED_ROUND: dict[str, int] = {}
-for _r, _keys in ((3, _R123_GREEN), (4, _R4_GREEN), (5, _R5_CHECKED)):
+for _r, _keys in ((3, _R123_GREEN), (4, _R4_GREEN), (5, _R5_CHECKED),
+                  (6, _R6_CHECKED)):
     for _k in _keys:
         _DRIVER_CHECKED_ROUND[_k] = _r
 
