@@ -522,6 +522,24 @@ def pql_match(spark, sf):
     """, env={"ev": ev})
 
 
+@q("pql_path", """
+SELECT event_id, json_extract_string(props, '$.k') AS k_val
+FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+""")
+def pql_path(spark, sf):
+    """The reference's path-step syntax (Grammar.md:14-17 ``./`` /
+    ``.//``; tutorial q8 tests/tutorial_tests.py:84-85) inside a pql()
+    QUERY STRING: the step compiles to the registered pql_child UDF
+    and the for-clause lateral-explodes its array — same semantics as
+    the DSL path_child key, now reachable from the string front-end."""
+    from pythonql_spark.pql import pql
+    ev = load_table(spark, sf, "events").select("event_id", "props")
+    return pql(spark, """
+      select (e.event_id as event_id, k_val)
+      for e in ev, k_val in e.props ./ 'k'
+    """, env={"ev": ev})
+
+
 @q("match_exact", """
 SELECT event_id, json_extract_string(props, '$.k') AS k
 FROM events

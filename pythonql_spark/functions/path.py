@@ -109,6 +109,45 @@ _child_udf = None
 _desc_udf = None
 
 
+def _make_sql_udf(step, seq: bool):
+    """SQL-registrable variant: per-row keys (the grammar allows any
+    string-valued expression as the step key) and, for ``seq=True``,
+    an ``array<string>`` input so chained steps (``db ./ 'a' ./ 'b'``)
+    apply to the previous step's sequence — reference semantics: a
+    step over a sequence is the concatenation of the step over each
+    element (Executor.py PQChildPath on list values)."""
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def udf(col: pd.Series, key: pd.Series) -> pd.Series:
+        out = []
+        for v, ks in zip(col, key):
+            k = None if ks in (None, "_") else ks
+            if seq:
+                obj = [] if v is None else [_parse(x) for x in v]
+            else:
+                obj = _parse(v)
+            out.append([_encode(x) for x in step(obj, k)])
+        return pd.Series(out)
+    return udf
+
+
+_registered_sessions: set[int] = set()
+
+
+def register_path_udfs(spark) -> None:
+    """Make the path steps callable from SQL text (the ``pql()``
+    string front-end compiles ``E ./ k`` → ``pql_child(E, k)`` and
+    ``E .// k`` → ``pql_desc(E, k)``; chained steps use the ``_seq``
+    variants over the previous step's array).  Idempotent per
+    session."""
+    if id(spark) in _registered_sessions:
+        return
+    spark.udf.register("pql_child", _make_sql_udf(_child, False))
+    spark.udf.register("pql_desc", _make_sql_udf(_desc, False))
+    spark.udf.register("pql_child_seq", _make_sql_udf(_child, True))
+    spark.udf.register("pql_desc_seq", _make_sql_udf(_desc, True))
+    _registered_sessions.add(id(spark))
+
+
 def json_child(col: str | Column, key: str | None = "_") -> Column:
     """``col ./ key`` — array of child values (``'_'``/None = any key)."""
     global _child_udf

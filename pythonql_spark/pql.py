@@ -110,8 +110,98 @@ def _clauses(q: str) -> list[tuple[str, str]]:
 
 # ---------------------------------------------------------- translation
 
+_STEP_RE = re.compile(r"\.//|\./")
+
+
+def _is_float_dot(masked: str, pos: int) -> bool:
+    """Is the ``.`` at ``pos`` part of a float literal like ``1./2``?
+    (digit run before the dot that is itself not an identifier tail)"""
+    j = pos
+    while j > 0 and masked[j - 1].isdigit():
+        j -= 1
+    return j < pos and (j == 0 or not (masked[j - 1].isalnum()
+                                       or masked[j - 1] == "_"))
+
+
+def _rewrite_path_steps(e: str) -> str:
+    """Reference path steps (Grammar.md: ``expr := old_expr
+    (path_step)*``; ``path_step := './' old_expr | './/' old_expr``)
+    → SQL calls on the registered step UDFs:
+
+        db ./ 'region' ./ 'region'
+          → pql_child_seq(pql_child(db, 'region'), 'region')
+
+    The left operand is the longest trailing primary (identifier /
+    attribute chain, optionally ending in a balanced call or index);
+    the key is ``_`` (any-key wildcard, quoted through), a string
+    literal, or an identifier chain.  Chained steps dispatch to the
+    ``_seq`` variants, which walk the previous step's sequence
+    (reference Executor.py path semantics over list values)."""
+    while True:
+        masked = X.strip_strings(e)
+        m = None
+        for cand in _STEP_RE.finditer(masked):
+            if not _is_float_dot(masked, cand.start()):
+                m = cand
+                break
+        if m is None:
+            return e
+        # ---- left operand: trailing primary ------------------------
+        j = m.start()
+        while j > 0 and e[j - 1] in " \t\n":
+            j -= 1
+        end_left = j
+        while j > 0:
+            c = masked[j - 1]
+            if c in ")]":
+                depth, j = 1, j - 1
+                while j > 0 and depth:
+                    if masked[j - 1] in ")]":
+                        depth += 1
+                    elif masked[j - 1] in "([":
+                        depth -= 1
+                    j -= 1
+            elif c.isalnum() or c in "_.":
+                j -= 1
+            else:
+                break
+        start_left = j
+        left = e[start_left:end_left].strip()
+        if not left:
+            raise ValueError(f"path step with no left operand: {e!r}")
+        # ---- key operand (skip whitespace on e, not masked — masked
+        # blanks string literals, which must stop the skip) ----------
+        k = m.end()
+        while k < len(e) and e[k] in " \t\n":
+            k += 1
+        key_start = k
+        if k < len(e) and e[k] in "'\"":
+            quote = e[k]
+            k += 1
+            while k < len(e) and e[k] != quote:
+                k += 2 if e[k] == "\\" else 1
+            k += 1
+            key = e[key_start:k]
+        elif k < len(e) and masked[k] == "_" and (
+                k + 1 == len(masked) or not (masked[k + 1].isalnum()
+                                             or masked[k + 1] == "_")):
+            k += 1
+            key = "'_'"
+        else:
+            mk = re.match(r"[A-Za-z_]\w*(?:\.\w+)*", masked[k:])
+            if not mk:
+                raise ValueError(f"bad path-step key near: {e[k:k+30]!r}")
+            k += mk.end()
+            key = e[key_start:k]
+        fn = "pql_desc" if m.group(0) == ".//" else "pql_child"
+        if re.match(r"pql_(child|desc)(_seq)?\(", left):
+            fn += "_seq"          # previous step's output is an array
+        e = e[:start_left] + f"{fn}({left}, {key})" + e[k:]
+
+
 def _translate_py(e: str) -> str:
     """Python-isms → Spark SQL (beyond expr.translate)."""
+    e = _rewrite_path_steps(e)
     # try E except D — preserve any text before `try`, keep the
     # wrapped cast's own type (str(x) must stay a string, not get
     # re-cast to double), and move unbalanced trailing parens out of
@@ -335,9 +425,25 @@ def _rewrite_seq_aggs(e: str, seq_vars: set[str]) -> str:
 def pql(spark: SparkSession, query: str,
         env: dict[str, Any] | None = None) -> DataFrame:
     """Compile and run a PythonQL query-expression string; returns a
-    DataFrame (use .collect()/.toPandas() for materialization)."""
+    DataFrame (use .collect()/.toPandas() for materialization).
+
+    Also accepts a BARE path expression (reference tutorial q8:
+    ``db ./ 'region' ./ 'region'``) — no clauses needed; returns a
+    one-column (``value``) DataFrame of the step results in document
+    order."""
     env = env or {}
-    clauses = _clauses(query)
+    masked_q = X.strip_strings(query)
+    has_steps = any(not _is_float_dot(masked_q, m.start())
+                    for m in _STEP_RE.finditer(masked_q))
+    if has_steps:
+        from pythonql_spark.functions.path import register_path_udfs
+        register_path_udfs(spark)
+    try:
+        clauses = _clauses(query)
+    except ValueError:
+        if has_steps:
+            return _bare_path_expr(spark, query, env)
+        raise
     q = Query(spark)
     select_body: str | None = None
     seq_vars: set[str] = set()   # window vars (array columns)
@@ -398,6 +504,34 @@ def pql(spark: SparkSession, query: str,
         raise ValueError("query must have a select clause")
     q.select(*[_rewrite_seq_aggs(e, seq_vars) for e in _tuple_ctor(select_body)])
     return q.df()
+
+
+def _bare_path_expr(spark: SparkSession, query: str,
+                    env: dict[str, Any]) -> DataFrame:
+    """``db ./ 'k' .// 'k2'`` with no query clauses: the base names an
+    env value (a Python list/sequence of JSON-like values, or a
+    DataFrame whose FIRST column holds JSON text); each row's step
+    results explode to one ``value`` row each, preserving document
+    order within a row."""
+    import json
+
+    mb = re.match(r"\s*([A-Za-z_]\w*)", X.strip_strings(query))
+    if not mb:
+        raise ValueError(f"bad path expression: {query!r}")
+    base = mb.group(1)
+    if base not in env:
+        raise ValueError(f"path base {base!r} not found in env")
+    val = env[base]
+    if isinstance(val, DataFrame):
+        df, col = val, val.columns[0]
+    else:
+        df = spark.createDataFrame(
+            [(v if isinstance(v, str) else json.dumps(v, sort_keys=True),)
+             for v in val], "__v string")
+        col = "__v"
+    rewritten = _rewrite_path_steps(col + query[mb.end(1):])
+    from pyspark.sql import functions as F
+    return df.select(F.explode(F.expr(rewritten)).alias("value"))
 
 
 def _window_clause(spark, q: Query, wm: re.Match, env) -> str:

@@ -196,3 +196,60 @@ def test_match_as_binds_parent_on_dataframe(spark):
     """, env={"src": df}).collect()
     assert len(rows) == 1
     assert rows[0].k == "7" and '"k"' in rows[0].w
+
+
+# ------------------------------------------------------------ path steps
+
+def test_rewrite_path_steps_shapes():
+    from pythonql_spark.pql import _rewrite_path_steps as rw
+    assert rw("db ./ 'region' ./ 'region'") == \
+        "pql_child_seq(pql_child(db, 'region'), 'region')"
+    assert rw("db .// 'box'") == "pql_desc(db, 'box')"
+    assert rw("e.props ./ 'k'") == "pql_child(e.props, 'k')"
+    assert rw("db ./ _") == "pql_child(db, '_')"
+    assert rw("db .// _") == "pql_desc(db, '_')"
+    # float literal, untouched; identifier ending in a digit is a step
+    assert rw("1./2 + x") == "1./2 + x"
+    assert rw("x1 ./ 'k'") == "pql_child(x1, 'k')"
+    # step nested in a call argument
+    assert rw("f(a ./ 'k') + 1") == "f(pql_child(a, 'k')) + 1"
+
+
+def test_q8_path_steps_verbatim(spark):
+    """Reference tutorial q8 (tests/tutorial_tests.py:77-85) verbatim
+    through the pql() string front-end — bare path expressions."""
+    from pythonql_spark.pql import pql
+    db = [{"region": [{"box": [1, 2], "label": "lake"},
+                      {"box": {"box": [2, 3]}},
+                      {"region": {"box": [1, 2], "label": "lake"}},
+                      {"region": {"circle": [0.5, 0.5, 45],
+                                  "label": "pond"}}]},
+          {"region": {"box": [1, 2], "label": "lake"}}]
+    assert len(list(pql(spark, "db./'region'./'region'",
+                        env={"db": db}).collect())) == 2
+    assert len(list(pql(spark, "db .// 'box'",
+                        env={"db": db}).collect())) == 5
+
+
+def test_path_step_inside_query_clauses(spark):
+    from pythonql_spark.pql import pql
+    ev = spark.createDataFrame(
+        [(1, '{"k": 7, "x": 1}'), (2, '{"y": 2}'), (3, '{"k": 9}')],
+        "event_id long, props string")
+    rows = pql(spark, """
+        select (e.event_id as event_id, k_val)
+        for e in ev, k_val in e.props ./ 'k'
+    """, env={"ev": ev}).orderBy("event_id").collect()
+    assert [(r.event_id, r.k_val) for r in rows] == [(1, "7"), (3, "9")]
+
+
+def test_path_descendants_in_where(spark):
+    from pythonql_spark.pql import pql
+    src = spark.createDataFrame(
+        [('{"a": {"box": 1}}',), ('{"b": 2}',)], "j string")
+    rows = pql(spark, """
+        select (x.j as j)
+        for x in src
+        where size(x.j .// 'box') > 0
+    """, env={"src": src}).collect()
+    assert len(rows) == 1 and '"box"' in rows[0].j
