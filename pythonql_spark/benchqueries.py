@@ -666,34 +666,35 @@ def sessionize(spark, sf):
 
 @q("pql_window", """
 WITH r AS (
-  SELECT value, row_number() OVER (ORDER BY ts, value) - 1 AS rn
-  FROM events WHERE user_id = 1)
-SELECT a.rn AS s,
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, value) - 1 AS rn
+  FROM events)
+SELECT a.user_id, a.rn AS s,
        cast(sum(cast(b.value AS decimal(38,6))) as double) AS sum_w
-FROM r a JOIN r b ON b.rn BETWEEN a.rn AND a.rn + 2
-GROUP BY a.rn
+FROM r a JOIN r b
+  ON b.user_id = a.user_id AND b.rn BETWEEN a.rn AND a.rn + 2
+GROUP BY a.user_id, a.rn
 """)
 def pql_window(spark, sf):
     """The reference's window-clause STRING syntax (tutorial q11,
-    reference tests/tutorial_tests.py) through the pql() front-end:
-    every position opens a sliding window, closed after 3 elements
-    (`end at e when e - s == 2`), trailing partial windows emitted
-    (no `only end`).  The sequence is ONE user's event values in
-    event-time order — a bounded per-key sequence (collected by the
-    same documented small-side contract as query vectors); the
-    distributed form of this operator is the window_predicate /
-    stream_predicate keys.  Oracle: self-join on position range."""
-    from pythonql_spark.pql import pql
-    ev = (load_table(spark, sf, "events")
-          .filter("user_id = 1").orderBy("ts", "value"))
-    seq = [float(r.value) for r in ev.select("value").collect()]
-    out = pql(spark, """
-      select (s, sum(w) as sum_w)
+    reference tests/tutorial_tests.py) through the pql() front-end,
+    DISTRIBUTED: the query string is verbatim reference syntax; the
+    env binds the source to a TableSeq (events partitioned by user,
+    event-time ordered), so the clause dispatches to
+    predicate_windows — per-key Arrow batches on executors, nothing
+    collected to the driver.  Every position opens a sliding window,
+    closed after 3 elements (`end at e when e - s == 2`), trailing
+    partial windows emitted.  Oracle: self-join on position range."""
+    from pythonql_spark.pql import TableSeq, pql
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "value")
+    return pql(spark, """
+      select (user_id, s, sum(w) as sum_w)
       for sliding window w in x
       start y at s when True
       end at e when e - s == 2
-    """, env={"x": seq})
-    return out
+    """, env={"x": TableSeq(ev, order_by=["ts", "value"],
+                            partition_by="user_id", value="value")})
 
 
 @q("stream_predicate", """
@@ -4208,6 +4209,12 @@ for _r, _keys in ((3, _R123_GREEN), (4, _R4_GREEN), (5, _R5_CHECKED),
                   (6, _R6_CHECKED)):
     for _k in _keys:
         _DRIVER_CHECKED_ROUND[_k] = _r
+# Keys whose registered SHAPE changed this round (new plan or new
+# oracle): treat as never-checked so the driver window re-verifies
+# them before anything stale.
+_RESHAPED_R7 = ["pql_window"]
+for _k in _RESHAPED_R7:
+    _DRIVER_CHECKED_ROUND.pop(_k, None)
 
 
 def _wrap_rows_only_checksums() -> None:

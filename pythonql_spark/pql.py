@@ -42,6 +42,36 @@ _CLAUSE_RE = re.compile(
     re.IGNORECASE)
 
 
+class TableSeq:
+    """Declares a DataFrame as a window-clause sequence source for
+    ``pql()``: one logical sequence per ``partition_by`` key, ordered
+    within the key by ``order_by``; the window variable binds to the
+    single ``value`` column (default: the one column that is neither
+    a key nor an ordering column).  This is the distributed form of
+    the reference's window-over-a-sequence — the string syntax stays
+    verbatim, the env carries the partitioning, and the clause
+    dispatches to operators.window_clause.predicate_windows (per-key
+    Arrow batches, never collected to the driver)."""
+
+    def __init__(self, df: DataFrame, order_by, partition_by=None,
+                 value: str | None = None):
+        self.df = df
+        self.order_by = ([order_by] if isinstance(order_by, str)
+                         else list(order_by))
+        self.partition_by = ([partition_by]
+                             if isinstance(partition_by, str)
+                             else list(partition_by or []))
+        if value is None:
+            rest = [c for c in df.columns
+                    if c not in self.partition_by
+                    and c not in self.order_by]
+            if len(rest) != 1:
+                raise ValueError(
+                    f"value column ambiguous among {rest}; pass value=")
+            value = rest[0]
+        self.value = value
+
+
 class AttrDict(dict):
     """Row dict with attribute access, so reference-style conditions
     like ``s.y % 2 == 1`` work on window elements."""
@@ -557,26 +587,41 @@ def _window_clause(spark, q: Query, wm: re.Match, env) -> str:
 
     if src not in env:
         raise ValueError(f"window source {src!r} not found in env")
-    seq, scalar = _as_df(spark, env[src], "v", with_pos=True)
-    if seq is None:
-        raise ValueError(f"window source {src!r} is empty or unsupported")
-    if "__pos" not in seq.columns:
-        # windows walk a SEQUENCE; a DataFrame has no inherent order
-        # (monotonically_increasing_id depends on partition layout —
-        # nondeterministic window contents after any shuffle)
-        raise ValueError(
-            f"window source {src!r} is a DataFrame without a __pos "
-            "order column; add one (e.g. via sampling.global_index "
-            "over your ordering) or pass a Python sequence")
-
     from pythonql_spark.operators.window_clause import predicate_windows
-    wdf = predicate_windows(seq, order_by="__pos",
-                            start_when=start_fn, end_when=end_fn,
-                            tumbling=(kind == "tumbling"), only_end=only,
-                            exclude_from_window=["__pos"])
-    # rename/derive the user's declared window variables
-    value_cols = [c for c in seq.columns if c != "__pos"]
-    single = value_cols[0] if len(value_cols) == 1 else None
+    if isinstance(env[src], TableSeq):
+        # distributed sequence: per-key Arrow batches on executors —
+        # the scale path (the local-sequence branch below is the
+        # reference's bounded driver-side contract)
+        ts = env[src]
+        hidden = [c for c in ts.df.columns
+                  if c not in ts.partition_by and c != ts.value]
+        wdf = predicate_windows(ts.df, order_by=ts.order_by,
+                                partition_by=ts.partition_by or None,
+                                start_when=start_fn, end_when=end_fn,
+                                tumbling=(kind == "tumbling"),
+                                only_end=only,
+                                exclude_from_window=hidden)
+        single, scalar = ts.value, True
+    else:
+        seq, scalar = _as_df(spark, env[src], "v", with_pos=True)
+        if seq is None:
+            raise ValueError(f"window source {src!r} is empty or unsupported")
+        if "__pos" not in seq.columns:
+            # windows walk a SEQUENCE; a DataFrame has no inherent order
+            # (monotonically_increasing_id depends on partition layout —
+            # nondeterministic window contents after any shuffle); pass
+            # a TableSeq(df, order_by=..., partition_by=...) instead
+            raise ValueError(
+                f"window source {src!r} is a DataFrame without a __pos "
+                "order column; wrap it in pql.TableSeq (distributed, "
+                "per-key) or pass a Python sequence")
+        wdf = predicate_windows(seq, order_by="__pos",
+                                start_when=start_fn, end_when=end_fn,
+                                tumbling=(kind == "tumbling"),
+                                only_end=only,
+                                exclude_from_window=["__pos"])
+        value_cols = [c for c in seq.columns if c != "__pos"]
+        single = value_cols[0] if len(value_cols) == 1 else None
     from pyspark.sql import functions as F
     if single and scalar:
         wdf = wdf.withColumn("window", F.expr(f"transform(window, x -> x.{single})"))

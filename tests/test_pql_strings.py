@@ -253,3 +253,37 @@ def test_path_descendants_in_where(spark):
         where size(x.j .// 'box') > 0
     """, env={"src": src}).collect()
     assert len(rows) == 1 and '"box"' in rows[0].j
+
+
+def test_window_tableseq_distributed_matches_local(spark):
+    """TableSeq (distributed per-key window clause) == the local
+    Python-sequence path run per key."""
+    from pythonql_spark.pql import TableSeq, pql
+    rows = [(u, i, float(v)) for u, vals in
+            [(1, [5, 1, 7, 2]), (2, [3, 9])]
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id int, pos int, value double")
+    qry = """
+      select (s, sum(w) as sum_w)
+      for sliding window w in x
+      start y at s when True
+      end at e when e - s == 1
+    """
+    got = pql(spark, "select (user_id, s, sum(w) as sum_w) " + qry[qry.index("for"):],
+              env={"x": TableSeq(df, order_by="pos",
+                                 partition_by="user_id")})
+    got_rows = {(r.user_id, r.s): r.sum_w for r in got.collect()}
+    for u, vals in [(1, [5.0, 1.0, 7.0, 2.0]), (2, [3.0, 9.0])]:
+        loc = pql(spark, qry, env={"x": vals})
+        for r in loc.collect():
+            assert got_rows[(u, r.s)] == r.sum_w
+    assert len(got_rows) == 6
+
+
+def test_tableseq_ambiguous_value_column(spark):
+    import pytest as _pytest
+    from pythonql_spark.pql import TableSeq
+    df = spark.createDataFrame([(1, 2, 3.0, 4.0)],
+                               "k int, pos int, a double, b double")
+    with _pytest.raises(ValueError, match="ambiguous"):
+        TableSeq(df, order_by="pos", partition_by="k")
