@@ -2103,6 +2103,18 @@ def ann_lsh_md5(spark, sf):
     return lsh_topk_md5(emb, query_ids=list(range(0, 20, 2)), k=5)
 
 
+@q("ann_ivf_md5", None)  # oracle attached below (generated SQL)
+def ann_ivf_md5(spark, sf):
+    """IVF ANN under a FULL value oracle: the coarse quantizer is a
+    fixed md5 ±1 sign matrix, so the cell argmax, the probe ranking
+    and the cosine re-rank replay bit-for-bit in DuckDB.  Production
+    search stays on the trained-kmeans BLAS ivf_topk path (ann_ivf)."""
+    from pythonql_spark.operators.similarity import ivf_topk_md5
+    emb = load_table(spark, sf, "embeddings")
+    return ivf_topk_md5(emb, query_ids=list(range(10)), k=5,
+                        n_cells=8, n_probe=3)
+
+
 @q("classify_features", None)  # oracle attached below (generated SQL)
 def classify_features(spark, sf):
     """The quality classifier's hashed-BoW feature extraction under a
@@ -3996,6 +4008,9 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc(
     ORACLE["ann_lsh_md5"] = lsh_topk_oracle_sql(
         list(range(0, 20, 2)), k=5,
         table="(SELECT * FROM embeddings WHERE vec_id % 2 = 0) e")
+    from pythonql_spark.operators.similarity import ivf_topk_oracle_sql
+    ORACLE["ann_ivf_md5"] = ivf_topk_oracle_sql(
+        list(range(10)), k=5, n_cells=8, n_probe=3)
     from pythonql_spark.operators.classifier import bow_features_oracle_sql
     ORACLE["classify_features"] = bow_features_oracle_sql(
         n_buckets=512,

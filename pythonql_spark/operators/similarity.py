@@ -715,6 +715,170 @@ SELECT q_id, n_id, cosine, rank FROM (
   FROM s) WHERE rank <= {k}"""
 
 
+# ------------------------------------------------- IVF md5 oracle path
+
+def _ivf_sign_matrix(dim: int, n_cells: int, seed: int = 11) -> "np.ndarray":
+    """(n_cells, dim) ±1 coarse 'centroids', md5-parity derived.  All
+    rows share the same norm (√dim), so argmax dot == nearest
+    spherical centroid — the fixed-literal stand-in for the trained
+    k-means quantizer that lets BOTH engines replay the cell
+    assignment bit-for-bit."""
+    import hashlib as _hl
+    S = np.empty((n_cells, dim), dtype=np.float64)
+    for c in range(n_cells):
+        for i in range(dim):
+            S[c, i] = 1.0 if _hl.md5(
+                f"ivf:{seed}:{c}:{i}".encode()).digest()[0] & 1 else -1.0
+    return S
+
+
+def ivf_cell_exprs(dim: int, n_cells: int, *, vec_col: str = "embedding",
+                   seed: int = 11, base: int = 1) -> list[str]:
+    """One per-cell score expression (fixed left-to-right ± chain over
+    the vector's elements) — the SQL mirror of the Arrow chains in
+    :func:`_ivf_scores_col`."""
+    import hashlib as _hl
+    out = []
+    for c in range(n_cells):
+        terms = []
+        for i in range(dim):
+            pos = _hl.md5(f"ivf:{seed}:{c}:{i}".encode()).digest()[0] & 1
+            terms.append(("+ " if pos else "- ")
+                         + f"cast({vec_col}[{i + base}] as double)")
+        out.append("(" + " ".join(terms).lstrip("+ ") + ")")
+    return out
+
+
+def _argmax_case(cols: list[str], *, cmp: str = ">=") -> str:
+    """Ordered CASE returning the index of the max (min for ``<=``)
+    with lowest-index tie-break — matches np.argmax/argmin."""
+    branches = []
+    for j, cj in enumerate(cols[:-1]):
+        conds = " AND ".join(f"{cj} {cmp} {cl}"
+                             for l, cl in enumerate(cols) if l != j)
+        branches.append(f"WHEN {conds} THEN {j}")
+    return "(CASE " + " ".join(branches) + f" ELSE {len(cols) - 1} END)"
+
+
+def _ivf_scores_col(dim: int, n_cells: int, vec_col: str, seed: int = 11):
+    """array<double> of per-cell chain scores — sequential per-row
+    accumulation over the dims (bit-identical to the SQL chains),
+    vectorized across the Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+    S = _ivf_sign_matrix(dim, n_cells, seed)
+
+    @pandas_udf("array<double>")
+    def scores(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        out = np.empty((len(X), n_cells))
+        for c in range(n_cells):
+            acc = np.zeros(len(X))
+            for i in range(dim):
+                if S[c, i] > 0:
+                    acc += X[:, i]
+                else:
+                    acc -= X[:, i]
+            out[:, c] = acc
+        return pd.Series([row.tolist() for row in out])
+
+    return scores(F.col(vec_col))
+
+
+def ivf_topk_md5(df: DataFrame, query_ids, k: int = 5, *,
+                 n_cells: int = 8, n_probe: int = 3,
+                 dim: int | None = None, id_col: str = "vec_id",
+                 vec_col: str = "embedding", seed: int = 11) -> DataFrame:
+    """IVF ANN under a FULL dual-dialect oracle — same plan shape as
+    :func:`ivf_topk` (corpus keeps ONE cell each, probe list joins by
+    cell, exact-cosine re-rank), but the coarse quantizer is the
+    fixed md5 ±1 sign matrix, so cell assignment (argmax of fixed
+    left-to-right IEEE chains, lowest index on ties) and the probe
+    ranking (score desc, cell asc) reproduce bit-for-bit in DuckDB
+    (:func:`ivf_topk_oracle_sql`).  Production search stays on the
+    trained-kmeans BLAS ivf_topk path."""
+    query_ids = [int(q) for q in query_ids]
+    if not query_ids:
+        raise ValueError("query_ids must not be empty")
+    if dim is None:
+        dim = _dim(df, vec_col)
+    n_probe = min(n_probe, n_cells)
+    scored = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col),
+        _ivf_scores_col(dim, n_cells, vec_col, seed).alias("__scores"))
+    corpus = scored.select(
+        F.col("__id").alias("n_id"), F.col(vec_col).alias("c_vec"),
+        vector_norm(vec_col, dim).alias("c_norm"),
+        F.expr("array_position(__scores, array_max(__scores)) - 1")
+        .cast("int").alias("cell"))
+    ids = ", ".join(str(q) for q in query_ids)
+    probes = (scored.filter(F.expr(f"__id in ({ids})"))
+              .select(F.col("__id").alias("q_id"),
+                      F.col(vec_col).alias("q_vec"),
+                      vector_norm(vec_col, dim).alias("q_norm"),
+                      F.posexplode("__scores").alias("cell", "score"))
+              .withColumn("pr", F.row_number().over(
+                  W.partitionBy("q_id").orderBy(F.col("score").desc(),
+                                                F.col("cell"))))
+              .filter(F.col("pr") <= n_probe)
+              .drop("score", "pr"))
+    cand = corpus.join(F.broadcast(probes), "cell").filter(
+        F.col("n_id") != F.col("q_id"))
+    out = cand.select("q_id", "n_id",
+                      cosine_score("q_vec", "c_vec", "q_norm", "c_norm",
+                                   dim).alias("cosine"))
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "cosine", "rank"))
+
+
+def ivf_topk_oracle_sql(query_ids, k: int = 5, *, n_cells: int = 8,
+                        n_probe: int = 3, dim: int = 64,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        table: str = "embeddings",
+                        seed: int = 11) -> str:
+    """DuckDB mirror of :func:`ivf_topk_md5` — identical cell chains,
+    argmax tie-break, probe ranking and cosine re-rank."""
+    cell_exprs = ivf_cell_exprs(dim, n_cells, vec_col=vec_col, seed=seed)
+    score_cols = ", ".join(f"{e} AS d{c}" for c, e in enumerate(cell_exprs))
+    cell_case = _argmax_case([f"d{c}" for c in range(n_cells)])
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    cells_list = ", ".join(str(c) for c in range(n_cells))
+    score_case = ("CASE u.cell " + " ".join(
+        f"WHEN {c} THEN d{c}" for c in range(n_cells)) + " END")
+    cos = cosine_expr("qv.q_vec", "cv.c_vec", dim, base=1)
+    return f"""
+WITH scored AS (
+  SELECT {id_col} AS id, {vec_col} AS vec, {score_cols} FROM {table}),
+corpus AS (
+  SELECT id AS n_id, {cell_case} AS cell FROM scored),
+probes AS (
+  SELECT id AS q_id, cell FROM (
+    SELECT s.id, u.cell, row_number() OVER (
+      PARTITION BY s.id ORDER BY {score_case} DESC, u.cell) AS pr
+    FROM scored s, (SELECT unnest([{cells_list}]) AS cell) u
+    WHERE s.id IN ({ids})) WHERE pr <= {n_probe}),
+cand AS (
+  SELECT p.q_id, c.n_id FROM corpus c JOIN probes p USING (cell)
+  WHERE c.n_id <> p.q_id),
+qv AS (SELECT {id_col} AS q_id, {vec_col} AS q_vec FROM {table}
+       WHERE {id_col} IN ({ids})),
+cv AS (SELECT {id_col} AS n_id, {vec_col} AS c_vec FROM {table}),
+s AS (
+  SELECT cand.q_id, cand.n_id, {cos} AS cosine
+  FROM cand JOIN qv ON qv.q_id = cand.q_id
+            JOIN cv ON cv.n_id = cand.n_id)
+SELECT q_id, n_id, cosine, rank FROM (
+  SELECT q_id, n_id, cosine,
+         cast(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, n_id) AS INTEGER)
+           AS rank
+  FROM s) WHERE rank <= {k}"""
+
+
 # -------------------------------------------------------------- SemDeDup
 
 def _train_centroids(df: DataFrame, *, n_clusters: int, train_sample: int,
