@@ -2115,6 +2115,18 @@ def ann_ivf_md5(spark, sf):
                         n_cells=8, n_probe=3)
 
 
+@q("ann_ivfpq_md5", None)  # oracle attached below (generated SQL)
+def ann_ivfpq_md5(spark, sf):
+    """Composed IVF-PQ under a FULL value oracle: fixed md5 coarse
+    cells + md5 residual codebook make normalization, cell argmax,
+    residual encoding and the ADC sums bit-reproducible in DuckDB.
+    Production search stays on the trained ivfpq_topk path
+    (ann_ivfpq)."""
+    from pythonql_spark.operators.pq import ivfpq_topk_md5
+    emb = load_table(spark, sf, "embeddings")
+    return ivfpq_topk_md5(emb, query_ids=list(range(10)), k=5)
+
+
 @q("classify_features", None)  # oracle attached below (generated SQL)
 def classify_features(spark, sf):
     """The quality classifier's hashed-BoW feature extraction under a
@@ -4011,6 +4023,8 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc(
     from pythonql_spark.operators.similarity import ivf_topk_oracle_sql
     ORACLE["ann_ivf_md5"] = ivf_topk_oracle_sql(
         list(range(10)), k=5, n_cells=8, n_probe=3)
+    from pythonql_spark.operators.pq import ivfpq_topk_oracle_sql
+    ORACLE["ann_ivfpq_md5"] = ivfpq_topk_oracle_sql(list(range(10)), k=5)
     from pythonql_spark.operators.classifier import bow_features_oracle_sql
     ORACLE["classify_features"] = bow_features_oracle_sql(
         n_buckets=512,

@@ -387,3 +387,276 @@ def ivfpq_topk(df: DataFrame, query_ids, k: int = 5, *,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "n_id", "adc_cos", "rank"))
+
+
+# --------------------------------------------- IVF-PQ md5 oracle path
+
+def _md5_codebook(m: int, K: int, sub: int, seed: int = 13) -> np.ndarray:
+    """(m, K, sub) codewords from md5 bytes, values in ±0.125 — the
+    fixed-literal stand-in for the trained residual codebook.  Every
+    value is (b - 127.5)/1020 with b an exact small integer, so the
+    repr() decimal literal round-trips to the identical double in
+    DuckDB."""
+    import hashlib as _hl
+    Wb = np.empty((m, K, sub), dtype=np.float64)
+    for s in range(m):
+        for j in range(K):
+            for i in range(sub):
+                b = _hl.md5(f"pqw:{seed}:{s}:{j}:{i}".encode()).digest()[0]
+                Wb[s, j, i] = (b - 127.5) / 1020.0
+    return Wb
+
+
+def ivfpq_topk_md5(df: DataFrame, query_ids, k: int = 5, *,
+                   n_cells: int = 4, n_probe: int = 2, m: int = 8,
+                   K: int = 16, dim: int | None = None,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   seed_cells: int = 11, seed_code: int = 13) -> DataFrame:
+    """Composed IVF-PQ ANN under a FULL dual-dialect oracle — the
+    same plan shape as :func:`ivfpq_topk` (cell-pruned plan-side
+    filter, residual codes, per-(query, probe) ADC tables, per-batch
+    partial top-k), but the coarse quantizer is the fixed md5 ±1 sign
+    matrix (scaled to unit norm, entries ±1/√dim — exactly
+    representable when dim is a power of four) and the residual
+    codebook is md5-byte-derived literals, so normalization, cell
+    argmax, residual encoding (argmin, lowest code on ties) and the
+    ADC sums all replay bit-for-bit in DuckDB
+    (:func:`ivfpq_topk_oracle_sql`).  Every accumulation is a fixed
+    left-to-right chain on both sides.  Production search stays on
+    the trained ivfpq_topk path."""
+    from .similarity import _dim, _ivf_sign_matrix
+    query_ids = [int(q) for q in query_ids]
+    if not query_ids:
+        raise ValueError("query_ids must not be empty")
+    if dim is None:
+        dim = _dim(df, vec_col)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    n_probe = min(n_probe, n_cells)
+    C = _ivf_sign_matrix(dim, n_cells, seed_cells) * (1.0 / np.sqrt(dim))
+    Wb = _md5_codebook(m, K, sub, seed_code)
+
+    def _normalize(X: np.ndarray) -> np.ndarray:
+        # sequential sum-of-squares chain, matching the SQL norm
+        q1 = np.zeros(len(X))
+        for i in range(dim):
+            q1 += X[:, i] * X[:, i]
+        return X / np.sqrt(q1)[:, None]
+
+    def _cell_scores(X: np.ndarray) -> np.ndarray:
+        S = np.empty((len(X), n_cells))
+        sign = C * np.sqrt(dim)      # back to ±1 chain coefficients
+        for c in range(n_cells):
+            acc = np.zeros(len(X))
+            for i in range(dim):
+                if sign[c, i] > 0:
+                    acc += X[:, i]
+                else:
+                    acc -= X[:, i]
+            S[:, c] = acc
+        return S
+
+    def _encode(R: np.ndarray) -> np.ndarray:
+        codes = np.empty((len(R), m), dtype=np.int32)
+        for s in range(m):
+            D = np.empty((len(R), K))
+            for j in range(K):
+                acc = np.zeros(len(R))
+                for i in range(sub):
+                    t = R[:, s * sub + i] - Wb[s, j, i]
+                    acc += t * t
+                D[:, j] = acc
+            codes[:, s] = D.argmin(axis=1)
+        return codes
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<cell: int, code: array<int>>")
+    def enc(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                 "code": pd.Series([], dtype="object")})
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        cells = _cell_scores(X).argmax(axis=1)
+        R = _normalize(X) - C[cells]
+        codes = _encode(R)
+        return pd.DataFrame({"cell": cells.astype("int32"),
+                             "code": [c.tolist() for c in codes]})
+
+    encoded = (df.select(F.col(id_col).cast("long").alias("__id"),
+                         enc(F.col(vec_col)).alias("__e"))
+               .select("__id", F.col("__e.cell").alias("__cell"),
+                       F.col("__e.code").alias("__code")))
+
+    qrows = (df.filter(F.col(id_col).isin(query_ids))
+             .select(F.col(id_col).alias("q"), F.col(vec_col).alias("v"))
+             .collect())
+    if not qrows:
+        raise ValueError("no query vectors found")
+    q_ids = np.array([int(r.q) for r in qrows], dtype=np.int64)
+    Q = np.array([[float(x) for x in r.v] for r in qrows])
+    probes = np.argsort(-_cell_scores(Q), axis=1,
+                        kind="stable")[:, :n_probe].astype(np.int32)
+    Qh = _normalize(Q)
+    nq = len(Q)
+    # T[q, p, s, j] = chain ||(q̂ - c_probe)_s - w_{s,j}||²
+    T = np.empty((nq, n_probe, m, K))
+    for qi in range(nq):
+        for pi in range(n_probe):
+            qr = Qh[qi] - C[probes[qi, pi]]
+            for s in range(m):
+                for j in range(K):
+                    acc = 0.0
+                    for i in range(sub):
+                        t = qr[s * sub + i] - Wb[s, j, i]
+                        acc += t * t
+                    T[qi, pi, s, j] = acc
+    bc = df.sparkSession.sparkContext.broadcast((q_ids, probes, T))
+    probed_cells = sorted({int(c) for c in probes.ravel()})
+
+    def batch_topk(batches):
+        q_ids_, probes_, T_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.vstack(pdf["__code"].to_numpy()).astype(np.int64)
+            cells = pdf["__cell"].to_numpy()
+            n_ids = pdf["__id"].to_numpy()
+            out = []
+            for qi in range(len(q_ids_)):
+                ids_parts, d2_parts = [], []
+                for pi in range(probes_.shape[1]):
+                    mask = cells == probes_[qi, pi]
+                    if not mask.any():
+                        continue
+                    sc = codes[mask]
+                    S = np.zeros(mask.sum())
+                    for s in range(m):
+                        S = S + T_[qi, pi, s, sc[:, s]]
+                    ids_parts.append(n_ids[mask])
+                    d2_parts.append(S)
+                if not ids_parts:
+                    continue
+                ids = np.concatenate(ids_parts)
+                cos = np.round(1.0 - np.concatenate(d2_parts) / 2.0, 6)
+                kk = min(k + 1, len(ids))
+                idx = np.lexsort((ids, -cos))[:kk]
+                out.append(pd.DataFrame({
+                    "q_id": np.full(len(idx), q_ids_[qi]),
+                    "n_id": ids[idx], "adc_cos": cos[idx]}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cand = (encoded.filter(F.col("__cell").isin(probed_cells))
+            .mapInPandas(batch_topk, "q_id long, n_id long, adc_cos double"))
+    w = W.partitionBy("q_id").orderBy(F.col("adc_cos").desc(),
+                                      F.col("n_id"))
+    return (cand.filter(F.col("q_id") != F.col("n_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "adc_cos", "rank"))
+
+
+def ivfpq_topk_oracle_sql(query_ids, k: int = 5, *, n_cells: int = 4,
+                          n_probe: int = 2, m: int = 8, K: int = 16,
+                          dim: int = 64, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          table: str = "embeddings",
+                          seed_cells: int = 11,
+                          seed_code: int = 13) -> str:
+    """DuckDB mirror of :func:`ivfpq_topk_md5` — identical
+    normalization, cell chains, residual encoding and ADC sums as
+    generated fixed left-to-right expression chains."""
+    from .similarity import _argmax_case, _ivf_sign_matrix, ivf_cell_exprs
+    sub = dim // m
+    n_probe = min(n_probe, n_cells)
+    C = _ivf_sign_matrix(dim, n_cells, seed_cells) * (1.0 / np.sqrt(dim))
+    Wb = _md5_codebook(m, K, sub, seed_code)
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    cells_list = ", ".join(str(c) for c in range(n_cells))
+
+    cell_exprs = ivf_cell_exprs(dim, n_cells, vec_col="vec",
+                                seed=seed_cells, base=1)
+    score_cols = ", ".join(f"{e} AS d{c}" for c, e in enumerate(cell_exprs))
+    cell_case = _argmax_case([f"d{c}" for c in range(n_cells)])
+    norm_chain = " + ".join(
+        f"cast(vec[{i+1}] as double) * cast(vec[{i+1}] as double)"
+        for i in range(dim))
+
+    def resid_cols(prefix: str, cell_ref: str) -> str:
+        cols = []
+        for i in range(dim):
+            case = ("CASE " + cell_ref + " " + " ".join(
+                f"WHEN {c} THEN {float(C[c, i])!r}" for c in range(n_cells))
+                + " END")
+            cols.append(f"cast(vec[{i+1}] as double) / nrm - ({case})"
+                        f" AS {prefix}{i}")
+        return ",\n         ".join(cols)
+
+    def dist_cols(rp: str, dp: str) -> str:
+        cols = []
+        for s in range(m):
+            for j in range(K):
+                chain = " + ".join(
+                    f"({rp}{s*sub+i} - {float(Wb[s, j, i])!r}) * "
+                    f"({rp}{s*sub+i} - {float(Wb[s, j, i])!r})"
+                    for i in range(sub))
+                cols.append(f"({chain}) AS {dp}{s}_{j}")
+        return ",\n         ".join(cols)
+
+    code_cols = ",\n         ".join(
+        _argmax_case([f"dd{s}_{j}" for j in range(K)], cmp="<=")
+        + f" AS code{s}" for s in range(m))
+    probe_score_case = ("CASE u.cell " + " ".join(
+        f"WHEN {c} THEN d{c}" for c in range(n_cells)) + " END")
+    adc = " + ".join(
+        "(CASE co.code%d %s END)" % (s, " ".join(
+            f"WHEN {j} THEN qd.qd{s}_{j}" for j in range(K)))
+        for s in range(m))
+
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {vec_col} AS vec,
+         sqrt({norm_chain}) AS nrm, {score_cols}
+  FROM {table}),
+cells AS (
+  SELECT *, {cell_case} AS cell FROM base),
+res AS (
+  SELECT id, cell,
+         {resid_cols('r', 'cell')}
+  FROM cells),
+dist AS (
+  SELECT id, cell,
+         {dist_cols('r', 'dd')}
+  FROM res),
+codes AS (
+  SELECT id, cell,
+         {code_cols}
+  FROM dist),
+probes AS (
+  SELECT id AS q_id, cell AS pcell FROM (
+    SELECT c.id, u.cell, row_number() OVER (
+      PARTITION BY c.id ORDER BY {probe_score_case} DESC, u.cell) AS pr
+    FROM cells c, (SELECT unnest([{cells_list}]) AS cell) u
+    WHERE c.id IN ({ids})) WHERE pr <= {n_probe}),
+qres AS (
+  SELECT p.q_id, p.pcell,
+         {resid_cols('qr', 'p.pcell')}
+  FROM probes p JOIN (SELECT id, vec, nrm FROM cells) q2
+    ON q2.id = p.q_id),
+qdist AS (
+  SELECT q_id, pcell,
+         {dist_cols('qr', 'qd')}
+  FROM qres),
+pairs AS (
+  SELECT qd.q_id, co.id AS n_id,
+         round(1 - ({adc}) / 2, 6) AS adc_cos
+  FROM codes co JOIN qdist qd ON co.cell = qd.pcell
+  WHERE co.id <> qd.q_id)
+SELECT q_id, n_id, adc_cos, rank FROM (
+  SELECT q_id, n_id, adc_cos,
+         cast(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY adc_cos DESC, n_id) AS INTEGER)
+           AS rank
+  FROM pairs) WHERE rank <= {k}"""

@@ -204,3 +204,18 @@ def test_ivfpq_persisted_index_partition_pruning(spark, emb, tmp_path):
                      encoded=ivfpq_encode(emb, cents, cb))
     assert sorted(map(tuple, df.collect())) == \
         sorted(map(tuple, mem.collect()))
+
+
+def test_ivfpq_md5_excludes_self_and_ranks(spark, tables):
+    from pythonql_spark.operators.pq import ivfpq_topk_md5
+    out = ivfpq_topk_md5(tables["embeddings"], query_ids=[0, 2, 4],
+                         k=3).collect()
+    by_q = {}
+    for r in out:
+        assert r.q_id != r.n_id
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        cosines = [r.adc_cos for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
