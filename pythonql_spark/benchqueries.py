@@ -973,7 +973,7 @@ def text_bpe(spark, sf):
     return bpe_encode(docs, merges)
 
 
-@q("media_decode", None)  # rows-only: binary image decode is not SQL
+@q("media_decode", None)  # oracle attached below (generated SQL)
 def media_decode(spark, sf):
     """Real multimodal decode path: synthesize one PNG per document
     (deterministic pixels from the doc's text hash), then run the
@@ -998,7 +998,7 @@ def media_decode(spark, sf):
                     "mean_intensity"))
 
 
-@q("media_frames", None)  # rows-only: binary frame extraction is not SQL
+@q("media_frames", None)  # oracle attached below (generated SQL)
 def media_frames(spark, sf):
     """Real multimodal frame pipeline, no stub anywhere:
     synthesize a PNG filmstrip per document (4 stacked frames), sample
@@ -1030,7 +1030,7 @@ def media_frames(spark, sf):
             .orderBy("doc_id"))
 
 
-@q("media_gif", None)  # rows-only: binary frame extraction is not SQL
+@q("media_gif", None)  # oracle attached below (generated SQL)
 def media_gif(spark, sf):
     """Real ANIMATED media pipeline: synthesize an animated GIF per
     document (4 frames, real 250 ms Graphic-Control delays), decode
@@ -1088,7 +1088,7 @@ def media_probe(spark, sf):
             .orderBy("doc_id"))
 
 
-@q("media_mp4", None)  # rows-only: container frame extraction is not SQL
+@q("media_mp4", None)  # oracle attached below (generated SQL)
 def media_mp4(spark, sf):
     """Real MP4 frame sampling: mux one ISO-BMFF container per doc
     (6 encoded samples, keyframes every 3rd, 200 ms stts deltas),
@@ -1118,7 +1118,7 @@ def media_mp4(spark, sf):
             .orderBy("doc_id"))
 
 
-@q("media_webp", None)  # rows-only: binary image decode is not SQL
+@q("media_webp", None)  # oracle attached below (generated SQL)
 def media_webp(spark, sf):
     """Real WEBP-lossless decode path: synthesize one VP8L-coded WEBP
     per document (deterministic pixels from the text hash, rotating
@@ -1222,7 +1222,7 @@ def profile_quantiles(spark, sf):
                             keys=["event_type"])
 
 
-@q("media_audio", None)  # rows-only: binary audio decode is not SQL
+@q("media_audio", None)  # oracle attached below (generated SQL)
 def media_audio(spark, sf):
     """Real audio decode path: synthesize one WAV tone per document
     (frequency derived from doc_id), decode distributed with the
@@ -4025,6 +4025,17 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc(
         list(range(10)), k=5, n_cells=8, n_probe=3)
     from pythonql_spark.operators.pq import ivfpq_topk_oracle_sql
     ORACLE["ann_ivfpq_md5"] = ivfpq_topk_oracle_sql(list(range(10)), k=5)
+    # media keys: the synthesized inputs are deterministic functions
+    # of (doc_id, text), so the DECODED outputs are recomputable in
+    # DuckDB without any codec — full value oracles for the
+    # encode→container→decode round-trips (verified at 3 sfs)
+    from pythonql_spark.operators import multimodal as _MM
+    ORACLE["media_decode"] = _MM.media_decode_oracle_sql()
+    ORACLE["media_webp"] = _MM.media_webp_oracle_sql()
+    ORACLE["media_frames"] = _MM.media_frames_oracle_sql()
+    ORACLE["media_gif"] = _MM.media_frames_oracle_sql()
+    ORACLE["media_mp4"] = _MM.media_mp4_oracle_sql()
+    ORACLE["media_audio"] = _MM.media_audio_oracle_sql()
     from pythonql_spark.operators.classifier import bow_features_oracle_sql
     ORACLE["classify_features"] = bow_features_oracle_sql(
         n_buckets=512,
@@ -4241,7 +4252,8 @@ for _r, _keys in ((3, _R123_GREEN), (4, _R4_GREEN), (5, _R5_CHECKED),
 # Keys whose registered SHAPE changed this round (new plan or new
 # oracle): treat as never-checked so the driver window re-verifies
 # them before anything stale.
-_RESHAPED_R7 = ["pql_window"]
+_RESHAPED_R7 = ["pql_window", "media_decode", "media_webp",
+                "media_frames", "media_gif", "media_mp4", "media_audio"]
 for _k in _RESHAPED_R7:
     _DRIVER_CHECKED_ROUND.pop(_k, None)
 

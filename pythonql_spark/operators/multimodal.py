@@ -962,3 +962,142 @@ def render_mp3(id_col, base_frames: int = 8):
 
     return render(id_col if isinstance(id_col, F.Column)
                   else F.col(id_col))
+
+
+# ---------------------------------------------- dual-dialect oracles
+# The synthesized media pipelines are deterministic functions of
+# (doc_id, text): pixels derive from sha256, frame intensities and
+# MP4 payloads from id arithmetic.  So each media key's DECODED
+# output is recomputable in DuckDB without any codec — giving the
+# encode→(container)→decode round-trips FULL value oracles.  The
+# oracle recomputes what decode must return; the Spark side runs the
+# real codecs.
+
+def _hexbyte(hx: str, pos: int) -> str:
+    """DuckDB expr: byte ``pos`` (0-based) of a lowercase-hex string
+    expression — pure varchar arithmetic (casting a BLOB to VARCHAR
+    escapes non-printable bytes, so blob indexing is not an option)."""
+    def hv(c):
+        return f"(strpos('0123456789abcdef', {c}) - 1)"
+    return (f"(16 * {hv(f'substr({hx}, {2 * pos + 1}, 1)')} + "
+            f"{hv(f'substr({hx}, {2 * pos + 2}, 1)')})")
+
+
+def media_decode_oracle_sql(side: int = 8, max_doc: int = 64) -> str:
+    """Oracle for the media_decode key: pixels are the sha256 digest
+    of the text repeated to side² bytes (render_text_png); decode
+    must return the first 16 as pixels_sample and the exact mean."""
+    n = side * side
+    reps, digest = n // 32, 32
+    bytes_ = [_hexbyte("hx", p) for p in range(digest)]
+    ps = ", ".join(f"b{p}" for p in range(16))
+    ssum = " + ".join(f"b{p}" for p in range(digest))
+    cols = ",\n         ".join(f"{e} AS b{p}" for p, e in enumerate(bytes_))
+    return f"""
+WITH h AS (
+  SELECT doc_id, sha256(text) AS hx FROM documents
+  WHERE doc_id < {max_doc}),
+b AS (
+  SELECT doc_id,
+         {cols}
+  FROM h)
+SELECT doc_id, md5(cast([{ps}] as varchar)) AS pixels_digest,
+       ({reps}.0 * ({ssum})) / {n} AS mean_intensity
+FROM b"""
+
+
+def media_webp_oracle_sql(side: int = 8, max_doc: int = 64) -> str:
+    """Oracle for the media_webp key (render_text_webp → VP8L decode):
+    RGBA pixels are the digest repeated; variant digest[0] % 4 == 3
+    (palette path) quantizes every byte to b & 0xC0; mean_intensity
+    is over the color channels only (alpha = every 4th byte, and with
+    32 | 256 each digest position keeps a fixed channel parity)."""
+    n = side * side * 4
+    reps = n // 32
+    cols = ",\n         ".join(f"{_hexbyte('hx', p)} AS b{p}"
+                               for p in range(32))
+    qcols = ",\n         ".join(
+        f"(CASE WHEN b0 % 4 = 3 THEN (b{p} // 64) * 64 ELSE b{p} END)"
+        f" AS q{p}" for p in range(32))
+    ps = ", ".join(f"q{p}" for p in range(16))
+    color_sum = " + ".join(f"q{p}" for p in range(32) if p % 4 != 3)
+    n_color = (n // 4) * 3
+    return f"""
+WITH h AS (
+  SELECT doc_id, sha256(text) AS hx FROM documents
+  WHERE doc_id < {max_doc}),
+b AS (
+  SELECT doc_id,
+         {cols}
+  FROM h),
+q AS (
+  SELECT doc_id,
+         {qcols}
+  FROM b)
+SELECT doc_id, md5(cast([{ps}] as varchar)) AS pixels_digest,
+       ({reps}.0 * ({color_sum})) / {n_color} AS mean_intensity
+FROM q"""
+
+
+def media_frames_oracle_sql(n_frames: int = 4, every_ms: int = 250,
+                            duration_ms: int = 1000,
+                            max_doc: int = 64) -> str:
+    """Oracle for media_frames/media_gif: frame f of the synthesized
+    strip/anim is uniform intensity (doc_id·31 + f·40) % 256; box
+    resize and PNG re-encode of a uniform frame are exact, so the
+    decoded mean is the formula value."""
+    ticks = list(range(0, duration_ms, every_ms))
+    frame_ms = duration_ms // n_frames
+    frames = ", ".join(str(min(t // frame_ms, n_frames - 1))
+                       for t in ticks)
+    return f"""
+WITH f AS (
+  SELECT doc_id, unnest([{frames}]) AS fr
+  FROM documents WHERE doc_id < {max_doc})
+SELECT doc_id, count(*) AS n_frames,
+       round(avg(cast((doc_id * 31 + fr * 40) % 256 AS double)), 6)
+         AS avg_intensity
+FROM f GROUP BY doc_id"""
+
+
+def media_mp4_oracle_sql(n_samples: int = 6, frame_ms: int = 200,
+                         every_ms: int = 400, duration_ms: int = 1200,
+                         max_doc: int = 64) -> str:
+    """Oracle for media_mp4: sample s payload is
+    sha256(f"{id}:{s}")[:12] (render_mp4); sample_frames at every_ms
+    ticks picks sample ts // frame_ms; Spark hex() is uppercase."""
+    ticks = list(range(0, duration_ms, every_ms))
+    smps = ", ".join(str(t // frame_ms) for t in ticks)
+    return f"""
+WITH s AS (
+  SELECT doc_id, unnest([{smps}]) AS smp
+  FROM documents WHERE doc_id < {max_doc}),
+p AS (
+  SELECT doc_id,
+         (smp * {frame_ms}) || ':' ||
+         upper(substr(sha256(doc_id || ':' || smp), 1, 24)) AS fs
+  FROM s)
+SELECT doc_id, count(*) AS n_frames,
+       md5(string_agg(fs, '|' ORDER BY fs)) AS frames_digest
+FROM p GROUP BY doc_id"""
+
+
+def media_audio_oracle_sql(rate: int = 8000, n_samples: int = 400,
+                           max_doc: int = 64) -> str:
+    """Oracle for media_audio: the WAV tone is
+    int(8000·sin(2π·freq·t / rate)) with freq = 200 + (id % 17)·50
+    (render_tone_wav) — trunc-toward-zero and the same left-to-right
+    double chain reproduce the PCM bit-for-bit, so the decoded
+    mean-abs-amplitude is exact (integer-valued doubles, exact sum)."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, 200 + (doc_id % 17) * 50 AS freq
+  FROM documents WHERE doc_id < {max_doc}),
+s AS (
+  SELECT doc_id,
+         trunc(8000 * sin(2 * pi() * freq * t / {rate})) AS smp
+  FROM d, (SELECT unnest(range({n_samples})) AS t) ts)
+SELECT doc_id, cast({rate} AS INTEGER) AS sample_rate,
+       cast({n_samples * 1000 // rate} AS INTEGER) AS audio_ms,
+       sum(abs(smp)) / {n_samples} AS mean_abs_amplitude
+FROM s GROUP BY doc_id"""
