@@ -2161,3 +2161,62 @@ def test_calibration_report(spark):
     assert calibration_report(edge, "p", "y", 2).collect()[0].bin == 1
     with _pytest.raises(ValueError):
         calibration_report(df, "p", "y", 0)
+
+
+def test_quality_classifier_training_parity_numpy(spark, sf_dir):
+    """THE TRAINING CONTRACT, pinned bit-exact: features re-extracted
+    INDEPENDENTLY in DuckDB (dual-dialect md5 buckets + tokenizer) and
+    the documented GD recurrence (zero init, full-batch, fixed iters,
+    w -= lr·(Xᵀg/n + l2·w), b -= lr·mean(g)) re-run in plain numpy
+    must reproduce train_quality_classifier's weights EXACTLY — not
+    approximately.  A refactor that changes the sample cut, the tf
+    normalization, the iteration order or the regularizer breaks this
+    test, not just a checksum."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from pythonql_spark.operators.classifier import (
+        bucket_expr, train_quality_classifier)
+    from pythonql_spark.operators.text import _ws
+    from pythonql_spark.sources import load_table
+
+    nb, nd, iters, lr, l2 = 256, 256, 30, 0.5, 1e-4
+    label = "contains(text, 'vector')"
+    docs = load_table(spark, sf_dir, "documents")
+    model = train_quality_classifier(
+        docs, label, n_buckets=nb, sample_docs=nd, iters=iters,
+        lr=lr, l2=l2)
+
+    b = bucket_expr("w", nb, "duck")
+    sample = duckdb.sql(f"""
+        SELECT cast(({label}) AS int) AS y,
+               list_transform(
+                 str_split_regex(trim(lower(coalesce(text, ''))),
+                                 '{_ws("duck")}'),
+                 w -> {b}) AS f
+        FROM '{os.path.join(sf_dir, "documents.parquet")}'
+        WHERE ({label}) IS NOT NULL
+        ORDER BY md5(cast(doc_id AS varchar)) LIMIT {nd}
+    """).df()
+
+    X = np.zeros((len(sample), nb))
+    for i, buckets in enumerate(sample["f"]):
+        if buckets is not None and len(buckets):
+            X[i] = np.bincount(np.asarray(buckets, dtype=np.int64),
+                               minlength=nb) / len(buckets)
+    y = sample["y"].to_numpy(dtype=np.float64)
+    w = np.zeros(nb)
+    bias = 0.0
+    n = max(len(y), 1)
+    for _ in range(iters):
+        z = X @ w + bias
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (X.T @ g / n + l2 * w)
+        bias -= lr * float(g.mean())
+
+    assert model["n_train"] == n
+    assert model["bias"] == bias
+    assert model["weights"] == [float(v) for v in w]
