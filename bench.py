@@ -63,6 +63,7 @@ def main() -> None:
         "quantile_bucket", "token_shards", "moving_avg", "eval_retrieval",
         "eval_classifier", "winnow_prints", "clone_pairs",
         "decontam_winnow", "calibration",
+        "pql_path", "ann_ivf_md5", "ann_ivfpq_md5", "media_audio",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers, and spin up the Python worker

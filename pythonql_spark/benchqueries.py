@@ -3883,6 +3883,21 @@ def score_normalize(spark, sf):
     return both
 
 
+@q("zscore_normalize", None)  # oracle attached below (generated SQL)
+def zscore_normalize_q(spark, sf):
+    """Z-score standardization of curation signals, globally AND per
+    language in one composition — the parametric sibling of
+    score_normalize: |strata| rows of exact decimal (Σx, Σx², n)
+    broadcast back, the corpus never shuffles (no window, no range
+    exchange)."""
+    from pythonql_spark.operators.profile import zscore_normalize
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars")
+    return zscore_normalize(
+        zscore_normalize(docs, ["n_chars"], suffix="_gz"),
+        ["n_chars"], keys=["lang"], suffix="_lz")
+
+
 @q("text_bigram", None)  # oracle attached below (generated SQL)
 def text_bigram(spark, sf):
     """Interpolated bigram-LM fluency score (sharper perplexity proxy
@@ -4029,6 +4044,14 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc(
     # of (doc_id, text), so the DECODED outputs are recomputable in
     # DuckDB without any codec — full value oracles for the
     # encode→container→decode round-trips (verified at 3 sfs)
+    from pythonql_spark.operators.profile import zscore_normalize_oracle_sql
+    _zs_inner = zscore_normalize_oracle_sql(
+        ["n_chars"], suffix="_gz",
+        select="t.doc_id, t.lang, t.n_chars", table="documents")
+    ORACLE["zscore_normalize"] = zscore_normalize_oracle_sql(
+        ["n_chars"], keys=["lang"], suffix="_lz",
+        select="t.doc_id, t.lang, t.n_chars, t.n_chars_gz",
+        table=f"({_zs_inner})")
     from pythonql_spark.operators import multimodal as _MM
     ORACLE["media_decode"] = _MM.media_decode_oracle_sql()
     ORACLE["media_webp"] = _MM.media_webp_oracle_sql()

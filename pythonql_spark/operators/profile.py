@@ -417,3 +417,83 @@ def check_expectations_oracle_sql(checks: dict[str, tuple[str, str]],
             f"SELECT {ks}'{name}' AS check_name, {m} AS value, "
             f"({verdict}) AS passed FROM {table}{grp}")
     return "\nUNION ALL\n".join(parts)
+
+
+def zscore_normalize(df: DataFrame, score_cols: list[str],
+                     *, keys: list[str] | None = None,
+                     suffix: str = "_z",
+                     broadcast_stats: bool = True) -> DataFrame:
+    """Standardize curation signals to z-scores, globally or per
+    stratum — the parametric sibling of :func:`percentile_normalize`
+    (use percentiles for heavy-tailed signals, z-scores when a
+    downstream mixer expects centered/unit-variance features).
+
+    Engine-exact: mean and variance derive from decimal(38,6) sums
+    (Σx and Σx² are order-insensitive exact), the population std is
+    ``sqrt((n·Σx² − (Σx)²) / n²)`` evaluated on the exact pieces cast
+    to double, and the final z rounds to 6 dp — so the DuckDB oracle
+    (:func:`zscore_normalize_oracle_sql`) matches bit-for-bit.
+
+    Scale shape: ONE partial-aggregated groupBy produces |strata|
+    rows of (Σx, Σx², n) which broadcast back; the corpus is never
+    shuffled and no window runs over it (``percentile_normalize``
+    needs a range exchange — z-scores don't even need that).
+    Constant-signal strata (std = 0) yield NULL z, never a division
+    crash."""
+    keys = list(keys or [])
+    aggs = []
+    for c in score_cols:
+        aggs += [
+            F.expr(f"sum(cast({c} as decimal(18,6)))").alias(f"__s_{c}"),
+            F.expr(f"sum(cast({c} as decimal(18,6)) * "
+                   f"cast({c} as decimal(18,6)))").alias(f"__q_{c}"),
+            F.expr(f"count({c})").alias(f"__n_{c}"),
+        ]
+    stats = (df.groupBy(*keys).agg(*aggs) if keys
+             else df.groupBy().agg(*aggs))
+    if broadcast_stats:
+        stats = F.broadcast(stats)
+    out = (df.join(stats, keys, "inner") if keys
+           else df.crossJoin(stats))
+    for c in score_cols:
+        s, q, n = f"__s_{c}", f"__q_{c}", f"__n_{c}"
+        mean = f"(cast({s} as double) / {n})"
+        std = (f"sqrt((cast({n} as double) * cast({q} as double) - "
+               f"cast({s} as double) * cast({s} as double)) / "
+               f"(cast({n} as double) * cast({n} as double)))")
+        out = out.withColumn(
+            c + suffix,
+            F.expr(f"cast(round((cast({c} as double) - {mean}) / "
+                   f"nullif({std}, 0.0), 6) as double)"))
+    return out.drop(*[f"__{t}_{c}" for c in score_cols
+                      for t in ("s", "q", "n")])
+
+
+def zscore_normalize_oracle_sql(score_cols: list[str],
+                                *, keys: list[str] | None = None,
+                                suffix: str = "_z", select: str = "*",
+                                table: str = "documents") -> str:
+    """DuckDB mirror of :func:`zscore_normalize` — identical decimal
+    sums and double expression tree."""
+    keys = list(keys or [])
+    kcols = ", ".join(keys)
+    aggs = ", ".join(
+        f"sum(cast({c} as decimal(18,6))) AS __s_{c}, "
+        f"sum(cast({c} as decimal(18,6)) * cast({c} as decimal(18,6)))"
+        f" AS __q_{c}, count({c}) AS __n_{c}"
+        for c in score_cols)
+    zs = []
+    for c in score_cols:
+        s, q, n = f"__s_{c}", f"__q_{c}", f"__n_{c}"
+        mean = f"(cast({s} as double) / {n})"
+        std = (f"sqrt((cast({n} as double) * cast({q} as double) - "
+               f"cast({s} as double) * cast({s} as double)) / "
+               f"(cast({n} as double) * cast({n} as double)))")
+        zs.append(f"cast(round((cast({c} as double) - {mean}) / "
+                  f"nullif({std}, 0.0), 6) as double) AS {c}{suffix}")
+    grp = f"SELECT {kcols + ', ' if kcols else ''}{aggs} FROM {table}" \
+          + (f" GROUP BY {kcols}" if kcols else "")
+    join = (f"JOIN ({grp}) g ON "
+            + " AND ".join(f"t.{k} = g.{k}" for k in keys)
+            if keys else f"CROSS JOIN ({grp}) g")
+    return f"SELECT {select}, {', '.join(zs)} FROM {table} t {join}"

@@ -95,7 +95,11 @@ def main() -> None:
     from pythonql_spark.operators.bitext import mine_bitext
     from pythonql_spark.operators.window_clause import predicate_windows
     from pythonql_spark.operators.pq import ivfpq_topk, pq_topk
-    from pythonql_spark.operators.spans import dup_span_stats
+    from pythonql_spark.operators import text as TX
+    from pythonql_spark.operators.classifier import classification_report
+    from pythonql_spark.operators.spans import (clone_pairs, dup_span_stats,
+                                                winnow_fingerprints)
+    from pythonql_spark.operators.timeseries import moving_agg
     from pythonql_spark.operators.timeseries import (merge_rollups,
                                                      rollup_delta)
     from pythonql_spark.operators.topk import top_k_per_group
@@ -139,7 +143,8 @@ def main() -> None:
     # the 64x octave runs only the round-6 heavyweights (the 16x
     # evidence covers the rest): one more doubling octave catches
     # superlinear terms the 16x point hides
-    _64X_OPS = {"ann_pq", "bitext", "snap_diff", "curation"}
+    _64X_OPS = {"ann_pq", "bitext", "snap_diff", "curation",
+                "winnow", "clones", "eval_cls", "moving_avg"}
     results = []
     for n in (1, 4, 16, 64):
         d = SCRATCH / f"x{n}"
@@ -328,6 +333,32 @@ def main() -> None:
             "interleave": lambda: interleave_order(
                 docs.select("doc_id", "source", "n_chars"),
                 "source", ["n_chars DESC", "doc_id"]).count(),
+            # winnowing sketch: the per-doc window-min sort is the
+            # one corpus shuffle; fingerprints/doc bounded by text
+            # length, so sec/unit should track the scan
+            "winnow": lambda: int(winnow_fingerprints(docs, k=5, w=4)
+                                  .selectExpr("count(1)").collect()[0][0]),
+            # clone detection: winnow → shared-fingerprint pair join,
+            # bounded per fingerprint by the stop rule (≤ cap²/2
+            # pairs/fp) — replicas share fingerprints, so pairs grow
+            # ~n² per fp until the cap bites; the stop rule is what
+            # keeps it from exploding
+            "clones": lambda: clone_pairs(docs, k=5, w=4, min_shared=2,
+                                          max_docs_per_fp=50).count(),
+            # classification report: one partial-agg (label, pred)
+            # groupBy; everything after is |classes|² rows — ~flat
+            "eval_cls": lambda: int(classification_report(
+                docs.selectExpr("lang", TX.lang_id("text") + " as pred"),
+                "lang", "pred").selectExpr("sum(tp)").collect()[0][0]),
+            # trailing time-RANGE window: one keyed shuffle shared by
+            # all three aggregates; per-key density constant as users
+            # scale out, so sec/unit should be ~flat (sum() over the
+            # window output so Catalyst can't prune the frame)
+            "moving_avg": lambda: int(moving_agg(
+                evs.filter("event_type = 'purchase'")
+                   .select("event_id", "user_id", "ts", "value"),
+                "ts", "value", 3600, "user_id")
+                .selectExpr("sum(mov_n)").collect()[0][0]),
             # compound-key as-of: one sort-shuffle on (user, type)
             "asof_join": lambda: asof_join(
                 evs.filter("event_type = 'purchase'")

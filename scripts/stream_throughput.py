@@ -1,0 +1,88 @@
+"""Streaming-throughput octaves for the foreachBatch maintenance
+streams (SURVEY §4): the standing corpus/reference stays FIXED at 1×
+while the ARRIVING stream grows 1× → 4× → 16×, delivered in
+constant-size micro-batches (maxFilesPerTrigger) — the production
+shape where a continuous ingest keeps running as volume grows.
+
+Reports wall seconds, sec/1x-unit and rows/s for:
+* dedup_ingest_stream (indexed probe path — the persisted bucketed
+  LSH index is built once, outside the timed window)
+* drift_monitor_stream (reference binned once at stream start)
+
+Run: python scripts/stream_throughput.py
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pythonql_spark import get_spark
+from pythonql_spark.sources import load_table
+
+SF = "/root/testdata/sf0.1"
+SCRATCH = Path("/root/repo/.scratch/stream_tp")
+
+
+def main() -> None:
+    from scripts.scale_experiment import replicate_docs
+
+    spark = get_spark("stream-tp")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pythonql_spark.operators.dedup import build_minhash_index
+    from pythonql_spark.streaming import run_to_completion
+    from pythonql_spark.streaming.ingest import (dedup_ingest_stream,
+                                                 drift_monitor_stream)
+
+    corpus = (load_table(spark, SF, "documents")
+              .select("doc_id", "text").cache())
+    corpus.count()
+    reference = load_table(spark, SF, "documents").cache()
+    reference.count()
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir") \
+        .removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/tp_idx", ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS tp_idx")
+    build_minhash_index(corpus, "tp_idx")   # once, outside timing
+
+    for n in (1, 4, 16):
+        d = SCRATCH / f"x{n}"
+        shutil.rmtree(d, ignore_errors=True)
+        src = str(d / "in")
+        replicate_docs(spark, n, src)
+        # constant micro-batch size: 4n files, 4 per trigger → n
+        # triggers of ~1x-size batches
+        arriving = spark.read.parquet(src).repartition(4 * n)
+        shutil.rmtree(src, ignore_errors=True)
+        arriving.write.parquet(src)
+        n_rows = spark.read.parquet(src).count()
+
+        for name, launch in (
+            ("dedup_ingest", lambda s: dedup_ingest_stream(
+                s.select("doc_id", "text"), corpus,
+                str(d / "out_dedup"), str(d / "ck_dedup"),
+                jaccard_threshold=0.5, index_table="tp_idx")),
+            ("drift_monitor", lambda s: drift_monitor_stream(
+                s, reference, "n_chars", 0.0, 600.0, 20,
+                str(d / "out_drift"), str(d / "ck_drift"),
+                keys=["lang"])),
+        ):
+            stream = (spark.readStream.schema(arriving.schema)
+                      .option("maxFilesPerTrigger", 4).parquet(src))
+            t0 = time.perf_counter()
+            run_to_completion(launch(stream))
+            dt = time.perf_counter() - t0
+            print(f"{name:14s} x{n:<3d} rows={n_rows:>8,d}  "
+                  f"{dt:7.2f}s  {dt / n:6.2f}s/unit  "
+                  f"{n_rows / dt:>9,.0f} rows/s", flush=True)
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -2220,3 +2220,24 @@ def test_quality_classifier_training_parity_numpy(spark, sf_dir):
     assert model["n_train"] == n
     assert model["bias"] == bias
     assert model["weights"] == [float(v) for v in w]
+
+
+def test_zscore_normalize_hand_values_and_constant_stratum(spark):
+    import math
+
+    from pythonql_spark.operators.profile import zscore_normalize
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0),
+         ("b", 5.0), ("b", 5.0)], "g string, x double")
+    out = {(r.g, r.x): r.x_z for r in
+           zscore_normalize(df, ["x"], keys=["g"], suffix="_z").collect()}
+    # stratum a: mean 2, population std sqrt(2/3)
+    std = math.sqrt(2.0 / 3.0)
+    assert out[("a", 1.0)] == round(-1.0 / std, 6)
+    assert out[("a", 2.0)] == 0.0
+    assert out[("a", 3.0)] == round(1.0 / std, 6)
+    # constant stratum: std 0 -> NULL, not a crash
+    assert out[("b", 5.0)] is None
+    # global (no keys) path
+    g = zscore_normalize(df, ["x"]).collect()
+    assert len(g) == 5 and all(r.x_z is not None for r in g)
