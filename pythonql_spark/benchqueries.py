@@ -3883,6 +3883,18 @@ def score_normalize(spark, sf):
     return both
 
 
+@q("fuzzy_pairs", None)  # oracle attached below (generated SQL)
+def fuzzy_pairs_q(spark, sf):
+    """Edit-distance similarity self-join (entity resolution): all
+    supplier-name pairs within levenshtein 1, via rare-q-gram prefix
+    filtering (ED-Join family) — no cross join; the candidate join
+    keys on each name's q·d+1 RAREST grams, so ubiquitous shared
+    prefixes never generate candidates."""
+    from pythonql_spark.operators.fuzzy import fuzzy_pairs
+    sup = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return fuzzy_pairs(sup, "s_name", 1, id_col="s_suppkey", q=2)
+
+
 @q("zscore_normalize", None)  # oracle attached below (generated SQL)
 def zscore_normalize_q(spark, sf):
     """Z-score standardization of curation signals, globally AND per
@@ -4044,6 +4056,9 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc(
     # of (doc_id, text), so the DECODED outputs are recomputable in
     # DuckDB without any codec — full value oracles for the
     # encode→container→decode round-trips (verified at 3 sfs)
+    from pythonql_spark.operators.fuzzy import fuzzy_pairs_oracle_sql
+    ORACLE["fuzzy_pairs"] = fuzzy_pairs_oracle_sql(
+        "s_name", 1, id_col="s_suppkey", q=2, table="supplier")
     from pythonql_spark.operators.profile import zscore_normalize_oracle_sql
     _zs_inner = zscore_normalize_oracle_sql(
         ["n_chars"], suffix="_gz",

@@ -1,0 +1,135 @@
+"""Edit-distance similarity join (fuzzy matching / entity
+resolution): all pairs with ``levenshtein(a, b) <= max_dist``,
+without the O(n²) cross join.
+
+Design (the ED-Join / prefix-filtering family — Gravano et al. 2001,
+Xiao et al. 2008, both public):
+
+* a pair with edit distance ≤ d destroys at most ``q·d`` of either
+  string's positional q-grams, so strings of length ≥ q·(d+1) must
+  share at least one q-gram — and, under ANY fixed global ordering of
+  grams, must share one among each string's ``q·d + 1`` FIRST grams
+  in that order (the prefix-filter theorem).  Ordering by ascending
+  corpus frequency makes those prefix grams the RAREST ones, so the
+  candidate join avoids ubiquitous-gram buckets (shared prefixes like
+  "Supplier#000000" never generate candidates by themselves).
+* candidates then verify with the exact ``levenshtein`` built-in
+  (JVM-side), behind the free ``|len(a) − len(b)| ≤ d`` filter.
+
+Scale shape: one groupBy on grams (corpus-sized but narrow — two
+longs per gram), one WindowGroupLimit per string (≤ q·d+1 rows per
+string leave each map task), one equi-join on the rare grams, exact
+verify on the candidate set only.  Strings shorter than ``q·(d+1)``
+fall outside the theorem's guarantee: they pair among themselves via
+a length-band join over the (bounded, documented) short-string
+subset, so the result is EXACT for every length.
+
+Dual-dialect caveat: DuckDB's levenshtein is byte-based while
+Spark's is codepoint-based — identical on ASCII; the oracle-checked
+key feeds ASCII input.
+
+The reference engine has no fuzzy-join surface (brief: similarity
+extension); cites none of its files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _grams_expr(col: str, q: int) -> str:
+    """Distinct q-grams of ``col`` (SQL, dual-dialect shape)."""
+    return (f"array_distinct(transform("
+            f"sequence(1, greatest(length({col}) - {q - 1}, 1)), "
+            f"i -> substring({col}, i, {q})))")
+
+
+def fuzzy_pairs(df: DataFrame, str_col: str, max_dist: int, *,
+                id_col: str = "doc_id", q: int = 2) -> DataFrame:
+    """All (id_a, id_b, dist) with ``id_a < id_b`` and
+    ``levenshtein ≤ max_dist`` over a single corpus (self-join)."""
+    prefix_n = q * max_dist + 1
+    short_len = q * (max_dist + 1)
+    base = df.select(F.col(id_col).alias("__id"),
+                     F.col(str_col).alias("__s")).filter("__s IS NOT NULL")
+
+    grams = base.select(
+        "__id", "__s",
+        F.explode(F.expr(_grams_expr("__s", q))).alias("g"))
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__f"))
+    ranked = (grams.join(freq, "g")
+              .withColumn("__r", F.row_number().over(
+                  W.partitionBy("__id").orderBy("__f", "g")))
+              .filter(F.col("__r") <= prefix_n)
+              .select("__id", "__s", "g"))
+    a = ranked.select(F.col("__id").alias("id_a"),
+                      F.col("__s").alias("s_a"), "g")
+    b = ranked.select(F.col("__id").alias("id_b"),
+                      F.col("__s").alias("s_b"), "g")
+    long_cand = (a.join(b, "g")
+                 .filter("id_a < id_b")
+                 .select("id_a", "id_b", "s_a", "s_b")
+                 .dropDuplicates(["id_a", "id_b"])
+                 .filter(f"length(s_a) >= {short_len} "
+                         f"AND length(s_b) >= {short_len}"))
+
+    # short strings (outside the prefix-filter guarantee): a bounded
+    # subset by construction — band-join on length, then verify; a
+    # short×long pair needs the long side within max_dist of short
+    shorts = base.filter(f"length(__s) < {short_len + max_dist}")
+    sa = shorts.select(F.col("__id").alias("id_a"),
+                       F.col("__s").alias("s_a"))
+    sb = shorts.select(F.col("__id").alias("id_b"),
+                       F.col("__s").alias("s_b"))
+    short_cand = (sa.join(sb, F.col("id_a") < F.col("id_b"))
+                  .filter(f"length(s_a) < {short_len} "
+                          f"OR length(s_b) < {short_len}"))
+
+    cand = long_cand.unionByName(short_cand)
+    return (cand
+            .filter(f"abs(length(s_a) - length(s_b)) <= {max_dist}")
+            .withColumn("dist", F.expr("levenshtein(s_a, s_b)"))
+            .filter(F.col("dist") <= max_dist)
+            .select("id_a", "id_b", "dist"))
+
+
+def fuzzy_pairs_oracle_sql(str_expr: str, max_dist: int, *,
+                           id_col: str = "doc_id", q: int = 2,
+                           table: str = "documents") -> str:
+    """DuckDB mirror of :func:`fuzzy_pairs` — identical gram prefix
+    selection (frequency order, gram tie-break), candidate join,
+    short-string band and levenshtein verify."""
+    prefix_n = q * max_dist + 1
+    short_len = q * (max_dist + 1)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {str_expr} AS s FROM {table}
+  WHERE {str_expr} IS NOT NULL),
+grams AS (
+  SELECT DISTINCT id, s, substring(s, i, {q}) AS g
+  FROM base, (SELECT unnest(range(1, 10000)) AS i) ii
+  WHERE i <= greatest(length(s) - {q - 1}, 1)),
+freq AS (SELECT g, count(*) AS f FROM grams GROUP BY g),
+ranked AS (
+  SELECT id, s, g FROM (
+    SELECT grams.id, grams.s, grams.g,
+           row_number() OVER (PARTITION BY grams.id
+                              ORDER BY freq.f, grams.g) AS r
+    FROM grams JOIN freq USING (g)) WHERE r <= {prefix_n}),
+long_cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+  FROM ranked a JOIN ranked b ON a.g = b.g AND a.id < b.id
+  WHERE length(a.s) >= {short_len} AND length(b.s) >= {short_len}),
+shorts AS (
+  SELECT id, s FROM base WHERE length(s) < {short_len + max_dist}),
+short_cand AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+  FROM shorts a JOIN shorts b ON a.id < b.id
+  WHERE length(a.s) < {short_len} OR length(b.s) < {short_len}),
+cand AS (SELECT * FROM long_cand UNION SELECT * FROM short_cand)
+SELECT id_a, id_b, cast(levenshtein(s_a, s_b) AS INTEGER) AS dist
+FROM cand
+WHERE abs(length(s_a) - length(s_b)) <= {max_dist}
+  AND levenshtein(s_a, s_b) <= {max_dist}"""

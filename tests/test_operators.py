@@ -2241,3 +2241,35 @@ def test_zscore_normalize_hand_values_and_constant_stratum(spark):
     # global (no keys) path
     g = zscore_normalize(df, ["x"]).collect()
     assert len(g) == 5 and all(r.x_z is not None for r in g)
+
+
+def test_fuzzy_pairs_planted_typos_exact(spark):
+    """Prefix-filter candidate generation is COMPLETE: every pair
+    within max_dist is found (brute-force cross-check), including
+    short strings outside the q-gram theorem's guarantee."""
+    from pythonql_spark.operators.fuzzy import fuzzy_pairs
+    names = ["north-atlantic-corpus", "north-atlantik-corpus",  # sub
+             "north-atlantic-corpu",                            # del
+             "south-pacific-archive", "south-pacific-archives",
+             "wholly-different-name",
+             "ab", "ac", "zz",                                  # shorts
+             "abcdef"]
+    df = spark.createDataFrame(list(enumerate(names)),
+                               "doc_id long, name string")
+    got = {(r.id_a, r.id_b): r.dist
+           for r in fuzzy_pairs(df, "name", 2, q=2).collect()}
+    import itertools
+    def ed(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+    want = {(i, j): ed(a, b)
+            for (i, a), (j, b) in itertools.combinations(
+                enumerate(names), 2) if ed(a, b) <= 2}
+    assert got == want
+    assert (0, 1) in got and (0, 2) in got and (6, 7) in got
+    assert not any({5} & set(p) for p in got)  # no false pairs
