@@ -3883,6 +3883,22 @@ def score_normalize(spark, sf):
     return both
 
 
+@q("pagerank", None)  # oracle attached below (generated SQL)
+def pagerank_q(spark, sf):
+    """Fixed-iteration PageRank over the customer–supplier trade
+    graph (orders⋈lineitem edges, node ids namespaced even/odd) —
+    the host-graph quality signal of web curation pipelines; each
+    power iteration is one keyed edge join + one partial-agg groupBy,
+    nothing driver-side but the node count."""
+    from pythonql_spark.operators.graph import pagerank
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    edges = (o.join(li, o.o_orderkey == li.l_orderkey)
+             .selectExpr("o_custkey * 2 as src",
+                         "l_suppkey * 2 + 1 as dst").distinct())
+    return pagerank(edges, iters=3)
+
+
 @q("fuzzy_pairs", None)  # oracle attached below (generated SQL)
 def fuzzy_pairs_q(spark, sf):
     """Edit-distance similarity self-join (entity resolution): all
@@ -4056,6 +4072,10 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc(
     # of (doc_id, text), so the DECODED outputs are recomputable in
     # DuckDB without any codec — full value oracles for the
     # encode→container→decode round-trips (verified at 3 sfs)
+    from pythonql_spark.operators.graph import pagerank_oracle_sql
+    ORACLE["pagerank"] = pagerank_oracle_sql(
+        "SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey", iters=3)
     from pythonql_spark.operators.fuzzy import fuzzy_pairs_oracle_sql
     ORACLE["fuzzy_pairs"] = fuzzy_pairs_oracle_sql(
         "s_name", 1, id_col="s_suppkey", q=2, table="supplier")

@@ -2273,3 +2273,31 @@ def test_fuzzy_pairs_planted_typos_exact(spark):
     assert got == want
     assert (0, 1) in got and (0, 2) in got and (6, 7) in got
     assert not any({5} & set(p) for p in got)  # no false pairs
+
+
+def test_pagerank_star_and_conservation(spark):
+    """Hand-checkable properties on a star graph: the hub outranks
+    every leaf, leaves tie exactly, and total rank ≈ 1 (9-dp rounded
+    power iteration)."""
+    from pythonql_spark.operators.graph import pagerank
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long")
+    r = {row.node: row.rank
+         for row in pagerank(edges, iters=5).collect()}
+    assert len(r) == 6
+    leaves = [r[i] for i in range(1, 6)]
+    assert r[0] > max(leaves)
+    assert len(set(leaves)) == 1
+    assert abs(sum(r.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_directed_no_sinks(spark):
+    from pythonql_spark.operators.graph import pagerank
+    # a directed 3-cycle has no sinks; stationary rank is uniform
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    r = {row.node: row.rank
+         for row in pagerank(edges, iters=4,
+                             undirected=False).collect()}
+    assert len(set(r.values())) == 1
+    assert abs(sum(r.values()) - 1.0) < 1e-6
