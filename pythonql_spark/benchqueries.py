@@ -3883,6 +3883,17 @@ def score_normalize(spark, sf):
     return both
 
 
+@q("cooccur_pmi", None)  # oracle attached below (generated SQL)
+def cooccur_pmi_q(spark, sf):
+    """Event-type co-occurrence PMI over user contexts (the phrase-
+    mining / item2vec association statistic): one distinct
+    projection, per-context pair join, |vocab|-sized PMI join, the
+    context count on a broadcast 1-row frame."""
+    from pythonql_spark.operators.cooccur import cooccurrence_pmi
+    ev = load_table(spark, sf, "events")
+    return cooccurrence_pmi(ev, "user_id", "event_type")
+
+
 @q("pagerank", None)  # oracle attached below (generated SQL)
 def pagerank_q(spark, sf):
     """Fixed-iteration PageRank over the customer–supplier trade
@@ -4072,6 +4083,9 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc(
     # of (doc_id, text), so the DECODED outputs are recomputable in
     # DuckDB without any codec — full value oracles for the
     # encode→container→decode round-trips (verified at 3 sfs)
+    from pythonql_spark.operators.cooccur import cooccurrence_pmi_oracle_sql
+    ORACLE["cooccur_pmi"] = cooccurrence_pmi_oracle_sql(
+        "user_id", "event_type")
     from pythonql_spark.operators.graph import pagerank_oracle_sql
     ORACLE["pagerank"] = pagerank_oracle_sql(
         "SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst "

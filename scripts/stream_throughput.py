@@ -54,14 +54,14 @@ def main() -> None:
     for n in (1, 4, 16):
         d = SCRATCH / f"x{n}"
         shutil.rmtree(d, ignore_errors=True)
+        raw = str(d / "raw")
         src = str(d / "in")
-        replicate_docs(spark, n, src)
+        replicate_docs(spark, n, raw)
         # constant micro-batch size: 4n files, 4 per trigger → n
         # triggers of ~1x-size batches
-        arriving = spark.read.parquet(src).repartition(4 * n)
-        shutil.rmtree(src, ignore_errors=True)
-        arriving.write.parquet(src)
-        n_rows = spark.read.parquet(src).count()
+        spark.read.parquet(raw).repartition(4 * n).write.parquet(src)
+        arriving = spark.read.parquet(src)
+        n_rows = arriving.count()
 
         for name, launch in (
             ("dedup_ingest", lambda s: dedup_ingest_stream(

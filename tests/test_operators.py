@@ -2301,3 +2301,22 @@ def test_pagerank_directed_no_sinks(spark):
                              undirected=False).collect()}
     assert len(set(r.values())) == 1
     assert abs(sum(r.values()) - 1.0) < 1e-6
+
+
+def test_cooccurrence_pmi_hand_values(spark):
+    import math
+
+    from pythonql_spark.operators.cooccur import cooccurrence_pmi
+    # 4 contexts: {a,b} {a,b} {a,c} {c}
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"),
+            (4, "c"), (1, "a")]  # duplicate (1,a) must not double-count
+    df = spark.createDataFrame(rows, "ctx long, item string")
+    out = {(r.item_a, r.item_b): r for r in
+           cooccurrence_pmi(df, "ctx", "item").collect()}
+    ab = out[("a", "b")]
+    assert (ab.n_ab, ab.n_a, ab.n_b) == (2, 3, 2)
+    assert ab.pmi == round(math.log(2 * 4 / (3 * 2)), 9)
+    ac = out[("a", "c")]
+    assert (ac.n_ab, ac.n_a, ac.n_b) == (1, 3, 2)
+    assert ac.pmi == round(math.log(1 * 4 / (3 * 2)), 9) and ac.pmi < 0
+    assert ("b", "c") not in out  # never co-occur
