@@ -3883,6 +3883,42 @@ def score_normalize(spark, sf):
     return both
 
 
+@q("media_phash", None)  # oracle attached below (generated SQL)
+def media_phash_q(spark, sf):
+    """Perceptual image hashing (aHash) over the real decode path:
+    render → PNG decode → 64-bit brightness fingerprint, one Arrow
+    pass.  The sha256-derived pixels make the decoded hash
+    recomputable in DuckDB — a FULL value oracle through a real
+    image codec."""
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.operators import multimodal as MM
+    docs = (load_table(spark, sf, "documents")
+            .filter(F.col("doc_id") < 64)
+            .select("doc_id", MM.render_text_png("text").alias("img")))
+    media = docs.select(
+        "doc_id", MM.make_media("img", "image", "png", 8, 8).alias("media"))
+    return MM.image_ahash(media).select("doc_id", "ahash")
+
+
+@q("media_neardup", None)  # oracle attached below (generated SQL)
+def media_neardup_q(spark, sf):
+    """Image near-duplicate detection END-TO-END: render (16 planted
+    duplicate images via doc_id % 48) → real PNG decode → aHash →
+    banded hamming join (complete for hamming ≤ 3 by pigeonhole) —
+    the multimodal sibling of the text LSH dedup family, fully
+    value-oracled."""
+    from pythonql_spark.operators import multimodal as MM
+    m = spark.range(64).selectExpr("id as doc_id", "id % 48 as src")
+    docs = (m.join(load_table(spark, sf, "documents")
+                   .selectExpr("doc_id as src", "text"), "src")
+            .select("doc_id", MM.render_text_png("text").alias("img")))
+    media = docs.select(
+        "doc_id", MM.make_media("img", "image", "png", 8, 8).alias("media"))
+    return MM.ahash_pairs(MM.image_ahash(media).select("doc_id", "ahash"),
+                          max_hamming=3)
+
+
 @q("cooccur_pmi", None)  # oracle attached below (generated SQL)
 def cooccur_pmi_q(spark, sf):
     """Event-type co-occurrence PMI over user contexts (the phrase-
@@ -4108,6 +4144,9 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc(
     ORACLE["media_gif"] = _MM.media_frames_oracle_sql()
     ORACLE["media_mp4"] = _MM.media_mp4_oracle_sql()
     ORACLE["media_audio"] = _MM.media_audio_oracle_sql()
+    ORACLE["media_phash"] = _MM.image_ahash_oracle_sql()
+    ORACLE["media_neardup"] = _MM.ahash_pairs_oracle_sql(
+        _MM.image_ahash_oracle_sql(src_mod=48), max_hamming=3)
     from pythonql_spark.operators.classifier import bow_features_oracle_sql
     ORACLE["classify_features"] = bow_features_oracle_sql(
         n_buckets=512,

@@ -59,6 +59,35 @@ def stub_pixels(data: bytes, n: int = 16) -> list[int]:
     return list(hashlib.sha256(data or b"").digest()[:n])
 
 
+def _decode_pixels(data: bytes, meta, decoder=None
+                   ) -> tuple[int, int, int, bytes]:
+    """Format dispatch shared by decode_image / image_ahash: binary
+    blob → (width, height, channels, row-major interleaved pixels)
+    via the stdlib codecs, falling through to the ``decoder`` seam."""
+    if (data or b"").startswith(b"\x89PNG"):
+        from .png import decode_png
+        return decode_png(data)
+    if (data or b"").startswith(b"BM"):
+        from .bmp import decode_bmp
+        return decode_bmp(data)
+    if (data or b"").startswith(b"GIF8"):
+        from .gif import decode_gif
+        w, h, frames = decode_gif(data)
+        return w, h, 3, frames[0][1]            # first frame
+    if (data or b"").startswith(b"\xFF\xD8"):
+        from .jpeg import decode_jpeg
+        return decode_jpeg(data)
+    if (data or b"").startswith(b"RIFF") and data[8:12] == b"WEBP":
+        from .vp8l import decode_webp
+        return decode_webp(data)
+    if decoder is not None:
+        return decoder(data, meta)
+    raise NotImplementedError(
+        f"no codec for format {meta['format']!r} in this "
+        "environment (PNG, BMP, GIF, baseline JPEG and lossless "
+        "WEBP decode natively); plug one in via decoder=")
+
+
 def decode_image(df: DataFrame, media_col: str = "media", *,
                  decoder=None) -> DataFrame:
     """binary image → features (mean intensity, first-16 pixel sample).
@@ -85,34 +114,9 @@ def decode_image(df: DataFrame, media_col: str = "media", *,
         ])
 
     def decode(data: bytes, meta) -> tuple[list[int], float]:
-        from .png import decode_png, mean_intensity
-        if (data or b"").startswith(b"\x89PNG"):
-            _, _, ch, pixels = decode_png(data)
-            return list(pixels[:16]), mean_intensity(pixels, ch)
-        if (data or b"").startswith(b"BM"):
-            from .bmp import decode_bmp
-            _, _, ch, pixels = decode_bmp(data)
-            return list(pixels[:16]), mean_intensity(pixels, ch)
-        if (data or b"").startswith(b"GIF8"):
-            from .gif import decode_gif
-            _, _, frames = decode_gif(data)
-            pixels = frames[0][1]               # first frame
-            return list(pixels[:16]), mean_intensity(pixels, 3)
-        if (data or b"").startswith(b"\xFF\xD8"):
-            from .jpeg import decode_jpeg
-            _, _, ch, pixels = decode_jpeg(data)
-            return list(pixels[:16]), mean_intensity(pixels, ch)
-        if (data or b"").startswith(b"RIFF") and data[8:12] == b"WEBP":
-            from .vp8l import decode_webp
-            _, _, ch, pixels = decode_webp(data)
-            return list(pixels[:16]), mean_intensity(pixels, ch)
-        if decoder is not None:
-            _, _, ch, pixels = decoder(data, meta)
-            return list(pixels[:16]), mean_intensity(pixels, ch)
-        raise NotImplementedError(
-            f"no codec for format {meta['format']!r} in this "
-            "environment (PNG, BMP, GIF, baseline JPEG and lossless "
-            "WEBP decode natively); plug one in via decoder=")
+        from .png import mean_intensity
+        _, _, ch, pixels = _decode_pixels(data, meta, decoder)
+        return list(pixels[:16]), mean_intensity(pixels, ch)
 
     cols = df.columns
 
@@ -1101,3 +1105,154 @@ SELECT doc_id, cast({rate} AS INTEGER) AS sample_rate,
        cast({n_samples * 1000 // rate} AS INTEGER) AS audio_ms,
        sum(abs(smp)) / {n_samples} AS mean_abs_amplitude
 FROM s GROUP BY doc_id"""
+
+
+# -------------------------------------------- perceptual image dedup
+
+def image_ahash(df: DataFrame, media_col: str = "media", *,
+                decoder=None, out_col: str = "ahash") -> DataFrame:
+    """64-bit average-hash (aHash) per image — the classic perceptual
+    fingerprint for image near-dup detection: decode, grayscale
+    (integer (r+g+b)//3; alpha ignored), box-average to 8×8 and set
+    bit i iff block i is brighter than the global mean.  Robust to
+    re-encoding and mild noise; pair it with :func:`ahash_pairs` for
+    the banded hamming join.
+
+    One Arrow-batched mapInPandas pass, no shuffle.  The hash packs
+    little-endian into a SIGNED bigint (bit 63 → the sign bit), and
+    the brightness comparison is integer-exact for 8×8 inputs
+    (``64·p > Σp``) — what makes the DuckDB value oracle of the
+    media_phash key possible."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())])
+
+    def ahash(data: bytes, meta) -> int:
+        w, h, ch, pixels = _decode_pixels(data, meta, decoder)
+        if ch in (3, 4):
+            luma = [(pixels[i] + pixels[i + 1] + pixels[i + 2]) // 3
+                    for i in range(0, len(pixels), ch)]
+        elif ch == 2:
+            luma = [pixels[i] for i in range(0, len(pixels), 2)]
+        else:
+            luma = list(pixels)
+        if (w, h) != (8, 8):
+            # box-average to 8x8 (float means; exact-int path below
+            # only matters for the already-8x8 oracle shape)
+            blocks = []
+            for by in range(8):
+                for bx in range(8):
+                    ys = range(by * h // 8, max((by + 1) * h // 8,
+                                                by * h // 8 + 1))
+                    xs = range(bx * w // 8, max((bx + 1) * w // 8,
+                                                bx * w // 8 + 1))
+                    vals = [luma[y * w + x] for y in ys for x in xs]
+                    blocks.append(sum(vals) / len(vals))
+            total = sum(blocks)
+            bits = [1 if b * 64 > total else 0 for b in blocks]
+        else:
+            total = sum(luma)
+            bits = [1 if p * 64 > total else 0 for p in luma]
+        v = sum(b << i for i, b in enumerate(bits[:63]))
+        return v - (bits[63] << 63)
+
+    cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pd.array(
+                [ahash(m["data"], m["meta"]) for m in pdf[media_col]],
+                dtype="Int64")
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(run, out_schema)
+
+
+def ahash_pairs(df: DataFrame, *, hash_col: str = "ahash",
+                id_col: str = "doc_id",
+                max_hamming: int = 3) -> DataFrame:
+    """All id pairs whose 64-bit perceptual hashes differ in ≤
+    ``max_hamming`` bits — COMPLETE via banded blocking: the hash
+    splits into ``max_hamming + 1`` bands, so any qualifying pair
+    shares at least one whole band (pigeonhole); candidates join on
+    (band index, band value) and verify with ``bit_count(xor)``.
+    The shuffle carries (id, 2 longs) per band — never pixels, never
+    the full corpus cross product."""
+    bands = max_hamming + 1
+    width = 64 // bands
+    sides = []
+    for b in range(bands):
+        w = 64 - b * width if b == bands - 1 else width
+        mask = (1 << w) - 1
+        sides.append(f"named_struct('b', {b}, 'v', "
+                     f"shiftright({hash_col}, {b * width}) & {mask})")
+    banded = df.select(
+        F.col(id_col).alias("__id"), F.col(hash_col).alias("__h"),
+        F.explode(F.array(*[F.expr(s) for s in sides])).alias("bv"))
+    a = banded.select(F.col("__id").alias("id_a"),
+                      F.col("__h").alias("h_a"), "bv")
+    b2 = banded.select(F.col("__id").alias("id_b"),
+                       F.col("__h").alias("h_b"), "bv")
+    return (a.join(b2, "bv")
+            .filter("id_a < id_b")
+            .dropDuplicates(["id_a", "id_b"])
+            .withColumn("hamming",
+                        F.expr("bit_count(h_a ^ h_b)").cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def image_ahash_oracle_sql(*, max_doc: int = 64, src_mod: int | None = None,
+                           table: str = "documents") -> str:
+    """DuckDB recomputation of the media_phash pipeline: pixels are
+    the sha256 digest of the text repeated to 64 bytes
+    (render_text_png 8×8 gray), so bit i is ``64·b[i%32] > 2·Σb``
+    and the packed hash is Σ bit_i·2^i with bit 63 carried as the
+    sign.  ``src_mod`` maps doc i to document ``i % src_mod`` (the
+    planted-near-dup shape of the media_neardup key)."""
+    b = [_hexbyte("hx", p) for p in range(32)]
+    ssum = " + ".join(f"b{p}" for p in range(32))
+    cols = ",\n         ".join(f"{e} AS b{p}" for p, e in enumerate(b))
+    bit = lambda i: f"(CASE WHEN 64 * b{i % 32} > 2 * s THEN 1 ELSE 0 END)"
+    packed = " + ".join(f"cast({bit(i)} as bigint) * {1 << i}"
+                        for i in range(63))
+    packed = (f"({packed}) - cast({bit(63)} as bigint) * "
+              f"9223372036854775807 - cast({bit(63)} as bigint)")
+    if src_mod is None:
+        src = (f"SELECT doc_id, sha256(text) AS hx FROM {table} "
+               f"WHERE doc_id < {max_doc}")
+    else:
+        src = (f"SELECT m.doc_id, sha256(d.text) AS hx "
+               f"FROM (SELECT unnest(range({max_doc})) AS doc_id) m "
+               f"JOIN {table} d ON d.doc_id = m.doc_id % {src_mod}")
+    return f"""
+WITH h AS ({src}),
+b AS (
+  SELECT doc_id,
+         {cols}
+  FROM h),
+s AS (SELECT doc_id, ({ssum}) AS s, * FROM b)
+SELECT doc_id, cast({packed} as bigint) AS ahash FROM s"""
+
+
+def ahash_pairs_oracle_sql(hashes_sql: str, *,
+                           max_hamming: int = 3) -> str:
+    """DuckDB mirror of :func:`ahash_pairs` over a (doc_id, ahash)
+    subquery."""
+    bands = max_hamming + 1
+    width = 64 // bands
+    rows = []
+    for bb in range(bands):
+        w = 64 - bb * width if bb == bands - 1 else width
+        mask = (1 << w) - 1
+        rows.append(f"SELECT doc_id, ahash, {bb} AS b, "
+                    f"(ahash >> {bb * width}) & {mask} AS v FROM hs")
+    banded = " UNION ALL ".join(rows)
+    return f"""
+WITH hs AS ({hashes_sql}),
+banded AS ({banded})
+SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+       cast(bit_count(xor(a.ahash, c.ahash)) as int) AS hamming
+FROM banded a JOIN banded c
+  ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id
+WHERE bit_count(xor(a.ahash, c.ahash)) <= {max_hamming}"""

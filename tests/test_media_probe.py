@@ -278,3 +278,52 @@ def test_resize_gif_preserves_animation(spark):
             expect = (int(r.i) * 31 + f * 40) % 256
             assert set(px[c] for c in range(len(px))) == {expect}
         assert r.media["meta"]["width"] == 4
+
+
+def test_image_ahash_perturbation_robust(spark):
+    """aHash is a PERCEPTUAL hash: a one-pixel nudge moves ≤ a couple
+    of bits, a different image moves ~32; banded pairs find the
+    near-identical pair only."""
+    from pythonql_spark.operators import multimodal as MM
+    from pythonql_spark.operators.png import encode_png
+
+    base = bytes((i * 37) % 256 for i in range(64))
+    nudged = bytearray(base)
+    nudged[5] = (nudged[5] + 255) % 256     # flip one pixel hard
+    other = bytes((255 - i * 11) % 256 for i in range(64))
+    rows = [(0, encode_png(8, 8, 1, base)),
+            (1, encode_png(8, 8, 1, bytes(nudged))),
+            (2, encode_png(8, 8, 1, other))]
+    df = spark.createDataFrame(rows, "doc_id long, img binary").select(
+        "doc_id", MM.make_media("img", "image", "png", 8, 8).alias("media"))
+    h = {r.doc_id: r.ahash
+         for r in MM.image_ahash(df).select("doc_id", "ahash").collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(h[0], h[1]) <= 3
+    assert ham(h[0], h[2]) > 10
+    pairs = MM.ahash_pairs(
+        MM.image_ahash(df).select("doc_id", "ahash"), max_hamming=3)
+    got = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert got == [(0, 1)]
+
+
+def test_image_ahash_rgba_and_resize_paths(spark):
+    from pythonql_spark.operators import multimodal as MM
+    from pythonql_spark.operators.png import encode_png
+
+    # 16x16 RGBA: left half dark, right half bright -> alternating
+    # 8x8 half-split hash, exercised through the box-average path
+    px = bytearray()
+    for y in range(16):
+        for x in range(16):
+            v = 30 if x < 8 else 220
+            px += bytes([v, v, v, 255])
+    df = spark.createDataFrame(
+        [(0, encode_png(16, 16, 4, bytes(px)))],
+        "doc_id long, img binary").select(
+        "doc_id", MM.make_media("img", "image", "png", 16, 16).alias("media"))
+    h = MM.image_ahash(df).first().ahash
+    bits = [(h >> i) & 1 for i in range(64)]
+    for row in range(8):
+        assert bits[row * 8:row * 8 + 4] == [0, 0, 0, 0]
+        assert bits[row * 8 + 4:row * 8 + 8] == [1, 1, 1, 1]
