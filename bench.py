@@ -64,6 +64,8 @@ def main() -> None:
         "eval_classifier", "winnow_prints", "clone_pairs",
         "decontam_winnow", "calibration",
         "pql_path", "ann_ivf_md5", "ann_ivfpq_md5", "media_audio",
+        "zscore_normalize", "fuzzy_pairs", "pagerank", "cooccur_pmi",
+        "media_phash", "media_neardup",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers, and spin up the Python worker

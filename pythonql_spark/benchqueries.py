@@ -3883,6 +3883,17 @@ def score_normalize(spark, sf):
     return both
 
 
+@q("docsim_cosine", None)  # oracle attached below (generated SQL)
+def docsim_cosine_q(spark, sf):
+    """All-pairs sparse TF-IDF cosine ≥ 0.2 (the lexical APSS join):
+    postings-list self-join over the discriminative vocabulary
+    (df ≤ 64), 9-dp product rounding + decimal sums — never a cross
+    join, never text through a shuffle."""
+    from pythonql_spark.operators.retrieval import docsim_cosine
+    docs = load_table(spark, sf, "documents")
+    return docsim_cosine(docs, threshold=0.2)
+
+
 @q("media_phash", None)  # oracle attached below (generated SQL)
 def media_phash_q(spark, sf):
     """Perceptual image hashing (aHash) over the real decode path:
@@ -4119,6 +4130,8 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc(
     # of (doc_id, text), so the DECODED outputs are recomputable in
     # DuckDB without any codec — full value oracles for the
     # encode→container→decode round-trips (verified at 3 sfs)
+    from pythonql_spark.operators.retrieval import docsim_cosine_oracle_sql
+    ORACLE["docsim_cosine"] = docsim_cosine_oracle_sql(threshold=0.2)
     from pythonql_spark.operators.cooccur import cooccurrence_pmi_oracle_sql
     ORACLE["cooccur_pmi"] = cooccurrence_pmi_oracle_sql(
         "user_id", "event_type")

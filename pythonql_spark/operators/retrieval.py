@@ -374,3 +374,96 @@ SELECT cast(count(*) as bigint) AS n_queries,
          AS ndcg_at_k
 FROM per_q
 """
+
+
+def docsim_cosine(df: DataFrame, threshold: float = 0.2, *,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  min_token_len: int = 3,
+                  max_df: int = 64) -> DataFrame:
+    """All-pairs sparse TF-IDF cosine similarity ≥ ``threshold`` —
+    the lexical document-similarity join (the Bayardo 2007 / APSS
+    problem shape): each document becomes a unit-normalized tf·idf
+    vector over its tokens and pairs score by the postings-list
+    self-join, never a cross join.
+
+    ``max_df`` drops tokens appearing in more documents (the
+    inverted-index stop cut): ubiquitous tokens contribute the least
+    idf weight but the most pairs — at 100 TB they ARE the quadratic
+    term, so the cut is the documented semantic parameter of the
+    operator (similarity over the discriminative vocabulary), not a
+    silent approximation.
+
+    Scale shape: one explode + (id, token) groupBy builds the tf
+    postings (shuffle carries tokens, never text); norms are one
+    per-doc partial agg; the pair join keys on tokens with ≤ max_df
+    postings each (≤ max_df²/2 pairs per token); per-pair products
+    round to 9 dp and sum as decimal(38,9) — the engine-portable
+    cosine the DuckDB oracle replays exactly."""
+    toks = (df.select(F.col(id_col).alias("__id"), F.explode(
+        F.expr(words(f"lower({text_col})"))).alias("tok"))
+        .filter(F.length("tok") >= min_token_len))
+    toks = toks.localCheckpoint(eager=False)
+    tf = toks.groupBy("__id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tf = tf.localCheckpoint(eager=False)      # reused by dft + postings
+    dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dft"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (tf.join(dft.filter(F.col("dft") <= max_df), "tok")
+         .crossJoin(F.broadcast(n_docs))
+         .select("__id", "tok", F.expr(
+             "cast(cnt as double) * ln(cast(n_docs as double) / dft)")
+             .alias("w")))
+    norm = (w.groupBy("__id")
+            .agg(F.expr("sqrt(cast(sum(cast(round(w * w, 9) as "
+                        "decimal(38,9))) as double))").alias("nrm")))
+    post = (w.join(norm, "__id")
+            .select("__id", "tok", F.expr("w / nrm").alias("wn")))
+    a = post.select(F.col("__id").alias("id_a"),
+                    F.col("wn").alias("w_a"), "tok")
+    b = post.select(F.col("__id").alias("id_b"),
+                    F.col("wn").alias("w_b"), "tok")
+    return (a.join(b, "tok")
+            .filter("id_a < id_b")
+            .groupBy("id_a", "id_b")
+            .agg(F.expr("cast(sum(cast(round(w_a * w_b, 9) as "
+                        "decimal(38,9))) as double)").alias("__s"))
+            .filter(F.col("__s") >= threshold)
+            .select("id_a", "id_b",
+                    F.expr("cast(round(__s, 6) as double)")
+                    .alias("cosine")))
+
+
+def docsim_cosine_oracle_sql(threshold: float = 0.2, *,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             min_token_len: int = 3, max_df: int = 64,
+                             table: str = "documents") -> str:
+    """DuckDB mirror of :func:`docsim_cosine` — identical weights,
+    9-dp product rounding and decimal sums."""
+    wexpr = words(f"lower({text_col})", "duck")
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id, unnest({wexpr}) AS tok FROM {table}),
+t2 AS (SELECT * FROM toks WHERE length(tok) >= {min_token_len}),
+tf AS (SELECT id, tok, count(*) AS cnt FROM t2 GROUP BY 1, 2),
+dft AS (SELECT tok, count(*) AS dft FROM tf GROUP BY 1
+        HAVING count(*) <= {max_df}),
+n AS (SELECT count(*) AS n_docs FROM {table}),
+w AS (
+  SELECT id, tf.tok,
+         cast(cnt as double) *
+         ln(cast((SELECT n_docs FROM n) as double) / dft) AS w
+  FROM tf JOIN dft ON tf.tok = dft.tok),
+nrm AS (
+  SELECT id, sqrt(cast(sum(cast(round(w * w, 9) as decimal(38,9)))
+                  as double)) AS nrm
+  FROM w GROUP BY id),
+post AS (
+  SELECT w.id, w.tok, w.w / nrm.nrm AS wn
+  FROM w JOIN nrm ON w.id = nrm.id)
+SELECT id_a, id_b, cast(round(s, 6) as double) AS cosine FROM (
+  SELECT a.id AS id_a, b.id AS id_b,
+         cast(sum(cast(round(a.wn * b.wn, 9) as decimal(38,9)))
+              as double) AS s
+  FROM post a JOIN post b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY a.id, b.id)
+WHERE s >= {threshold}"""

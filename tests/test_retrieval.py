@@ -149,3 +149,28 @@ def test_retrieval_metrics(spark):
     assert row.ndcg_at_k == round(round(ndcg1, 9) / 3, 6)
     with _pytest.raises(ValueError):
         retrieval_metrics(run, qrels, 0)
+
+
+def test_docsim_cosine_planted_similarity(spark):
+    from pythonql_spark.operators.retrieval import docsim_cosine
+    rows = [
+        (0, "quantum entanglement experiments measure photon spin"),
+        (1, "quantum entanglement experiments measure electron spin"),
+        (2, "medieval castle architecture features defensive towers"),
+        (3, "medieval castle architecture features defensive moats"),
+        (4, "recipe lemon butter garlic shrimp pasta dinner"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.cosine
+           for r in docsim_cosine(df, threshold=0.3).collect()}
+    assert (0, 1) in out and (2, 3) in out
+    assert all(p in {(0, 1), (2, 3)} for p in out)
+    assert all(0 < v <= 1.000001 for v in out.values())
+
+
+def test_docsim_cosine_max_df_drops_ubiquitous(spark):
+    from pythonql_spark.operators.retrieval import docsim_cosine
+    # "common" appears in every doc; with max_df=2 it can't pair docs
+    rows = [(i, f"common unique{i} word{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert docsim_cosine(df, threshold=0.01, max_df=2).count() == 0
