@@ -3883,6 +3883,16 @@ def score_normalize(spark, sf):
     return both
 
 
+@q("ab_ztest", None)  # oracle attached below (generated SQL)
+def ab_ztest_q(spark, sf):
+    """Experiment-analysis table: per-variant conversion rate with a
+    two-proportion z-test against the pooled rest — one partial-agg
+    groupBy, |variants| rows against a broadcast 1-row total."""
+    from pythonql_spark.operators.profile import conversion_ztest
+    ev = load_table(spark, sf, "events")
+    return conversion_ztest(ev, "event_type", "value > 150")
+
+
 @q("docsim_cosine", None)  # oracle attached below (generated SQL)
 def docsim_cosine_q(spark, sf):
     """All-pairs sparse TF-IDF cosine ≥ 0.2 (the lexical APSS join):
@@ -4130,6 +4140,9 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc(
     # of (doc_id, text), so the DECODED outputs are recomputable in
     # DuckDB without any codec — full value oracles for the
     # encode→container→decode round-trips (verified at 3 sfs)
+    from pythonql_spark.operators.profile import conversion_ztest_oracle_sql
+    ORACLE["ab_ztest"] = conversion_ztest_oracle_sql(
+        "event_type", "value > 150")
     from pythonql_spark.operators.retrieval import docsim_cosine_oracle_sql
     ORACLE["docsim_cosine"] = docsim_cosine_oracle_sql(threshold=0.2)
     from pythonql_spark.operators.cooccur import cooccurrence_pmi_oracle_sql

@@ -497,3 +497,57 @@ def zscore_normalize_oracle_sql(score_cols: list[str],
             + " AND ".join(f"t.{k} = g.{k}" for k in keys)
             if keys else f"CROSS JOIN ({grp}) g")
     return f"SELECT {select}, {', '.join(zs)} FROM {table} t {join}"
+
+
+def conversion_ztest(df: DataFrame, group_col: str,
+                     success_expr: str) -> DataFrame:
+    """Per-variant conversion report with a two-proportion z-test of
+    each variant against the POOLED rest — the experiment-analysis
+    table (A/B/n dashboards): (variant, n, conv, rate, z).
+
+    z = (p₁ − p₂) / √( p̂(1 − p̂)(1/n₁ + 1/n₂) ) with p̂ pooled over
+    both sides.  Everything derives from four counts per variant, so
+    the DuckDB oracle replays it exactly (identical double expression
+    tree, 9-dp round); degenerate pools (p̂ ∈ {0, 1} or an empty
+    rest) yield NULL z, never a division crash.
+
+    Scale shape: ONE partial-aggregated groupBy on the variant is the
+    only corpus-sized work; the rest runs on |variants| rows against
+    a broadcast 1-row total."""
+    per = (df.groupBy(F.col(group_col).alias("variant"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.expr(f"sum(cast(({success_expr}) as bigint))")
+                .alias("conv")))
+    tot = per.agg(F.expr("sum(n)").alias("tn"),
+                  F.expr("sum(conv)").alias("tc"))
+    z = ("(cast(conv as double) / n - "
+         "cast(tc - conv as double) / (tn - n)) / "
+         "sqrt((cast(tc as double) / tn) * (1.0 - cast(tc as double) / tn)"
+         " * (cast(1.0 as double) / n + cast(1.0 as double) / (tn - n)))")
+    return (per.crossJoin(F.broadcast(tot))
+            .select("variant", "n", "conv",
+                    F.expr("cast(round(cast(conv as double) / n, 6) "
+                           "as double)").alias("rate"),
+                    F.expr(f"cast(round(CASE WHEN tn > n AND tc > 0 "
+                           f"AND tc < tn THEN {z} END, 9) as double)")
+                    .alias("z")))
+
+
+def conversion_ztest_oracle_sql(group_col: str, success_expr: str, *,
+                                table: str = "events") -> str:
+    """DuckDB mirror of :func:`conversion_ztest`."""
+    z = ("(cast(conv as double) / n - "
+         "cast(tc - conv as double) / (tn - n)) / "
+         "sqrt((cast(tc as double) / tn) * (1.0 - cast(tc as double) / tn)"
+         " * (cast(1.0 as double) / n + cast(1.0 as double) / (tn - n)))")
+    return f"""
+WITH per AS (
+  SELECT {group_col} AS variant, count(*) AS n,
+         cast(sum(cast(({success_expr}) as bigint)) as bigint) AS conv
+  FROM {table} GROUP BY 1),
+tot AS (SELECT sum(n) AS tn, sum(conv) AS tc FROM per)
+SELECT variant, n, conv,
+       cast(round(cast(conv as double) / n, 6) as double) AS rate,
+       cast(round(CASE WHEN tn > n AND tc > 0 AND tc < tn
+                  THEN {z} END, 9) as double) AS z
+FROM per CROSS JOIN tot"""

@@ -2320,3 +2320,25 @@ def test_cooccurrence_pmi_hand_values(spark):
     assert (ac.n_ab, ac.n_a, ac.n_b) == (1, 3, 2)
     assert ac.pmi == round(math.log(1 * 4 / (3 * 2)), 9) and ac.pmi < 0
     assert ("b", "c") not in out  # never co-occur
+
+
+def test_conversion_ztest_hand_values(spark):
+    import math
+
+    from pythonql_spark.operators.profile import conversion_ztest
+    # variant A: 30/100 convert; variant B: 10/100
+    rows = [("A", 1)] * 30 + [("A", 0)] * 70 + \
+           [("B", 1)] * 10 + [("B", 0)] * 90
+    df = spark.createDataFrame(rows, "variant string, ok int")
+    out = {r.variant: r for r in
+           conversion_ztest(df, "variant", "ok = 1").collect()}
+    assert (out["A"].n, out["A"].conv, out["A"].rate) == (100, 30, 0.3)
+    p, pooled = 0.3, 0.2
+    z = (p - 0.1) / math.sqrt(pooled * 0.8 * (1 / 100 + 1 / 100))
+    assert abs(out["A"].z - z) < 1e-9 and out["A"].z > 0
+    assert abs(out["A"].z + out["B"].z) < 1e-9  # symmetric two-arm
+    # degenerate: single variant -> NULL z, no crash
+    one = spark.createDataFrame([("A", 1), ("A", 0)],
+                                "variant string, ok int")
+    r = conversion_ztest(one, "variant", "ok = 1").first()
+    assert r.z is None and r.rate == 0.5
