@@ -50,7 +50,14 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     e = (_undirected(edges, src, dst) if undirected
          else edges.select(F.col(src).alias("src"),
                            F.col(dst).alias("dst")).distinct())
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # materialize the (possibly expensive) edge derivation ONCE: each
+    # iteration references e and deg several times, and without the
+    # lineage cut Catalyst re-executes the upstream joins per
+    # reference (measured: 20 scans of the source tables for 3
+    # iterations on the orders⋈lineitem edge list)
+    e = e.localCheckpoint(eager=False)
+    deg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+           .localCheckpoint(eager=False))
     n = deg.count()
     base = (f"(cast(1.0 as double) - cast({damping!r} as double))"
             f" / {n}")

@@ -1180,6 +1180,9 @@ def ahash_pairs(df: DataFrame, *, hash_col: str = "ahash",
     the full corpus cross product."""
     bands = max_hamming + 1
     width = 64 // bands
+    # both sides of the self-join reference df: cut lineage so an
+    # upstream decode/hash pass runs once, not once per side
+    df = df.localCheckpoint(eager=False)
     sides = []
     for b in range(bands):
         w = 64 - b * width if b == bands - 1 else width
