@@ -1259,3 +1259,35 @@ SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
 FROM banded a JOIN banded c
   ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id
 WHERE bit_count(xor(a.ahash, c.ahash)) <= {max_hamming}"""
+
+
+def ahash_matches(probe: DataFrame, index: DataFrame, *,
+                  hash_col: str = "ahash", id_col: str = "doc_id",
+                  max_hamming: int = 3) -> DataFrame:
+    """Cross-frame variant of :func:`ahash_pairs`: which ``probe``
+    rows perceptually match a row of ``index`` (hamming ≤
+    ``max_hamming``)?  Same banded blocking, complete by pigeonhole;
+    returns (probe_id, index_id, hamming).  The probe side is
+    typically a micro-batch, the index a standing corpus — only the
+    probe's bands shuffle."""
+    bands = max_hamming + 1
+    width = 64 // bands
+
+    def banded(df: DataFrame, out_id: str, out_h: str) -> DataFrame:
+        sides = []
+        for b in range(bands):
+            w = 64 - b * width if b == bands - 1 else width
+            mask = (1 << w) - 1
+            sides.append(f"named_struct('b', {b}, 'v', "
+                         f"shiftright({hash_col}, {b * width}) & {mask})")
+        return df.select(
+            F.col(id_col).alias(out_id), F.col(hash_col).alias(out_h),
+            F.explode(F.array(*[F.expr(s) for s in sides])).alias("bv"))
+
+    return (banded(probe, "probe_id", "h_p")
+            .join(banded(index, "index_id", "h_i"), "bv")
+            .dropDuplicates(["probe_id", "index_id"])
+            .withColumn("hamming",
+                        F.expr("bit_count(h_p ^ h_i)").cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("probe_id", "index_id", "hamming"))

@@ -275,3 +275,55 @@ def drift_monitor_stream(stream_df: DataFrame, reference: DataFrame,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def image_dedup_ingest_stream(stream_df: DataFrame, index: DataFrame,
+                              out_path: str, checkpoint: str, *,
+                              id_col: str = "doc_id",
+                              media_col: str = "media",
+                              max_hamming: int = 3,
+                              trigger_available_now: bool = True
+                              ) -> StreamingQuery:
+    """Continuous PERCEPTUAL image dedup (the multimodal sibling of
+    dedup_ingest_stream): each arriving micro-batch's images are
+    decoded and aHashed once, batch-internal near-duplicates collapse
+    to their min-id representative (operators.multimodal.ahash_pairs),
+    survivors probe the standing (id, ahash) ``index`` with the
+    banded cross join (ahash_matches — only the batch's bands
+    shuffle; the index hashes were computed ONCE at stream start and
+    never re-decode), and novel images land as (id, ahash) rows
+    partitioned by micro-batch id with dynamic partition overwrite —
+    replay-idempotent like the other ingest sinks.
+
+    The landed output IS index-shaped: periodic compaction can fold
+    it into the standing index without re-decoding anything."""
+    from pythonql_spark.operators.multimodal import (ahash_matches,
+                                                     ahash_pairs,
+                                                     image_ahash)
+
+    idx = (index.select(F.col(id_col), "ahash")
+           .localCheckpoint())              # hash the index once, ever
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        hashed = (image_ahash(batch_df, media_col)
+                  .select(id_col, "ahash")
+                  .localCheckpoint())       # decode once per batch
+        within = ahash_pairs(hashed, id_col=id_col,
+                             max_hamming=max_hamming) \
+            .select(F.col("id_b").alias(id_col)).distinct()
+        kept = hashed.join(within, id_col, "left_anti")
+        dupes = (ahash_matches(kept, idx, id_col=id_col,
+                               max_hamming=max_hamming)
+                 .select(F.col("probe_id").alias(id_col)).distinct())
+        novel = kept.join(dupes, id_col, "left_anti")
+        (novel.withColumn(BATCH_COL, F.lit(batch_id))
+         .write.mode("overwrite")
+         .partitionBy(BATCH_COL)
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(out_path))
+
+    writer = (stream_df.writeStream.foreachBatch(_apply)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

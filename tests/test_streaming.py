@@ -612,3 +612,61 @@ def test_drift_monitor_stream_matches_batch(spark, tables, tmp_path):
     again = sorted((r.lang, r.psi, r.n_a, r.n_b)
                    for r in spark.read.parquet(out).collect())
     assert again == got
+
+
+def test_image_dedup_ingest_stream(spark, tables, tmp_path):
+    """Perceptual image ingest: stream output == the same batch
+    composition (in-batch ahash collapse + banded index probe), and
+    a replayed batch is idempotent."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.operators import multimodal as MM
+    from pythonql_spark.streaming import run_to_completion
+    from pythonql_spark.streaming.ingest import image_dedup_ingest_stream
+
+    docs = tables["documents"]
+
+    def media_of(df):
+        return df.select(
+            "doc_id",
+            MM.make_media(MM.render_text_png("text"), "image", "png",
+                          8, 8).alias("media"))
+
+    corpus = media_of(docs.filter("doc_id < 30"))
+    index = MM.image_ahash(corpus).select("doc_id", "ahash").cache()
+    # arriving: fresh docs + exact pixel copies of indexed docs + an
+    # in-batch twin (same text -> same image)
+    fresh = docs.filter("doc_id >= 30 and doc_id < 50") \
+        .select("doc_id", "text")
+    copies = (docs.filter("doc_id < 10")
+              .selectExpr("doc_id + 100000 as doc_id", "text"))
+    twin = docs.filter("doc_id = 30") \
+        .selectExpr("doc_id + 200000 as doc_id", "text")
+    arriving = media_of(fresh.union(copies).union(twin))
+
+    src, out, ck = (str(tmp_path / p) for p in ("in", "out", "ck"))
+    arriving.write.parquet(src)
+    stream = spark.readStream.schema(arriving.schema).parquet(src)
+    run_to_completion(image_dedup_ingest_stream(stream, index, out, ck))
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+
+    # batch reference: same operators, no stream
+    hashed = MM.image_ahash(arriving).select("doc_id", "ahash")
+    within = (MM.ahash_pairs(hashed)
+              .select(F.col("id_b").alias("doc_id")).distinct())
+    kept = hashed.join(within, "doc_id", "left_anti")
+    dup = (MM.ahash_matches(kept, index)
+           .select(F.col("probe_id").alias("doc_id")).distinct())
+    want = sorted(r.doc_id for r in
+                  kept.join(dup, "doc_id", "left_anti").collect())
+    assert got == want
+    assert not any(d >= 100000 for d in got)   # copies + twin rejected
+    assert 30 in got
+
+    shutil.rmtree(ck)
+    stream2 = spark.readStream.schema(arriving.schema).parquet(src)
+    run_to_completion(image_dedup_ingest_stream(stream2, index, out, ck))
+    again = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert again == got
