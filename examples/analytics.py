@@ -94,6 +94,47 @@ def main() -> None:
     print("cohort retention (first 8 cells):")
     retention.df().show()
 
+    # reference path-step syntax (Grammar.md ./ and .//) inside query
+    # strings — compiled to the registered pql_child/pql_desc UDFs
+    paths = pql(spark, """
+        select (e.event_id as event_id, k_val)
+        for e in ev, k_val in e.props ./ 'k'
+    """, env={"ev": t["events"].select("event_id", "props")})
+    print("path-step rows:", paths.count())
+
+    # the reference's window-clause string, DISTRIBUTED: TableSeq
+    # binds the source per-user, nothing collects to the driver
+    from pythonql_spark.pql import TableSeq
+    win = pql(spark, """
+        select (user_id, s, sum(w) as sum_w)
+        for sliding window w in x
+        start y at s when True
+        end at e when e - s == 2
+    """, env={"x": TableSeq(e.select("user_id", "ts", "value"),
+                            order_by=["ts", "value"],
+                            partition_by="user_id", value="value")})
+    print("per-user sliding windows:", win.count())
+
+    # entity resolution: supplier names within edit distance 1
+    from pythonql_spark.operators.fuzzy import fuzzy_pairs
+    fz = fuzzy_pairs(t["supplier"].select("s_suppkey", "s_name"),
+                     "s_name", 1, id_col="s_suppkey")
+    print("near-identical supplier names:", fz.count())
+
+    # trade-graph PageRank + event co-occurrence + experiment z-test
+    from pythonql_spark.operators.cooccur import cooccurrence_pmi
+    from pythonql_spark.operators.graph import pagerank
+    from pythonql_spark.operators.profile import conversion_ztest
+    edges = (t["orders"].join(t["lineitem"],
+                              t["orders"].o_orderkey
+                              == t["lineitem"].l_orderkey)
+             .selectExpr("o_custkey * 2 as src",
+                         "l_suppkey * 2 + 1 as dst").distinct())
+    pagerank(edges, iters=3).orderBy(F.desc("rank")).show(5)
+    cooccurrence_pmi(e, "user_id", "event_type") \
+        .orderBy(F.desc("pmi")).show(5)
+    conversion_ztest(e, "event_type", "value > 150").show()
+
 
 if __name__ == "__main__":
     main()
