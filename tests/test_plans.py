@@ -462,3 +462,48 @@ def test_mine_negatives_plan_shape(spark, sf_dir):
     from pythonql_spark.plans import assert_plan
     assert_plan(QUERIES["mine_negatives"](spark, sf_dir),
                 max_exchanges=1, no_nested_loop=True)
+
+
+def test_fuzzy_pairs_prefix_filter_plan(spark, sf_dir):
+    """The fuzzy join must block on rare grams (WindowGroupLimit caps
+    the per-string prefix shuffle at q·d+1 rows) and never plan a
+    corpus cartesian product — the only nested loop is the bounded
+    short-string band join."""
+    from pythonql_spark.plans import plan_report
+    r = plan_report(QUERIES["fuzzy_pairs"](spark, sf_dir))
+    assert r["cartesian_products"] == 0, r
+    assert r["window_group_limits"] >= 1, r
+    assert r["nested_loop_joins"] <= 1, r
+
+
+def test_docsim_and_pmi_no_cartesian(spark, sf_dir):
+    """Both similarity joins key on postings/contexts — a cartesian
+    product anywhere means the blocking broke."""
+    from pythonql_spark.plans import plan_report
+    for key in ("docsim_cosine", "cooccur_pmi"):
+        r = plan_report(QUERIES[key](spark, sf_dir))
+        assert r["cartesian_products"] == 0, (key, r)
+        assert r["python_row_evals"] == 0, (key, r)
+
+
+def test_pagerank_single_edge_materialization(spark, sf_dir):
+    """The edge list materializes ONCE behind a checkpoint: the plan
+    must contain no parquet scans at all (they all sit behind the
+    lineage cut) — without it, 3 iterations re-executed the
+    orders⋈lineitem join ~20 times."""
+    from pythonql_spark.plans import plan_report
+    r = plan_report(QUERIES["pagerank"](spark, sf_dir))
+    assert len(r["scans"]) == 0, r
+    assert r["cartesian_products"] == 0, r
+
+
+def test_zscore_and_ztest_broadcast_stats(spark, sf_dir):
+    """Stats frames broadcast back; the corpus is never shuffled: no
+    hash exchange may carry the corpus row count (only partial-agg
+    exchanges over |strata| rows), and no window runs at all."""
+    for key in ("zscore_normalize", "ab_ztest"):
+        p = formatted_plan(QUERIES[key](spark, sf_dir))
+        assert "CartesianProduct" not in p, (key, p)
+        assert "Window" not in p, (key, p)
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, \
+            (key, p)
