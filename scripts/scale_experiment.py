@@ -95,7 +95,12 @@ def main() -> None:
     from pythonql_spark.operators.bitext import mine_bitext
     from pythonql_spark.operators.window_clause import predicate_windows
     from pythonql_spark.operators.pq import ivfpq_topk, pq_topk
+    from pythonql_spark.operators import multimodal as MM
     from pythonql_spark.operators import text as TX
+    from pythonql_spark.operators.cooccur import cooccurrence_pmi
+    from pythonql_spark.operators.fuzzy import fuzzy_pairs
+    from pythonql_spark.operators.graph import pagerank
+    from pythonql_spark.operators.retrieval import docsim_cosine
     from pythonql_spark.operators.classifier import classification_report
     from pythonql_spark.operators.spans import (clone_pairs, dup_span_stats,
                                                 winnow_fingerprints)
@@ -359,6 +364,42 @@ def main() -> None:
                    .select("event_id", "user_id", "ts", "value"),
                 "ts", "value", 3600, "user_id")
                 .selectExpr("sum(mov_n)").collect()[0][0]),
+            # fuzzy join: replica-distinct names (id suffix) so output
+            # stays sparse — measures candidate generation (the rare-
+            # gram prefix filter), which should track the scan
+            "fuzzy": lambda: fuzzy_pairs(
+                docs.selectExpr(
+                    "doc_id",
+                    "substring(lower(text), 1, 10) || cast(doc_id as "
+                    "string) as name"),
+                "name", 1, q=2).count(),
+            # sparse TF-IDF all-pairs: the df<=64 stop cut excludes
+            # ever more base-corpus tokens as replicas multiply their
+            # document frequency — postings build (scan-bound) is
+            # what's measured
+            "docsim": lambda: docsim_cosine(
+                docs, threshold=0.3, max_df=64).count(),
+            # PageRank over user->event-type edges: users grow with
+            # the corpus, the 5 type nodes become super-hubs (degree
+            # ∝ n) — the partial-agg groupBy must absorb them
+            "pagerank": lambda: pagerank(
+                evs.selectExpr(
+                    "user_id * 2 as src",
+                    "(abs(hash(event_type)) % 1024) * 2 + 1 as dst")
+                .distinct(), iters=3).count(),
+            # PMI: contexts (users) grow, the item vocabulary is
+            # fixed — per-context pair join bounded by |items|²
+            "pmi": lambda: cooccurrence_pmi(
+                evs, "user_id", "event_type").count(),
+            # perceptual hashing: render + real PNG decode + aHash +
+            # banded self-join over the whole corpus — one Arrow pass
+            # per stage, pair candidates sparse (distinct texts)
+            "phash": lambda: MM.ahash_pairs(
+                MM.image_ahash(
+                    docs.select("doc_id", MM.make_media(
+                        MM.render_text_png("text"), "image", "png",
+                        8, 8).alias("media")))
+                .select("doc_id", "ahash"), max_hamming=3).count(),
             # compound-key as-of: one sort-shuffle on (user, type)
             "asof_join": lambda: asof_join(
                 evs.filter("event_type = 'purchase'")
