@@ -1,0 +1,164 @@
+"""``# coding: pythonql`` source codec — run reference-style .py
+files whose query expressions are written INLINE (reference
+codec/register.py:1-61 + parser/Preprocessor.py behavior).
+
+The transform rewrites every ``[ select … ]`` expression in the
+source into a call that compiles the query text through the
+:func:`pythonql_spark.pql.pql` front-end against the enclosing
+scope's variables, materializing a list:
+
+    # coding: pythonql
+    res = [ select (x, y)
+            for x in range(1, 8)
+            for y in range(1, 7)
+            if x % 2 == 0 and y % 2 != 0 and x > y ]
+
+Scope and honesty notes:
+
+* only bracket expressions whose first token is ``select`` rewrite —
+  ordinary list comprehensions (including the reference's
+  select-less ``[ (x, sum(y) as s) for … ]`` shortening and nested
+  query expressions) are untouched; use ``pql()`` directly for
+  those.
+* ORDERING: the reference's tuple-at-a-time executor yields rows in
+  nested-loop iteration order.  A distributed engine has no inherent
+  row order, so without an ``order by`` the materialized list is
+  returned in CANONICAL order (sorted by the output columns) — equal
+  to iteration order for ascending sources (the tutorial shapes),
+  documented as the deviation otherwise.  Queries with ``order by``
+  keep exactly that order.
+* single-column selects unwrap to bare values (reference semantics:
+  ``sum([ select num for … ])`` must see numbers, not 1-tuples).
+"""
+
+from __future__ import annotations
+
+import codecs
+import encodings
+import io
+import re
+from encodings import utf_8
+
+from pythonql_spark import expr as X
+
+_IMPORT = ("from pythonql_spark.codec import __pql_list__ "
+           "as __pql_list__\n")
+
+
+def _mask(src: str) -> str:
+    """Blank out comments and string literals (length-preserving) so
+    bracket scanning never trips on them; handles ''' blocks."""
+    out = []
+    i, n = 0, len(src)
+    while i < n:
+        ch = src[i]
+        if ch == "#":
+            while i < n and src[i] != "\n":
+                out.append(" ")
+                i += 1
+        elif ch in "'\"":
+            q = src[i:i + 3] if src[i:i + 3] in ("'''", '"""') else ch
+            out.append(" " * len(q))
+            i += len(q)
+            while i < n:
+                if src[i] == "\\" and len(q) == 1:
+                    out.append("  ")
+                    i += 2
+                    continue
+                if src.startswith(q, i):
+                    out.append(" " * len(q))
+                    i += len(q)
+                    break
+                out.append(" " if src[i] != "\n" else "\n")
+                i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def transform_source(src: str) -> str:
+    """Rewrite ``[ select … ]`` spans to __pql_list__ calls and
+    prepend the runtime import (the reference preprocessor's shape)."""
+    masked = _mask(src)
+    spans = []
+    for m in re.finditer(r"\[", masked):
+        after = masked[m.end():]
+        lead = len(after) - len(after.lstrip())
+        if not after[lead:].startswith("select") or \
+                (after[lead + 6:lead + 7].isalnum()
+                 or after[lead + 6:lead + 7] == "_"):
+            continue
+        depth, j = 1, m.end()
+        while j < len(masked) and depth:
+            depth += masked[j] == "["
+            depth -= masked[j] == "]"
+            j += 1
+        if depth == 0:
+            spans.append((m.start(), j))
+    out = src
+    for s, t in reversed(spans):
+        body = src[s + 1:t - 1]
+        quote = "'''" if "'''" not in body else '"""'
+        out = (out[:s]
+               + f"__pql_list__(r{quote}{body}{quote}, "
+               f"locals(), globals())" + out[t:])
+    return _IMPORT + out if spans else out
+
+
+def __pql_list__(text: str, loc: dict, glob: dict) -> list:
+    """Runtime for rewritten query expressions: compile via pql()
+    against the caller's scope, materialize with the documented
+    ordering, unwrap single-column selects."""
+    from pythonql_spark.pql import pql
+    from pythonql_spark.session import get_spark
+
+    env = {**glob, **loc}
+    df = pql(get_spark(), text, env=env)
+    rows = df.collect()
+    if not re.search(r"\border\s+by\b", X.strip_strings(text),
+                     re.IGNORECASE):
+        rows = sorted(rows, key=lambda r: tuple(
+            (v is None, v) for v in r))
+    if len(df.columns) == 1:
+        return [r[0] for r in rows]
+    return rows
+
+
+def _decode(input, errors="strict"):
+    return transform_source(bytes(input).decode("utf-8")), len(input)
+
+
+class _IncrementalDecoder(utf_8.IncrementalDecoder):
+    def decode(self, input, final=False):
+        self.buffer += input
+        if not final:
+            return ""
+        buff, self.buffer = self.buffer, b""
+        return super().decode(
+            transform_source(buff.decode("utf-8")).encode("utf-8"),
+            final=True)
+
+
+class _StreamReader(utf_8.StreamReader):
+    def __init__(self, *args, **kwargs):
+        codecs.StreamReader.__init__(self, *args, **kwargs)
+        self.stream = io.StringIO(
+            transform_source(self.stream.read().decode("utf-8")))
+
+
+def _search(name: str):
+    if name != "pythonql":
+        return None
+    utf8 = encodings.search_function("utf8")
+    return codecs.CodecInfo(
+        name="pythonql",
+        encode=utf8.encode,
+        decode=_decode,
+        incrementalencoder=utf8.incrementalencoder,
+        incrementaldecoder=_IncrementalDecoder,
+        streamreader=_StreamReader,
+        streamwriter=utf8.streamwriter)
+
+
+codecs.register(_search)

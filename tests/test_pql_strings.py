@@ -287,3 +287,76 @@ def test_tableseq_ambiguous_value_column(spark):
                                "k int, pos int, a double, b double")
     with _pytest.raises(ValueError, match="ambiguous"):
         TableSeq(df, order_by="pos", partition_by="k")
+
+
+# --------------------------------------------------- source codec
+
+def test_pythonql_codec_runs_inline_queries(spark, tmp_path):
+    """A ``# coding: pythonql`` module with reference-style INLINE
+    query expressions imports and runs (reference codec/register.py
+    behavior): tutorial q1/q3-shaped queries execute with value
+    parity; plain list comprehensions in the same file are untouched."""
+    import importlib
+    import sys
+
+    import pythonql_spark.codec  # noqa: F401  (registers the codec)
+
+    mod = tmp_path / "pqlmod_r7.py"
+    mod.write_text(
+        "# coding: pythonql\n"
+        "res1 = [ select (x, y)\n"
+        "         for x in range(1, 8)\n"
+        "         for y in range(1, 7)\n"
+        "         if x % 2 == 0 and\n"
+        "            y % 2 != 0 and\n"
+        "            x > y ]\n"
+        "res3 = [ select (x, sum_y)\n"
+        "         for x in xs, y in ys\n"
+        "         where x % 2 == 0 and y % 2 != 0 and x > y\n"
+        "         group by x\n"
+        "         let sum_y = sum(y)\n"
+        "         where sum_y % 2 != 0\n"
+        "         order by x ]\n"
+        "plain = [x * 2 for x in range(3)]\n"
+        "selective = ['select me', 'not a query']\n",
+        encoding="utf-8")
+    # module-scope sources for the second query
+    pre = "xs = range(1, 8)\nys = range(1, 7)\n"
+    mod.write_text("# coding: pythonql\n" + pre
+                   + mod.read_text().split("\n", 1)[1], encoding="utf-8")
+    sys.path.insert(0, str(tmp_path))
+    try:
+        m = importlib.import_module("pqlmod_r7")
+    finally:
+        sys.path.remove(str(tmp_path))
+    # reference tutorial q1 asserts (iteration order == canonical
+    # order for ascending sources)
+    assert m.res1[0].x == 2 and m.res1[0].y == 1
+    assert [(r.x, r.y) for r in m.res1] == \
+        [(2, 1), (4, 1), (4, 3), (6, 1), (6, 3), (6, 5)]
+    # q3 asserts
+    assert m.res3[0].x == 2 and m.res3[0].sum_y == 1
+    assert m.res3[1].x == 6 and m.res3[1].sum_y == 9
+    # non-query brackets untouched
+    assert m.plain == [0, 2, 4]
+    assert m.selective == ["select me", "not a query"]
+
+
+def test_codec_single_column_unwraps(spark, tmp_path):
+    import importlib
+    import sys
+
+    import pythonql_spark.codec  # noqa: F401
+
+    mod = tmp_path / "pqlmod_r7b.py"
+    mod.write_text(
+        "# coding: pythonql\n"
+        "data = [15, 25, 80, 34]\n"
+        "total = sum([ select v for v in data ])\n",
+        encoding="utf-8")
+    sys.path.insert(0, str(tmp_path))
+    try:
+        m = importlib.import_module("pqlmod_r7b")
+    finally:
+        sys.path.remove(str(tmp_path))
+    assert m.total == 154
