@@ -364,14 +364,20 @@ def main() -> None:
                    .select("event_id", "user_id", "ts", "value"),
                 "ts", "value", 3600, "user_id")
                 .selectExpr("sum(mov_n)").collect()[0][0]),
-            # fuzzy join: replica-distinct names (id suffix) so output
-            # stays sparse — measures candidate generation (the rare-
-            # gram prefix filter), which should track the scan
+            # fuzzy join at CONSTANT pair density (md5 suffixes keep
+            # names ≥2 edits apart, so output doesn't grow
+            # quadratically with replicas — that would measure the
+            # synthetic data, not the operator): candidate generation
+            # via the rare-gram prefix filter should track the scan.
+            # (A numeric-id suffix variant was tried first: ids within
+            # one digit of each other pair, so output — and cost —
+            # grew superlinearly by construction.)
             "fuzzy": lambda: fuzzy_pairs(
                 docs.selectExpr(
                     "doc_id",
-                    "substring(lower(text), 1, 10) || cast(doc_id as "
-                    "string) as name"),
+                    "substring(lower(text), 1, 12) || '-' || "
+                    "substring(md5(cast(doc_id as string)), 1, 6) "
+                    "as name"),
                 "name", 1, q=2).count(),
             # sparse TF-IDF all-pairs: the df<=64 stop cut excludes
             # ever more base-corpus tokens as replicas multiply their
