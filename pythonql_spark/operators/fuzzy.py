@@ -24,6 +24,16 @@ fall outside the theorem's guarantee: they pair among themselves via
 a length-band join over the (bounded, documented) short-string
 subset, so the result is EXACT for every length.
 
+Choosing ``q`` (the real scale lever): candidate volume is
+~n²/|gram vocabulary| — every pair sharing a rare gram is a
+candidate, and the vocabulary bounds how many distinct buckets
+exist.  q=2 over hex/numeric keys gives ≤256/100 values and goes
+quadratic fast (measured: per-unit cost RISING through the 4×
+octave); q=3 over natural-language keys gives a vocabulary that
+grows with the data and keeps buckets bounded.  Rule of thumb:
+pick q so the key alphabet^q comfortably exceeds the expected
+corpus size / desired bucket width.
+
 Dual-dialect caveat: DuckDB's levenshtein is byte-based while
 Spark's is codepoint-based — identical on ASCII; the oracle-checked
 key feeds ASCII input.

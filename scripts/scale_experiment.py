@@ -364,14 +364,14 @@ def main() -> None:
                    .select("event_id", "user_id", "ts", "value"),
                 "ts", "value", 3600, "user_id")
                 .selectExpr("sum(mov_n)").collect()[0][0]),
-            # fuzzy join at CONSTANT pair density (md5 suffixes keep
-            # names ≥2 edits apart, so output doesn't grow
-            # quadratically with replicas — that would measure the
-            # synthetic data, not the operator): candidate generation
-            # via the rare-gram prefix filter should track the scan.
-            # (A numeric-id suffix variant was tried first: ids within
-            # one digit of each other pair, so output — and cost —
-            # grew superlinearly by construction.)
+            # fuzzy join: md5-suffix keys give ~zero OUTPUT pairs, so
+            # what's measured is pure candidate generation — which is
+            # the operator's documented ~n²/|gram vocabulary| term
+            # (hex bigrams = ≤256 bucket values).  The octave is
+            # EXPECTED to rise; it quantifies the exact-ED-join
+            # characteristic the docstring's q rule exists for (grow
+            # q with the corpus, or use the MinHash path for
+            # near-linear approximate matching).
             "fuzzy": lambda: fuzzy_pairs(
                 docs.selectExpr(
                     "doc_id",
