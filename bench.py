@@ -65,7 +65,7 @@ def main() -> None:
         "decontam_winnow", "calibration",
         "pql_path", "ann_ivf_md5", "ann_ivfpq_md5", "media_audio",
         "zscore_normalize", "fuzzy_pairs", "pagerank", "cooccur_pmi",
-        "media_phash", "media_neardup",
+        "media_phash", "media_neardup", "docsim_cosine", "ab_ztest",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers, and spin up the Python worker

@@ -360,3 +360,35 @@ def test_codec_single_column_unwraps(spark, tmp_path):
     finally:
         sys.path.remove(str(tmp_path))
     assert m.total == 154
+
+
+def test_count_based_window_string_compiles_to_jvm_frames(spark, tables):
+    """`start … when True / end at e when e - s == K` through the
+    string front-end must take the native fixed_windows path: no
+    Python evaluation anywhere in the plan, and value parity with the
+    predicate path on a shape the fast path does NOT match."""
+    from pythonql_spark.plans import plan_report
+    from pythonql_spark.pql import TableSeq, pql
+    ev = tables["events"].select("user_id", "ts", "value")
+    seq = TableSeq(ev, order_by=["ts", "value"],
+                   partition_by="user_id", value="value")
+    fast = pql(spark, """
+        select (user_id, s, sum(w) as sum_w)
+        for sliding window w in x
+        start y at s when True
+        end at e when e - s == 2
+    """, env={"x": seq})
+    r = plan_report(fast)
+    assert r["python_arrow_evals"] == 0 and r["python_row_evals"] == 0, r
+    # same semantics through the predicate path (condition shape the
+    # fast-path matcher must NOT claim: reversed operands)
+    slow = pql(spark, """
+        select (user_id, s, sum(w) as sum_w)
+        for sliding window w in x
+        start y at s when True
+        end at e when (e - s) * 1 == 2
+    """, env={"x": seq})
+    assert plan_report(slow)["python_arrow_evals"] > 0
+    a = sorted((row.user_id, row.s, row.sum_w) for row in fast.collect())
+    b = sorted((row.user_id, row.s, row.sum_w) for row in slow.collect())
+    assert a == b
