@@ -3883,6 +3883,43 @@ def score_normalize(spark, sf):
     return both
 
 
+_HTML_WRAP = (
+    "'<html><head><style>p { margin: 0 }</style>"
+    "<script>var x = 1; if (x < 2) { x = 3 }</script></head>"
+    "<body><h1>' || source || '</h1><!-- doc --><p>' || text || "
+    "'&nbsp;&amp; more</p></body></html>'")
+
+
+@q("text_html", None)  # oracle attached below (generated SQL)
+def text_html_q(spark, sf):
+    """Main-text extraction from HTML (the web-corpus ingest step):
+    documents wrapped in deterministic markup (script/style/comment
+    blocks, tags, entities), then extracted by the scan-fused
+    dual-dialect expression — no UDF, no shuffle."""
+    from pythonql_spark.operators.text import extract_html
+    docs = load_table(spark, sf, "documents").selectExpr(
+        "doc_id", _HTML_WRAP + " as html")
+    return docs.selectExpr("doc_id",
+                           extract_html("html") + " as main_text")
+
+
+@q("media_audio_features", None)  # oracle attached below (generated SQL)
+def media_audio_features_q(spark, sf):
+    """Signal-level audio features (RMS, zero-crossing rate) through
+    the real WAV decode — the cheap audio-quality signals a corpus
+    filter runs pre-model; trunc-sin tones make them fully
+    DuckDB-oracle-able."""
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.operators import multimodal as MM
+    docs = (load_table(spark, sf, "documents")
+            .filter(F.col("doc_id") < 64)
+            .select("doc_id", MM.render_tone_wav("doc_id").alias("snd")))
+    media = docs.select(
+        "doc_id", MM.make_media("snd", "audio", "wav").alias("media"))
+    return MM.audio_features(media).select("doc_id", "rms", "zcr")
+
+
 @q("ab_ztest", None)  # oracle attached below (generated SQL)
 def ab_ztest_q(spark, sf):
     """Experiment-analysis table: per-variant conversion rate with a
@@ -4170,6 +4207,11 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc(
     ORACLE["media_gif"] = _MM.media_frames_oracle_sql()
     ORACLE["media_mp4"] = _MM.media_mp4_oracle_sql()
     ORACLE["media_audio"] = _MM.media_audio_oracle_sql()
+    ORACLE["media_audio_features"] = _MM.audio_features_oracle_sql()
+    from pythonql_spark.operators.text import extract_html as _xh
+    ORACLE["text_html"] = (
+        f"SELECT doc_id, {_xh('html', 'duck')} AS main_text FROM "
+        f"(SELECT doc_id, {_HTML_WRAP} AS html FROM documents) h")
     ORACLE["media_phash"] = _MM.image_ahash_oracle_sql()
     ORACLE["media_neardup"] = _MM.ahash_pairs_oracle_sql(
         _MM.image_ahash_oracle_sql(src_mod=48), max_hamming=3)

@@ -1291,3 +1291,89 @@ def ahash_matches(probe: DataFrame, index: DataFrame, *,
                         F.expr("bit_count(h_p ^ h_i)").cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .select("probe_id", "index_id", "hamming"))
+
+
+def audio_features(df: DataFrame, media_col: str = "media", *,
+                   decoder=None) -> DataFrame:
+    """Signal-level audio features through the real decode path:
+    RMS amplitude and zero-crossing rate — the cheap audio-quality /
+    voice-activity signals a corpus filter runs before any expensive
+    model stage.  One Arrow-batched mapInPandas pass, no shuffle.
+
+    Engine-exact: samples are integers, so Σs² is exact in double in
+    any order (rms = sqrt(Σs²/n)) and the crossing count is an exact
+    rational — both 6-dp rounded, making the trunc-sin synthesized
+    tones fully DuckDB-oracle-able."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zcr", T.DoubleType()),
+        ])
+
+    def feats(data: bytes, meta) -> tuple[float, float]:
+        import io
+        import struct as _struct
+        import wave
+
+        if not (data or b"").startswith(b"RIFF"):
+            if decoder is None:
+                raise NotImplementedError(
+                    f"no codec for format {meta['format']!r} (WAV "
+                    "decodes natively); plug one in via decoder=")
+            _, _, samples = decoder(data, meta)
+            samples = [int(s) for s in samples]
+        else:
+            with wave.open(io.BytesIO(data)) as w:
+                raw = w.readframes(w.getnframes())
+                width = w.getsampwidth()
+            if width == 2:
+                samples = list(_struct.unpack(f"<{len(raw) // 2}h", raw))
+            else:
+                samples = [b - 128 for b in raw]
+        n = len(samples)
+        if not n:
+            return 0.0, 0.0
+        rms = (sum(s * s for s in samples) / n) ** 0.5
+        crossings = sum(1 for a, b in zip(samples, samples[1:])
+                        if (a < 0) != (b < 0) and (a != 0 or b != 0))
+        zcr = crossings / max(n - 1, 1)
+        return round(rms, 6), round(zcr, 6)
+
+    cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fs = [feats(m["data"], m["meta"]) for m in pdf[media_col]]
+            pdf = pdf.copy()
+            pdf["rms"] = [f[0] for f in fs]
+            pdf["zcr"] = [f[1] for f in fs]
+            yield pdf[cols + ["rms", "zcr"]]
+
+    return df.mapInPandas(run, out_schema)
+
+
+def audio_features_oracle_sql(rate: int = 8000, n_samples: int = 400,
+                              max_doc: int = 64) -> str:
+    """DuckDB recomputation of the media_audio_features key: the
+    render_tone_wav PCM is trunc(8000·sin(2π·freq·t/rate)), so RMS
+    and ZCR replay exactly (integer samples → exact sums)."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, 200 + (doc_id % 17) * 50 AS freq
+  FROM documents WHERE doc_id < {max_doc}),
+s AS (
+  SELECT doc_id, t,
+         trunc(8000 * sin(2 * pi() * freq * t / {rate})) AS smp
+  FROM d, (SELECT unnest(range({n_samples})) AS t) ts),
+x AS (
+  SELECT doc_id, t, smp,
+         lag(smp) OVER (PARTITION BY doc_id ORDER BY t) AS prev
+  FROM s)
+SELECT doc_id,
+       round(sqrt(sum(smp * smp) / {n_samples}), 6) AS rms,
+       round(cast(sum(CASE WHEN prev IS NOT NULL
+                        AND (prev < 0) <> (smp < 0)
+                        AND (prev <> 0 OR smp <> 0)
+                       THEN 1 ELSE 0 END) as double)
+             / {n_samples - 1}, 6) AS zcr
+FROM x GROUP BY doc_id"""

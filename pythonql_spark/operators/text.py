@@ -702,3 +702,26 @@ SELECT {id_col},
          AS mean_bigram_logprob,
        cast(count(lp) as bigint) AS n_tokens
 FROM scored GROUP BY {id_col}"""
+
+
+def extract_html(col: str = "html", dialect: str = "spark") -> str:
+    """Main-text extraction from HTML markup — the web-corpus step
+    before every quality/dedup stage (the structural subset of
+    trafilatura-class extractors, documented scope): drops
+    script/style/comment blocks wholesale, strips all remaining tags,
+    decodes the common entities, collapses whitespace.  A pure
+    dual-dialect expression fused into the scan — no UDF, no shuffle;
+    DOM-aware boilerplate removal is the separately-shipped
+    remove_boilerplate / dup-line stage downstream."""
+    e = col
+    # (?is): dot matches newlines, case-insensitive block tags
+    for blk in (r"(?is)<script[^>]*>.*?</script>",
+                r"(?is)<style[^>]*>.*?</style>",
+                r"(?s)<!--.*?-->"):
+        e = _regexp_replace(e, _pat(blk, dialect), " ", dialect)
+    e = _regexp_replace(e, _pat(r"<[^>]*>", dialect), " ", dialect)
+    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                     ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "''")):
+        e = f"replace({e}, '{ent}', '{rep}')"
+    collapsed = _regexp_replace(e, _ws(dialect), " ", dialect)
+    return f"trim({collapsed})"

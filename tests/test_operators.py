@@ -2342,3 +2342,20 @@ def test_conversion_ztest_hand_values(spark):
                                 "variant string, ok int")
     r = conversion_ztest(one, "variant", "ok = 1").first()
     assert r.z is None and r.rate == 0.5
+
+
+def test_extract_html_structural_cases(spark):
+    from pythonql_spark.operators.text import extract_html
+    cases = [
+        ("<p>a</p><p>b</p>", "a b"),
+        ("<script>alert('<p>not text</p>')</script>ok", "ok"),
+        ("<style>h1 { x: 1 }</style>body", "body"),
+        ("<!-- secret -->visible", "visible"),
+        ("A&amp;B &lt;x&gt; &quot;q&quot; &nbsp;end", 'A&B <x> "q" end'),
+        ("<div class='a' data-x='<'>inner</div>", "inner"),
+        ("no markup at all", "no markup at all"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
+    got = [r.t for r in
+           df.selectExpr(extract_html("html") + " as t").collect()]
+    assert got == [w for _, w in cases]
