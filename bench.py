@@ -66,6 +66,7 @@ def main() -> None:
         "pql_path", "ann_ivf_md5", "ann_ivfpq_md5", "media_audio",
         "zscore_normalize", "fuzzy_pairs", "pagerank", "cooccur_pmi",
         "media_phash", "media_neardup", "docsim_cosine", "ab_ztest",
+        "media_audio_features", "text_html", "media_scenes",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers, and spin up the Python worker

@@ -3903,6 +3903,54 @@ def text_html_q(spark, sf):
                            extract_html("html") + " as main_text")
 
 
+@q("media_scenes", """
+WITH f AS (
+  SELECT doc_id, unnest(range(8)) AS fr
+  FROM documents WHERE doc_id < 64),
+m AS (
+  SELECT doc_id, fr, cast((doc_id * 31 + fr * 40) % 256 AS double) AS mi,
+         lag(cast((doc_id * 31 + fr * 40) % 256 AS double))
+           OVER (PARTITION BY doc_id ORDER BY fr) AS prev
+  FROM f)
+SELECT doc_id, count(*) AS n_frames,
+       cast(sum(CASE WHEN prev IS NOT NULL AND abs(mi - prev) > 60
+                THEN 1 ELSE 0 END) as bigint) AS n_cuts
+FROM m GROUP BY doc_id
+""")
+def media_scenes_q(spark, sf):
+    """Scene-cut detection over REAL decoded video frames (a pure
+    composition: filmstrip render → sample_frames → PNG decode →
+    per-doc lag window on mean intensity): a cut is a frame whose
+    brightness jumps > 60 from its predecessor — the cheap shot-
+    boundary signal a video-corpus curator runs before any model.
+    The id-arithmetic frame intensities make the whole pipeline
+    value-oracle-able."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from pythonql_spark.operators import multimodal as MM
+    docs = (load_table(spark, sf, "documents")
+            .filter(F.col("doc_id") < 64)
+            .select("doc_id",
+                    MM.render_filmstrip_png("doc_id", side=6, n_frames=8)
+                    .alias("strip")))
+    media = docs.select(
+        "doc_id", MM.make_media("strip", "video", "png", 6, 48,
+                                duration_ms=2000).alias("media"))
+    frames = (MM.sample_frames(media, every_ms=250)
+              .select("doc_id", "frame_ts_ms",
+                      MM.make_media("frame", "image", "png", 6, 6)
+                      .alias("media")))
+    w = W.partitionBy("doc_id").orderBy("frame_ts_ms")
+    return (MM.decode_image(frames)
+            .withColumn("prev", F.lag("mean_intensity").over(w))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_frames"),
+                 F.expr("cast(sum(CASE WHEN prev IS NOT NULL AND "
+                        "abs(mean_intensity - prev) > 60 THEN 1 "
+                        "ELSE 0 END) as bigint)").alias("n_cuts")))
+
+
 @q("media_audio_features", None)  # oracle attached below (generated SQL)
 def media_audio_features_q(spark, sf):
     """Signal-level audio features (RMS, zero-crossing rate) through
