@@ -1186,9 +1186,11 @@ def ahash_pairs(df: DataFrame, *, hash_col: str = "ahash",
     sides = []
     for b in range(bands):
         w = 64 - b * width if b == bands - 1 else width
-        mask = (1 << w) - 1
-        sides.append(f"named_struct('b', {b}, 'v', "
-                     f"shiftright({hash_col}, {b * width}) & {mask})")
+        # full-width band (max_hamming=0): the mask literal 2^64-1
+        # overflows bigint — the band IS the hash
+        v = (f"{hash_col}" if w >= 64 else
+             f"shiftright({hash_col}, {b * width}) & {(1 << w) - 1}")
+        sides.append(f"named_struct('b', {b}, 'v', {v})")
     banded = df.select(
         F.col(id_col).alias("__id"), F.col(hash_col).alias("__h"),
         F.explode(F.array(*[F.expr(s) for s in sides])).alias("bv"))
@@ -1247,9 +1249,10 @@ def ahash_pairs_oracle_sql(hashes_sql: str, *,
     rows = []
     for bb in range(bands):
         w = 64 - bb * width if bb == bands - 1 else width
-        mask = (1 << w) - 1
+        v = ("ahash" if w >= 64 else
+             f"(ahash >> {bb * width}) & {(1 << w) - 1}")
         rows.append(f"SELECT doc_id, ahash, {bb} AS b, "
-                    f"(ahash >> {bb * width}) & {mask} AS v FROM hs")
+                    f"{v} AS v FROM hs")
     banded = " UNION ALL ".join(rows)
     return f"""
 WITH hs AS ({hashes_sql}),
@@ -1277,9 +1280,9 @@ def ahash_matches(probe: DataFrame, index: DataFrame, *,
         sides = []
         for b in range(bands):
             w = 64 - b * width if b == bands - 1 else width
-            mask = (1 << w) - 1
-            sides.append(f"named_struct('b', {b}, 'v', "
-                         f"shiftright({hash_col}, {b * width}) & {mask})")
+            v = (f"{hash_col}" if w >= 64 else
+                 f"shiftright({hash_col}, {b * width}) & {(1 << w) - 1}")
+            sides.append(f"named_struct('b', {b}, 'v', {v})")
         return df.select(
             F.col(id_col).alias(out_id), F.col(hash_col).alias(out_h),
             F.explode(F.array(*[F.expr(s) for s in sides])).alias("bv"))

@@ -307,3 +307,61 @@ def test_pq_codes_are_argmin_of_codebook(vecs):
         ties = np.isclose(D[np.arange(len(D)), codes],
                           D[np.arange(len(D)), brute])
         assert np.all(same | ties)
+
+
+def _ed(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                     prev + (ca != cb))
+    return dp[len(b)]
+
+
+_NAME = st.text(alphabet="abcdef-", min_size=1, max_size=12)
+
+
+@given(names=st.lists(_NAME, min_size=2, max_size=10, unique=True),
+       d=st.integers(1, 2))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzzy_pairs_complete_vs_bruteforce(spark, names, d):
+    """Prefix-filter candidate generation must be COMPLETE for
+    arbitrary strings and both distances — every brute-force pair
+    within d is returned, with the exact distance."""
+    import itertools
+
+    from pythonql_spark.operators.fuzzy import fuzzy_pairs
+    df = spark.createDataFrame(list(enumerate(names)),
+                               "doc_id long, name string")
+    got = {(r.id_a, r.id_b): r.dist
+           for r in fuzzy_pairs(df, "name", d, q=2).collect()}
+    want = {(i, j): _ed(a, b)
+            for (i, a), (j, b) in itertools.combinations(
+                enumerate(names), 2) if _ed(a, b) <= d}
+    assert got == want
+
+
+@given(hashes=st.lists(st.integers(-(1 << 63), (1 << 63) - 1),
+                       min_size=2, max_size=12, unique=True),
+       t=st.integers(0, 3))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ahash_pairs_complete_vs_bruteforce(spark, hashes, t):
+    """Banded hamming blocking must be COMPLETE for arbitrary 64-bit
+    hashes at any threshold ≤ bands-1 (pigeonhole)."""
+    import itertools
+
+    from pythonql_spark.operators.multimodal import ahash_pairs
+    df = spark.createDataFrame(list(enumerate(hashes)),
+                               "doc_id long, ahash long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in ahash_pairs(df, max_hamming=t).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    want = {(i, j): ham(a, b)
+            for (i, a), (j, b) in itertools.combinations(
+                enumerate(hashes), 2) if ham(a, b) <= t}
+    assert got == want
