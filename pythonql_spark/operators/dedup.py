@@ -838,3 +838,25 @@ side AS (SELECT id, isnew, list_distinct(ghs) AS grams FROM gl)
 SELECT cd.id_a, cd.id_b, round({jac}, 6) AS jaccard
 FROM cand cd JOIN side a ON a.id = cd.id_a JOIN side b ON b.id = cd.id_b
 WHERE {jac} >= {jaccard_threshold}"""
+
+
+def merge_components(labels: DataFrame, new_pairs: DataFrame,
+                     id_a: str = "id_a", id_b: str = "id_b", *,
+                     max_iter: int = 25) -> DataFrame:
+    """Incrementally fold NEW duplicate pairs into an existing
+    (id, comp) assignment — the maintenance algebra of continuous
+    dedup: a standing corpus's components live as a table; each
+    ingest batch contributes its cross/within pairs; the merge runs
+    connected components over the STAR-COMPRESSED labels (one
+    node→root edge per node, diameter ≤ 2) plus the new edges — cost
+    ∝ |labels| + |new pairs| with O(log d) rounds on the NEW
+    structure only, never a recompute over the original pair list
+    (which at 100 TB is long gone).  Components may only ever merge
+    (cluster id = min member id stays the convention), so repeated
+    application is order-insensitive: merging batches one at a time
+    equals merging their union (semigroup algebra — parity-tested)."""
+    star = labels.select(F.col("id").alias(id_a),
+                         F.col("comp").alias(id_b))
+    edges = star.unionByName(
+        new_pairs.select(F.col(id_a), F.col(id_b)))
+    return connected_components(edges, id_a, id_b, max_iter=max_iter)

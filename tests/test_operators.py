@@ -2359,3 +2359,30 @@ def test_extract_html_structural_cases(spark):
     got = [r.t for r in
            df.selectExpr(extract_html("html") + " as t").collect()]
     assert got == [w for _, w in cases]
+
+
+def test_merge_components_incremental_equals_batch(spark):
+    """Incremental component maintenance == one-shot CC over the full
+    pair list, and batch-at-a-time == union-of-batches (semigroup)."""
+    from pythonql_spark.operators.dedup import (connected_components,
+                                                merge_components)
+
+    def pairs_df(ps):
+        return spark.createDataFrame(ps, "id_a long, id_b long")
+
+    base = [(1, 2), (3, 4), (10, 11)]
+    b1 = [(2, 3), (20, 21)]          # merges {1,2} with {3,4}
+    b2 = [(11, 20), (5, 1)]          # chains {10,11}-{20,21}; grows {1..}
+    labels = connected_components(pairs_df(base))
+    inc = merge_components(merge_components(labels, pairs_df(b1)),
+                           pairs_df(b2))
+    one_shot = connected_components(pairs_df(base + b1 + b2))
+    got = {r.id: r.comp for r in inc.collect()}
+    want = {r.id: r.comp for r in one_shot.collect()}
+    assert got == want
+    # order-insensitive: batches in the other order
+    inc2 = merge_components(merge_components(labels, pairs_df(b2)),
+                            pairs_df(b1))
+    assert {r.id: r.comp for r in inc2.collect()} == want
+    # min-id convention holds after merges
+    assert got[4] == 1 and got[21] == 10 and got[5] == 1
