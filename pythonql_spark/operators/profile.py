@@ -428,8 +428,11 @@ def zscore_normalize(df: DataFrame, score_cols: list[str],
     (use percentiles for heavy-tailed signals, z-scores when a
     downstream mixer expects centered/unit-variance features).
 
-    Engine-exact: mean and variance derive from decimal(38,6) sums
-    (Σx and Σx² are order-insensitive exact), the population std is
+    Engine-exact: mean and variance derive from decimal(18,6) sums
+    (Σx and Σx² are order-insensitive exact; 18,6 — not 38,6 —
+    because DuckDB caps the product width at 38, so signals must fit
+    |x| < 10¹² — every doc-level curation signal does; rescale first
+    otherwise), the population std is
     ``sqrt((n·Σx² − (Σx)²) / n²)`` evaluated on the exact pieces cast
     to double, and the final z rounds to 6 dp — so the DuckDB oracle
     (:func:`zscore_normalize_oracle_sql`) matches bit-for-bit.
