@@ -68,6 +68,9 @@ def fuzzy_pairs(df: DataFrame, str_col: str, max_dist: int, *,
     grams = base.select(
         "__id", "__s",
         F.explode(F.expr(_grams_expr("__s", q))).alias("g"))
+    # referenced by both the frequency pass and the rank join — cut
+    # lineage so the explode runs once
+    grams = grams.localCheckpoint(eager=False)
     freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__f"))
     ranked = (grams.join(freq, "g")
               .withColumn("__r", F.row_number().over(
