@@ -327,3 +327,74 @@ def image_dedup_ingest_stream(stream_df: DataFrame, index: DataFrame,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sample_maintain_stream(stream_df: DataFrame, n: int,
+                           out_path: str, checkpoint: str, *,
+                           id_col: str = "doc_id", seed: int = 0,
+                           trigger_available_now: bool = True
+                           ) -> StreamingQuery:
+    """Maintain an EXACT-n uniform sample of an ever-growing stream —
+    the continuous eval/inspection sample every live corpus needs.
+    The bottom-k sketch over the deterministic md5(seed, id) key is a
+    SEMIGROUP: keep-n-smallest(current ∪ batch) absorbs batches in
+    any order, equals the batch sample_exact_n over everything seen,
+    and RE-applying a replayed batch is a no-op by algebra (min-n is
+    stable under re-union of a subset) — idempotence needs no
+    partition bookkeeping at all.  Per batch the work is one
+    TakeOrderedAndProject over n + |batch| rows."""
+    from pythonql_spark.operators.sampling import sample_exact_n
+
+    spark = stream_df.sparkSession
+    schema = stream_df.schema
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        pool = batch_df
+        if os.path.exists(out_path):
+            pool = spark.read.schema(schema).parquet(out_path) \
+                .unionByName(batch_df)
+        # a replayed batch re-unions rows already in the sample: the
+        # min-n algebra only absorbs it if the pool is a SET by id
+        pool = pool.dropDuplicates([id_col])
+        sample = sample_exact_n(pool, n, id_col=id_col, seed=seed)
+        # the sample is n rows — rewrite it whole (collect-to-driver
+        # sized by n, the documented bottom-k state bound)
+        rows = sample.collect()
+        (spark.createDataFrame(rows, schema)
+         .coalesce(1).write.mode("overwrite").parquet(out_path))
+
+    writer = (stream_df.writeStream.foreachBatch(_apply)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def quality_monitor_stream(stream_df: DataFrame,
+                           checks: dict, out_path: str,
+                           checkpoint: str, *,
+                           keys: list[str] | None = None,
+                           trigger_available_now: bool = True
+                           ) -> StreamingQuery:
+    """Continuous data-quality gate: every micro-batch runs the
+    one-pass expectation suite (operators.profile.check_expectations
+    — the Deequ-style pre-flight) and its verdict rows land
+    partitioned by micro-batch id with dynamic overwrite — the alert
+    log a pipeline tails to catch a broken upstream delivery at the
+    batch it arrives in, not at the next full audit."""
+    from pythonql_spark.operators.profile import check_expectations
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        (check_expectations(batch_df, checks, keys=keys)
+         .withColumn(BATCH_COL, F.lit(batch_id))
+         .write.mode("overwrite")
+         .partitionBy(BATCH_COL)
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(out_path))
+
+    writer = (stream_df.writeStream.foreachBatch(_apply)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -670,3 +670,73 @@ def test_image_dedup_ingest_stream(spark, tables, tmp_path):
     run_to_completion(image_dedup_ingest_stream(stream2, index, out, ck))
     again = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert again == got
+
+
+def test_sample_maintain_stream_bottom_k(spark, tables, tmp_path):
+    """The streamed bottom-k sample == batch sample_exact_n over
+    everything seen, regardless of batch arrival; replaying the last
+    batch is a no-op by the min-n algebra."""
+    import shutil
+
+    from pythonql_spark.operators.sampling import sample_exact_n
+    from pythonql_spark.streaming import run_to_completion
+    from pythonql_spark.streaming.ingest import sample_maintain_stream
+
+    docs = tables["documents"].select("doc_id", "text")
+    src, out, ck = (str(tmp_path / p) for p in ("in", "sample", "ck"))
+    # two waves into the same source dir == multiple micro-batches
+    docs.filter("doc_id < 200").write.parquet(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    run_to_completion(sample_maintain_stream(stream, 25, out, ck))
+    docs.filter("doc_id >= 200").write.mode("append").parquet(src)
+    stream2 = (spark.readStream.schema(docs.schema)
+               .option("maxFilesPerTrigger", 2).parquet(src))
+    run_to_completion(sample_maintain_stream(stream2, 25, out, ck))
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    want = sorted(r.doc_id for r in sample_exact_n(docs, 25).collect())
+    assert got == want and len(got) == 25
+
+    # replay everything from a fresh checkpoint: same sample
+    shutil.rmtree(ck)
+    stream3 = spark.readStream.schema(docs.schema).parquet(src)
+    run_to_completion(sample_maintain_stream(stream3, 25, out, ck))
+    again = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert again == got
+
+
+def test_quality_monitor_stream_flags_bad_batch(spark, tables, tmp_path):
+    """Per-batch expectation verdicts land per micro-batch; a batch
+    with planted nulls fails the null-rate check, clean batches pass;
+    replay rewrites rather than double-appends."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.streaming import run_to_completion
+    from pythonql_spark.streaming.ingest import quality_monitor_stream
+
+    docs = tables["documents"].select("doc_id", "text")
+    good = docs.filter("doc_id < 100")
+    bad = docs.filter("doc_id >= 100 and doc_id < 200") \
+        .selectExpr("doc_id",
+                    "case when doc_id % 2 = 0 then NULL else text end "
+                    "as text")
+    src, out, ck = (str(tmp_path / p) for p in ("in", "log", "ck"))
+    good.coalesce(1).write.parquet(src)
+    bad.coalesce(1).write.mode("append").parquet(src)
+    checks = {"null_rate": ("avg(cast(text IS NULL as double))",
+                            "value < 0.05")}
+    stream = (spark.readStream.schema(good.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    run_to_completion(quality_monitor_stream(stream, checks, out, ck))
+    log = spark.read.parquet(out)
+    rows = log.collect()
+    assert len(rows) == 2
+    assert sorted(r.passed for r in rows) == [False, True]
+
+    shutil.rmtree(ck)
+    stream2 = spark.readStream.schema(good.schema).parquet(src)
+    run_to_completion(quality_monitor_stream(stream2, checks, out, ck))
+    assert spark.read.parquet(out).count() == 2
