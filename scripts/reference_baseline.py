@@ -167,6 +167,61 @@ def run_ours_window(sf_dir: str) -> dict[str, float]:
             "window_sum": round(float(row["total"]), 6)}
 
 
+def run_reference_path(sf_dir: str) -> dict[str, float]:
+    """The reference's path-step semantics (Executor.py:47-72
+    PQChildPath, the `e ./ 'k'` engine): iterate events, yield the
+    'k' child of each props object.  The props JSON is parsed OUTSIDE
+    the timed region (the reference operates on Python objects; ours
+    parses the JSON string per row inside the timed plan — a handicap
+    we take, not give)."""
+    import json as _json
+    from collections import namedtuple
+
+    from pythonql.Executor import PQChildPath, PyQuery
+    from pythonql.algebra.operators import For, Select
+
+    rows = duckdb.sql(
+        f"select event_id, props from '{sf_dir}/events.parquet'"
+    ).fetchall()
+    E = namedtuple("E", ["event_id", "props"])
+    env = {"events": [E(i, _json.loads(p)) for i, p in rows],
+           "PQChildPath": PQChildPath}
+    t0 = time.perf_counter()
+    res = PyQuery(
+        [For(["e"], False, "events"),
+         For(["k"], False, "PQChildPath(e.props, \"'k'\", locals())"),
+         Select("(e.event_id, k)")],
+        env, env, "list")
+    out = {"path_agg": time.perf_counter() - t0,
+           "path_n": len(res),
+           "path_sum": sum(int(r[1]) for r in res)}
+    return out
+
+
+def run_ours_path(sf_dir: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from pythonql_spark import get_spark
+    from pythonql_spark.functions import json_child
+    from pythonql_spark.sources import load_table
+
+    spark = get_spark("ref-baseline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def q():
+        ev = load_table(spark, sf_dir, "events")
+        return (ev.select("event_id",
+                          F.explode(json_child("props", "k")).alias("k"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.col("k").cast("long")).alias("s")))
+
+    q().collect()                         # warm the shape
+    t0 = time.perf_counter()
+    row = q().collect()[0]
+    return {"path_agg": time.perf_counter() - t0,
+            "path_n": int(row["n"]), "path_sum": int(row["s"])}
+
+
 def run_ours(sf_dir: str) -> dict[str, float]:
     from pyspark.sql import functions as F
 
@@ -216,6 +271,13 @@ def main() -> None:
               f"{refw['window_agg']:8.2f}s ours={ourw['window_agg']:6.2f}s"
               f"  speedup={refw['window_agg'] / ourw['window_agg']:7.1f}x"
               f"  ({refw['window_n']} windows, equal sums)", flush=True)
+        refp, ourp = run_reference_path(sf_dir), run_ours_path(sf_dir)
+        assert (refp["path_n"], refp["path_sum"]) == \
+               (ourp["path_n"], ourp["path_sum"]), (refp, ourp)
+        print(f"sf{sf:>5s} path_agg    reference="
+              f"{refp['path_agg']:8.2f}s ours={ourp['path_agg']:6.2f}s"
+              f"  speedup={refp['path_agg'] / ourp['path_agg']:7.1f}x"
+              f"  ({refp['path_n']} child values, equal sums)", flush=True)
         for q in ("q1_groupby", "join_agg"):
             r, o = ref[q], ours[q]
             if r != r:                      # NaN: skipped as intractable
