@@ -358,8 +358,10 @@ def sample_maintain_stream(stream_df: DataFrame, n: int,
         # min-n algebra only absorbs it if the pool is a SET by id
         pool = pool.dropDuplicates([id_col])
         sample = sample_exact_n(pool, n, id_col=id_col, seed=seed)
-        # the sample is n rows — rewrite it whole (collect-to-driver
-        # sized by n, the documented bottom-k state bound)
+        # materialize BEFORE overwriting: the sample's plan reads
+        # out_path, and Spark cannot overwrite a path it is reading
+        # from lazily; the collect is n rows — the documented
+        # bottom-k state bound
         rows = sample.collect()
         (spark.createDataFrame(rows, schema)
          .coalesce(1).write.mode("overwrite").parquet(out_path))

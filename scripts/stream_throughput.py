@@ -37,7 +37,9 @@ def main() -> None:
     from pythonql_spark.operators.dedup import build_minhash_index
     from pythonql_spark.streaming import run_to_completion
     from pythonql_spark.streaming.ingest import (dedup_ingest_stream,
-                                                 drift_monitor_stream)
+                                                 drift_monitor_stream,
+                                                 quality_monitor_stream,
+                                                 sample_maintain_stream)
 
     corpus = (load_table(spark, SF, "documents")
               .select("doc_id", "text").cache())
@@ -72,6 +74,15 @@ def main() -> None:
                 s, reference, "n_chars", 0.0, 600.0, 20,
                 str(d / "out_drift"), str(d / "ck_drift"),
                 keys=["lang"])),
+            ("quality_monitor", lambda s: quality_monitor_stream(
+                s, {"null_rate": ("avg(cast(text IS NULL as double))",
+                                  "value < 0.01"),
+                    "min_chars": ("cast(min(n_chars) as double)",
+                                  "value >= 0")},
+                str(d / "out_qm"), str(d / "ck_qm"))),
+            ("sample_maintain", lambda s: sample_maintain_stream(
+                s.select("doc_id", "text"), 1000,
+                str(d / "out_smp"), str(d / "ck_smp"))),
         ):
             stream = (spark.readStream.schema(arriving.schema)
                       .option("maxFilesPerTrigger", 4).parquet(src))
