@@ -4471,18 +4471,26 @@ _R6_CHECKED = [
     # ... plus the one expected no_oracle entry that ran clean (50 rows)
     "ann_ivfpq",
 ]
+_R7_CHECKED = [
+    # all 50 keys in CORRECTNESS_r07 — every one hash-green (rows+schema+hash)
+    "pql_path", "pql_window", "media_decode", "media_frames", "media_gif",
+    "media_mp4", "media_webp", "media_audio", "ann_ivf_md5", "ann_ivfpq_md5",
+    "text_html", "media_scenes", "media_audio_features", "ab_ztest",
+    "docsim_cosine", "media_phash", "media_neardup", "cooccur_pmi",
+    "pagerank", "fuzzy_pairs", "zscore_normalize", "text_langid",
+    "text_quality", "text_fingerprint", "text_clean", "text_repetition",
+    "corpus_stats", "rollup_stats", "asof_join", "corpus_profile",
+    "shuffle_epoch", "cube_stats", "sample_stratified", "chunk_docs",
+    "pack_sequences", "decontaminate", "dedup_exact", "dedup_jaccard",
+    "dedup_clusters", "dedup_corpus", "range_join", "topk_group",
+    "tpch_q13", "tpch_q17", "tpch_q4", "tpch_q10", "tpch_q7", "tpch_q8",
+    "tpch_q15", "tpch_q14",
+]
 _DRIVER_CHECKED_ROUND: dict[str, int] = {}
 for _r, _keys in ((3, _R123_GREEN), (4, _R4_GREEN), (5, _R5_CHECKED),
-                  (6, _R6_CHECKED)):
+                  (6, _R6_CHECKED), (7, _R7_CHECKED)):
     for _k in _keys:
         _DRIVER_CHECKED_ROUND[_k] = _r
-# Keys whose registered SHAPE changed this round (new plan or new
-# oracle): treat as never-checked so the driver window re-verifies
-# them before anything stale.
-_RESHAPED_R7 = ["pql_window", "media_decode", "media_webp",
-                "media_frames", "media_gif", "media_mp4", "media_audio"]
-for _k in _RESHAPED_R7:
-    _DRIVER_CHECKED_ROUND.pop(_k, None)
 
 
 def _wrap_rows_only_checksums() -> None:
