@@ -540,6 +540,85 @@ def pql_path(spark, sf):
     """, env={"ev": ev})
 
 
+@q("pql_nested", """
+WITH base AS (
+  SELECT event_id,
+         [k FOR k IN range(0, CAST(floor(value) AS BIGINT) % 7)
+            IF CAST(floor(value) AS BIGINT) % 2 = 0 AND k % 2 = 0] AS ys
+  FROM events),
+ext AS (
+  SELECT event_id,
+         CASE WHEN len(ys) = 0 THEN [CAST(NULL AS BIGINT)] ELSE ys END AS ys2
+  FROM base)
+SELECT event_id, UNNEST(ys2) AS y FROM ext
+""")
+def pql_nested(spark, sf):
+    """NESTED query expressions inside pql() strings (reference
+    Grammar.md:44-48 — query_expression under expr; tutorial q4 shape
+    tests/tutorial_tests.py:35-44): a select-less bracketed query in a
+    let, the `ys if ys != [] else [None]` outer-join idiom, and a
+    correlated range source.  Compiles to filter()/sequence() Spark
+    higher-order functions — evaluated per row inside the scan, zero
+    shuffle, zero Python — then one lateral explode."""
+    from pythonql_spark.pql import pql
+    ev = load_table(spark, sf, "events").select("event_id", "value")
+    return pql(spark, """
+      (e.event_id as event_id, y)
+      for e in ev
+      let ys = [ k for k in range(0, floor(e.value) % 7)
+                 where floor(e.value) % 2 == 0 and k % 2 == 0 ],
+          ys_or_none = ys if ys != [] else [ None ]
+      for y in ys_or_none
+    """, env={"ev": ev})
+
+
+@q("pql_semi", """
+SELECT c_custkey AS ck, c_name AS name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+""")
+def pql_semi(spark, sf):
+    """String-form membership subquery over a TABLE source (the
+    reference's `where E in [select ...]` / `[select ...] != []`
+    idioms, tests/cust_journey_scenario_tests.py:29): a
+    DataFrame-backed nested query cannot fold into a per-row HOF, so
+    it lowers to a LeftSemi hash join — Catalyst pushes the
+    uncorrelated price filter to the build side."""
+    from pythonql_spark.pql import pql
+    env = {"customer": load_table(spark, sf, "customer"),
+           "orders": load_table(spark, sf, "orders")}
+    return pql(spark, """
+      select (c.c_custkey as ck, c.c_name as name)
+      for c in customer
+      where c.c_custkey in [ select o.o_custkey for o in orders
+                             where o.o_totalprice > 150000 ]
+    """, env=env)
+
+
+@q("pql_outer", """
+SELECT c.c_custkey AS ck, o.o_orderkey AS ok, o.o_totalprice AS price
+FROM customer c LEFT JOIN orders o
+  ON o.o_custkey = c.c_custkey AND o.o_totalprice > 250000
+""")
+def pql_outer(spark, sf):
+    """String-form `for o in outer([select o for o in orders where
+    corr])` (reference Rewriter.py:441-491 good_outerjoin) → a
+    LeftOuter hash join with every subquery predicate in the ON
+    clause; null-extended rows bind the variable to NULL exactly as
+    the reference's outerjoin executor does."""
+    from pythonql_spark.pql import pql
+    env = {"customer": load_table(spark, sf, "customer"),
+           "orders": load_table(spark, sf, "orders")}
+    return pql(spark, """
+      select (c.c_custkey as ck, o.o_orderkey as ok,
+              o.o_totalprice as price)
+      for c in customer
+      for o in outer([ select o for o in orders
+                       where o.o_custkey == c.c_custkey
+                         and o.o_totalprice > 250000 ])
+    """, env=env)
+
+
 @q("match_exact", """
 SELECT event_id, json_extract_string(props, '$.k') AS k
 FROM events

@@ -15,11 +15,15 @@ scope's variables, materializing a list:
 
 Scope and honesty notes:
 
-* only bracket expressions whose first token is ``select`` rewrite —
-  ordinary list comprehensions (including the reference's
-  select-less ``[ (x, sum(y) as s) for … ]`` shortening and nested
-  query expressions) are untouched; use ``pql()`` directly for
-  those.
+* every comprehension-shaped bracket (top-level ``for NAME in``)
+  rewrites — including the reference's select-less ``[ (x, sum(y)
+  as s) for … ]`` shorthand (parser/Preprocessor.py rewrites ANY
+  inline query).  Nested query brackets stay verbatim inside the
+  outer query text, where the pql() front-end compiles them.  The
+  cost of reference parity: a *plain Python* list comprehension in a
+  ``# coding: pythonql`` file is also treated as a query (exactly as
+  the reference does), so its sources must be lists/ranges/
+  DataFrames visible in the enclosing scope.
 * ORDERING: the reference's tuple-at-a-time executor yields rows in
   nested-loop iteration order.  A distributed engine has no inherent
   row order, so without an ``order by`` the materialized list is
@@ -77,31 +81,59 @@ def _mask(src: str) -> str:
     return "".join(out)
 
 
+def _is_query_span(masked: str, s: int, t: int) -> bool:
+    """Bracket content is a query iff it starts with ``select`` + a
+    clause keyword later, or (select-less shorthand, reference
+    parser/Preprocessor.py rewrites ANY comprehension-shaped bracket)
+    contains a top-level ``for NAME in``."""
+    content = masked[s + 1:t - 1]
+    depth = 0
+    for m in re.finditer(r"[()\[\]{}]|\bfor\s+[A-Za-z_]\w*\s+in\b",
+                         content):
+        tok = m.group(0)
+        if tok in "([{":
+            depth += 1
+        elif tok in ")]}":
+            depth -= 1
+        elif depth == 0:
+            return True          # top-level `for NAME in`
+    return False
+
+
 def transform_source(src: str) -> str:
-    """Rewrite ``[ select … ]`` spans to __pql_list__ calls and
-    prepend the runtime import (the reference preprocessor's shape)."""
+    """Rewrite query-expression spans to __pql_list__ calls and
+    prepend the runtime import (the reference preprocessor's shape).
+
+    Only OUTERMOST query spans rewrite — a nested ``[ select … ]``
+    stays verbatim inside the outer query text, where the pql()
+    front-end compiles it (splicing inner spans with original-source
+    offsets after an outer replacement would corrupt the output).
+    Spans rewrite via ``repr(body)``, so bodies containing quotes of
+    either kind stay valid Python."""
     masked = _mask(src)
     spans = []
     for m in re.finditer(r"\[", masked):
-        after = masked[m.end():]
-        lead = len(after) - len(after.lstrip())
-        if not after[lead:].startswith("select") or \
-                (after[lead + 6:lead + 7].isalnum()
-                 or after[lead + 6:lead + 7] == "_"):
-            continue
+        if any(s < m.start() < t for s, t in spans):
+            continue             # nested inside an outer query span
+        before = masked[:m.start()].rstrip()
+        if re.search(r"[\w)\]]$", before) and \
+                not re.search(r"\b(in|if|else|and|or|not|return|yield"
+                              r"|lambda|assert|while|from|import|del"
+                              r"|raise|with|as|global|nonlocal|await"
+                              r"|elif|is)$", before):
+            continue             # subscript on a primary, not a literal
         depth, j = 1, m.end()
         while j < len(masked) and depth:
             depth += masked[j] == "["
             depth -= masked[j] == "]"
             j += 1
-        if depth == 0:
+        if depth == 0 and _is_query_span(masked, m.start(), j):
             spans.append((m.start(), j))
     out = src
     for s, t in reversed(spans):
         body = src[s + 1:t - 1]
-        quote = "'''" if "'''" not in body else '"""'
         out = (out[:s]
-               + f"__pql_list__(r{quote}{body}{quote}, "
+               + f"__pql_list__({body!r}, "
                f"locals(), globals())" + out[t:])
     return _IMPORT + out if spans else out
 

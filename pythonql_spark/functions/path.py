@@ -130,7 +130,12 @@ def _make_sql_udf(step, seq: bool):
     return udf
 
 
-_registered_sessions: set[int] = set()
+import weakref
+
+# WeakSet, not id()s: CPython reuses addresses after GC, so a raw-id
+# set could mistake a brand-new session for an already-registered one
+# and pql() path queries would fail with 'undefined function'
+_registered_sessions: "weakref.WeakSet" = weakref.WeakSet()
 
 
 def register_path_udfs(spark) -> None:
@@ -139,13 +144,13 @@ def register_path_udfs(spark) -> None:
     ``E .// k`` → ``pql_desc(E, k)``; chained steps use the ``_seq``
     variants over the previous step's array).  Idempotent per
     session."""
-    if id(spark) in _registered_sessions:
+    if spark in _registered_sessions:
         return
     spark.udf.register("pql_child", _make_sql_udf(_child, False))
     spark.udf.register("pql_desc", _make_sql_udf(_desc, False))
     spark.udf.register("pql_child_seq", _make_sql_udf(_child, True))
     spark.udf.register("pql_desc_seq", _make_sql_udf(_desc, True))
-    _registered_sessions.add(id(spark))
+    _registered_sessions.add(spark)
 
 
 def json_child(col: str | Column, key: str | None = "_") -> Column:

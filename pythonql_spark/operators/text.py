@@ -720,8 +720,12 @@ def extract_html(col: str = "html", dialect: str = "spark") -> str:
                 r"(?s)<!--.*?-->"):
         e = _regexp_replace(e, _pat(blk, dialect), " ", dialect)
     e = _regexp_replace(e, _pat(r"<[^>]*>", dialect), " ", dialect)
-    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-                     ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "''")):
+    # `&amp;` decodes LAST (HTML semantics): `&amp;lt;` is an escaped
+    # literal "&lt;", not a "<" — decoding `&amp;` first would
+    # double-decode it
+    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"),
+                     ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "''"),
+                     ("&amp;", "&")):
         e = f"replace({e}, '{ent}', '{rep}')"
     collapsed = _regexp_replace(e, _ws(dialect), " ", dialect)
     return f"trim({collapsed})"

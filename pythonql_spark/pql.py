@@ -124,13 +124,35 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
     return [p for p in parts if p]
 
 
-def _clauses(q: str) -> list[tuple[str, str]]:
-    """Split the query text into (keyword, body) clauses."""
-    q = q.strip()
+def _clause_matches(q: str) -> list[re.Match]:
+    """Top-level clause-keyword matches, with ternary ``if``s dropped:
+    an ``if`` followed by a top-level ``else`` before the next clause
+    keyword is Python's conditional expression (reference tutorial q4
+    ``ys if ys != [] else [None]``), not a where-synonym clause."""
     ms = _top_level_spans(q, _CLAUSE_RE)
+    out = []
+    for i, m in enumerate(ms):
+        if m.group(1).lower() == "if":
+            nxt = ms[i + 1].start() if i + 1 < len(ms) else len(q)
+            if _top_level_spans(q[m.end():nxt], re.compile(r"\belse\b")):
+                continue
+        out.append(m)
+    return out
+
+
+def _clauses(q: str) -> list[tuple[str, str]]:
+    """Split the query text into (keyword, body) clauses.  Text before
+    the first clause keyword is the select-less select body (reference
+    Grammar.md: the ``select`` keyword is optional — tutorial q2/q4
+    open with the bare tuple ctor)."""
+    q = q.strip()
+    ms = _clause_matches(q)
     if not ms:
         raise ValueError("no query clauses found")
     out = []
+    lead = q[:ms[0].start()].strip().rstrip(",")
+    if lead:
+        out.append(("select", lead))
     for i, m in enumerate(ms):
         kw = re.sub(r"\s+", " ", m.group(1).lower())
         end = ms[i + 1].start() if i + 1 < len(ms) else len(q)
@@ -229,8 +251,346 @@ def _rewrite_path_steps(e: str) -> str:
         e = e[:start_left] + f"{fn}({left}, {key})" + e[k:]
 
 
+# ------------------------------------------ nested query expressions
+#
+# Reference Grammar.md puts query_expression under expr, so ANY clause
+# expression can contain a bracketed query (tutorial q4 `let ys = [ y
+# for y … ]`, q10 nested `[ select … ]` in the projection, the
+# cust_journey `[select e for e in cj where …] != []` idiom).  Over
+# array-valued / range sources these compile to Spark higher-order
+# functions — filter/transform/flatten over sequence() or the array
+# column — which stay JVM-side with zero shuffle and scale with the
+# row they sit in.  DataFrame-backed nested queries are handled at the
+# clause level (membership → semi/anti join, outer(…) → left join).
+
+_NQ_FOR_RE = re.compile(r"\bfor\s+[A-Za-z_]\w*\s+in\b")
+
+
+def _bracket_spans(masked: str) -> list[tuple[int, int]]:
+    """Outermost balanced ``[ … ]`` spans (left-to-right)."""
+    spans, i = [], 0
+    while i < len(masked):
+        if masked[i] == "[":
+            depth, j = 1, i + 1
+            while j < len(masked) and depth:
+                depth += masked[j] == "["
+                depth -= masked[j] == "]"
+                j += 1
+            if depth == 0:
+                spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+_NOT_PRIMARY_KW = frozenset((
+    "and", "or", "not", "in", "if", "else", "when", "then", "case",
+    "select", "where", "let", "return", "as", "on", "between", "like",
+    "is", "union", "intersect", "except", "by", "for"))
+
+
+def _is_subscript(masked: str, i: int) -> bool:
+    """Is the ``[`` at ``i`` indexing a preceding primary?  A keyword
+    before the bracket (``else [None]``, ``in [1,2]``) is a literal."""
+    j = i
+    while j > 0 and masked[j - 1] in " \t\n":
+        j -= 1
+    if j == 0 or not (masked[j - 1].isalnum()
+                      or masked[j - 1] in "_)]'\""):
+        return False
+    m = re.search(r"([A-Za-z_]\w*)$", masked[:j])
+    return not (m and m.group(1).lower() in _NOT_PRIMARY_KW)
+
+
+def _has_query_clauses(content: str) -> bool:
+    """Does the bracket content contain a top-level ``for NAME in``
+    (query-comprehension form; covers select-less queries too)?"""
+    masked = X.strip_strings(content)
+    depth = 0
+    for m in re.finditer(r"[()\[\]{}]|" + _NQ_FOR_RE.pattern, masked):
+        t = m.group(0)
+        if t in "([{":
+            depth += 1
+        elif t in ")]}":
+            depth -= 1
+        elif depth == 0:
+            return True
+    return False
+
+
+def _trailing_primary_start(e: str, masked: str, pos: int) -> int:
+    """Start index of the longest primary (identifier/attribute chain,
+    optionally ending in balanced calls/indexes) ending at ``pos``."""
+    j = pos
+    while j > 0 and e[j - 1] in " \t\n":
+        j -= 1
+    while j > 0:
+        c = masked[j - 1]
+        if c in ")]":
+            depth, j = 1, j - 1
+            while j > 0 and depth:
+                if masked[j - 1] in ")]":
+                    depth += 1
+                elif masked[j - 1] in "([":
+                    depth -= 1
+                j -= 1
+        elif c.isalnum() or c in "_.":
+            j -= 1
+        else:
+            break
+    return j
+
+
+def _nested_clause_list(content: str) -> list[tuple[str, str]]:
+    """Clause list of a nested query expression (select-less lead
+    becomes the select body, as in :func:`_clauses`)."""
+    return _clauses(content)
+
+
+def _split_for_items(body: str) -> list[tuple[str, str]]:
+    out = []
+    for item in _split_top(body):
+        m = re.match(r"^([A-Za-z_]\w*)\s+in\s+(.*)$", item, re.DOTALL)
+        if not m:
+            raise ValueError(f"bad nested for clause: {item!r}")
+        out.append((m.group(1), m.group(2).strip()))
+    return out
+
+
+def _range_to_seq(args: list[str]) -> str:
+    """Python ``range(…)`` → guarded Spark ``sequence`` (empty ranges
+    must yield array(), not a descending sequence)."""
+    if len(args) == 1:
+        a, b, s = "0", args[0], None
+    elif len(args) == 2:
+        (a, b), s = args, None
+    else:
+        a, b, s = args
+    a = f"CAST(({_translate_py(a)}) AS BIGINT)"
+    b = f"CAST(({_translate_py(b)}) AS BIGINT)"
+    if s is None:
+        return f"CASE WHEN {a} >= {b} THEN array() ELSE sequence({a}, {b} - 1) END"
+    s = f"CAST(({_translate_py(s)}) AS BIGINT)"
+    return (f"CASE WHEN {s} > 0 THEN "
+            f"(CASE WHEN {a} >= {b} THEN array() ELSE sequence({a}, {b} - 1, {s}) END) "
+            f"ELSE "
+            f"(CASE WHEN {a} <= {b} THEN array() ELSE sequence({a}, {b} + 1, {s}) END) END")
+
+
+def _nested_source_sql(src: str) -> str:
+    src = src.strip()
+    m = re.match(r"^range\s*\((.*)\)$", X.strip_strings(src), re.DOTALL)
+    if m:
+        inner = src[src.index("(") + 1:src.rindex(")")]
+        return _range_to_seq(_split_top(inner))
+    return _translate_py(src)
+
+
+def _nested_select_sql(sel: str) -> str:
+    """Nested-query projection → a single SQL expression (tuple ctors
+    become named structs so downstream ``.field`` access works)."""
+    sel = sel.strip()
+    if sel.startswith("(") and sel.endswith(")"):
+        inner = sel[1:-1]
+        items = _split_top(inner)
+        if len(items) > 1 or re.search(r"\bas\b", X.strip_strings(inner)):
+            parts = []
+            for it in items:
+                body, alias = _split_as(it)
+                if alias is None:
+                    mw = re.fullmatch(r"[\w.]+", body.strip())
+                    if not mw:
+                        raise ValueError(
+                            f"nested tuple item needs an alias: {it!r}")
+                    alias = body.strip().split(".")[-1]
+                parts.append(f"'{alias}', ({_translate_py(body)})")
+            return "named_struct(" + ", ".join(parts) + ")"
+    return _translate_py(sel)
+
+
+def _compile_nested_query(content: str) -> str:
+    """Compile a bracketed query over array/range sources into one
+    Spark HOF expression (no shuffle; evaluated per enclosing row)."""
+    sel, fors, conds = None, [], []
+    for kw, body in _nested_clause_list(content):
+        if kw == "select":
+            sel = body
+        elif kw == "for":
+            fors.extend(_split_for_items(body))
+        elif kw in ("where", "if"):
+            conds.append(body)
+        else:
+            raise ValueError(
+                f"clause {kw!r} is not supported inside a nested query "
+                f"expression (supported: select/for/where/if)")
+    if sel is None or not fors:
+        raise ValueError("nested query needs a select body and a for clause")
+    srcs = [_nested_source_sql(s) for _, s in fors]
+    vin = fors[-1][0]
+    inner = srcs[-1]
+    if conds:
+        cond_sql = " AND ".join(f"({_translate_py(c)})" for c in conds)
+        inner = f"filter({inner}, {vin} -> {cond_sql})"
+    sel_sql = _nested_select_sql(sel)
+    if sel_sql.strip() != vin:
+        inner = f"transform({inner}, {vin} -> {sel_sql})"
+    for (v, _), arr in zip(reversed(fors[:-1]), reversed(srcs[:-1])):
+        inner = f"flatten(transform({arr}, {v} -> {inner}))"
+    return inner
+
+
+def _rewrite_nested_queries(e: str) -> str:
+    while True:
+        masked = X.strip_strings(e)
+        hit = None
+        for i, j in _bracket_spans(masked):
+            if not _is_subscript(masked, i) \
+                    and _has_query_clauses(e[i + 1:j - 1]):
+                hit = (i, j)
+                break
+        if hit is None:
+            return e
+        i, j = hit
+        sql = _compile_nested_query(e[i + 1:j - 1])
+        e = e[:i] + "(" + sql + ")" + e[j:]
+
+
+def _rewrite_list_literals(e: str) -> str:
+    """Python list literals → ``array(…)``; after a membership ``in``
+    they become a SQL IN-list instead."""
+    while True:
+        masked = X.strip_strings(e)
+        hit = None
+        for i, j in _bracket_spans(masked):
+            if not _is_subscript(masked, i):
+                hit = (i, j)
+                break
+        if hit is None:
+            return e
+        i, j = hit
+        items = [_translate_py(it) for it in _split_top(e[i + 1:j - 1])]
+        before = masked[:i].rstrip()
+        if re.search(r"\b(not\s+)?in$", before):
+            if not items:
+                raise ValueError("membership test against an empty list")
+            rep = "(" + ", ".join(items) + ")"
+        else:
+            rep = "array(" + ", ".join(items) + ")"
+        e = e[:i] + rep + e[j:]
+
+
+def _rewrite_neg_subscripts(e: str) -> str:
+    """``seq[-n]`` → ``element_at(seq, -n)`` (Spark's ``[ ]`` is
+    0-based non-negative; Python's negative indexing counts from the
+    end, which element_at provides)."""
+    while True:
+        masked = X.strip_strings(e)
+        hit = None
+        for i, j in _bracket_spans(masked):
+            inner = masked[i + 1:j - 1].strip()
+            if _is_subscript(masked, i) and re.fullmatch(r"-\s*\d+", inner):
+                hit = (i, j, inner.replace(" ", ""))
+                break
+        if hit is None:
+            return e
+        i, j, idx = hit
+        start = _trailing_primary_start(e, masked, i)
+        prim = e[start:i].rstrip()
+        if not prim:
+            return e
+        e = e[:start] + f"element_at({prim}, {idx})" + e[j:]
+
+
+def _rewrite_dict_literals(e: str) -> str:
+    """``{"k": v, …}`` → ``named_struct('k', v, …)`` (string keys)."""
+    while True:
+        masked = X.strip_strings(e)
+        i = masked.find("{")
+        if i == -1:
+            return e
+        depth, j = 1, i + 1
+        while j < len(masked) and depth:
+            depth += masked[j] == "{"
+            depth -= masked[j] == "}"
+            j += 1
+        parts = []
+        for p in _split_top(e[i + 1:j - 1]):
+            pm = X.strip_strings(p)
+            d, cpos = 0, -1
+            for k, ch in enumerate(pm):
+                if ch in "([{":
+                    d += 1
+                elif ch in ")]}":
+                    d -= 1
+                elif ch == ":" and d == 0:
+                    cpos = k
+                    break
+            if cpos < 0:
+                raise ValueError(f"bad dict-literal entry: {p!r}")
+            key = p[:cpos].strip()
+            mkey = re.fullmatch(r"""["']([^"']*)["']""", key)
+            if not mkey:
+                raise ValueError(f"dict-literal key must be a string: {key!r}")
+            parts.append(f"'{mkey.group(1)}', ({_translate_py(p[cpos + 1:])})")
+        e = e[:i] + "named_struct(" + ", ".join(parts) + ")" + e[j:]
+
+
+_TERN_IF_RE = re.compile(r"\bif(?!\s*\()\b")
+_TERN_ELSE_RE = re.compile(r"\belse\b")
+
+
+def _rewrite_ternary(e: str) -> str:
+    """Python conditional expression ``A if C else B`` → ``if(C, A,
+    B)``, at top level and (comma-bounded) inside paren groups."""
+    ifs = _top_level_spans(e, _TERN_IF_RE)
+    elses = _top_level_spans(e, _TERN_ELSE_RE)
+    for i0 in ifs:
+        els = [m for m in elses if m.start() >= i0.end()]
+        a = e[:i0.start()].strip()
+        if not (a and els):
+            continue
+        c = e[i0.end():els[0].start()].strip()
+        b = e[els[0].end():].strip()
+        if c and b:
+            return (f"if(({_rewrite_ternary(c)}), ({_rewrite_ternary(a)}), "
+                    f"({_rewrite_ternary(b)}))")
+    # descend into parenthesized groups, splitting args on commas
+    masked = X.strip_strings(e)
+    out, i, changed = [], 0, False
+    while i < len(masked):
+        if masked[i] == "(":
+            depth, j = 1, i + 1
+            while j < len(masked) and depth:
+                depth += masked[j] == "("
+                depth -= masked[j] == ")"
+                j += 1
+            inner = e[i + 1:j - 1]
+            if _top_level_spans(inner, _TERN_IF_RE):
+                parts = [_rewrite_ternary(p) for p in _split_top(inner)]
+                new = "(" + ", ".join(parts) + ")"
+                if new != e[i:j]:
+                    changed = True
+                out.append(new)
+            else:
+                out.append(e[i:j])
+            i = j
+        else:
+            out.append(e[i])
+            i += 1
+    return "".join(out) if changed else e
+
+
 def _translate_py(e: str) -> str:
     """Python-isms → Spark SQL (beyond expr.translate)."""
+    body, alias = _split_as(e)
+    if alias is not None and re.fullmatch(r"\w+", alias):
+        return f"{_translate_py(body)} as {alias}"
+    e = _rewrite_nested_queries(e)
+    e = _rewrite_list_literals(e)
+    e = _rewrite_dict_literals(e)
+    e = _rewrite_neg_subscripts(e)
+    e = _rewrite_ternary(e)
     e = _rewrite_path_steps(e)
     # try E except D — preserve any text before `try`, keep the
     # wrapped cast's own type (str(x) must stay a string, not get
@@ -293,9 +653,21 @@ def _coerce_casts(e: str) -> str:
 
 
 def _tuple_ctor(body: str) -> list[str]:
-    """``(a, f(b) as n)`` → select expression list; bare expr passes
-    through (single-column select)."""
+    """``(a, f(b) as n)`` → select expression list; a top-level dict
+    ctor ``{"k": e, …}`` maps keys to column names (reference returns
+    dicts — tutorial q10); bare expr passes through (single-column
+    select)."""
     body = body.strip()
+    if body.startswith("{") and body.endswith("}"):
+        struct = _rewrite_dict_literals(body)
+        m = re.match(r"^named_struct\((.*)\)$", struct, re.DOTALL)
+        if m:
+            parts = _split_top(m.group(1))
+            out = []
+            for k in range(0, len(parts) - 1, 2):
+                key = parts[k].strip().strip("'")
+                out.append(f"{parts[k + 1]} as {key}")
+            return out
     if body.startswith("(") and body.endswith(")"):
         inner = body[1:-1]
         items = _split_top(inner)
@@ -494,9 +866,22 @@ def pql(spark: SparkSession, query: str,
                 if not m:
                     raise ValueError(f"bad for clause: {item!r}")
                 var, src = m.group(1).strip(), m.group(2).strip()
+                mo = re.match(r"^outer\s*\(\s*\[(.*)\]\s*\)$",
+                              src, re.DOTALL)
+                if mo and _df_backed_query(mo.group(1), env):
+                    _outer_join_clause(spark, q, var, mo.group(1), env)
+                    continue
                 val = env.get(src)
                 if val is None and re.fullmatch(r"range\([\d\s,+-]*\)", src):
                     val = eval(src, {"__builtins__": {}}, {"range": range})
+                if val is None:
+                    try:
+                        import ast
+                        lit = ast.literal_eval(src)
+                        if isinstance(lit, (list, tuple)):
+                            val = list(lit)
+                    except (ValueError, SyntaxError):
+                        pass
                 df, scalar = (_as_df(spark, val, var)
                               if val is not None else (None, False))
                 if df is not None:
@@ -513,7 +898,13 @@ def pql(spark: SparkSession, query: str,
                 var, e = item.split("=", 1)
                 q.let_(var.strip(), tr(e.strip()))
         elif kw in ("where", "if"):
-            q.where(tr(body))
+            remaining = []
+            for conj in X.split_conjuncts(body):
+                if not _try_membership_join(spark, q, conj, env):
+                    remaining.append(conj)
+            if remaining:
+                q.where(tr(" and ".join(f"({c})" for c in remaining)
+                           if len(remaining) > 1 else remaining[0]))
         elif kw == "count":
             q.count_(body.strip())
         elif kw == "group by":
@@ -534,6 +925,153 @@ def pql(spark: SparkSession, query: str,
         raise ValueError("query must have a select clause")
     q.select(*[_rewrite_seq_aggs(e, seq_vars) for e in _tuple_ctor(select_body)])
     return q.df()
+
+
+# ----------------------------- DataFrame-backed nested subqueries
+#
+# Nested queries whose for-sources are env DataFrames cannot fold into
+# a per-row HOF — they are real joins (reference Rewriter.py:
+# good_outerjoin / the `where [select …] != []` semi-join idiom) and
+# compile to the Query DSL's left/semi/anti joins, so Catalyst gets a
+# hash join + pushdown instead of a correlated re-scan.
+
+
+def _parse_df_query(content: str, env: dict):
+    """If ``content`` is a single-source nested query over an env
+    DataFrame/Query, return (select_body, var, source_df, conds)."""
+    try:
+        cl = _nested_clause_list(content)
+    except ValueError:
+        return None
+    sel, fors, conds = None, [], []
+    for kw, body in cl:
+        if kw == "select":
+            sel = body
+        elif kw == "for":
+            fors.extend(_split_for_items(body))
+        elif kw in ("where", "if"):
+            conds.extend(X.split_conjuncts(body))
+        else:
+            return None
+    if sel is None or len(fors) != 1:
+        return None
+    var, src = fors[0]
+    val = env.get(src.strip())
+    if isinstance(val, Query):
+        val = val.df()
+    if not isinstance(val, DataFrame):
+        return None
+    return sel, var, val, conds
+
+
+def _df_backed_query(content: str, env: dict) -> bool:
+    return _parse_df_query(content, env) is not None
+
+
+def _rename_var(text: str, old: str, new: str) -> str:
+    """Rename bare identifier ``old`` (incl. ``old.field`` heads)."""
+    masked = X.strip_strings(text)
+    out = []
+    last = 0
+    for m in re.finditer(r"[A-Za-z_]\w*", masked):
+        if m.group(0) == old and (m.start() == 0
+                                  or masked[m.start() - 1] != "."):
+            out.append(text[last:m.start()])
+            out.append(new)
+            last = m.end()
+    out.append(text[last:])
+    return "".join(out)
+
+
+def _outer_join_clause(spark, q: Query, var: str, content: str,
+                       env: dict) -> None:
+    """``for v in outer([select y for y in TBL where conds])`` →
+    LeftOuterJoin with ALL inner conds in the ON clause (reference
+    Rewriter.py good_outerjoin: filter the subquery, outer-join on the
+    correlation; a left join with every cond in ON is equivalent)."""
+    parsed = _parse_df_query(content, env)
+    assert parsed is not None
+    sel, ivar, src_df, conds = parsed
+    if sel.strip() != ivar:
+        raise ValueError(
+            "outer([...]) currently requires the subquery to select its "
+            f"own iteration variable (got select {sel!r})")
+    if not conds:
+        raise ValueError("outer([...]) needs a correlating where clause")
+    on = " AND ".join(
+        f"({_translate_py(_rename_var(c, ivar, var))})" for c in conds)
+    q.left_join(var, src_df, on=on)
+
+
+def _try_membership_join(spark, q: Query, conj: str, env: dict) -> bool:
+    """Compile one where-conjunct of the forms
+
+        E in [select S for v in TBL where conds]      → semi join
+        E not in [select S for v in TBL where conds]  → anti join
+        [select … for v in TBL where conds] != []     → semi (EXISTS)
+        [select … for v in TBL where conds] == []     → anti (NOT EXISTS)
+
+    when TBL is an env DataFrame.  Returns False (untouched) for
+    anything else — array-valued nested queries keep the HOF path."""
+    conj = conj.strip()
+    masked = X.strip_strings(conj)
+    spans = _bracket_spans(masked)
+    if not spans:
+        return False
+    # ---- [Q] != [] / [Q] == [] -------------------------------------
+    i, j = spans[0]
+    if masked[:i].strip() == "" and len(spans) == 2:  # starts with [Q]
+        tail = masked[j:spans[1][0]].strip()
+        empty = masked[spans[1][0] + 1:spans[1][1] - 1].strip() == ""
+        if tail in ("!=", "==") and empty and spans[1][1] >= len(masked.rstrip()):
+            parsed = _parse_df_query(conj[i + 1:j - 1], env)
+            if parsed is None:
+                return False
+            _, ivar, src_df, conds = parsed
+            on = (" AND ".join(f"({_translate_py(c)})" for c in conds)
+                  if conds else "true")
+            uvar = _fresh_join_var(q, ivar)
+            on = _rename_var(on, ivar, uvar) if uvar != ivar else on
+            if tail == "!=":
+                q.semi_join(src_df, on=on, var=uvar)
+            else:
+                q.anti_join(src_df, on=on, var=uvar)
+            return True
+    # ---- E [not] in [Q] --------------------------------------------
+    i, j = spans[-1]
+    if j < len(masked.rstrip()):
+        return False
+    m = re.search(r"\b(not\s+)?in\s*$", masked[:i])
+    if not m:
+        return False
+    parsed = _parse_df_query(conj[i + 1:j - 1], env)
+    if parsed is None:
+        return False
+    sel, ivar, src_df, conds = parsed
+    lhs = conj[:m.start()].strip()
+    uvar = _fresh_join_var(q, ivar)
+    sel_u = _rename_var(sel, ivar, uvar)
+    conds_u = [_rename_var(c, ivar, uvar) for c in conds]
+    on = f"(({_translate_py(lhs)}) == ({_translate_py(sel_u)}))"
+    for c in conds_u:
+        on += f" AND ({_translate_py(c)})"
+    if m.group(1):
+        q.anti_join(src_df, on=on, var=uvar)
+    else:
+        q.semi_join(src_df, on=on, var=uvar)
+    return True
+
+
+def _fresh_join_var(q: Query, ivar: str) -> str:
+    """The packed struct var for a membership join — keep the inner
+    query's own name unless it collides with an existing binding."""
+    taken = {c.get("var") for c in q._clauses if "var" in c}
+    if ivar not in taken:
+        return ivar
+    n = 0
+    while f"__m{n}" in taken:
+        n += 1
+    return f"__m{n}"
 
 
 def _bare_path_expr(spark: SparkSession, query: str,

@@ -349,11 +349,18 @@ def sample_maintain_stream(stream_df: DataFrame, n: int,
     schema = stream_df.schema
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        import os
+        # probe existence through Spark's FS layer, not the driver's
+        # local os.path — out_path may be s3://... or hdfs://..., where
+        # a local check is always False and each batch would silently
+        # discard the maintained sample
+        from pyspark.errors import AnalysisException
         pool = batch_df
-        if os.path.exists(out_path):
-            pool = spark.read.schema(schema).parquet(out_path) \
-                .unionByName(batch_df)
+        try:
+            existing = spark.read.schema(schema).parquet(out_path)
+            existing.head(1)
+            pool = existing.unionByName(batch_df)
+        except AnalysisException:   # path absent yet (first batch)
+            pass
         # a replayed batch re-unions rows already in the sample: the
         # min-n algebra only absorbs it if the pool is a SET by id
         pool = pool.dropDuplicates([id_col])

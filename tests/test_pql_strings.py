@@ -295,7 +295,10 @@ def test_pythonql_codec_runs_inline_queries(spark, tmp_path):
     """A ``# coding: pythonql`` module with reference-style INLINE
     query expressions imports and runs (reference codec/register.py
     behavior): tutorial q1/q3-shaped queries execute with value
-    parity; plain list comprehensions in the same file are untouched."""
+    parity.  Like the reference preprocessor, a plain comprehension
+    is ALSO a query (select-less shorthand) — `plain` runs through
+    the engine and yields the same list; non-comprehension brackets
+    (`selective`) stay untouched."""
     import importlib
     import sys
 
@@ -392,3 +395,234 @@ def test_count_based_window_string_compiles_to_jvm_frames(spark, tables):
     a = sorted((row.user_id, row.s, row.sum_w) for row in fast.collect())
     b = sorted((row.user_id, row.s, row.sum_w) for row in slow.collect())
     assert a == b
+
+
+# ----------------------------------------- nested query expressions
+# Reference Grammar.md places query_expression under expr, so any
+# clause expression can contain a bracketed query.  Array/range-backed
+# nested queries compile to Spark higher-order functions (no shuffle);
+# DataFrame-backed ones compile to semi/anti/left joins.
+
+def test_q4_verbatim_nested_let_outer_join(spark):
+    """Reference tutorial q4 (tests/tutorial_tests.py:35-44) VERBATIM:
+    nested select-less query in a let + the ys_and_none outer-join
+    idiom + a Python ternary."""
+    res = pql(spark, """ (x,y)
+           for x in range(1,10)
+           let ys = [  y for y in range(1,10)
+                      where x%2 == 0 and x > y ],
+               ys_and_none = ys if ys != [] else [ None ]
+
+           for y in ys_and_none """).collect()
+    assert res[3].x == 4 and res[3].y == 1
+    assert res[6].x == 5 and res[6].y is None
+
+
+def test_q5_verbatim_group_implicit_list(spark):
+    res = sorted(pql(spark, """
+        select (x,y)
+        for x in range(1,5),
+            y in range(1,5)
+        where x > y
+        group by x
+    """).collect(), key=lambda r: r.x)
+    assert res[2].x == 4 and sorted(res[2].y) == [1, 2, 3]
+
+
+def test_q7_verbatim_order_by_expr(spark):
+    res = pql(spark, """
+        select (x,y)
+        for x in range(1,5),
+            y in range(1,5)
+        where x > y
+        order by abs(x-y) asc, y desc
+    """).collect()
+    assert (res[0].x, res[0].y) == (4, 3)
+    assert (res[1].x, res[1].y) == (3, 2)
+
+
+def test_q10_verbatim_nested_projection(spark):
+    """Reference tutorial q10 (tests/tutorial_tests.py:95-101)
+    VERBATIM: dict-ctor projection containing a correlated nested
+    query -> transform(sequence(...)) with zero shuffle."""
+    res = pql(spark, """
+        select {"sequence_start": i,
+                "sequence": [ select {"item":k}
+                              for k in range(i,i+5) ]}
+        for i in [1,3,5]
+    """).collect()
+    assert res[1]["sequence_start"] == 3 and len(res[1]["sequence"]) == 5
+    assert [s["item"] for s in res[1]["sequence"]] == [3, 4, 5, 6, 7]
+
+
+def test_nested_query_over_array_column(spark):
+    """cust_journey idiom (reference tests/cust_journey_scenario_
+    tests.py:21-38): nested queries filter an array-of-structs column;
+    [q][0], [q][-1] subscripts and [q] != [] all work."""
+    df = spark.createDataFrame(
+        [(1, [{"ev": "open", "amt": 0.0}, {"ev": "dep", "amt": 5.0},
+              {"ev": "dep", "amt": 7.0}]),
+         (2, [{"ev": "open", "amt": 0.0}])],
+        "id long, cj array<struct<ev string, amt double>>")
+    rows = pql(spark, """
+        select (c.id as id, first_dep, last_dep)
+        for c in journeys
+        let deps = [ select e.amt for e in c.cj where e.ev == 'dep' ]
+        where deps != []
+        let first_dep = deps[0], last_dep = deps[-1]
+    """, env={"journeys": df}).collect()
+    assert len(rows) == 1
+    assert (rows[0].id, rows[0].first_dep, rows[0].last_dep) == (1, 5.0, 7.0)
+
+
+def test_membership_semi_anti_string_form(spark, tables):
+    """`E in [select ...]` / `E not in [...]` over an env DataFrame
+    lower to LeftSemi/LeftAnti joins; parity vs the DataFrame API."""
+    cust, orders = tables["customer"], tables["orders"]
+    env = {"customer": cust, "orders": orders}
+    semi = pql(spark, """
+        select (c.c_custkey as ck)
+        for c in customer
+        where c.c_custkey in [ select o.o_custkey for o in orders
+                               where o.o_orderstatus == 'F' ]
+    """, env=env)
+    assert "LeftSemi" in semi._jdf.queryExecution().optimizedPlan().toString()
+    anti_n = pql(spark, """
+        select (c.c_custkey as ck)
+        for c in customer
+        where c.c_custkey not in [ select o.o_custkey for o in orders
+                                   where o.o_orderstatus == 'F' ]
+    """, env=env).count()
+    import pyspark.sql.functions as F
+    keys = orders.filter("o_orderstatus = 'F'").select("o_custkey").distinct()
+    exp = cust.join(keys, cust.c_custkey == keys.o_custkey, "left_semi").count()
+    assert semi.count() == exp
+    assert anti_n == cust.count() - exp
+
+
+def test_exists_not_exists_string_form(spark, tables):
+    """`[select ... where corr] != []` -> EXISTS semi join (the
+    reference's canonical membership idiom, cust_journey l.29)."""
+    cust, orders = tables["customer"], tables["orders"]
+    env = {"customer": cust, "orders": orders}
+    n_ex = pql(spark, """
+        select (c.c_custkey as ck)
+        for c in customer
+        where [ select o for o in orders
+                where o.o_custkey == c.c_custkey
+                  and o.o_totalprice > 250000 ] != []
+    """, env=env).count()
+    n_nex = pql(spark, """
+        select (c.c_custkey as ck)
+        for c in customer
+        where [ select o for o in orders
+                where o.o_custkey == c.c_custkey
+                  and o.o_totalprice > 250000 ] == []
+    """, env=env).count()
+    big = orders.filter("o_totalprice > 250000").select("o_custkey").distinct()
+    exp = cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").count()
+    assert n_ex == exp and n_nex == cust.count() - exp
+    assert 0 < n_ex < cust.count()  # the threshold discriminates
+
+
+def test_outer_subquery_string_form(spark, tables):
+    """`for o in outer([select o for o in orders where corr])` ->
+    LeftOuterJoin (reference Rewriter.py:441-491 good_outerjoin);
+    value parity vs the DataFrame left join."""
+    cust, orders = tables["customer"], tables["orders"]
+    r = pql(spark, """
+        select (c.c_custkey as ck, o.o_orderkey as ok)
+        for c in customer
+        for o in outer([ select o for o in orders
+                         where o.o_custkey == c.c_custkey
+                           and o.o_totalprice > 250000 ])
+    """, env={"customer": cust, "orders": orders})
+    big = orders.filter("o_totalprice > 250000")
+    exp = cust.join(big, cust.c_custkey == big.o_custkey, "left")
+    assert r.count() == exp.count()
+    assert (r.filter("ok is null").count()
+            == exp.filter("o_orderkey is null").count() > 0)
+
+
+def test_ternary_and_list_literal_translation(spark):
+    rows = pql(spark, """
+        select (x, x if x > 2 else 0 as capped,
+                'hi' if x == 1 else 'lo' as tag)
+        for x in xs
+        order by x
+    """, env={"xs": [1, 2, 3]}).collect()
+    assert [(r.x, r.capped, r.tag) for r in rows] == [
+        (1, 0, "hi"), (2, 0, "lo"), (3, 3, "lo")]
+
+
+def test_membership_over_literal_list(spark):
+    rows = pql(spark, """
+        select x
+        for x in xs
+        where x in [1, 3]
+        order by x
+    """, env={"xs": [1, 2, 3, 4]}).collect()
+    assert [r.x for r in rows] == [1, 3]
+
+
+def test_codec_select_less_shorthand_and_nested(spark, tmp_path):
+    """Reference parser/Preprocessor.py rewrites ANY inline query:
+    the select-less `[ (x, sum(y) as sum) for ... ]` shorthand
+    (tutorial q2 verbatim) and a q4-shaped file whose let contains a
+    NESTED query — the outer span rewrites, the inner bracket passes
+    through verbatim for pql() to compile (splicing inner spans
+    separately would corrupt offsets)."""
+    import importlib
+    import sys
+
+    import pythonql_spark.codec  # noqa: F401
+
+    mod = tmp_path / "pqlmod_r8.py"
+    mod.write_text(
+        "# coding: pythonql\n"
+        "res2 = [ (x, sum(y) as sum)\n"
+        "         for x in range(1,8),\n"
+        "             y in range(1,7)\n"
+        "         if x % 2 == 0 and y % 2 != 0 and x > y\n"
+        "         group by x ]\n"
+        "res4 = [ (x,y)\n"
+        "         for x in range(1,10)\n"
+        "         let ys = [  y for y in range(1,10)\n"
+        "                    where x%2 == 0 and x > y ],\n"
+        "             ys_and_none = ys if ys != [] else [ None ]\n"
+        "         for y in ys_and_none ]\n",
+        encoding="utf-8")
+    sys.path.insert(0, str(tmp_path))
+    try:
+        m = importlib.import_module("pqlmod_r8")
+    finally:
+        sys.path.remove(str(tmp_path))
+    # reference tutorial q2 assert
+    assert m.res2[0].x == 2 and m.res2[0].sum == 1
+    # reference tutorial q4 asserts (canonical order == iteration
+    # order here: x ascending, y ascending within x)
+    assert m.res4[3].x == 4 and m.res4[3].y == 1
+    assert m.res4[6].x == 5 and m.res4[6].y is None
+
+
+def test_codec_body_with_both_quote_kinds(spark, tmp_path):
+    """repr()-based span splicing survives bodies containing single
+    AND double quotes (the raw-triple-quote scheme could not)."""
+    import importlib
+    import sys
+
+    import pythonql_spark.codec  # noqa: F401
+
+    mod = tmp_path / "pqlmod_r8b.py"
+    mod.write_text(
+        '# coding: pythonql\n'
+        'tags = [ select (x, "d\'q" if x == 1 else \'s"q\' as tag)\n'
+        '         for x in range(1, 3)\n'
+        '         order by x ]\n',
+        encoding="utf-8")
+    sys.path.insert(0, str(tmp_path))
+    try:
+        m = importlib.import_module("pqlmod_r8b")
+    finally:
+        sys.path.remove(str(tmp_path))
+    assert [(r.x, r.tag) for r in m.tags] == [(1, "d'q"), (2, 's"q')]
