@@ -1754,6 +1754,46 @@ def dedup_semantic(spark, sf):
             .select("vec_id", "label"))
 
 
+@q("dedup_semantic_md5", None)  # oracle attached below (generated SQL)
+def dedup_semantic_md5(spark, sf):
+    """SemDeDup's pair stage under a FULL dual-dialect value oracle
+    (the ivf_topk_md5 pattern): the trained spherical k-means is
+    replaced by the fixed md5 ±1 sign quantizer, so DuckDB replays
+    cell assignment (argmax of fixed IEEE chains, lowest-index ties)
+    and the 6-dp within-cell cosines bit-for-bit.  Same plan shape as
+    the production dedup_semantic: one assignment pass, pair join
+    shuffled on the cell id — Σ|cell|² work, never all-pairs.
+    Threshold 0.3: the synthetic embeddings are unclustered (max
+    pairwise cosine ≈ 0.47), so this keeps a real, modest pair set."""
+    from pythonql_spark.operators.similarity import semantic_pairs_md5
+    emb = load_table(spark, sf, "embeddings")
+    return semantic_pairs_md5(emb, threshold=0.3, n_cells=16)
+
+
+@q("cluster_embed_md5", None)  # oracle attached below (generated SQL)
+def cluster_embed_md5(spark, sf):
+    """Embedding clustering under a FULL value oracle: md5 ±1 cells
+    (all centroids share norm √dim, so argmax dot == nearest
+    spherical centroid) + the exact cosine-to-centroid, one scan, no
+    shuffle — the production cluster_embed plan with the learned
+    quantizer swapped for the fixed one DuckDB can replay."""
+    from pythonql_spark.operators.similarity import cluster_embeddings_md5
+    emb = load_table(spark, sf, "embeddings")
+    return cluster_embeddings_md5(emb, n_cells=16)
+
+
+@q("quality_classify_md5", None)  # oracle attached below (generated SQL)
+def quality_classify_md5(spark, sf):
+    """The quality classifier's SCORING surface under a FULL value
+    oracle: fixed md5-derived weights (training stays pinned by the
+    bit-exact numpy parity test) through the exact production plan —
+    broadcast weight row, one scan-fused aggregate()/element_at
+    logit per doc, no join, no shuffle, no UDF."""
+    from pythonql_spark.operators.classifier import quality_score_md5
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return quality_score_md5(docs, n_buckets=256)
+
+
 @q("embed_project", None)  # oracle attached below (generated SQL)
 def embed_project(spark, sf):
     """Johnson–Lindenstrauss sign projection 64 -> 8 dims: the
@@ -4319,6 +4359,15 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc(
     from pythonql_spark.operators.fuzzy import fuzzy_pairs_oracle_sql
     ORACLE["fuzzy_pairs"] = fuzzy_pairs_oracle_sql(
         "s_name", 1, id_col="s_suppkey", q=2, table="supplier")
+    from pythonql_spark.operators.similarity import (
+        cluster_embeddings_md5_oracle_sql, semantic_pairs_md5_oracle_sql)
+    ORACLE["dedup_semantic_md5"] = semantic_pairs_md5_oracle_sql(
+        threshold=0.3, n_cells=16, dim=64)
+    ORACLE["cluster_embed_md5"] = cluster_embeddings_md5_oracle_sql(
+        n_cells=16, dim=64)
+    from pythonql_spark.operators.classifier import quality_score_md5_oracle_sql
+    ORACLE["quality_classify_md5"] = quality_score_md5_oracle_sql(
+        n_buckets=256)
     from pythonql_spark.operators.profile import zscore_normalize_oracle_sql
     _zs_inner = zscore_normalize_oracle_sql(
         ["n_chars"], suffix="_gz",

@@ -322,3 +322,68 @@ SELECT bin, n,
        round(abs(cast(pos as double) / n - cast(ps as double) / n)
              * n / ntot, 6) AS w_gap
 FROM pb, t"""
+
+
+# ------------------------------- md5-weight oracle twin.  The trained
+# classifier's weights come from gradient descent (not SQL), so
+# quality_classify is rows-only; training itself is pinned by the
+# bit-exact numpy parity test.  This twin runs the SAME scan-fused
+# scoring plan (broadcast weight array + aggregate/element_at) under
+# FIXED md5-derived weights, so the scoring surface gets a full
+# dual-dialect value hash too (the ivf_topk_md5 pattern).
+
+def md5_weights(n_buckets: int) -> list[float]:
+    """w(j) = ((int(md5(str(j))[:8], 16) % 2001) − 1000) / 1000 — the
+    same integers divide in both engines, so the doubles match."""
+    import hashlib
+    return [((int(hashlib.md5(str(j).encode()).hexdigest()[:8], 16)
+              % 2001) - 1000) / 1000.0
+            for j in range(n_buckets)]
+
+
+def quality_score_md5(df: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      n_buckets: int = 256,
+                      bias: float = -0.25) -> DataFrame:
+    """(id, quality_logit, quality_prob) under fixed md5 weights —
+    identical plan shape to :func:`quality_score`: one broadcast
+    weight row, the per-doc logit is one ``aggregate()`` over
+    ``element_at`` lookups fused into the scan; no join, no shuffle,
+    no UDF."""
+    model = {"weights": md5_weights(n_buckets), "bias": bias,
+             "n_buckets": n_buckets, "hash_fn": "md5"}
+    scored = quality_score(df, model, text_col=text_col,
+                           out_col="quality_logit")
+    return scored.select(
+        id_col, "quality_logit",
+        F.col("quality_logit_prob").alias("quality_prob"))
+
+
+def quality_score_md5_oracle_sql(*, text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 n_buckets: int = 256,
+                                 bias: float = -0.25,
+                                 table: str = "documents") -> str:
+    """DuckDB mirror of :func:`quality_score_md5` — the per-word
+    weight is computed INLINE from the bucket id (no 256-double
+    literal), mean-over-words + bias, 6-dp round (which absorbs the
+    sum-order ULP difference exactly as the cosine oracles do)."""
+    b = bucket_expr("w", n_buckets, "duck")
+    wexpr = (f"((cast(('0x' || substring(md5(cast({b} as varchar))"
+             f", 1, 8)) as bigint) % 2001) - 1000) / 1000.0")
+    return f"""
+WITH sp AS (
+  SELECT {id_col},
+         str_split_regex(trim(lower(coalesce({text_col}, ''))),
+                         '{_ws('duck')}') AS ws
+  FROM {table}),
+per_word AS (
+  SELECT {id_col}, len(ws) AS nw, unnest(list_transform(ws, w -> {wexpr})) AS wt
+  FROM sp),
+logits AS (
+  SELECT {id_col}, sum(wt) / greatest(max(nw), 1) + {bias!r} AS logit
+  FROM per_word GROUP BY {id_col})
+SELECT {id_col},
+       cast(round(logit, 6) as double) AS quality_logit,
+       cast(round(1.0 / (1.0 + exp(-logit)), 6) as double) AS quality_prob
+FROM logits"""

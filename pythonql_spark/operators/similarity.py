@@ -1053,3 +1053,109 @@ def cluster_profile(df: DataFrame, n_clusters: int = 16, *,
                 "cast(round(top_label_n / cast(n_members as double), 6) "
                 "as double)"))
             .drop("top_label_n"))
+
+
+# ------------------------------- md5-quantized oracle twins (SemDeDup
+# pair stage + embedding clustering).  Same plan shapes as the
+# production semantic_pairs / cluster_embeddings, with the TRAINED
+# spherical-k-means quantizer replaced by the fixed md5 ±1 sign matrix
+# (_ivf_sign_matrix) so DuckDB replays cell assignment, max-score and
+# cosine bit-for-bit — the ivf_topk_md5 pattern.  Production stays on
+# the trained paths; these exist so no capability family is ever
+# hash-unchecked.
+
+def semantic_pairs_md5(df: DataFrame, threshold: float = 0.55, *,
+                       n_cells: int = 16, dim: int | None = None,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       seed: int = 11) -> DataFrame:
+    """SemDeDup pair generation under a FULL dual-dialect oracle:
+    one Arrow pass assigns every vector its md5-sign cell (argmax of
+    fixed left-to-right chains, lowest index on ties), the pair join
+    shuffles on the cell id (Σ|cell|² work — never all-pairs), exact
+    6-dp cosine filter."""
+    if dim is None:
+        dim = _dim(df, vec_col)
+    assigned = (df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        vector_norm(vec_col, dim).alias("nrm"),
+        _ivf_scores_col(dim, n_cells, vec_col, seed).alias("__scores"))
+        .select("id", "v", "nrm",
+                F.expr("array_position(__scores, array_max(__scores)) - 1")
+                .cast("int").alias("cell")))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
+                          F.col("a.id") < F.col("b.id")])
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    cosine_score("a.v", "b.v", "a.nrm", "b.nrm",
+                                 dim).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
+def semantic_pairs_md5_oracle_sql(threshold: float = 0.55, *,
+                                  n_cells: int = 16, dim: int = 64,
+                                  id_col: str = "vec_id",
+                                  vec_col: str = "embedding",
+                                  table: str = "embeddings",
+                                  seed: int = 11) -> str:
+    """DuckDB mirror of :func:`semantic_pairs_md5` — identical cell
+    chains, argmax tie-break and 6-dp cosine."""
+    cell_exprs = ivf_cell_exprs(dim, n_cells, vec_col=vec_col, seed=seed)
+    score_cols = ", ".join(f"{e} AS d{c}" for c, e in enumerate(cell_exprs))
+    cell_case = _argmax_case([f"d{c}" for c in range(n_cells)])
+    cos = cosine_expr("a.vec", "b.vec", dim, base=1)
+    return f"""
+WITH scored AS (
+  SELECT {id_col} AS id, {vec_col} AS vec, {score_cols} FROM {table}),
+assigned AS (SELECT id, vec, {cell_case} AS cell FROM scored),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, {cos} AS cosine
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.id < b.id)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {threshold}"""
+
+
+def cluster_embeddings_md5(df: DataFrame, n_cells: int = 16, *,
+                           dim: int | None = None,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           seed: int = 11) -> DataFrame:
+    """Embedding clustering under a FULL dual-dialect oracle: cell =
+    argmax md5-sign chain; centroid_cos = score / (‖v‖·√dim) — the
+    md5 'centroids' all have norm √dim, so this IS the cosine to the
+    assigned centroid.  One scan, no shuffle (the production
+    cluster_embeddings contract)."""
+    if dim is None:
+        dim = _dim(df, vec_col)
+    return (df.select(
+        F.col(id_col),
+        vector_norm(vec_col, dim).alias("__nrm"),
+        _ivf_scores_col(dim, n_cells, vec_col, seed).alias("__scores"))
+        .select(
+            id_col,
+            F.expr("array_position(__scores, array_max(__scores)) - 1")
+            .cast("int").alias("cluster"),
+            F.expr(f"cast(round(array_max(__scores) / "
+                   f"(__nrm * sqrt(cast({dim} as double))), 6) as double)")
+            .alias("centroid_cos")))
+
+
+def cluster_embeddings_md5_oracle_sql(n_cells: int = 16, *,
+                                      dim: int = 64,
+                                      id_col: str = "vec_id",
+                                      vec_col: str = "embedding",
+                                      table: str = "embeddings",
+                                      seed: int = 11) -> str:
+    cell_exprs = ivf_cell_exprs(dim, n_cells, vec_col=vec_col, seed=seed)
+    score_cols = ", ".join(f"{e} AS d{c}" for c, e in enumerate(cell_exprs))
+    cell_case = _argmax_case([f"d{c}" for c in range(n_cells)])
+    gmax = "greatest(" + ", ".join(f"d{c}" for c in range(n_cells)) + ")"
+    nrm = norm_expr(vec_col, dim, base=1)
+    return f"""
+WITH scored AS (
+  SELECT {id_col}, {vec_col}, {score_cols} FROM {table})
+SELECT {id_col}, {cell_case} AS cluster,
+       cast(round({gmax} / ({nrm} * sqrt(cast({dim} as double))), 6)
+            as double) AS centroid_cos
+FROM scored"""

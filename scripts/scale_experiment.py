@@ -145,11 +145,13 @@ def main() -> None:
         return range_join(c, p, point="cts", start="lo", end="hi",
                           on="user_id", bin_width=4 * 3600)
 
-    # the 64x octave runs only the round-6 heavyweights (the 16x
-    # evidence covers the rest): one more doubling octave catches
-    # superlinear terms the 16x point hides
+    # the 64x octave runs only the heavyweights (the 16x evidence
+    # covers the rest): one more doubling octave catches superlinear
+    # terms the 16x point hides.  r8 adds the r7 newcomers (they
+    # stopped at 16x) + fuzzy under the new auto-q guardrail.
     _64X_OPS = {"ann_pq", "bitext", "snap_diff", "curation",
-                "winnow", "clones", "eval_cls", "moving_avg"}
+                "winnow", "clones", "eval_cls", "moving_avg",
+                "fuzzy", "docsim", "pagerank", "pmi", "phash"}
     results = []
     for n in (1, 4, 16, 64):
         d = SCRATCH / f"x{n}"
@@ -365,20 +367,25 @@ def main() -> None:
                 "ts", "value", 3600, "user_id")
                 .selectExpr("sum(mov_n)").collect()[0][0]),
             # fuzzy join: md5-suffix keys give ~zero OUTPUT pairs, so
-            # what's measured is pure candidate generation — which is
-            # the operator's documented ~n²/|gram vocabulary| term
-            # (hex bigrams = ≤256 bucket values).  The octave is
-            # EXPECTED to rise; it quantifies the exact-ED-join
-            # characteristic the docstring's q rule exists for (grow
-            # q with the corpus, or use the MinHash path for
-            # near-linear approximate matching).
+            # what's measured is pure candidate generation.  q=None
+            # engages the choose_q guardrail, which now MEASURES
+            # prefix-bucket collision mass and grows q until
+            # candidates ≤ 8/row (the old fixed q=2 — ≤256 hex bigram
+            # buckets — measurably went quadratic here).  The suffix
+            # is 10 hex chars so the key's entropy region can satisfy
+            # the q·d+1 prefix-gram need; with the r7 6-char suffix
+            # the shared 13-char text prefix makes TRUE candidate
+            # structure superlinear at every q (measured 23–200 M for
+            # q=4..9 at 64x) and choose_q RAISES — the loud-failure
+            # path the r7 verdict asked for, unit-tested in
+            # tests/test_operators.py::test_fuzzy_choose_q_guardrail.
             "fuzzy": lambda: fuzzy_pairs(
                 docs.selectExpr(
                     "doc_id",
                     "substring(lower(text), 1, 12) || '-' || "
-                    "substring(md5(cast(doc_id as string)), 1, 6) "
+                    "substring(md5(cast(doc_id as string)), 1, 10) "
                     "as name"),
-                "name", 1, q=2).count(),
+                "name", 1).count(),
             # sparse TF-IDF all-pairs: the df<=64 stop cut excludes
             # ever more base-corpus tokens as replicas multiply their
             # document frequency — postings build (scan-bound) is

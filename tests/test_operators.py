@@ -2386,3 +2386,62 @@ def test_merge_components_incremental_equals_batch(spark):
     assert {r.id: r.comp for r in inc2.collect()} == want
     # min-id convention holds after merges
     assert got[4] == 1 and got[21] == 10 and got[5] == 1
+
+
+def test_fuzzy_choose_q_guardrail(spark):
+    """choose_q grows q until observed-alphabet^q >= 4n (the scale
+    guardrail that keeps ~n^2/alphabet^q candidates bounded), and
+    raises instead of silently going quadratic when short keys over a
+    tiny alphabet cannot support the needed q."""
+    from pythonql_spark.operators.fuzzy import choose_q, fuzzy_pairs
+
+    # 500 high-entropy digit keys: alphabet=10, need 10^q >= 2000 ->
+    # q=4 from the sample bound; the measured prefix-bucket probe
+    # confirms it (10^4 gram values over 500 keys -> ~unit buckets)
+    digits = spark.createDataFrame(
+        [(i, f"{(i * 7919 + 13) ** 2 % 10**12:012d}") for i in range(500)],
+        "doc_id long, key string")
+    assert choose_q(digits, "key", 1) == 4
+
+    # degenerate corpus the SAMPLE rule alone would wave through:
+    # zero-padded ids share a 21-char prefix, so each key has only
+    # ~4 distinct grams and the prefix filter must include the
+    # all-shared gram at EVERY q -> measured mass ~ n^2/2 -> raise
+    padded = spark.createDataFrame(
+        [(i, f"{i:024d}") for i in range(500)], "doc_id long, key string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="candidate"):
+        choose_q(padded, "key", 1)
+
+    # large alphabet, high entropy: 52-letter keys pass the sample
+    # bound at q=2 AND the measured probe confirms unit buckets
+    def _letters(i):
+        x, s = (i * 48271 + 11) % (2**31), []
+        for _ in range(10):
+            s.append(chr(97 + x % 26) if x % 2 else chr(65 + (x >> 1) % 26))
+            x = (x * 48271 + 7) % (2**31)
+        return "".join(s)
+    alnum = spark.createDataFrame(
+        [(i, _letters(i)) for i in range(300)], "doc_id long, key string")
+    assert choose_q(alnum, "key", 1) == 2
+
+    # conflict: digit alphabet needs q=4 but keys are 5 chars ->
+    # q_cap = 5 // 2 = 2 -> loud failure, not a silent cross join
+    short = spark.createDataFrame(
+        [(i, f"{i % 100000:05d}") for i in range(600)],
+        "doc_id long, key string")
+    with _pytest.raises(ValueError, match="alphabet"):
+        choose_q(short, "key", 1)
+    with _pytest.raises(ValueError, match="alphabet"):
+        fuzzy_pairs(short, "key", 1, id_col="doc_id")   # q=None -> auto
+
+    # auto q stays EXACT: planted typo pairs on the digit corpus are
+    # all recovered at the auto-chosen q
+    import pyspark.sql.functions as F
+    typos = digits.withColumn("doc_id", F.col("doc_id") + 1000) \
+                  .withColumn("key", F.expr(
+                      "concat(substring(key, 1, 23), 'X')"))
+    both = digits.unionByName(typos)
+    got = {(r.id_a, r.id_b) for r in
+           fuzzy_pairs(both, "key", 1, id_col="doc_id").collect()}
+    assert {(i, i + 1000) for i in range(500)} <= got
