@@ -67,6 +67,8 @@ def main() -> None:
         "zscore_normalize", "fuzzy_pairs", "pagerank", "cooccur_pmi",
         "media_phash", "media_neardup", "docsim_cosine", "ab_ztest",
         "media_audio_features", "text_html", "media_scenes",
+        "pql_nested", "pql_semi", "pql_outer", "dedup_semantic_md5",
+        "cluster_embed_md5", "quality_classify_md5", "media_probe_meta",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers, and spin up the Python worker
@@ -116,6 +118,15 @@ def main() -> None:
     if failed:
         out["failed"] = failed
         out["partial_total"] = total
+    # the driver snapshots stdout with a bounded tail, which truncated
+    # the per-query dict (85/144 keys survived in BENCH_r07) — ALSO
+    # write the full artifact to a file the driver can snapshot whole
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_full.json"), "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    except OSError as e:
+        print(f"# BENCH_full.json write failed: {e}", file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -1167,6 +1167,46 @@ def media_probe(spark, sf):
             .orderBy("doc_id"))
 
 
+@q("media_probe_meta", """
+SELECT doc_id,
+  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'wav'
+                  WHEN 3 THEN 'mp4' ELSE 'mp3' END AS format,
+  CASE doc_id % 5 WHEN 0 THEN 'deflate' WHEN 1 THEN 'lzw' WHEN 2 THEN 'pcm'
+                  WHEN 3 THEN 'avc1' ELSE 'layer3' END AS codec,
+  CAST(CASE doc_id % 5 WHEN 0 THEN 8 WHEN 1 THEN 6 WHEN 3 THEN 64 END
+       AS INTEGER) AS width,
+  CAST(CASE doc_id % 5 WHEN 0 THEN 8 WHEN 1 THEN 6 WHEN 3 THEN 48 END
+       AS INTEGER) AS height,
+  CAST(CASE doc_id % 5 WHEN 1 THEN 750 WHEN 2 THEN 50 WHEN 3 THEN 1200
+                       WHEN 4 THEN 313 END AS INTEGER) AS duration_ms,
+  CAST(CASE doc_id % 5 WHEN 2 THEN 8000 WHEN 4 THEN 44100 END
+       AS INTEGER) AS sample_rate,
+  CAST(CASE doc_id % 5 WHEN 2 THEN 1
+                       WHEN 4 THEN (CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END)
+       END AS INTEGER) AS channels,
+  CAST(CASE WHEN doc_id % 5 = 4 THEN
+         (CASE doc_id % 4 WHEN 0 THEN 64 WHEN 1 THEN 96
+                          WHEN 2 THEN 128 ELSE 160 END)
+       END AS INTEGER) AS bitrate_kbps,
+  CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 3 THEN 6
+                       WHEN 4 THEN 8 + doc_id % 5 END AS INTEGER) AS n_frames,
+  CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 3 THEN 2 END
+       AS INTEGER) AS n_keyframes
+FROM documents WHERE doc_id < 80
+""")
+def media_probe_meta(spark, sf):
+    """media_probe's header metadata under a FULL value oracle: every
+    probed field (format/codec/dimensions/durations/rates/channels/
+    bitrate/frame counts — bitrate included: mp3's is a frame-header
+    parameter, not a compressed-size artifact) is a deterministic
+    function of doc_id under the synthesis parameters, so DuckDB
+    reconstructs the expected headers arithmetically while Spark
+    parses the REAL containers (PNG/GIF/WAV/ISO-BMFF/MPEG frame
+    walks).  media_probe stays the production rows-only surface (its
+    checksum also binds the compressed-payload-derived values)."""
+    return QUERIES["media_probe"](spark, sf).drop("checksum")
+
+
 @q("media_mp4", None)  # oracle attached below (generated SQL)
 def media_mp4(spark, sf):
     """Real MP4 frame sampling: mux one ISO-BMFF container per doc
