@@ -824,6 +824,36 @@ def _rewrite_seq_aggs(e: str, seq_vars: set[str]) -> str:
     return e
 
 
+def _strip_comments(q: str) -> str:
+    """``# …`` line comments inside query text (the reference's
+    scenario queries carry them inline).  One combined scan: a ``#``
+    inside a string literal is kept, and an apostrophe inside a
+    comment ("We're only interested…") never opens a string."""
+    out, i, n = [], 0, len(q)
+    while i < n:
+        ch = q[i]
+        if ch in "'\"":
+            out.append(ch)
+            i += 1
+            while i < n:
+                if q[i] == "\\":
+                    out.append(q[i:i + 2])
+                    i += 2
+                    continue
+                out.append(q[i])
+                if q[i] == ch:
+                    i += 1
+                    break
+                i += 1
+        elif ch == "#":
+            while i < n and q[i] != "\n":
+                i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def pql(spark: SparkSession, query: str,
         env: dict[str, Any] | None = None) -> DataFrame:
     """Compile and run a PythonQL query-expression string; returns a
@@ -834,6 +864,7 @@ def pql(spark: SparkSession, query: str,
     one-column (``value``) DataFrame of the step results in document
     order."""
     env = env or {}
+    query = _strip_comments(query)
     masked_q = X.strip_strings(query)
     has_steps = any(not _is_float_dot(masked_q, m.start())
                     for m in _STEP_RE.finditer(masked_q))
@@ -890,13 +921,32 @@ def pql(spark: SparkSession, query: str,
                         df = df.toDF(*names)
                         q.raw_for_(df)
                     else:
+                        # a 1-col DataFrame whose column IS the for
+                        # variable binds the value directly (e.g. an
+                        # array-of-structs journey column — reference
+                        # cust_journey `for cj in cust_journeys`)
+                        if (not scalar and len(df.columns) == 1
+                                and df.columns[0] == var):
+                            scalar = True
                         q.for_(var, df, scalar=scalar)
                 else:
                     q.for_(var, tr(src))
         elif kw == "let":
             for item in _split_top(body):
                 var, e = item.split("=", 1)
-                q.let_(var.strip(), tr(e.strip()))
+                var, e = var.strip(), e.strip()
+                # a let whose whole body is a nested query bracket
+                # binds an ARRAY: later sum/len/min/max/avg over it
+                # must fold the array (Python semantics over the
+                # materialized list — reference cust_journey
+                # `balance = sum(deposits) - sum(withdrawals)`),
+                # not become a SQL aggregate
+                masked_e = X.strip_strings(e)
+                sp = _bracket_spans(masked_e)
+                if (len(sp) == 1 and sp[0] == (0, len(e))
+                        and _has_query_clauses(e[1:-1])):
+                    seq_vars.add(var)
+                q.let_(var, tr(e))
         elif kw in ("where", "if"):
             remaining = []
             for conj in X.split_conjuncts(body):

@@ -89,3 +89,105 @@ def test_first_event_group(spark, events, events_pd):
     first = events_pd.sort_values(["user_id", "ts", "event_id"]).groupby("user_id").head(1)
     want = first.event_type.value_counts().to_dict()
     assert got == want
+
+
+# ------------------------- reference scenario VERBATIM (string form)
+# With nested query expressions in pql() strings (r8), the reference's
+# own customer-journey queries run near-verbatim: the query text below
+# is copied from /root/reference/tests/cust_journey_scenario_tests.py
+# (l.12-43 and l.48-59) including its comments; journeys are one
+# array<struct> row each, built from the reference's own data fixture.
+
+
+@pytest.fixture(scope="module")
+def cust_journeys_df(spark):
+    import sys
+    sys.path.insert(0, "/root/reference/tests")
+    try:
+        from cust_journey_data import cust_journeys
+    finally:
+        sys.path.remove("/root/reference/tests")
+    fields = ("event_name", "client_id", "date", "client_data",
+              "amount", "duration", "loan_id", "interest")
+
+    def ev(e):
+        d = e._asdict()
+        cd = d.get("client_data")
+        if cd is not None:
+            cd = cd._asdict()
+            cd["address"] = cd["address"]._asdict()
+            d["client_data"] = cd
+        return {f: d.get(f) for f in fields}
+
+    schema = ("cj array<struct<event_name:string, client_id:bigint, "
+              "date:string, client_data:struct<firstName:string, "
+              "lastName:string, birthdate:string, "
+              "address:struct<street:string, city:string, state:string, "
+              "zip:bigint>>, amount:bigint, duration:bigint, "
+              "loan_id:bigint, interest:bigint>>")
+    return spark.createDataFrame(
+        [([ev(e) for e in j],) for j in cust_journeys], schema)
+
+
+def test_cust_journey_q1_default_rate_verbatim(spark, cust_journeys_df):
+    from pythonql_spark.pql import pql
+    res = pql(spark, """
+       select (state,
+              len(last_issued) as custs_with_loans,
+              sum(default)/float(len(last_issued)) as default_rate )
+
+       # Iterate over all journeys
+       for cj in cust_journeys
+
+       # Fetch the 'open' and 'loan_issued' events from the journey
+       let new = [select e
+                  for e in cj
+                  where e.event_name=='open'][0],
+           issued = [select e
+                           for e in cj
+                           where e.event_name=='loan_issued']
+
+       # We're only interested in customers who were issued at least one loan
+       where issued != []
+
+       # Find the last issued loan
+       let last_issued = issued[-1],
+
+           # Check whether this loan has been paid
+            paid = [select e
+                    for e in cj
+                    where e.event_name=='loan_paid'
+                         and e.loan_id==last_issued.loan_id] != [],
+            default = 1 if not paid else 0
+
+       # Group the results by state
+       group by new.client_data.address.state as state
+       order by state
+    """, env={"cust_journeys": cust_journeys_df}).collect()
+    # the reference's own asserts (cust_journey_scenario_tests.py:44-45)
+    assert res[0].state == 'CA' and res[1].state == 'TX'
+    assert res[0].custs_with_loans == 3 and res[1].custs_with_loans == 2
+    # CA: journeys 5,6 paid, 7 unpaid -> 1/3; TX: 1 paid, 4 unpaid -> 1/2
+    assert abs(res[0].default_rate - 1 / 3) < 1e-9
+    assert abs(res[1].default_rate - 1 / 2) < 1e-9
+
+
+def test_cust_journey_q2_balance_verbatim(spark, cust_journeys_df):
+    from pythonql_spark.pql import pql
+    res = pql(spark, """
+   select (state, len(balance) as n_customers)
+   for cj in cust_journeys
+
+   let new = [select e for e in cj where e.event_name=='open'][0],
+       withdrawals = [select e.amount for e in cj where e.event_name=='withdraw'],
+       deposits = [select e.amount for e in cj where e.event_name=='deposit']
+
+   let balance = sum(deposits) - sum(withdrawals)
+   where balance > 300
+   group by new.client_data.address.state as state
+   order by state
+    """, env={"cust_journeys": cust_journeys_df}).collect()
+    # the reference's own asserts (cust_journey_scenario_tests.py:61-62)
+    assert res[0].n_customers == 3
+    assert res[1].n_customers == 1
+    assert [r.state for r in res] == ['CA', 'TX']
