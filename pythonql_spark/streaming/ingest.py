@@ -104,8 +104,6 @@ def bloom_dedup_ingest_stream(stream_df: DataFrame, corpus: DataFrame,
     otherwise see its pre-crash output and reject itself), and the
     dynamic partition-overwrite sink replaces rather than appends.
     """
-    import os
-
     from pythonql_spark.operators.bloom import bloom_bits, bloom_mark
 
     key = f"md5({text_col})" if hash_fn == "md5" else \
@@ -113,9 +111,15 @@ def bloom_dedup_ingest_stream(stream_df: DataFrame, corpus: DataFrame,
     spark = corpus.sparkSession
 
     def landed(exclude_batch: int | None = None) -> DataFrame | None:
-        if not os.path.exists(out_path):
+        # probe through Spark's FS layer (out_path may be s3://... or
+        # hdfs://..., where a driver-local os.path check is always
+        # False and previously-landed keys would silently be forgotten)
+        from pyspark.errors import AnalysisException
+        try:
+            df = spark.read.parquet(out_path)
+            df.head(1)
+        except AnalysisException:       # path absent yet (first batch)
             return None
-        df = spark.read.parquet(out_path)
         if exclude_batch is not None:
             df = df.filter(F.col(BATCH_COL) != exclude_batch)
         return df
