@@ -69,6 +69,7 @@ def main() -> None:
         "media_audio_features", "text_html", "media_scenes",
         "pql_nested", "pql_semi", "pql_outer", "dedup_semantic_md5",
         "cluster_embed_md5", "quality_classify_md5", "media_probe_meta",
+        "embed_quantize", "ann_int8",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers, and spin up the Python worker

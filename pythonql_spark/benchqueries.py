@@ -1853,6 +1853,35 @@ def ann_topk(spark, sf):
     return brute_topk(emb, query_ids=list(range(10)), k=5)
 
 
+@q("embed_quantize", None)  # oracle attached below (generated SQL)
+def embed_quantize(spark, sf):
+    """Symmetric per-vector int8 quantization (the FAISS-SQ8 memory
+    lever: 4× vs float32): per-vector scale + every code pinned via
+    md5 of the comma-joined array.  At dim 64 this exercises the
+    production Arrow path — quantization is elementwise IEEE double
+    arithmetic, so the vectorized pass and the DuckDB expression
+    chain produce identical bits."""
+    from pythonql_spark.operators.quantize import quantize_embeddings
+    emb = load_table(spark, sf, "embeddings")
+    qz = quantize_embeddings(emb, dim=64)
+    return qz.selectExpr(
+        "vec_id", "label",
+        "cast(round(qscale, 6) as double) as qscale",
+        "md5(array_join(transform(q8, x -> cast(x as string)), ','))"
+        " as q8_md5")
+
+
+@q("ann_int8", None)  # oracle attached below (generated SQL)
+def ann_int8(spark, sf):
+    """Quantized brute-force ANN: top-5 cosine over int8 CODES
+    (symmetric per-vector scaling cancels in cosine, so the ranking
+    needs only exact integer dot products — engine-portable).  Same
+    broadcast-probe + WindowGroupLimit shape as ann_topk."""
+    from pythonql_spark.operators.quantize import int8_topk
+    emb = load_table(spark, sf, "embeddings")
+    return int8_topk(emb, query_ids=list(range(10)), k=5, dim=64)
+
+
 @q("knn_join", None)
 def knn_join_q(spark, sf):
     """Table-vs-table exact k-NN: probe set (every 97th vector) against
@@ -4452,6 +4481,10 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc(
     from pythonql_spark.operators.text import remove_boilerplate_oracle_sql
     from pythonql_spark.operators.projection import jl_project_oracle_sql
     ORACLE["embed_project"] = jl_project_oracle_sql(64, 8)
+    from pythonql_spark.operators.quantize import (int8_topk_oracle_sql,
+                                                   quantize_oracle_sql)
+    ORACLE["embed_quantize"] = quantize_oracle_sql(64)
+    ORACLE["ann_int8"] = int8_topk_oracle_sql(64, list(range(10)), 5)
     from pythonql_spark.operators.dedup import simhash_pairs_oracle_sql
     ORACLE["dedup_simhash"] = simhash_pairs_oracle_sql(max_hamming=3)
     from pythonql_spark.operators.dedup import minhash_pairs_oracle_sql

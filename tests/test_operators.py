@@ -2445,3 +2445,46 @@ def test_fuzzy_choose_q_guardrail(spark):
     got = {(r.id_a, r.id_b) for r in
            fuzzy_pairs(both, "key", 1, id_col="doc_id").collect()}
     assert {(i, i + 1000) for i in range(500)} <= got
+
+
+# ---------------------------------------------------------------- int8
+
+def test_quantize_codes_bounded(vecs):
+    from pythonql_spark.operators.quantize import quantize_embeddings
+    for r in quantize_embeddings(vecs, dim=8).collect():
+        # the max-|x| element maps to ±127; everything stays in range
+        assert max(abs(c) for c in r.q8) == 127
+        assert all(-127 <= c <= 127 for c in r.q8)
+        # dequantization error bounded by half a quantization step
+        for orig, c in zip(r.embedding, r.q8):
+            assert abs(c * r.qscale - orig) <= r.qscale / 2 + 1e-9
+
+
+def test_quantize_codegen_vs_arrow_parity(vecs):
+    # the unrolled-SQL path (dim <= limit) and the Arrow numpy path
+    # run the same elementwise IEEE double chain -> identical bits,
+    # including the qscale doubles (this is what makes the dim-64
+    # production path full-oracle-able)
+    from pythonql_spark.operators import quantize as QZ
+    def snap():
+        return {r.vec_id: (list(r.q8), r.qscale)
+                for r in QZ.quantize_embeddings(vecs, dim=8).collect()}
+    a = snap()
+    old = QZ.CODEGEN_DIM_LIMIT
+    QZ.CODEGEN_DIM_LIMIT = 0          # force the Arrow path at dim 8
+    try:
+        b = snap()
+    finally:
+        QZ.CODEGEN_DIM_LIMIT = old
+    assert a == b
+
+
+def test_int8_topk_matches_float_ranking(vecs):
+    from pythonql_spark.operators.quantize import int8_topk
+    exact = {r.n_id for r in brute_topk(vecs, [0], k=3).collect()}
+    rows = sorted(int8_topk(vecs, [0], k=3).collect(),
+                  key=lambda r: r.rank)
+    assert [r.rank for r in rows] == [1, 2, 3]
+    assert rows[0].n_id == 1 and rows[0].cosine > 0.99   # planted dup
+    # int8 recall vs exact float cosine on well-separated vectors
+    assert len(exact & {r.n_id for r in rows}) >= 2
