@@ -365,3 +365,32 @@ def test_ahash_pairs_complete_vs_bruteforce(spark, hashes, t):
             for (i, a), (j, b) in itertools.combinations(
                 enumerate(hashes), 2) if ham(a, b) <= t}
     assert got == want
+
+
+@given(vec=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                              allow_nan=False, allow_infinity=False,
+                              width=32),
+                    min_size=1, max_size=96))
+@settings(max_examples=80, deadline=None)
+def test_int8_quantize_matches_pure_python(vec):
+    """_np_codes (the Arrow production path) must equal a plain-Python
+    replay of the documented formula floor(x / (max|x|/127) + 0.5) for
+    ANY finite float32 vector — including all-zero, all-negative and
+    magnitude-extreme inputs."""
+    import math
+
+    import numpy as np
+
+    from pythonql_spark.operators.quantize import _np_codes
+
+    C, sc = _np_codes(np.array([vec], dtype=np.float32))
+    mx = max(abs(float(np.float32(x))) for x in vec)
+    scale = mx / 127.0
+    assert sc[0] == scale
+    for got, x in zip(C[0], vec):
+        x64 = float(np.float32(x))
+        exp = 0 if scale == 0.0 else math.floor(x64 / scale + 0.5)
+        assert got == exp
+        assert -127 <= got <= 127 or abs(got) == 127
+        if scale:    # dequantization error within half a step
+            assert abs(got * scale - x64) <= scale / 2 * (1 + 1e-12)
