@@ -120,23 +120,47 @@ def _int_norm2(codes_col: str):
     return n2(F.col(codes_col))
 
 
+def quantize_index(df: DataFrame, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   dim: int | None = None) -> DataFrame:
+    """The stored int8 index rows: (id, codes, exact ∫norm²) — what a
+    persisted or incrementally-maintained index lands on disk; the
+    raw float vectors never need to."""
+    qz = quantize_embeddings(df, vec_col=vec_col, dim=dim)
+    return qz.select(F.col(id_col), F.col("q8"),
+                     _int_norm2("q8").alias("n2"))
+
+
 def int8_topk(df: DataFrame, query_ids, k: int = 5,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              dim: int | None = None) -> DataFrame:
+              dim: int | None = None,
+              encoded: DataFrame | None = None) -> DataFrame:
     """Exact top-k cosine over int8 codes: quantize once, broadcast
     the query rows, integer dot per pair (Arrow int64 einsum — exact),
     per-query top-k via WindowGroupLimit.  Column shape matches
-    ``brute_topk`` (q_id, n_id, cosine, rank)."""
+    ``brute_topk`` (q_id, n_id, cosine, rank).
+
+    Pass ``encoded`` (a :func:`quantize_index` frame, e.g. read back
+    from :func:`~pythonql_spark.streaming.ingest.int8_index_ingest_
+    stream`'s sink) to search a pre-built index: only the query rows
+    are quantized, the corpus side scans codes — the encode-once /
+    search-many deployment shape."""
     from pyspark.sql.functions import pandas_udf
 
-    qz = quantize_embeddings(df, vec_col=vec_col, dim=dim)
-    base = qz.select(F.col(id_col).alias("n_id"),
-                     F.col("q8").alias("c_vec"),
-                     _int_norm2("q8").alias("c_n2"))
+    if encoded is not None:
+        base = encoded.select(F.col(id_col).alias("n_id"),
+                              F.col("q8").alias("c_vec"),
+                              F.col("n2").alias("c_n2"))
+    else:
+        base = quantize_index(df, id_col=id_col, vec_col=vec_col,
+                              dim=dim).select(
+            F.col(id_col).alias("n_id"), F.col("q8").alias("c_vec"),
+            F.col("n2").alias("c_n2"))
     qs = F.broadcast(
-        base.filter(F.col("n_id").isin(list(query_ids)))
-        .select(F.col("n_id").alias("q_id"), F.col("c_vec").alias("q_vec"),
-                F.col("c_n2").alias("q_n2")))
+        quantize_index(df.filter(F.col(id_col).isin(list(query_ids))),
+                       id_col=id_col, vec_col=vec_col, dim=dim)
+        .select(F.col(id_col).alias("q_id"), F.col("q8").alias("q_vec"),
+                F.col("n2").alias("q_n2")))
 
     @pandas_udf("double")
     def icos(a: pd.Series, b: pd.Series, na2: pd.Series,

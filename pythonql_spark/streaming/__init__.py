@@ -17,6 +17,8 @@ __all__ = ["dedup_stream", "session_agg", "sliding_agg", "tumbling_agg",
 from pythonql_spark.streaming.ingest import (bloom_dedup_ingest_stream,
                                              dedup_ingest_stream,
                                              drift_monitor_stream,
+                                             int8_index_ingest_stream,
                                              pq_index_ingest_stream)
 __all__ += ["bloom_dedup_ingest_stream", "dedup_ingest_stream",
-            "drift_monitor_stream", "pq_index_ingest_stream"]
+            "drift_monitor_stream", "pq_index_ingest_stream",
+            "int8_index_ingest_stream"]

@@ -234,6 +234,46 @@ def pq_index_ingest_stream(stream_df: DataFrame, codebook,
     return writer.start()
 
 
+def int8_index_ingest_stream(stream_df: DataFrame,
+                             out_path: str, checkpoint: str, *,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             dim: int | None = None,
+                             trigger_available_now: bool = True
+                             ) -> StreamingQuery:
+    """Streaming int8 (SQ8) ANN index maintenance — the zero-state
+    sibling of :func:`pq_index_ingest_stream`: symmetric per-vector
+    scalar quantization depends on NOTHING trained, so the maintained
+    index never needs a rebuild decision at all (no codebook, no
+    drift).  Each micro-batch quantizes in one Arrow pass and lands
+    (id, codes, exact ∫norm²) as its own partition — 4× smaller than
+    the float32 vectors, and the norms are precomputed so search
+    never touches raw vectors.  Replayed batches overwrite their own
+    partition (exactly-once output).
+
+    Search: ``int8_topk(queries_df, ...,
+    encoded=spark.read.parquet(out_path))``.
+    """
+    from pythonql_spark.operators.quantize import quantize_index
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():      # dim inference needs a row
+            return
+        (quantize_index(batch_df, id_col=id_col, vec_col=vec_col,
+                        dim=dim)
+         .withColumn(BATCH_COL, F.lit(batch_id))
+         .write.mode("overwrite")
+         .partitionBy(BATCH_COL)
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(out_path))
+
+    writer = (stream_df.writeStream.foreachBatch(_apply)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def drift_monitor_stream(stream_df: DataFrame, reference: DataFrame,
                          col: str, lo: float, hi: float, nbins: int,
                          out_path: str, checkpoint: str, *,

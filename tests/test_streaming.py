@@ -740,3 +740,45 @@ def test_quality_monitor_stream_flags_bad_batch(spark, tables, tmp_path):
     stream2 = spark.readStream.schema(good.schema).parquet(src)
     run_to_completion(quality_monitor_stream(stream2, checks, out, ck))
     assert spark.read.parquet(out).count() == 2
+
+
+def test_int8_index_ingest_stream_parity_and_replay(spark, tables, tmp_path):
+    """Streaming int8 index maintenance: streamed codes+norms are
+    byte-equal to a batch quantize_index (scalar quantization has no
+    trained state, so parity is unconditional), a replayed batch is
+    idempotent, and search over the incrementally-built index equals
+    a direct int8_topk over the same rows."""
+    import shutil
+
+    from pythonql_spark.operators.quantize import int8_topk, quantize_index
+    from pythonql_spark.streaming import (int8_index_ingest_stream,
+                                          run_to_completion)
+
+    emb = tables["embeddings"]
+    corpus = emb.filter("vec_id < 350").cache()
+    arriving = emb.filter("vec_id >= 350")
+
+    src, out, ck = (str(tmp_path / d) for d in ("in", "idx", "ck"))
+    arriving.write.parquet(src)
+    stream = spark.readStream.schema(arriving.schema).parquet(src)
+    run_to_completion(int8_index_ingest_stream(stream, out, ck))
+
+    streamed = {r.vec_id: (tuple(r.q8), r.n2)
+                for r in spark.read.parquet(out).collect()}
+    batch = {r.vec_id: (tuple(r.q8), r.n2)
+             for r in quantize_index(arriving).collect()}
+    assert streamed == batch                    # bit-equal codes+norms
+
+    # replay from a fresh checkpoint: partition overwritten, not doubled
+    shutil.rmtree(ck)
+    stream2 = spark.readStream.schema(arriving.schema).parquet(src)
+    run_to_completion(int8_index_ingest_stream(stream2, out, ck))
+    assert spark.read.parquet(out).count() == len(batch)
+
+    # search: corpus index ∪ streamed index == direct quantized search
+    full = corpus.union(arriving)
+    inc_index = quantize_index(corpus).unionByName(
+        spark.read.parquet(out).select("vec_id", "q8", "n2"))
+    got = int8_topk(full, [1, 2, 3], k=5, encoded=inc_index).collect()
+    want = int8_topk(full, [1, 2, 3], k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
