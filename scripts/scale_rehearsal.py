@@ -156,21 +156,30 @@ def main() -> None:
               f"{sz / 2**20:,.0f} MB on disk, built in "
               f"{time.perf_counter() - t0:.1f}s", flush=True)
 
+        import os
+        only = os.environ.get("REHEARSAL_OPS", "").split(",")
+        pipelines = [
+            ("training", f"training_pipeline_x{reps}",
+             lambda: training_pipeline(spark, str(d)), "out_train", 12),
+            # md5 = the oracle-portable mirror; minhash = the xxhash64
+            # PRODUCTION path (longs in every shuffle)
+            ("dedup_md5", f"dedup_corpus_md5_x{reps}",
+             lambda: dedup_corpus_md5(spark, str(d)), "out_dedup", 20),
+            ("dedup_prod", f"dedup_corpus_minhash_x{reps}",
+             lambda: dedup_corpus_minhash(spark, str(d)),
+             "out_dedup", 20),
+        ]
         before = stage_totals(spark)
-        before = run_gated(
-            spark, f"training_pipeline_x{reps}",
-            lambda: training_pipeline(spark, str(d)),
-            str(d / "out_train"), max_exchanges=12, before=before)
-        before = run_gated(
-            spark, f"dedup_corpus_md5_x{reps}",
-            lambda: dedup_corpus_md5(spark, str(d)),
-            str(d / "out_dedup"), max_exchanges=20, before=before)
-        # the xxhash64 PRODUCTION path (longs in every shuffle; the
-        # md5 variant above is the oracle-portable mirror)
-        before = run_gated(
-            spark, f"dedup_corpus_minhash_x{reps}",
-            lambda: dedup_corpus_minhash(spark, str(d)),
-            str(d / "out_dedup_prod"), max_exchanges=20, before=before)
+        ran_dedup = False
+        for tag, name, build, sink, mx in pipelines:
+            if only != [""] and tag not in only:
+                continue
+            before = run_gated(spark, name, build, str(d / sink),
+                               max_exchanges=mx, before=before)
+            ran_dedup = ran_dedup or tag.startswith("dedup")
+        if not ran_dedup:
+            shutil.rmtree(d, ignore_errors=True)
+            continue
 
         # planted-structure invariant: each base doc's near-dup
         # cluster {rep 0} ∪ {rep % MOD == 1} must collapse to ONE
