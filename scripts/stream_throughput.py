@@ -29,7 +29,7 @@ SCRATCH = Path("/root/repo/.scratch/stream_tp")
 
 
 def main() -> None:
-    from scripts.scale_experiment import replicate_docs
+    from scripts.scale_experiment import replicate_docs, replicate_embs
 
     spark = get_spark("stream-tp")
     spark.sparkContext.setLogLevel("ERROR")
@@ -38,6 +38,7 @@ def main() -> None:
     from pythonql_spark.streaming import run_to_completion
     from pythonql_spark.streaming.ingest import (dedup_ingest_stream,
                                                  drift_monitor_stream,
+                                                 int8_index_ingest_stream,
                                                  quality_monitor_stream,
                                                  sample_maintain_stream)
 
@@ -92,6 +93,22 @@ def main() -> None:
             print(f"{name:14s} x{n:<3d} rows={n_rows:>8,d}  "
                   f"{dt:7.2f}s  {dt / n:6.2f}s/unit  "
                   f"{n_rows / dt:>9,.0f} rows/s", flush=True)
+
+        # int8 index maintenance streams EMBEDDINGS, not documents
+        eraw, esrc = str(d / "eraw"), str(d / "ein")
+        replicate_embs(spark, n, eraw)
+        spark.read.parquet(eraw).repartition(4 * n).write.parquet(esrc)
+        earr = spark.read.parquet(esrc)
+        e_rows = earr.count()
+        estream = (spark.readStream.schema(earr.schema)
+                   .option("maxFilesPerTrigger", 4).parquet(esrc))
+        t0 = time.perf_counter()
+        run_to_completion(int8_index_ingest_stream(
+            estream, str(d / "out_i8"), str(d / "ck_i8"), dim=64))
+        dt = time.perf_counter() - t0
+        print(f"{'int8_index':14s} x{n:<3d} rows={e_rows:>8,d}  "
+              f"{dt:7.2f}s  {dt / n:6.2f}s/unit  "
+              f"{e_rows / dt:>9,.0f} rows/s", flush=True)
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
 
