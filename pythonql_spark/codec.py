@@ -45,8 +45,8 @@ from encodings import utf_8
 
 from pythonql_spark import expr as X
 
-_IMPORT = ("from pythonql_spark.codec import __pql_list__ "
-           "as __pql_list__\n")
+_IMPORT = ("from pythonql_spark.codec import (__pql_list__, "
+           "__pql_child__, __pql_desc__)\n")
 
 
 def _mask(src: str) -> str:
@@ -82,21 +82,30 @@ def _mask(src: str) -> str:
 
 
 def _is_query_span(masked: str, s: int, t: int) -> bool:
-    """Bracket content is a query iff it starts with ``select`` + a
-    clause keyword later, or (select-less shorthand, reference
-    parser/Preprocessor.py rewrites ANY comprehension-shaped bracket)
-    contains a top-level ``for NAME in``."""
+    """Bracket content is a query iff it contains a top-level
+    ``for NAME in`` (comprehension shape — reference parser/
+    Preprocessor.py rewrites ANY such bracket, select-less shorthand
+    included), or it starts with ``select`` and has a top-level
+    ``match`` clause (match queries scan via ``as NAME in`` and have
+    no ``for`` — reference tests/match_clause_test.py)."""
     content = masked[s + 1:t - 1]
+    head_is_select = bool(re.match(r"\s*select\b", content))
     depth = 0
-    for m in re.finditer(r"[()\[\]{}]|\bfor\s+[A-Za-z_]\w*\s+in\b",
-                         content):
+    for m in re.finditer(r"[()\[\]{}]|\bfor\s+[A-Za-z_]\w*\s+in\b"
+                         r"|\bfor\s+(?:sliding|tumbling)\s+window\b"
+                         r"|\bmatch\b", content):
         tok = m.group(0)
         if tok in "([{":
             depth += 1
         elif tok in ")]}":
             depth -= 1
         elif depth == 0:
-            return True          # top-level `for NAME in`
+            if tok == "match":
+                if head_is_select:
+                    return True
+            else:
+                # top-level `for NAME in` / `for sliding|tumbling window`
+                return True
     return False
 
 
@@ -135,7 +144,17 @@ def transform_source(src: str) -> str:
         out = (out[:s]
                + f"__pql_list__({body!r}, "
                f"locals(), globals())" + out[t:])
-    return _IMPORT + out if spans else out
+    # bare path steps OUTSIDE query brackets (the reference
+    # preprocessor rewrites `./` / `.//` anywhere in the file) —
+    # query bodies are repr'd string literals by now, so the masked
+    # rewrite cannot touch them; pql() handles steps inside queries
+    from pythonql_spark.pql import _rewrite_path_steps
+    rewritten = _rewrite_path_steps(out, child="__pql_child__",
+                                    desc="__pql_desc__",
+                                    seq_variants=False)
+    changed = rewritten != out
+    out = rewritten
+    return _IMPORT + out if (spans or changed) else out
 
 
 def __pql_list__(text: str, loc: dict, glob: dict) -> list:
@@ -153,8 +172,38 @@ def __pql_list__(text: str, loc: dict, glob: dict) -> list:
         rows = sorted(rows, key=lambda r: tuple(
             (v is None, v) for v in r))
     if len(df.columns) == 1:
-        return [r[0] for r in rows]
+        vals = [r[0] for r in rows]
+        if re.search(r"\bmatch\b", X.strip_strings(text)):
+            # a match bind selects the matched ELEMENT; the engine
+            # carries it as a JSON string — hand the caller the dict
+            # the reference returns (tests do res[0]['age'])
+            import json as _json
+
+            def _maybe(v):
+                if isinstance(v, str) and v[:1] in "{[":
+                    try:
+                        return _json.loads(v)
+                    except ValueError:
+                        return v
+                return v
+            vals = [_maybe(v) for v in vals]
+        return vals
     return rows
+
+
+def __pql_child__(v, key):
+    """Driver-local child step for BARE path expressions outside
+    query brackets (reference preprocessor rewrites `./` anywhere in
+    a pythonql-coded file; tutorial q8 asserts on `db./'region'`).
+    Chained steps need no _seq variant here: the walker flattens list
+    inputs, which IS the reference's step-over-a-sequence rule."""
+    from pythonql_spark.functions.path import _child
+    return _child(v, None if key == "_" else key)
+
+
+def __pql_desc__(v, key):
+    from pythonql_spark.functions.path import _desc
+    return _desc(v, None if key == "_" else key)
 
 
 def _decode(input, errors="strict"):

@@ -175,7 +175,9 @@ def _is_float_dot(masked: str, pos: int) -> bool:
                                        or masked[j - 1] == "_"))
 
 
-def _rewrite_path_steps(e: str) -> str:
+def _rewrite_path_steps(e: str, *, child: str = "pql_child",
+                        desc: str = "pql_desc",
+                        seq_variants: bool = True) -> str:
     """Reference path steps (Grammar.md: ``expr := old_expr
     (path_step)*``; ``path_step := './' old_expr | './/' old_expr``)
     → SQL calls on the registered step UDFs:
@@ -245,8 +247,10 @@ def _rewrite_path_steps(e: str) -> str:
                 raise ValueError(f"bad path-step key near: {e[k:k+30]!r}")
             k += mk.end()
             key = e[key_start:k]
-        fn = "pql_desc" if m.group(0) == ".//" else "pql_child"
-        if re.match(r"pql_(child|desc)(_seq)?\(", left):
+        fn = desc if m.group(0) == ".//" else child
+        if seq_variants and re.match(
+                rf"(?:{re.escape(child)}|{re.escape(desc)})(?:_seq)?\(",
+                left):
             fn += "_seq"          # previous step's output is an array
         e = e[:start_left] + f"{fn}({left}, {key})" + e[k:]
 
@@ -715,12 +719,24 @@ def _as_df(spark: SparkSession, val: Any, var: str,
             return df, False
         if isinstance(first, (list, tuple)):
             return spark.createDataFrame(list(val)), False
+        vals = list(val)
         t = _sql_type(first)
+        types = {type(v) for v in vals if v is not None}
+        if len(types) > 1 or any(isinstance(v, (list, tuple, dict))
+                                 for v in vals):
+            # heterogeneous driver-local sequence (reference tutorial
+            # q9: `[15, None, "34", "twenty", [12], …]`) — bind as
+            # strings; try/cast expressions recover the reference's
+            # dynamic-typing semantics (int('twenty') raises there,
+            # cast('twenty') is NULL here — both take the except arm)
+            vals = [None if v is None else str(v) for v in vals]
+            t = "string"
         if with_pos:
             return spark.createDataFrame(
-                [(i, v) for i, v in enumerate(val)],
+                [(i, v) for i, v in enumerate(vals)],
                 f"__pos bigint, {var} {t}"), True
-        return spark.createDataFrame([(v,) for v in val], f"{var} {t}"), True
+        return spark.createDataFrame([(v,) for v in vals],
+                                     f"{var} {t}"), True
     return None, False
 
 
@@ -1174,7 +1190,27 @@ def _window_clause(spark, q: Query, wm: re.Match, env) -> str:
         end_fn = _cond_fn(e_when, e_names)
 
     if src not in env:
-        raise ValueError(f"window source {src!r} not found in env")
+        # a parenthesized query expression as the window source
+        # (reference tutorial q13: `for sliding window x in (select
+        # (y,z) for …)`) — compile it recursively and bind the rows
+        # as a driver-local sequence; without an `order by` the
+        # sequence takes canonical (column-sorted) order, the same
+        # documented deviation as the codec
+        inner = src.strip()
+        if inner[:1] == "(" and inner[-1:] == ")":
+            inner = inner[1:-1].strip()
+        if re.match(r"select\b", inner) or \
+                _NQ_FOR_RE.search(X.strip_strings(inner)):
+            rows = pql(spark, inner, env=env).collect()
+            if not re.search(r"\border\s+by\b", X.strip_strings(inner),
+                             re.IGNORECASE):
+                rows = sorted(rows, key=lambda r: tuple(
+                    (v is None, v) for v in r))
+            env = {**env,
+                   src: [r.asDict() if len(r.__fields__) > 1 else r[0]
+                         for r in rows]}
+        else:
+            raise ValueError(f"window source {src!r} not found in env")
     from pythonql_spark.operators.window_clause import (fixed_windows,
                                                         predicate_windows)
     # count-based shape (`start … when True / end at e when e - s ==

@@ -626,3 +626,62 @@ def test_codec_body_with_both_quote_kinds(spark, tmp_path):
     finally:
         sys.path.remove(str(tmp_path))
     assert [(r.x, r.tag) for r in m.tags] == [(1, "d'q"), (2, 's"q')]
+
+
+def test_codec_runs_reference_match_file_verbatim(spark):
+    """The reference's OWN tests/match_clause_test.py (a `# coding:
+    pythonql` file: exact + partial match queries over nested dicts,
+    with its original asserts incl. dict subscripting on results)
+    runs UNMODIFIED under our codec — loaded from /root/reference at
+    runtime, nothing copied.  Exercises the match-clause span
+    detector (no `for` clause — `select z match {…} as z in people`)
+    and the match-bind JSON→dict result materialization."""
+    import os
+
+    import pytest as _pytest
+
+    from pythonql_spark.codec import transform_source
+
+    ref = "/root/reference/tests/match_clause_test.py"
+    if not os.path.exists(ref):
+        _pytest.skip("reference checkout not present")
+    with open(ref, encoding="utf-8") as f:
+        src = f.read()
+    g = {"__name__": "ref_match_verbatim"}
+    exec(compile(transform_source(src), ref, "exec"), g)
+    ran = 0
+    for name, fn in sorted(g.items()):
+        if name.endswith("_test") and callable(fn):
+            fn()                       # the reference's own asserts
+            ran += 1
+    assert ran >= 1
+
+
+def test_codec_runs_reference_tutorial_file_verbatim(spark):
+    """The reference's OWN tests/tutorial_tests.py — its complete
+    acceptance suite, q1–q13 with original asserts — runs UNMODIFIED
+    under our codec (loaded from /root/reference at runtime, nothing
+    copied).  Covers comprehension and select-less spans, nested
+    queries (q4/q10), bare path steps outside brackets (q8,
+    `db./'region'`), heterogeneous driver-local sequences + try-except
+    (q9), window clauses (q11/q12), and a parenthesized subquery as a
+    window source (q13)."""
+    import os
+
+    import pytest as _pytest
+
+    from pythonql_spark.codec import transform_source
+
+    ref = "/root/reference/tests/tutorial_tests.py"
+    if not os.path.exists(ref):
+        _pytest.skip("reference checkout not present")
+    with open(ref, encoding="utf-8") as f:
+        src = f.read()
+    g = {"__name__": "ref_tutorial_verbatim"}
+    exec(compile(transform_source(src), ref, "exec"), g)
+    ran = 0
+    for name, fn in sorted(g.items()):
+        if name.endswith("_test") and callable(fn):
+            fn()                       # the reference's own asserts
+            ran += 1
+    assert ran == 13
