@@ -718,6 +718,34 @@ def _as_df(spark: SparkSession, val: Any, var: str,
                 else spark.createDataFrame(list(val))
             return df, False
         if isinstance(first, (list, tuple)):
+            inner = first[0] if len(first) else None
+            if isinstance(inner, dict) or hasattr(inner, "_fields"):
+                # a sequence of event SEQUENCES with heterogeneous
+                # per-event shapes (reference cust_journey_data:
+                # journeys are tuples of different namedtuples) —
+                # unify via JSON schema inference into one
+                # array<struct> column, missing fields null, so
+                # nested queries (`[select e for e in cj where …]`)
+                # filter it as an array
+                import json as _json
+
+                def _norm(o):
+                    if hasattr(o, "_asdict"):
+                        o = o._asdict()
+                    if isinstance(o, dict):
+                        return {k: _norm(v) for k, v in o.items()}
+                    if isinstance(o, (list, tuple)):
+                        return [_norm(x) for x in o]
+                    return o
+
+                lines = [_json.dumps({var: [_norm(e) for e in j]})
+                         for j in val]
+                df = spark.read.json(
+                    spark.sparkContext.parallelize(lines, 1))
+                if with_pos:
+                    raise ValueError(
+                        "journey-shaped sources cannot order a window")
+                return df.select(var), True
             return spark.createDataFrame(list(val)), False
         vals = list(val)
         t = _sql_type(first)

@@ -191,3 +191,69 @@ def test_cust_journey_q2_balance_verbatim(spark, cust_journeys_df):
     assert res[0].n_customers == 3
     assert res[1].n_customers == 1
     assert [r.state for r in res] == ['CA', 'TX']
+
+
+def test_scenario_queries_verbatim_on_raw_reference_data(spark):
+    """The first two scenario queries from the reference's
+    cust_journey_scenario_tests.py run VERBATIM with the env bound to
+    the reference's RAW cust_journey_data structures — journeys as
+    tuples of heterogeneous namedtuples, loaded from /root/reference
+    at runtime (nothing copied).  Exercises the JSON-normalized
+    array<struct> binding in pql's _as_df (missing fields null) under
+    the nested-query / [-1]-subscript / deep-field-path idioms, with
+    the reference's own asserts."""
+    import os
+    import sys
+
+    import pytest as _pytest
+
+    from pythonql_spark.pql import pql
+
+    ref = "/root/reference/tests"
+    if not os.path.exists(os.path.join(ref, "cust_journey_data.py")):
+        _pytest.skip("reference checkout not present")
+    sys.path.insert(0, ref)
+    try:
+        from cust_journey_data import cust_journeys
+    finally:
+        sys.path.remove(ref)
+
+    res = pql(spark, """
+     select (state,
+            len(last_issued) as custs_with_loans,
+            sum(default)/float(len(last_issued)) as default_rate )
+     for cj in cust_journeys
+     let new = [select e
+                for e in cj
+                where e.event_name=='open'][0],
+         issued = [select e
+                         for e in cj
+                         where e.event_name=='loan_issued']
+     where issued != []
+     let last_issued = issued[-1],
+          paid = [select e
+                  for e in cj
+                  where e.event_name=='loan_paid'
+                       and e.loan_id==last_issued.loan_id] != [],
+          default = 1 if not paid else 0
+     group by new.client_data.address.state as state
+     order by state
+    """, env={"cust_journeys": cust_journeys}).collect()
+    assert res[0].state == 'CA' and res[1].state == 'TX'
+    assert res[0].custs_with_loans == 3 and res[1].custs_with_loans == 2
+
+    res = pql(spark, """
+     select (state, len(balance) as n_customers)
+     for cj in cust_journeys
+     let new = [select e for e in cj where e.event_name=='open'][0],
+         withdrawals = [select e.amount for e in cj
+                        where e.event_name=='withdraw'],
+         deposits = [select e.amount for e in cj
+                     where e.event_name=='deposit']
+     let balance = sum(deposits) - sum(withdrawals)
+     where balance > 300
+     group by new.client_data.address.state as state
+     order by state
+    """, env={"cust_journeys": cust_journeys}).collect()
+    assert res[0].n_customers == 3
+    assert res[1].n_customers == 1
