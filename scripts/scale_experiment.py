@@ -268,6 +268,12 @@ def main() -> None:
             "ann_pq": lambda: pq_topk(
                 embs, query_ids=list(range(10)), k=5, m=16, nbits=8,
                 id_col="vec_id", vec_col="embedding").count(),
+            # int8 (SQ8) quantized brute ANN: one Arrow quantize pass
+            # + broadcast-probe integer-dot scoring — linear corpus scan
+            "ann_int8": lambda: __import__(
+                "pythonql_spark.operators.quantize",
+                fromlist=["int8_topk"]).int8_topk(
+                embs, query_ids=list(range(10)), k=5, dim=64).count(),
             # bitext mining, deployment shape: FIXED probe chunk
             # (mine per language-pair chunk at 100 TB — knn_join's
             # documented bounded-probe contract) against a corpus
