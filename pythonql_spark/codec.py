@@ -147,20 +147,52 @@ def transform_source(src: str) -> str:
     # bare path steps OUTSIDE query brackets (the reference
     # preprocessor rewrites `./` / `.//` anywhere in the file) —
     # query bodies are repr'd string literals by now, so the masked
-    # rewrite cannot touch them; pql() handles steps inside queries
+    # rewrite cannot touch them; pql() handles steps inside queries.
+    # _mask (not strip_strings) so `# ./a/path` comments never scan
+    # as steps; lenient=True so non-step `./` text is a no-op.
     from pythonql_spark.pql import _rewrite_path_steps
     rewritten = _rewrite_path_steps(out, child="__pql_child__",
                                     desc="__pql_desc__",
-                                    seq_variants=False)
+                                    seq_variants=False,
+                                    mask_fn=_mask, lenient=True)
     changed = rewritten != out
     out = rewritten
     return _IMPORT + out if (spans or changed) else out
 
 
+def _has_match_clause(text: str) -> bool:
+    """True iff the query text has a TOP-LEVEL ``match`` clause —
+    depth-aware like :func:`_is_query_span`, so ``re.match(...)`` in a
+    projection or a variable named ``match(`` never counts (ADVICE r8:
+    the old ``\\bmatch\\b`` grep json-decoded unrelated results)."""
+    masked = X.strip_strings(text)
+    depth = 0
+    for m in re.finditer(r"[()\[\]{}]|\bmatch\b", masked):
+        tok = m.group(0)
+        if tok in "([{":
+            depth += 1
+        elif tok in ")]}":
+            depth -= 1
+        elif depth == 0:
+            if m.start() > 0 and masked[m.start() - 1] == ".":
+                continue          # attribute access (re.match)
+            if masked[m.end():].lstrip().startswith("("):
+                continue          # a call named match, not the clause
+            return True
+    return False
+
+
 def __pql_list__(text: str, loc: dict, glob: dict) -> list:
     """Runtime for rewritten query expressions: compile via pql()
     against the caller's scope, materialize with the documented
-    ordering, unwrap single-column selects."""
+    ordering, unwrap single-column selects.
+
+    NOTE: codec-rewritten files are a FRONT-END CONVENIENCE mirroring
+    the reference's list-returning executor — the result is collected
+    to the driver because the reference returns Python lists and the
+    canonical-order sort needs the rows.  This is not a pipeline
+    surface: for real corpora use :func:`pythonql_spark.pql.pql` or
+    the DSL, both of which return DataFrames."""
     from pythonql_spark.pql import pql
     from pythonql_spark.session import get_spark
 
@@ -173,7 +205,7 @@ def __pql_list__(text: str, loc: dict, glob: dict) -> list:
             (v is None, v) for v in r))
     if len(df.columns) == 1:
         vals = [r[0] for r in rows]
-        if re.search(r"\bmatch\b", X.strip_strings(text)):
+        if _has_match_clause(text):
             # a match bind selects the matched ELEMENT; the engine
             # carries it as a JSON string — hand the caller the dict
             # the reference returns (tests do res[0]['age'])

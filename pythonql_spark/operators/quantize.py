@@ -42,10 +42,12 @@ def _el(vec_col: str, i: int, dialect: str) -> str:
 
 
 def q8_scale_expr(vec_col: str, dim: int, dialect: str = "spark") -> str:
-    """``max|x| / 127`` as a SQL string (both dialects)."""
-    mx = ", ".join(f"abs(cast({_el(vec_col, i, dialect)} as double))"
-                   for i in range(dim))
-    return f"(greatest({mx}) / {float(Q8_MAX)!r})"
+    """``max|x| / 127`` as a SQL string (both dialects).  dim == 1
+    skips greatest(): Spark requires ≥2 arguments (ADVICE r8)."""
+    terms = [f"abs(cast({_el(vec_col, i, dialect)} as double))"
+             for i in range(dim)]
+    mx = terms[0] if dim == 1 else f"greatest({', '.join(terms)})"
+    return f"({mx} / {float(Q8_MAX)!r})"
 
 
 def q8_code_exprs(vec_col: str, dim: int, scale: str,

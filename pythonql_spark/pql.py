@@ -36,9 +36,12 @@ from pythonql_spark.query import Query, _split_as
 # NB: clause-`if` (the reference's where synonym) must not swallow the
 # SQL function call `if(cond, a, b)` — the lookahead rejects `if(`.
 # (A bare Python ternary `x if c else y` still needs parentheses.)
+# Likewise `match(` is a CALL (re.match(p, v)), never the match
+# clause (whose pattern is dict-shaped), and a keyword preceded by
+# `.` is an attribute access (df.select), not a clause.
 _CLAUSE_RE = re.compile(
-    r"\b(select|for|let|where|if(?!\s*\()|count|group\s+by|order\s+by"
-    r"|match)\b",
+    r"(?<!\.)\b(select|for|let|where|if(?!\s*\()|count|group\s+by"
+    r"|order\s+by|match(?!\s*\())\b",
     re.IGNORECASE)
 
 
@@ -177,7 +180,8 @@ def _is_float_dot(masked: str, pos: int) -> bool:
 
 def _rewrite_path_steps(e: str, *, child: str = "pql_child",
                         desc: str = "pql_desc",
-                        seq_variants: bool = True) -> str:
+                        seq_variants: bool = True,
+                        mask_fn=None, lenient: bool = False) -> str:
     """Reference path steps (Grammar.md: ``expr := old_expr
     (path_step)*``; ``path_step := './' old_expr | './/' old_expr``)
     → SQL calls on the registered step UDFs:
@@ -190,11 +194,23 @@ def _rewrite_path_steps(e: str, *, child: str = "pql_child",
     the key is ``_`` (any-key wildcard, quoted through), a string
     literal, or an identifier chain.  Chained steps dispatch to the
     ``_seq`` variants, which walk the previous step's sequence
-    (reference Executor.py path semantics over list values)."""
+    (reference Executor.py path semantics over list values).
+
+    ``mask_fn`` defaults to string-literal masking (query-string
+    pass); the codec's whole-file pass supplies a mask that also
+    blanks ``#`` comments, so `# ./relative/path` never parses as a
+    step.  ``lenient=True`` (whole-file pass): whitespace scans stop
+    at newlines (a step never spans statements) and an unparseable
+    candidate is a no-op, not an error — the file may legally contain
+    `./` sequences that are not path steps at all."""
+    if mask_fn is None:
+        mask_fn = X.strip_strings
+    ws = " \t" if lenient else " \t\n"
+    scan_from = 0                 # skip candidates already rejected
     while True:
-        masked = X.strip_strings(e)
+        masked = mask_fn(e)
         m = None
-        for cand in _STEP_RE.finditer(masked):
+        for cand in _STEP_RE.finditer(masked, scan_from):
             if not _is_float_dot(masked, cand.start()):
                 m = cand
                 break
@@ -202,7 +218,7 @@ def _rewrite_path_steps(e: str, *, child: str = "pql_child",
             return e
         # ---- left operand: trailing primary ------------------------
         j = m.start()
-        while j > 0 and e[j - 1] in " \t\n":
+        while j > 0 and e[j - 1] in ws:
             j -= 1
         end_left = j
         while j > 0:
@@ -222,14 +238,18 @@ def _rewrite_path_steps(e: str, *, child: str = "pql_child",
         start_left = j
         left = e[start_left:end_left].strip()
         if not left:
+            if lenient:
+                scan_from = m.end()
+                continue
             raise ValueError(f"path step with no left operand: {e!r}")
         # ---- key operand (skip whitespace on e, not masked — masked
         # blanks string literals, which must stop the skip) ----------
         k = m.end()
-        while k < len(e) and e[k] in " \t\n":
+        while k < len(e) and e[k] in ws:
             k += 1
         key_start = k
-        if k < len(e) and e[k] in "'\"":
+        if k < len(e) and e[k] in "'\"" and masked[k] != e[k]:
+            # a real (masked) string literal, not a blanked comment char
             quote = e[k]
             k += 1
             while k < len(e) and e[k] != quote:
@@ -244,6 +264,9 @@ def _rewrite_path_steps(e: str, *, child: str = "pql_child",
         else:
             mk = re.match(r"[A-Za-z_]\w*(?:\.\w+)*", masked[k:])
             if not mk:
+                if lenient:
+                    scan_from = m.end()
+                    continue
                 raise ValueError(f"bad path-step key near: {e[k:k+30]!r}")
             k += mk.end()
             key = e[key_start:k]
@@ -752,13 +775,22 @@ def _as_df(spark: SparkSession, val: Any, var: str,
         types = {type(v) for v in vals if v is not None}
         if len(types) > 1 or any(isinstance(v, (list, tuple, dict))
                                  for v in vals):
-            # heterogeneous driver-local sequence (reference tutorial
-            # q9: `[15, None, "34", "twenty", [12], …]`) — bind as
-            # strings; try/cast expressions recover the reference's
-            # dynamic-typing semantics (int('twenty') raises there,
-            # cast('twenty') is NULL here — both take the except arm)
-            vals = [None if v is None else str(v) for v in vals]
-            t = "string"
+            if types <= {bool, int, float}:
+                # mixed NUMERIC sequence ([1, 2.5, 3], [True, 1]) —
+                # widen to double (bool→int), exactly the number the
+                # reference projects; string fallback would silently
+                # turn values into text (ADVICE r8)
+                vals = [None if v is None else float(v) for v in vals]
+                t = "double"
+            else:
+                # heterogeneous driver-local sequence (reference
+                # tutorial q9: `[15, None, "34", "twenty", [12], …]`)
+                # — bind as strings; try/cast expressions recover the
+                # reference's dynamic-typing semantics (int('twenty')
+                # raises there, cast('twenty') is NULL here — both
+                # take the except arm)
+                vals = [None if v is None else str(v) for v in vals]
+                t = "string"
         if with_pos:
             return spark.createDataFrame(
                 [(i, v) for i, v in enumerate(vals)],

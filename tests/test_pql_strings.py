@@ -685,3 +685,156 @@ def test_codec_runs_reference_tutorial_file_verbatim(spark):
             fn()                       # the reference's own asserts
             ran += 1
     assert ran == 13
+
+
+# ------------------------------------------------- r9 codec robustness
+# ADVICE r8 (high): the whole-file path-step pass must mask comments
+# and never merge statements across newlines; unparseable `./` text
+# outside query spans is a no-op, not an error.
+
+import pytest
+
+
+@pytest.mark.parametrize("src", [
+    "# ./relative/path\nx = 1\n",           # path-looking comment
+    "# cd ./\ny = 2\n",                      # comment ends in `./`
+    "#!/usr/bin/env python\n# see ./docs\nz = 3\n",
+    "a = 1\n# x ./ y inline note\nb = a\n",
+])
+def test_codec_comments_with_path_text_are_untouched(src):
+    from pythonql_spark.codec import transform_source
+    assert transform_source(src) == src
+
+
+def test_codec_comment_never_swallows_next_statement():
+    """`# cd ./` + `y = 2` on the next line: r8 deleted the
+    assignment from the emitted source (key scan crossed the
+    newline); now the file is byte-identical."""
+    from pythonql_spark.codec import transform_source
+    src = "# cd ./\ny = 2\nprint(y)\n"
+    out = transform_source(src)
+    assert out == src
+    g = {}
+    exec(compile(out, "<t>", "exec"), g)
+    assert g["y"] == 2
+
+
+def test_codec_real_step_next_to_comment():
+    from pythonql_spark.codec import transform_source
+    src = "z = db ./ 'region'  # docs at .//here\n"
+    out = transform_source(src)
+    assert "__pql_child__(db, 'region')" in out
+    assert "# docs at .//here" in out
+
+
+def test_codec_non_step_slash_dot_is_noop():
+    """`1 ./ 2` (float-dot) and other non-step text must not raise
+    in the lenient whole-file pass."""
+    from pythonql_spark.codec import transform_source
+    src = "w = 1 ./ 2\n"
+    assert transform_source(src) == src
+
+
+def test_has_match_clause_is_depth_and_call_aware():
+    """ADVICE r8 (low): `re.match(...)` / a call named match / a
+    bracketed `match` at depth>0 are NOT match clauses; a real
+    top-level match clause is."""
+    from pythonql_spark.codec import _has_match_clause
+    assert _has_match_clause(
+        'select z match {"name": as z} in people')
+    assert not _has_match_clause("select re.match(p, d) for d in db")
+    assert not _has_match_clause("select match(p, d) for d in db")
+    assert not _has_match_clause(
+        "select f([m for m in match_list]) for d in db")
+
+
+def test_codec_json_looking_strings_stay_strings(spark, tmp_path):
+    """Single-column string results that LOOK like JSON must come back
+    as STRINGS when the query has no top-level match clause (the r8
+    decoder grepped \\bmatch\\b over the text and json.loads'd them;
+    the decision is now _has_match_clause, unit-tested above for the
+    re.match / match(...) false-positive cases)."""
+    import importlib
+    import sys
+
+    import pythonql_spark.codec  # noqa: F401
+
+    mod = tmp_path / "pqlmod_r9_jsonstr.py"
+    mod.write_text(
+        "# coding: pythonql\n"
+        "data = ['{\"a\": 1}', '[2]', 'plain']\n"
+        "res = [ select v for v in data if v != '' ]\n",
+        encoding="utf-8")
+    sys.path.insert(0, str(tmp_path))
+    try:
+        m = importlib.import_module("pqlmod_r9_jsonstr")
+    finally:
+        sys.path.remove(str(tmp_path))
+    assert sorted(m.res) == ['[2]', 'plain', '{"a": 1}']
+    assert all(isinstance(v, str) for v in m.res)
+
+
+def test_mixed_numeric_sequence_binds_as_double(spark):
+    """ADVICE r8 (medium): [1, 2.5, 3] and [True, 1] are NUMBERS in
+    the reference — widen to double, never stringify."""
+    r = pql(spark, "select v for v in data order by v",
+            env={"data": [1, 2.5, 3]}).collect()
+    assert [x.v for x in r] == [1.0, 2.5, 3.0]
+    assert all(isinstance(x.v, float) for x in r)
+    r2 = pql(spark, "select v for v in data order by v",
+             env={"data": [True, 1, 2]}).collect()
+    assert [x.v for x in r2] == [1.0, 1.0, 2.0]
+    # truly heterogeneous still binds as strings (tutorial q9 path)
+    r3 = pql(spark, "select v for v in data",
+             env={"data": [15, "x", None]}).collect()
+    assert {x.v for x in r3} == {"15", "x", None}
+
+
+# ---------------------------------------- r9 codec quote-edge sweep
+# (r8 punch list #8: permanent adversarial cases so the next codec
+# change can't silently regress the repr()-splicing scheme)
+
+def _run_codec_module(tmp_path, name, src):
+    import importlib
+    import sys
+
+    import pythonql_spark.codec  # noqa: F401
+
+    (tmp_path / f"{name}.py").write_text(src, encoding="utf-8")
+    sys.path.insert(0, str(tmp_path))
+    try:
+        return importlib.import_module(name)
+    finally:
+        sys.path.remove(str(tmp_path))
+
+
+def test_codec_body_ending_in_quote(spark, tmp_path):
+    m = _run_codec_module(tmp_path, "pqlmod_r9_q1",
+        "# coding: pythonql\n"
+        "res = [ select (x, 'end' as tag)\n"
+        "        for x in range(1, 3) if x > 1 and 'k' == 'k' ]\n")
+    assert [(r.x, r.tag) for r in m.res] == [(2, "end")]
+
+
+def test_codec_mixed_triple_quote_blocks(spark, tmp_path):
+    """''' and \"\"\" strings around and between query spans must not
+    desync the mask."""
+    m = _run_codec_module(tmp_path, "pqlmod_r9_q2",
+        '# coding: pythonql\n'
+        'doc1 = """has [ select fake for fake in nothing ] inside"""\n'
+        "doc2 = '''also [ x for x in fake ] here'''\n"
+        "res = [ select v for v in range(3) if v > 0 ]\n")
+    assert "[ select fake" in m.doc1
+    assert "[ x for x in fake ]" in m.doc2
+    assert m.res == [1, 2]
+
+
+def test_codec_subscript_select_not_a_query(spark, tmp_path):
+    """x[select] — a subscript whose index is a variable named
+    select — is a primary subscript, not a query span."""
+    m = _run_codec_module(tmp_path, "pqlmod_r9_q3",
+        "# coding: pythonql\n"
+        "select = 1\n"
+        "x = [10, 20, 30]\n"
+        "y = x[select]\n")
+    assert m.y == 20
