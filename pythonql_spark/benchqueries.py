@@ -619,6 +619,74 @@ def pql_outer(spark, sf):
     """, env=env)
 
 
+@q("pql_burnrate", """
+WITH ev AS (
+  SELECT user_id,
+         ts + ((event_id % 7)::INT * INTERVAL 1 MONTH) AS ts,
+         cast(round(value * 100) as bigint) AS cents
+  FROM events WHERE day(ts) <= 28
+),
+bounds AS (
+  SELECT user_id, min(ts) AS fd, max(ts) AS ld FROM ev GROUP BY user_id
+),
+months AS (
+  SELECT b.user_id, ys.yr, ms.mo
+  FROM bounds b
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(year(b.fd),
+                                                    year(b.ld))) AS yr) ys
+  CROSS JOIN (SELECT unnest(generate_series(1, 12)) AS mo) ms
+  WHERE make_date(ys.yr, ms.mo, 1) <= b.ld::DATE
+    AND last_day(make_date(ys.yr, ms.mo, 1)) >= b.fd::DATE
+),
+sums AS (
+  SELECT m.user_id, m.yr, m.mo, coalesce(sum(e.cents), 0) AS msum
+  FROM months m LEFT JOIN ev e
+    ON e.user_id = m.user_id AND year(e.ts) = m.yr AND month(e.ts) = m.mo
+  GROUP BY 1, 2, 3
+)
+SELECT user_id, avg(msum) AS avg_burn
+FROM sums GROUP BY user_id
+""")
+def pql_burnrate(spark, sf):
+    """The reference's burn-rate query SHAPE (cust_journey_scenario_
+    tests.py:121-153 — per-entity monthly spend between first and
+    last event, then the mean over covered months) as a REAL
+    distributed query over the events table, compiled through the
+    pql() string front-end's r9 machinery: nested HOF query with LET
+    clauses and a two-variable range grid, per-month array-sum folds,
+    and an avg fold over the array-valued let var.  One shuffle
+    (collect_list per user); the month grid and all sums evaluate
+    inside the row — zero Python, zero extra shuffle, scale-safe
+    (per-user state is that user's events, never the corpus).  Exact
+    parity: amounts as integer cents, so every sum is order-free."""
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.pql import pql
+    ev = (load_table(spark, sf, "events")
+          .filter(F.dayofmonth("ts") <= 28)
+          .select("user_id",
+                  F.expr("timestampadd(MONTH, cast(event_id % 7 as int), ts)")
+                  .alias("ts"),
+                  F.expr("cast(round(value * 100) as bigint)")
+                  .alias("cents")))
+    j = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "cents"))).alias("cj"))
+    return pql(spark, """
+      select (u as user_id, avg(burn_rates) as avg_burn)
+      for r in journeys
+      let u = r.user_id, cj = r.cj
+      let first_date = cj[0].ts, last_date = cj[-1].ts
+      let burn_rates = [
+          select sum(ws)
+          for yr in range(year(first_date), year(last_date)+1),
+              mo in range(1,12+1)
+          where make_date(yr, mo, 1) <= to_date(last_date)
+            and last_day(make_date(yr, mo, 1)) >= to_date(first_date)
+          let ws = [select e.cents for e in cj
+                    where year(e.ts) == yr and month(e.ts) == mo] ]
+    """, env={"journeys": j})
+
+
 @q("match_exact", """
 SELECT event_id, json_extract_string(props, '$.k') AS k
 FROM events
@@ -4687,9 +4755,26 @@ _R7_CHECKED = [
     "tpch_q13", "tpch_q17", "tpch_q4", "tpch_q10", "tpch_q7", "tpch_q8",
     "tpch_q15", "tpch_q14",
 ]
+_R8_CHECKED = [
+    # all 50 keys in CORRECTNESS_r08 — every one hash-green
+    "analytic_window", "ann_int8", "ann_topk", "asof_forward",
+    "cluster_embed_md5", "cohort_retention", "corr_stats",
+    "dedup_corpus_cosine", "dedup_semantic_md5", "doc_keywords",
+    "doc_pipeline", "embed_quantize", "grouping_sets_stats",
+    "histogram_prices", "knn_join", "media_probe_meta", "neardup_cosine",
+    "pivot_status", "pql_match", "pql_nested", "pql_outer", "pql_semi",
+    "quality_classify_md5", "resample_ffill", "resample_hourly",
+    "rollup_incremental", "sample_exact_n", "sample_exact_stratified",
+    "sample_weighted", "search_bm25", "select_project", "set_ops",
+    "split_assign", "stream_interval", "stream_predicate",
+    "text_dup_lines", "text_gopher", "text_logprob", "text_top_ngram",
+    "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q19", "tpch_q2", "tpch_q20",
+    "tpch_q21", "tpch_q22", "tpch_q5", "training_pipeline",
+    "unpivot_metrics",
+]
 _DRIVER_CHECKED_ROUND: dict[str, int] = {}
 for _r, _keys in ((3, _R123_GREEN), (4, _R4_GREEN), (5, _R5_CHECKED),
-                  (6, _R6_CHECKED), (7, _R7_CHECKED)):
+                  (6, _R6_CHECKED), (7, _R7_CHECKED), (8, _R8_CHECKED)):
     for _k in _keys:
         _DRIVER_CHECKED_ROUND[_k] = _r
 

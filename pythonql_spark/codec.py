@@ -201,8 +201,13 @@ def __pql_list__(text: str, loc: dict, glob: dict) -> list:
     rows = df.collect()
     if not re.search(r"\border\s+by\b", X.strip_strings(text),
                      re.IGNORECASE):
-        rows = sorted(rows, key=lambda r: tuple(
-            (v is None, v) for v in r))
+        try:
+            rows = sorted(rows, key=lambda r: tuple(
+                (v is None, v) for v in r))
+        except TypeError:
+            pass   # non-orderable values (e.g. whole-journey arrays
+            # with null-padded structs): keep engine order — the
+            # canonical ordering is best-effort for such results
     if len(df.columns) == 1:
         vals = [r[0] for r in rows]
         if _has_match_clause(text):

@@ -278,6 +278,267 @@ def _rewrite_path_steps(e: str, *, child: str = "pql_child",
         e = e[:start_left] + f"{fn}({left}, {key})" + e[k:]
 
 
+# --------------------------------------------------- compile context
+#
+# Per-compilation state threaded through the expression rewriters
+# (set/restored by pql(); single-threaded compilation).  Carries:
+#   env_fns : recognized driver-scope callables → SQL translations
+#             (dateutil parse → to_timestamp, datetime.date →
+#             make_date, calendar.monthrange(y,m)[1] → day(last_day),
+#             numpy mean → array fold) — the reference evals these in
+#             Python per row (Executor.py eval); we compile the KNOWN
+#             pure date/stat functions to Catalyst expressions and
+#             raise for anything else, keeping the hot path JVM-side
+#   seq_vars: array-valued let/window vars (truthiness = size > 0,
+#             sum()/len() fold the array)
+#   opt_vars: struct vars bound via next((query), default)
+#             (truthiness = IS NOT NULL)
+#   ts_vars : let vars known timestamp-typed (date-part attribute
+#             access `v.year` compiles to year(v))
+
+_PQL_CTX: dict = {"env_fns": {}, "seq_vars": set(),
+                  "opt_vars": set(), "ts_vars": set()}
+
+
+def _detect_env_fns(env: dict) -> dict[str, str]:
+    """Names in the caller's scope that bind KNOWN pure callables the
+    scenario queries use (reference tests/cust_journey_scenario_tests
+    .py:63-153: parse/date/monthrange/np.mean inside query text)."""
+    import calendar
+    import datetime as _dt
+
+    fns: dict[str, str] = {}
+    for name, v in env.items():
+        if v is _dt.date:
+            fns[name] = "date"
+        elif v is calendar.monthrange:
+            fns[name] = "monthrange"
+        elif (callable(v) and getattr(v, "__name__", "") == "parse"
+              and "dateutil" in (getattr(v, "__module__", "") or "")):
+            fns[name] = "parse"
+        elif getattr(v, "__name__", "") == "numpy":
+            fns[name + ".mean"] = "mean"
+    return fns
+
+
+def _rewrite_env_calls(e: str) -> str:
+    """Rewrite calls to recognized env callables into SQL (see
+    _PQL_CTX.env_fns).  Head-renames keep the balanced args."""
+    fns = _PQL_CTX["env_fns"]
+    if not fns:
+        return e
+    for head in sorted(fns, key=len, reverse=True):
+        kind = fns[head]
+        pat = re.compile(r"(?<![\w.])" + re.escape(head) + r"\s*\(")
+        while True:
+            masked = X.strip_strings(e)
+            m = pat.search(masked)
+            if not m:
+                break
+            depth, i = 1, m.end()
+            while i < len(masked) and depth:
+                depth += masked[i] == "("
+                depth -= masked[i] == ")"
+                i += 1
+            inner = e[m.end():i - 1]
+            if kind == "parse":
+                rep = f"to_timestamp({inner})"
+            elif kind == "date":
+                rep = f"make_date({inner})"
+            elif kind == "mean":
+                rep = (f"(aggregate(({inner}), cast(0 as double), "
+                       f"(acc, x) -> acc + x) / size(({inner})))")
+            elif kind == "monthrange":
+                rest = e[i:]
+                stripped = rest.lstrip()
+                if not stripped.startswith("[1]"):
+                    raise ValueError(
+                        "monthrange is supported only as "
+                        "monthrange(y, m)[1] (days in month)")
+                args = _split_top(inner)
+                if len(args) != 2:
+                    raise ValueError(f"monthrange needs 2 args: {inner!r}")
+                rep = (f"day(last_day(make_date({args[0]}, "
+                       f"{args[1]}, 1)))")
+                i += (len(rest) - len(stripped)) + 3   # consume "[1]"
+            else:                                       # pragma: no cover
+                break
+            e = e[:m.start()] + rep + e[i:]
+    return e
+
+
+_CMP0_RE = re.compile(r"\)\s*(>=|<=|==|!=|>|<)\s*0(?![\w.])")
+
+
+def _rewrite_datetime(e: str) -> str:
+    """Datetime idioms from the reference scenario queries:
+
+    * ``X.date()``        → ``to_date(X)``
+    * ``(A - B).days``    → ``datediff(A, B)`` (dates here are
+      midnight timestamps, where the two agree exactly)
+    * ``X.year/.month/.day`` → ``year(X)``/… when X is a call, a
+      dotted path, or a known timestamp let var (a bare row alias
+      keeps struct-field semantics)
+    * ``(A - B) > 0``     → ``A > B`` when a side is timestamp-typed
+      (Python timedelta comparison; Spark interval vs int won't
+      compare — the algebraic form is exact)
+    """
+    # ---- X.date() → to_date(X) -------------------------------------
+    while True:
+        masked = X.strip_strings(e)
+        m = re.search(r"\.date\s*\(\s*\)", masked)
+        if not m:
+            break
+        start = _trailing_primary_start(e, masked, m.start() + 1)
+        base = e[start:m.start()].strip()
+        if not base:
+            break
+        e = e[:start] + f"to_date({base})" + e[m.end():]
+    # ---- (A - B).days → datediff(A, B) ------------------------------
+    while True:
+        masked = X.strip_strings(e)
+        m = re.search(r"\)\s*\.days\b", masked)
+        if not m:
+            break
+        # back-scan the balanced group ending at m.start()
+        depth, j = 1, m.start() - 1
+        while j >= 0 and depth:
+            if masked[j] == ")":
+                depth += 1
+            elif masked[j] == "(":
+                depth -= 1
+            j -= 1
+        if depth:
+            break
+        inner = e[j + 2:m.start()]
+        parts = _split_minus_top(inner)
+        if len(parts) != 2:
+            raise ValueError(f"unsupported .days base: {inner!r}")
+        e = (e[:j + 1] + f"datediff({parts[0].strip()}, "
+             f"{parts[1].strip()})" + e[m.end():])
+    # ---- date-part attributes ---------------------------------------
+    ts_vars = _PQL_CTX["ts_vars"]
+    while True:
+        masked = X.strip_strings(e)
+        hit = None
+        for m in re.finditer(r"\.(year|month|day)\b(?!\s*\()", masked):
+            start = _trailing_primary_start(e, masked, m.start())
+            base = e[start:m.start()].strip()
+            if not base:
+                continue
+            if (base.endswith(")") or "." in base or base in ts_vars):
+                hit = (start, m.start(), m.end(), m.group(1), base)
+                break
+        if hit is None:
+            break
+        start, _bend, aend, part, base = hit
+        e = e[:start] + f"{part}({base})" + e[aend:]
+    # ---- (A - B) cmp 0 → A cmp B (timestamp difference) -------------
+    while True:
+        masked = X.strip_strings(e)
+        hit = None
+        for m in _CMP0_RE.finditer(masked):
+            depth, j = 1, m.start() - 1
+            while j >= 0 and depth:
+                if masked[j] == ")":
+                    depth += 1
+                elif masked[j] == "(":
+                    depth -= 1
+                j -= 1
+            if depth:
+                continue
+            inner = e[j + 2:m.start()]
+            parts = _split_minus_top(inner)
+            if len(parts) != 2:
+                continue
+            timestampy = any(
+                "to_timestamp(" in p or "to_date(" in p
+                or p.strip() in _PQL_CTX["ts_vars"] for p in parts)
+            if not timestampy:
+                continue
+            hit = (j + 1, m.end(), m.group(1), parts)
+            break
+        if hit is None:
+            return e
+        s, t, op, (a, b) = hit
+        e = e[:s] + f"(({a.strip()}) {op} ({b.strip()}))" + e[t:]
+
+
+def _split_minus_top(s: str) -> list[str]:
+    """Split on a top-level binary ``-`` (ignores ``->`` lambdas and
+    unary minus after an operator)."""
+    masked = X.strip_strings(s)
+    depth = 0
+    for i, ch in enumerate(masked):
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == "-" and depth == 0:
+            if i + 1 < len(masked) and masked[i + 1] == ">":
+                continue
+            before = masked[:i].rstrip()
+            if not before or before[-1] in "+-*/%<>=,(":
+                continue                     # unary
+            return [s[:i], s[i + 1:]]
+    return [s]
+
+
+def _rewrite_next_calls(e: str) -> str:
+    """``next((select … for v in ARR where …), default)`` → first
+    element of the compiled HOF array, or the default (reference
+    cust_journey scenario queries 4/5: Python next() over a query
+    generator).  Spark's get() is 0-based and NULL out-of-bounds."""
+    while True:
+        masked = X.strip_strings(e)
+        m = re.search(r"(?<![\w.])next\s*\(", masked)
+        if not m:
+            return e
+        depth, i = 1, m.end()
+        while i < len(masked) and depth:
+            depth += masked[i] == "("
+            depth -= masked[i] == ")"
+            i += 1
+        args = _split_top(e[m.end():i - 1])
+        if len(args) != 2:
+            raise ValueError(
+                "next() over a query needs an explicit default "
+                f"(got {len(args)} args)")
+        gen, default = args[0].strip(), args[1].strip()
+        if gen.startswith("(") and gen.endswith(")"):
+            gen = gen[1:-1]
+        if not _has_query_clauses(gen):
+            raise ValueError(f"next() over a non-query: {gen!r}")
+        arr = _compile_nested_query(gen)
+        first = f"get(({arr}), 0)"
+        rep = first if default in ("None", "NULL", "null") \
+            else f"ifnull({first}, {_translate_py(default)})"
+        e = e[:m.start()] + rep + e[i:]
+
+
+def _truthy_sql(conj: str, tr) -> str | None:
+    """Compile a where-conjunct under PYTHON TRUTHINESS when its shape
+    needs it (reference Executor.py evals conditions with Python bool):
+    a bare array var → size>0, a next()-bound struct → IS NOT NULL, a
+    bracketed nested query (optionally negated) → size(…) > 0 / == 0.
+    Returns None when ordinary boolean compilation applies."""
+    c = conj.strip()
+    named = _truthy_name(c)
+    if named is not None:
+        return named
+    m = re.match(r"^not\s+(.*)$", c, re.DOTALL)
+    c2 = m.group(1).strip() if m else c
+    if re.fullmatch(r"[A-Za-z_]\w*", c2):
+        return None            # an untracked bare name: plain boolean
+    masked = X.strip_strings(c2)
+    spans = _bracket_spans(masked)
+    if (len(spans) == 1 and spans[0] == (0, len(c2))
+            and _has_query_clauses(c2[1:-1])):
+        arr = tr(c2)
+        return f"size({arr}) {'=' if m else '>'} 0"
+    return None
+
+
 # ------------------------------------------ nested query expressions
 #
 # Reference Grammar.md puts query_expression under expr, so ANY clause
@@ -438,19 +699,49 @@ def _nested_select_sql(sel: str) -> str:
 
 def _compile_nested_query(content: str) -> str:
     """Compile a bracketed query over array/range sources into one
-    Spark HOF expression (no shuffle; evaluated per enclosing row)."""
+    Spark HOF expression (no shuffle; evaluated per enclosing row).
+
+    ``let`` clauses inline by substitution (HOF lambdas have no
+    binding form): each let body — itself possibly a nested query
+    (reference burn-rate query, cust_journey_scenario_tests.py:131) —
+    replaces the variable in later clauses; aggregate calls over an
+    array-valued let var fold the array first (Python sum-over-list
+    semantics)."""
     sel, fors, conds = None, [], []
+    subs: dict[str, str] = {}       # let var → raw parenthesized body
+    arrvars: set[str] = set()       # array-valued let vars (fold aggs)
+
+    def prep(body: str) -> str:
+        body = _rewrite_seq_aggs(body, arrvars)
+        for v, rep in subs.items():
+            body = _rename_var(body, v, rep)
+        return body
+
+    raw_sel: str | None = None
     for kw, body in _nested_clause_list(content):
         if kw == "select":
-            sel = body
+            raw_sel = body     # select evaluates LAST (may reference
+            # lets declared after it in source order — the reference
+            # burn-rate query does exactly this)
         elif kw == "for":
-            fors.extend(_split_for_items(body))
+            fors.extend((v, prep(s)) for v, s in _split_for_items(body))
         elif kw in ("where", "if"):
-            conds.append(body)
+            conds.append(prep(body))
+        elif kw == "let":
+            for item in _split_top(body):
+                var, e = item.split("=", 1)
+                var, e = var.strip(), e.strip()
+                masked_e = X.strip_strings(e)
+                sp = _bracket_spans(masked_e)
+                if (len(sp) == 1 and sp[0] == (0, len(e))
+                        and _has_query_clauses(e[1:-1])):
+                    arrvars.add(var)
+                subs[var] = "(" + prep(e) + ")"
         else:
             raise ValueError(
                 f"clause {kw!r} is not supported inside a nested query "
-                f"expression (supported: select/for/where/if)")
+                f"expression (supported: select/for/let/where/if)")
+    sel = prep(raw_sel) if raw_sel is not None else None
     if sel is None or not fors:
         raise ValueError("nested query needs a select body and a for clause")
     srcs = [_nested_source_sql(s) for _, s in fors]
@@ -567,9 +858,29 @@ _TERN_IF_RE = re.compile(r"\bif(?!\s*\()\b")
 _TERN_ELSE_RE = re.compile(r"\belse\b")
 
 
+def _truthy_name(c: str) -> str | None:
+    """Python truthiness for a bare (optionally negated) variable in a
+    boolean position: array var → size>0, next()-bound struct →
+    IS NOT NULL.  None when not a tracked name."""
+    n = c.strip()
+    neg = False
+    m = re.match(r"^not\s+([A-Za-z_]\w*)$", n)
+    if m:
+        neg, n = True, m.group(1)
+    if not re.fullmatch(r"[A-Za-z_]\w*", n):
+        return None
+    if n in _PQL_CTX["seq_vars"]:
+        return f"size({n}) {'=' if neg else '>'} 0"
+    if n in _PQL_CTX["opt_vars"]:
+        return f"{n} IS {'' if neg else 'NOT '}NULL"
+    return None
+
+
 def _rewrite_ternary(e: str) -> str:
     """Python conditional expression ``A if C else B`` → ``if(C, A,
-    B)``, at top level and (comma-bounded) inside paren groups."""
+    B)``, at top level and (comma-bounded) inside paren groups.  A
+    bare array/struct var as the condition takes Python truthiness
+    (reference `np.mean(burn_rates) if burn_rates else 0`)."""
     ifs = _top_level_spans(e, _TERN_IF_RE)
     elses = _top_level_spans(e, _TERN_ELSE_RE)
     for i0 in ifs:
@@ -580,7 +891,8 @@ def _rewrite_ternary(e: str) -> str:
         c = e[i0.end():els[0].start()].strip()
         b = e[els[0].end():].strip()
         if c and b:
-            return (f"if(({_rewrite_ternary(c)}), ({_rewrite_ternary(a)}), "
+            cond = _truthy_name(c) or _rewrite_ternary(c)
+            return (f"if(({cond}), ({_rewrite_ternary(a)}), "
                     f"({_rewrite_ternary(b)}))")
     # descend into parenthesized groups, splitting args on commas
     masked = X.strip_strings(e)
@@ -613,12 +925,15 @@ def _translate_py(e: str) -> str:
     body, alias = _split_as(e)
     if alias is not None and re.fullmatch(r"\w+", alias):
         return f"{_translate_py(body)} as {alias}"
+    e = _rewrite_env_calls(e)
+    e = _rewrite_next_calls(e)
     e = _rewrite_nested_queries(e)
     e = _rewrite_list_literals(e)
     e = _rewrite_dict_literals(e)
     e = _rewrite_neg_subscripts(e)
     e = _rewrite_ternary(e)
     e = _rewrite_path_steps(e)
+    e = _rewrite_datetime(e)
     # try E except D — preserve any text before `try`, keep the
     # wrapped cast's own type (str(x) must stay a string, not get
     # re-cast to double), and move unbalanced trailing parens out of
@@ -742,7 +1057,8 @@ def _as_df(spark: SparkSession, val: Any, var: str,
             return df, False
         if isinstance(first, (list, tuple)):
             inner = first[0] if len(first) else None
-            if isinstance(inner, dict) or hasattr(inner, "_fields"):
+            if (isinstance(inner, dict) or hasattr(inner, "_fields")
+                    or hasattr(inner, "__fields__")):
                 # a sequence of event SEQUENCES with heterogeneous
                 # per-event shapes (reference cust_journey_data:
                 # journeys are tuples of different namedtuples) —
@@ -755,8 +1071,17 @@ def _as_df(spark: SparkSession, val: Any, var: str,
                 def _norm(o):
                     if hasattr(o, "_asdict"):
                         o = o._asdict()
+                    elif hasattr(o, "asDict"):
+                        o = o.asDict()    # pyspark Row (a re-bound
+                        # journey from a previous materialized query —
+                        # reference `for cj in closed`)
                     if isinstance(o, dict):
-                        return {k: _norm(v) for k, v in o.items()}
+                        # drop None entries: a re-bound Row pads every
+                        # missing field with None; stripping restores
+                        # the original sparse shape (and avoids
+                        # NullType columns in JSON inference)
+                        return {k: _norm(v) for k, v in o.items()
+                                if v is not None}
                     if isinstance(o, (list, tuple)):
                         return [_norm(x) for x in o]
                     return o
@@ -956,10 +1281,25 @@ def pql(spark: SparkSession, query: str,
     q = Query(spark)
     select_body: str | None = None
     seq_vars: set[str] = set()   # window vars (array columns)
+    opt_vars: set[str] = set()   # next()-bound struct vars
+    ts_vars: set[str] = set()    # timestamp-typed let vars
 
     def tr(e: str) -> str:
         return _rewrite_seq_aggs(_translate_py(e), seq_vars)
 
+    saved_ctx = dict(_PQL_CTX)
+    _PQL_CTX.update(env_fns=_detect_env_fns(env), seq_vars=seq_vars,
+                    opt_vars=opt_vars, ts_vars=ts_vars)
+    try:
+        return _compile_clauses(spark, q, clauses, env, seq_vars,
+                                opt_vars, ts_vars, tr)
+    finally:
+        _PQL_CTX.update(saved_ctx)
+
+
+def _compile_clauses(spark, q, clauses, env, seq_vars, opt_vars,
+                     ts_vars, tr) -> DataFrame:
+    select_body: str | None = None
     for kw, body in clauses:
         if kw == "select":
             select_body = body
@@ -1022,15 +1362,25 @@ def pql(spark: SparkSession, query: str,
                 if (len(sp) == 1 and sp[0] == (0, len(e))
                         and _has_query_clauses(e[1:-1])):
                     seq_vars.add(var)
-                q.let_(var, tr(e))
+                if re.match(r"^next\s*\(", masked_e):
+                    # next((query), default) binds ONE element or the
+                    # default — truthiness is IS NOT NULL
+                    opt_vars.add(var)
+                translated = tr(e)
+                if re.match(r"^\s*(to_timestamp|to_date|make_date)\(",
+                            translated):
+                    ts_vars.add(var)   # date-part attrs become year()/…
+                q.let_(var, translated)
         elif kw in ("where", "if"):
-            remaining = []
+            parts = []
             for conj in X.split_conjuncts(body):
-                if not _try_membership_join(spark, q, conj, env):
-                    remaining.append(conj)
-            if remaining:
-                q.where(tr(" and ".join(f"({c})" for c in remaining)
-                           if len(remaining) > 1 else remaining[0]))
+                if _try_membership_join(spark, q, conj, env):
+                    continue
+                t = _truthy_sql(conj, tr)
+                parts.append(t if t is not None else tr(conj))
+            if parts:
+                q.where(" and ".join(f"({p})" for p in parts)
+                        if len(parts) > 1 else parts[0])
         elif kw == "count":
             q.count_(body.strip())
         elif kw == "group by":
