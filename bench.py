@@ -70,6 +70,7 @@ def main() -> None:
         "pql_nested", "pql_semi", "pql_outer", "dedup_semantic_md5",
         "cluster_embed_md5", "quality_classify_md5", "media_probe_meta",
         "embed_quantize", "ann_int8",
+        "pql_burnrate", "ann_pq_md5",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers, and spin up the Python worker
@@ -103,6 +104,22 @@ def main() -> None:
             failed[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
             print(f"# {name}: FAILED {failed[name]}", file=sys.stderr)
 
+    # load indicator (r8 verdict "what's wrong #1": a loaded-box rerun
+    # silently overwrote the clean artifact and the round-over-round
+    # comparison mixed them).  Record the 1/5/15-min load averages and
+    # a RE-TIMED stable reference key at the END of the run — if
+    # ref_key_retime disagrees materially with queries[ref], the box
+    # was loaded mid-run and the artifact should not be compared.
+    ref_key = "dedup_exact"
+    ref_retime = None
+    if ref_key in times:
+        try:
+            t0 = time.perf_counter()
+            QUERIES[ref_key](spark, sf_dir).count()
+            ref_retime = round(time.perf_counter() - t0, 3)
+        except Exception:
+            pass
+
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_queries_total_time",
@@ -115,6 +132,9 @@ def main() -> None:
         "queries_ok": len(times),
         "queries_failed": len(failed),
         "sf": sf,
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "ref_key": ref_key,
+        "ref_key_retime": ref_retime,
     }
     if failed:
         out["failed"] = failed

@@ -2383,6 +2383,18 @@ def ann_ivfpq_md5(spark, sf):
     return ivfpq_topk_md5(emb, query_ids=list(range(10)), k=5)
 
 
+@q("ann_pq_md5", None)  # oracle attached below (generated SQL)
+def ann_pq_md5(spark, sf):
+    """Raw PQ under a FULL value oracle (r9 — the last ANN family
+    with no hash-checked sibling): the fixed md5 codebook makes
+    normalization, encode argmin and the ADC sums bit-reproducible in
+    DuckDB.  Production search stays on the trained pq_topk path
+    (ann_pq)."""
+    from pythonql_spark.operators.pq import pq_topk_md5
+    emb = load_table(spark, sf, "embeddings")
+    return pq_topk_md5(emb, query_ids=list(range(10)), k=5)
+
+
 @q("classify_features", None)  # oracle attached below (generated SQL)
 def classify_features(spark, sf):
     """The quality classifier's hashed-BoW feature extraction under a
@@ -4477,6 +4489,8 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc(
         list(range(10)), k=5, n_cells=8, n_probe=3)
     from pythonql_spark.operators.pq import ivfpq_topk_oracle_sql
     ORACLE["ann_ivfpq_md5"] = ivfpq_topk_oracle_sql(list(range(10)), k=5)
+    from pythonql_spark.operators.pq import pq_topk_oracle_sql
+    ORACLE["ann_pq_md5"] = pq_topk_oracle_sql(list(range(10)), k=5)
     # media keys: the synthesized inputs are deterministic functions
     # of (doc_id, text), so the DECODED outputs are recomputable in
     # DuckDB without any codec — full value oracles for the

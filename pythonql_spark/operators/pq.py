@@ -660,3 +660,184 @@ SELECT q_id, n_id, adc_cos, rank FROM (
                                  ORDER BY adc_cos DESC, n_id) AS INTEGER)
            AS rank
   FROM pairs) WHERE rank <= {k}"""
+
+
+# ------------------------------------------------ raw-PQ md5 oracle path
+
+def pq_topk_md5(df: DataFrame, query_ids, k: int = 5, *, m: int = 8,
+                K: int = 16, dim: int | None = None,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                seed_code: int = 13) -> DataFrame:
+    """Raw PQ ANN under a FULL dual-dialect oracle — the same plan
+    shape as :func:`pq_topk` (code column + broadcast per-query ADC
+    tables + per-batch partial top-k + WindowGroupLimit), but the
+    codebook is the fixed md5-byte literal matrix (:func:`_md5_
+    codebook`), so normalization, encode argmin (lowest code on ties)
+    and the ADC sums replay bit-for-bit in DuckDB
+    (:func:`pq_topk_oracle_sql`).  Every accumulation is a fixed
+    left-to-right chain on both sides.  Production search stays on
+    the trained pq_topk path (r8 verdict: raw PQ was the one ANN
+    family with no hash-checked sibling)."""
+    from .similarity import _dim
+    query_ids = [int(q) for q in query_ids]
+    if not query_ids:
+        raise ValueError("query_ids must not be empty")
+    if dim is None:
+        dim = _dim(df, vec_col)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    Wb = _md5_codebook(m, K, sub, seed_code)
+
+    def _normalize(X: np.ndarray) -> np.ndarray:
+        q1 = np.zeros(len(X))
+        for i in range(dim):
+            q1 += X[:, i] * X[:, i]
+        return X / np.sqrt(q1)[:, None]
+
+    def _encode(Xh: np.ndarray) -> np.ndarray:
+        codes = np.empty((len(Xh), m), dtype=np.int32)
+        for s in range(m):
+            D = np.empty((len(Xh), K))
+            for j in range(K):
+                acc = np.zeros(len(Xh))
+                for i in range(sub):
+                    t = Xh[:, s * sub + i] - Wb[s, j, i]
+                    acc += t * t
+                D[:, j] = acc
+            codes[:, s] = D.argmin(axis=1)
+        return codes
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def enc(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        codes = _encode(_normalize(X))
+        return pd.Series([c.tolist() for c in codes])
+
+    encoded = df.select(F.col(id_col).cast("long").alias("__id"),
+                        enc(F.col(vec_col)).alias("__code"))
+
+    qrows = (df.filter(F.col(id_col).isin(query_ids))
+             .select(F.col(id_col).alias("q"), F.col(vec_col).alias("v"))
+             .collect())
+    if not qrows:
+        raise ValueError("no query vectors found")
+    q_ids = np.array([int(r.q) for r in qrows], dtype=np.int64)
+    Q = _normalize(np.array([[float(x) for x in r.v] for r in qrows]))
+    nq = len(Q)
+    # T[q, s, j] = chain ||q̂_s - w_{s,j}||²
+    T = np.empty((nq, m, K))
+    for qi in range(nq):
+        for s in range(m):
+            for j in range(K):
+                acc = 0.0
+                for i in range(sub):
+                    t = Q[qi, s * sub + i] - Wb[s, j, i]
+                    acc += t * t
+                T[qi, s, j] = acc
+    bc = df.sparkSession.sparkContext.broadcast((q_ids, T))
+
+    def batch_topk(batches):
+        q_ids_, T_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.vstack(pdf["__code"].to_numpy()).astype(np.int64)
+            n_ids = pdf["__id"].to_numpy()
+            out = []
+            for qi in range(len(q_ids_)):
+                S = np.zeros(len(codes))
+                for s in range(m):
+                    S = S + T_[qi, s, codes[:, s]]
+                cos = np.round(1.0 - S / 2.0, 6)
+                kk = min(k + 1, len(n_ids))
+                idx = np.lexsort((n_ids, -cos))[:kk]
+                out.append(pd.DataFrame({
+                    "q_id": np.full(len(idx), q_ids_[qi]),
+                    "n_id": n_ids[idx], "adc_cos": cos[idx]}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cand = encoded.mapInPandas(batch_topk,
+                               "q_id long, n_id long, adc_cos double")
+    w = W.partitionBy("q_id").orderBy(F.col("adc_cos").desc(),
+                                      F.col("n_id"))
+    return (cand.filter(F.col("q_id") != F.col("n_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "adc_cos", "rank"))
+
+
+def pq_topk_oracle_sql(query_ids, k: int = 5, *, m: int = 8,
+                       K: int = 16, dim: int = 64,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       table: str = "embeddings",
+                       seed_code: int = 13) -> str:
+    """DuckDB mirror of :func:`pq_topk_md5` — identical
+    normalization, encode argmin and ADC sums as generated fixed
+    left-to-right expression chains."""
+    from .similarity import _argmax_case
+    sub = dim // m
+    Wb = _md5_codebook(m, K, sub, seed_code)
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    norm_chain = " + ".join(
+        f"cast(vec[{i+1}] as double) * cast(vec[{i+1}] as double)"
+        for i in range(dim))
+    hat_cols = ",\n         ".join(
+        f"cast(vec[{i+1}] as double) / nrm AS r{i}" for i in range(dim))
+
+    def dist_cols(rp: str, dp: str) -> str:
+        cols = []
+        for s in range(m):
+            for j in range(K):
+                chain = " + ".join(
+                    f"({rp}{s*sub+i} - {float(Wb[s, j, i])!r}) * "
+                    f"({rp}{s*sub+i} - {float(Wb[s, j, i])!r})"
+                    for i in range(sub))
+                cols.append(f"({chain}) AS {dp}{s}_{j}")
+        return ",\n         ".join(cols)
+
+    code_cols = ",\n         ".join(
+        _argmax_case([f"dd{s}_{j}" for j in range(K)], cmp="<=")
+        + f" AS code{s}" for s in range(m))
+    adc = " + ".join(
+        "(CASE co.code%d %s END)" % (s, " ".join(
+            f"WHEN {j} THEN qd.qd{s}_{j}" for j in range(K)))
+        for s in range(m))
+
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {vec_col} AS vec, sqrt({norm_chain}) AS nrm
+  FROM {table}),
+res AS (
+  SELECT id,
+         {hat_cols}
+  FROM base),
+dist AS (
+  SELECT id,
+         {dist_cols('r', 'dd')}
+  FROM res),
+codes AS (
+  SELECT id,
+         {code_cols}
+  FROM dist),
+qdist AS (
+  SELECT id AS q_id,
+         {dist_cols('r', 'qd')}
+  FROM res WHERE id IN ({ids})),
+pairs AS (
+  SELECT qd.q_id, co.id AS n_id,
+         round(1 - ({adc}) / 2, 6) AS adc_cos
+  FROM codes co CROSS JOIN qdist qd
+  WHERE co.id <> qd.q_id)
+SELECT q_id, n_id, adc_cos, rank FROM (
+  SELECT q_id, n_id, adc_cos,
+         cast(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY adc_cos DESC, n_id) AS INTEGER)
+           AS rank
+  FROM pairs) WHERE rank <= {k}"""
