@@ -70,7 +70,7 @@ def main() -> None:
         "pql_nested", "pql_semi", "pql_outer", "dedup_semantic_md5",
         "cluster_embed_md5", "quality_classify_md5", "media_probe_meta",
         "embed_quantize", "ann_int8",
-        "pql_burnrate", "ann_pq_md5",
+        "pql_burnrate", "ann_pq_md5", "text_bpe_fixed",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers, and spin up the Python worker

@@ -1120,6 +1120,24 @@ def text_bpe(spark, sf):
     return bpe_encode(docs, merges)
 
 
+@q("text_bpe_fixed", None)  # oracle attached below (generated SQL)
+def text_bpe_fixed(spark, sf):
+    """The PRODUCTION BPE encoder (bpe_encode — same Arrow map pass,
+    word cache, greedy lowest-rank-first merge replay) under a FULL
+    value oracle: a fixed chain-safe merge table over ASCII-normalized
+    text, replayed in DuckDB as per-merge left-to-right folds
+    (bpe.py bpe_fixed_oracle_sql).  r9 — the trained path (text_bpe)
+    was the last text family with no hash-checked sibling."""
+    from pyspark.sql import functions as F
+
+    from pythonql_spark.operators.bpe import FIXED_MERGES, bpe_encode
+    docs = (load_table(spark, sf, "documents")
+            .select("doc_id",
+                    F.expr("lower(regexp_replace(text, '[^A-Za-z ]', ' '))")
+                    .alias("text")))
+    return bpe_encode(docs, FIXED_MERGES)
+
+
 @q("media_decode", None)  # oracle attached below (generated SQL)
 def media_decode(spark, sf):
     """Real multimodal decode path: synthesize one PNG per document
@@ -4491,6 +4509,8 @@ WHERE {_hb('d.doc_id', 'duck')} < {_wc(
     ORACLE["ann_ivfpq_md5"] = ivfpq_topk_oracle_sql(list(range(10)), k=5)
     from pythonql_spark.operators.pq import pq_topk_oracle_sql
     ORACLE["ann_pq_md5"] = pq_topk_oracle_sql(list(range(10)), k=5)
+    from pythonql_spark.operators.bpe import bpe_fixed_oracle_sql
+    ORACLE["text_bpe_fixed"] = bpe_fixed_oracle_sql()
     # media keys: the synthesized inputs are deterministic functions
     # of (doc_id, text), so the DECODED outputs are recomputable in
     # DuckDB without any codec — full value oracles for the

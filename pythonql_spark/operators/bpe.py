@@ -130,3 +130,75 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
 
     return (df.select(id_col, text_col)
             .mapInPandas(run, out_schema))
+
+
+# ----------------------------------------------- fixed-merge oracle path
+
+#: A fixed merge table for the dual-dialect oracle key (r9): chain-safe
+#: by construction — no merge OUTPUT equals an element of a lower-rank
+#: pair, so greedy lowest-rank-first encoding (encode_word) equals
+#: applying each merge to fixpoint in rank order, which a SQL fold can
+#: replay exactly.  Production tokenization stays on the TRAINED
+#: train_bpe path (text_bpe, rows-only + replay/determinism tests).
+FIXED_MERGES: list[tuple[str, str]] = [
+    ("e", "</w>"), ("d", "</w>"), ("g", "</w>"), ("f", "</w>"),
+    ("t", "h"), ("i", "n"), ("a", "n"),
+    ("th", "e</w>"), ("in", "g</w>"), ("an", "d</w>"),
+    ("o", "f</w>"), ("e", "r"),
+]
+
+
+def _enc_word_sql(word_var: str,
+                  merges: list[tuple[str, str]]) -> str:
+    """DuckDB expression encoding one word under ``merges``: chars +
+    the end-of-word marker, each token prefixed with ``|``; one
+    left-to-right fold per merge (merging = append WITHOUT the
+    separator, so token boundaries stay unambiguous — tokens never
+    contain ``|``)."""
+    cur = (f"list_transform(list_append("
+           f"[{word_var}[i] for i in generate_series(1, "
+           f"length({word_var}))], '{_EOW}'), t -> '|' || t)")
+    for a, b in merges:
+        la = len("|" + a)
+        red = (f"list_reduce(list_prepend('', {cur}), "
+               f"(acc, x) -> CASE WHEN right(acc, {la}) = '|{a}' "
+               f"AND x = '|{b}' THEN acc || '{b}' ELSE acc || x END)")
+        cur = (f"list_transform(list_filter(string_split({red}, '|'), "
+               f"t -> t != ''), t -> '|' || t)")
+    return f"array_to_string({cur}, '')"
+
+
+def bpe_fixed_oracle_sql(*, merges: list[tuple[str, str]] | None = None,
+                         table: str = "documents",
+                         id_col: str = "doc_id",
+                         text_col: str = "text",
+                         preview_tokens: int = 8,
+                         doc_filter: str = "TRUE") -> str:
+    """DuckDB mirror of ``bpe_encode(df, FIXED_MERGES)`` over
+    ASCII-normalized text — token count, per-doc distinct vocab and
+    the preview replay the Arrow encoder bit-for-bit."""
+    merges = FIXED_MERGES if merges is None else merges
+    enc = _enc_word_sql("w", merges)
+    return f"""
+WITH norm AS (
+  SELECT {id_col},
+         lower(regexp_replace({text_col}, '[^A-Za-z ]', ' ', 'g')) AS t
+  FROM {table} WHERE {doc_filter}),
+wrds AS (
+  SELECT {id_col},
+         list_filter(string_split(t, ' '), x -> x != '') AS words
+  FROM norm),
+enc AS (
+  SELECT {id_col},
+         array_to_string(list_transform(words, w -> {enc}), '') AS stream
+  FROM wrds),
+tok AS (
+  SELECT {id_col},
+         list_filter(string_split(stream, '|'), t -> t != '') AS toks
+  FROM enc)
+SELECT {id_col},
+       cast(len(toks) as bigint) AS n_bpe_tokens,
+       cast(len(list_distinct(toks)) as bigint) AS vocab_used,
+       array_to_string(toks[1:{preview_tokens}], ' ') AS preview
+FROM tok
+"""

@@ -1345,8 +1345,25 @@ def _compile_clauses(spark, q, clauses, env, seq_vars, opt_vars,
                                 and df.columns[0] == var):
                             scalar = True
                         q.for_(var, df, scalar=scalar)
-                else:
-                    q.for_(var, tr(src))
+                    continue
+                # a PATH EXPRESSION over an env collection as the
+                # for-source (reference README: `for x in data ./
+                # "hotels" .// "room"`): bind the base, walk the
+                # steps, one row per step result (JSON-string
+                # carriage, same as the bare-path surface)
+                masked_src = X.strip_strings(src)
+                mstep = re.match(r"\s*[A-Za-z_]\w*\s*\./", masked_src)
+                if mstep and re.match(r"\s*([A-Za-z_]\w*)", src) and \
+                        re.match(r"\s*([A-Za-z_]\w*)",
+                                 src).group(1) in env and \
+                        not isinstance(env[re.match(
+                            r"\s*([A-Za-z_]\w*)", src).group(1)],
+                            DataFrame):
+                    pdf = _bare_path_expr(spark, src, env)
+                    q.for_(var, pdf.withColumnRenamed("value", var),
+                           scalar=True)
+                    continue
+                q.for_(var, tr(src))
         elif kw == "let":
             for item in _split_top(body):
                 var, e = item.split("=", 1)

@@ -151,7 +151,8 @@ def main() -> None:
     # stopped at 16x) + fuzzy under the new auto-q guardrail.
     _64X_OPS = {"ann_pq", "bitext", "snap_diff", "curation",
                 "winnow", "clones", "eval_cls", "moving_avg",
-                "fuzzy", "docsim", "pagerank", "pmi", "phash"}
+                "fuzzy", "docsim", "pagerank", "pmi", "phash",
+                "ann_int8"}
     results = []
     for n in (1, 4, 16, 64):
         d = SCRATCH / f"x{n}"

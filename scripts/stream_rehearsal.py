@@ -1,0 +1,209 @@
+"""Streaming dress rehearsal (r9): the continuous-ingest half of the
+100 TB story, with the same REST-metric truth the batch rehearsal
+established in r8 (scale_rehearsal.py).
+
+Shape under test: ``dedup_ingest_stream`` with the PERSISTED bucketed
+LSH index probe — the production "documents arrive all day" path.
+The standing corpus stays FIXED at sf0.1 (its index is built once,
+outside the timed window); the ARRIVING volume is the REALISTIC
+rehearsal corpus (scale_rehearsal.build_corpus: per-replica word
+salts so replicas share zero shingles, plus planted exact copies
+[rep 0] and near-dup suffix edits [rep % 33 == 1] of the standing
+corpus), delivered in constant-size micro-batches.
+
+Recorded per (scale, batch-size) row:
+  * per-batch wall times from the streaming progress feed (median /
+    p95 / max), arriving rows, rows/s
+  * the REST executor-metric delta (shuffle bytes, spill, in/out)
+  * state on disk: the persisted index + the checkpoint
+  * planted-structure invariants: every rep-0 EXACT copy rejected,
+    every salted replica kept, ≥95% of the near-dup edits rejected
+  * REPLAY idempotence AT SCALE: the last commit file is deleted
+    from the checkpoint and the stream restarted — Spark re-runs the
+    final micro-batch; output count + content hash must be unchanged
+    (dynamic partition overwrite, not double-append)
+
+Batch sizing rule (measured at x101 with 4 vs 16 files/trigger, see
+REHEARSAL_r9.json): per-batch fixed cost is the scheduling + index
+probe setup ``c ≈ (wall_small*b_small - wall_big*b_big)/(b_small -
+b_big)`` per batch; pick maxFilesPerTrigger so a batch carries
+≥ 20k docs, keeping that fixed cost under ~25% of batch wall — at
+2.5k docs/file that is ≥ 8 files/trigger.
+
+Run: python scripts/stream_rehearsal.py [reps ...]   (default: 101)
+Prints one JSON line per (scale, files/trigger) config.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from pythonql_spark import get_spark
+from pythonql_spark.sources import load_table
+
+SF = "/root/testdata/sf0.1"
+SCRATCH = Path("/root/repo/.scratch/stream_rehearsal")
+NEARDUP_MOD = 33   # keep in sync with scale_rehearsal
+
+
+def dir_mb(path: str) -> float:
+    p = Path(path)
+    if not p.exists():
+        return 0.0
+    return round(sum(f.stat().st_size for f in p.rglob("*")
+                     if f.is_file()) / 2**20, 1)
+
+
+def out_fingerprint(spark, out_path: str):
+    """(rows, order-free content hash) of the landed output."""
+    df = spark.read.parquet(out_path)
+    row = (df.selectExpr(
+        "count(*) AS n",
+        "sum(cast(xxhash64(doc_id, text) as decimal(38,0))) AS h")
+        .first())
+    return int(row.n), int(row.h)
+
+
+def main() -> None:
+    from scripts.scale_rehearsal import build_corpus, stage_totals
+
+    reps_list = [int(a) for a in sys.argv[1:]] or [101]
+    spark = get_spark("stream-rehearsal", **{
+        "spark.ui.enabled": "true",
+        # keep every micro-batch's progress row for the per-batch stats
+        "spark.sql.streaming.numRecentProgressUpdates": "512",
+    })
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pythonql_spark.operators.dedup import build_minhash_index
+    from pythonql_spark.streaming import run_to_completion
+    from pythonql_spark.streaming.ingest import dedup_ingest_stream
+
+    corpus = (load_table(spark, SF, "documents")
+              .select("doc_id", "text").cache())
+    n_corpus = corpus.count()
+    warehouse = spark.conf.get("spark.sql.warehouse.dir") \
+        .removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/sr_idx", ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS sr_idx")
+    t0 = time.perf_counter()
+    build_minhash_index(corpus, "sr_idx")     # once, outside timing
+    idx_build = round(time.perf_counter() - t0, 1)
+    idx_mb = dir_mb(f"{warehouse}/sr_idx")
+    print(f"--- standing corpus {n_corpus:,} docs; index {idx_mb} MB "
+          f"built in {idx_build}s", flush=True)
+
+    for reps in reps_list:
+        d = SCRATCH / f"x{reps}"
+        shutil.rmtree(d, ignore_errors=True)
+        src = str(d / "in")
+        t0 = time.perf_counter()
+        build_corpus(spark, reps, src)
+        arriving = spark.read.parquet(src)
+        n_rows = arriving.count()
+        print(f"--- arriving x{reps}: {n_rows:,} docs "
+              f"({dir_mb(src):,.0f} MB) built in "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+        # two batch sizes at the smallest scale measure the per-batch
+        # fixed cost for the sizing rule; larger scales run the rule's
+        # recommended size only
+        for fpt in ((4, 16) if reps == reps_list[0] else (16,)):
+            out = str(d / f"out_{fpt}")
+            ck = str(d / f"ck_{fpt}")
+            shutil.rmtree(out, ignore_errors=True)
+            shutil.rmtree(ck, ignore_errors=True)
+            stream = (spark.readStream.schema(arriving.schema)
+                      .option("maxFilesPerTrigger", fpt).parquet(src))
+            before = stage_totals(spark)
+            t0 = time.perf_counter()
+            q = dedup_ingest_stream(
+                stream.select("doc_id", "text"), corpus, out, ck,
+                jaccard_threshold=0.5, index_table="sr_idx")
+            run_to_completion(q)
+            wall = time.perf_counter() - t0
+            prog = [p for p in q.recentProgress
+                    if p["numInputRows"] > 0]
+            batch_walls = sorted(
+                p["durationMs"].get("triggerExecution", 0) / 1000
+                for p in prog)
+            delta = {k: v - before[k]
+                     for k, v in stage_totals(spark).items()}
+            mb = {k: round(v / 2**20, 1) for k, v in delta.items()
+                  if k.endswith("Bytes") or "Spilled" in k}
+
+            # ---- planted-structure invariants -----------------------
+            landed = spark.read.parquet(out)
+            by_rep = (landed.withColumn("rep", F.expr(f"doc_id % {reps}"))
+                      .groupBy().agg(
+                F.sum(F.expr("cast(rep = 0 as long)")).alias("rep0"),
+                F.sum(F.expr(
+                    f"cast(rep != 0 and rep % {NEARDUP_MOD} = 1 "
+                    f"as long)")).alias("neardup"),
+                F.count("*").alias("kept")).first())
+            n_nd = len([r for r in range(1, reps)
+                        if r % NEARDUP_MOD == 1]) * n_corpus
+            n_salted = n_rows - n_corpus - n_nd
+            rep0_kept, nd_kept = int(by_rep.rep0), int(by_rep.neardup)
+            salted_kept = int(by_rep.kept) - rep0_kept - nd_kept
+            assert rep0_kept == 0, \
+                f"{rep0_kept} exact corpus copies slipped through"
+            # intrinsic base-corpus near-dup SIBLINGS share a salt
+            # token per rep, so their salted replicas legitimately
+            # collapse pairwise — allow that small fraction
+            assert 0.97 * n_salted <= salted_kept <= n_salted, \
+                f"salted survivors {salted_kept} vs arrivals {n_salted}"
+            assert n_nd == 0 or nd_kept <= 0.05 * n_nd, \
+                f"near-dup rejects below 95%: kept {nd_kept}/{n_nd}"
+
+            # ---- replay idempotence at scale ------------------------
+            n_before, h_before = out_fingerprint(spark, out)
+            commits = sorted((Path(ck) / "commits").glob("[0-9]*"),
+                             key=lambda p: int(p.name))
+            commits[-1].unlink()       # forget the last batch's commit
+            stream2 = (spark.readStream.schema(arriving.schema)
+                       .option("maxFilesPerTrigger", fpt).parquet(src))
+            run_to_completion(dedup_ingest_stream(
+                stream2.select("doc_id", "text"), corpus, out, ck,
+                jaccard_threshold=0.5, index_table="sr_idx"))
+            n_after, h_after = out_fingerprint(spark, out)
+            assert (n_before, h_before) == (n_after, h_after), \
+                "replayed final batch changed the output"
+
+            row = {
+                "pipeline": f"dedup_ingest_stream_x{reps}_fpt{fpt}",
+                "arriving_rows": n_rows,
+                "batches": len(prog),
+                "files_per_trigger": fpt,
+                "wall_sec": round(wall, 2),
+                "rows_per_sec": round(n_rows / wall),
+                "batch_wall_median_s": round(
+                    batch_walls[len(batch_walls) // 2], 2),
+                "batch_wall_p95_s": round(
+                    batch_walls[int(len(batch_walls) * 0.95) - 1], 2),
+                "batch_wall_max_s": round(batch_walls[-1], 2),
+                "kept_rows": int(by_rep.kept),
+                "planted": {"rep0_exact_rejected": n_corpus,
+                            "neardup_rejected": n_nd - nd_kept,
+                            "neardup_total": n_nd,
+                            "salted_kept": salted_kept},
+                "replay_idempotent": True,
+                "state_mb": {"index": idx_mb,
+                             "checkpoint": dir_mb(ck)},
+                "metrics_mb": mb,
+            }
+            print(json.dumps(row), flush=True)
+        shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -29,7 +29,13 @@ SCRATCH = Path("/root/repo/.scratch/stream_tp")
 
 
 def main() -> None:
+    import os
+
     from scripts.scale_experiment import replicate_docs, replicate_embs
+
+    octaves = tuple(int(x) for x in os.environ.get(
+        "STREAM_TP_OCTAVES", "1,4,16").split(","))
+    only = [s for s in os.environ.get("STREAM_TP_OPS", "").split(",") if s]
 
     spark = get_spark("stream-tp")
     spark.sparkContext.setLogLevel("ERROR")
@@ -54,7 +60,7 @@ def main() -> None:
     spark.sql("DROP TABLE IF EXISTS tp_idx")
     build_minhash_index(corpus, "tp_idx")   # once, outside timing
 
-    for n in (1, 4, 16):
+    for n in octaves:
         d = SCRATCH / f"x{n}"
         shutil.rmtree(d, ignore_errors=True)
         raw = str(d / "raw")
@@ -85,6 +91,8 @@ def main() -> None:
                 s.select("doc_id", "text"), 1000,
                 str(d / "out_smp"), str(d / "ck_smp"))),
         ):
+            if only and name not in only:
+                continue
             stream = (spark.readStream.schema(arriving.schema)
                       .option("maxFilesPerTrigger", 4).parquet(src))
             t0 = time.perf_counter()
@@ -95,6 +103,8 @@ def main() -> None:
                   f"{n_rows / dt:>9,.0f} rows/s", flush=True)
 
         # int8 index maintenance streams EMBEDDINGS, not documents
+        if only and "int8_index" not in only:
+            continue
         eraw, esrc = str(d / "eraw"), str(d / "ein")
         replicate_embs(spark, n, eraw)
         spark.read.parquet(eraw).repartition(4 * n).write.parquet(esrc)
