@@ -152,7 +152,7 @@ def main() -> None:
     _64X_OPS = {"ann_pq", "bitext", "snap_diff", "curation",
                 "winnow", "clones", "eval_cls", "moving_avg",
                 "fuzzy", "docsim", "pagerank", "pmi", "phash",
-                "ann_int8"}
+                "ann_int8", "burnrate"}
     results = []
     for n in (1, 4, 16, 64):
         d = SCRATCH / f"x{n}"
@@ -275,6 +275,19 @@ def main() -> None:
                 "pythonql_spark.operators.quantize",
                 fromlist=["int8_topk"]).int8_topk(
                 embs, query_ids=list(range(10)), k=5, dim=64).count(),
+            # r9: burn-rate query shape (per-entity month grid as
+            # per-row HOFs, one collect_list shuffle) — the pql()
+            # front-end's nested-let machinery at growing event volume
+            "burnrate": lambda: __import__(
+                "pythonql_spark.benchqueries",
+                fromlist=["pql_burnrate"]).pql_burnrate(
+                spark, str(d)).count(),
+            # r9: production BPE Arrow encoder under the fixed merge
+            # table (the oracled sibling's Spark side) — linear map
+            "bpe_fixed": lambda: __import__(
+                "pythonql_spark.benchqueries",
+                fromlist=["text_bpe_fixed"]).text_bpe_fixed(
+                spark, str(d)).count(),
             # bitext mining, deployment shape: FIXED probe chunk
             # (mine per language-pair chunk at 100 TB — knn_join's
             # documented bounded-probe contract) against a corpus

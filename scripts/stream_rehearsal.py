@@ -23,12 +23,15 @@ Recorded per (scale, batch-size) row:
     final micro-batch; output count + content hash must be unchanged
     (dynamic partition overwrite, not double-append)
 
-Batch sizing rule (measured at x101 with 4 vs 16 files/trigger, see
-REHEARSAL_r9.json): per-batch fixed cost is the scheduling + index
-probe setup ``c ≈ (wall_small*b_small - wall_big*b_big)/(b_small -
-b_big)`` per batch; pick maxFilesPerTrigger so a batch carries
-≥ 20k docs, keeping that fixed cost under ~25% of batch wall — at
-2.5k docs/file that is ≥ 8 files/trigger.
+Batch sizing rule (MEASURED, see REHEARSAL_r9.json): fixed per-batch
+cost c ≈ 2.7 s (probe-join planning + landed-partition maintenance),
+marginal ≈ 0.031 ms/doc — x101 fpt4 ran 51 batches @ 3.00 s (10k
+docs/batch), fpt16 ran 13 @ 3.92 s (40k docs/batch), throughput
+3.3k → 9.9k rows/s; per-batch cost stayed FLAT at 5× the volume
+(x512 median 3.95 s at the same batch size) and checkpoint state
+grew only 0.1 → 0.8 MB across 505k → 2.56M arriving docs.  Rule:
+size micro-batches ≥ 250k docs so the fixed cost is < 25% of batch
+wall, unless a latency SLO dictates smaller batches.
 
 Run: python scripts/stream_rehearsal.py [reps ...]   (default: 101)
 Prints one JSON line per (scale, files/trigger) config.
@@ -115,8 +118,12 @@ def main() -> None:
 
         # two batch sizes at the smallest scale measure the per-batch
         # fixed cost for the sizing rule; larger scales run the rule's
-        # recommended size only
-        for fpt in ((4, 16) if reps == reps_list[0] else (16,)):
+        # recommended size only (override with STREAM_RH_FPT=a,b)
+        import os
+        fpts = tuple(int(x) for x in os.environ.get(
+            "STREAM_RH_FPT",
+            "4,16" if reps == reps_list[0] else "16").split(","))
+        for fpt in fpts:
             out = str(d / f"out_{fpt}")
             ck = str(d / f"ck_{fpt}")
             shutil.rmtree(out, ignore_errors=True)
@@ -128,7 +135,7 @@ def main() -> None:
             q = dedup_ingest_stream(
                 stream.select("doc_id", "text"), corpus, out, ck,
                 jaccard_threshold=0.5, index_table="sr_idx")
-            run_to_completion(q)
+            run_to_completion(q, timeout_s=1800)
             wall = time.perf_counter() - t0
             prog = [p for p in q.recentProgress
                     if p["numInputRows"] > 0]
@@ -168,12 +175,19 @@ def main() -> None:
             n_before, h_before = out_fingerprint(spark, out)
             commits = sorted((Path(ck) / "commits").glob("[0-9]*"),
                              key=lambda p: int(p.name))
-            commits[-1].unlink()       # forget the last batch's commit
+            last = commits[-1]
+            last.unlink()              # forget the last batch's commit
+            crc = last.parent / f".{last.name}.crc"
+            if crc.exists():
+                crc.unlink()           # and its Hadoop checksum shadow,
+                # or the replay's commit rename fails as a phantom
+                # "concurrent query"
             stream2 = (spark.readStream.schema(arriving.schema)
                        .option("maxFilesPerTrigger", fpt).parquet(src))
             run_to_completion(dedup_ingest_stream(
                 stream2.select("doc_id", "text"), corpus, out, ck,
-                jaccard_threshold=0.5, index_table="sr_idx"))
+                jaccard_threshold=0.5, index_table="sr_idx"),
+                timeout_s=1800)
             n_after, h_after = out_fingerprint(spark, out)
             assert (n_before, h_before) == (n_after, h_after), \
                 "replayed final batch changed the output"
