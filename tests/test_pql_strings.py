@@ -838,3 +838,72 @@ def test_codec_subscript_select_not_a_query(spark, tmp_path):
         "x = [10, 20, 30]\n"
         "y = x[select]\n")
     assert m.y == 20
+
+
+# ------------------------------------------- r9 rewriter unit tests
+# (pure functions — no SparkSession; the scenario-verbatim test in
+# test_cust_journey.py is the integration gate)
+
+def test_split_minus_top_shapes():
+    from pythonql_spark.pql import _split_minus_top
+    assert _split_minus_top("a - b") == ["a ", " b"]
+    assert _split_minus_top("f(x - y) - g") == ["f(x - y) ", " g"]
+    assert _split_minus_top("filter(a, x -> x - 1)") == \
+        ["filter(a, x -> x - 1)"]          # lambda arrow + depth>0
+    assert _split_minus_top("-a") == ["-a"]              # unary
+    assert _split_minus_top("a * -b") == ["a * -b"]      # unary after op
+
+
+def test_rewrite_datetime_idioms():
+    from pythonql_spark import pql as P
+    saved = dict(P._PQL_CTX)
+    P._PQL_CTX.update(ts_vars={"cd", "rd"}, seq_vars=set(),
+                      opt_vars=set(), env_fns={})
+    try:
+        assert P._rewrite_datetime("(cd - rd).days < 30") == \
+            "datediff(cd, rd) < 30"
+        assert P._rewrite_datetime("fd.date()") == "to_date(fd)"
+        assert P._rewrite_datetime("cd.year + 1") == "year(cd) + 1"
+        assert P._rewrite_datetime("e.date.month == mo") == \
+            "month(e.date) == mo"
+        # bare row alias NOT in ts_vars keeps struct-field semantics
+        assert P._rewrite_datetime("row.year") == "row.year"
+        # (a - b) > 0 rewrites only when a side is timestampy
+        assert P._rewrite_datetime(
+            "(to_timestamp(e.d) - rd) > 0") == \
+            "((to_timestamp(e.d)) > (rd))"
+        assert P._rewrite_datetime("(x - y) > 0") == "(x - y) > 0"
+    finally:
+        P._PQL_CTX.update(saved)
+
+
+def test_detect_env_fns_identity_based():
+    import calendar
+    from datetime import date
+
+    import numpy as np
+    from dateutil.parser import parse
+
+    from pythonql_spark.pql import _detect_env_fns
+    fns = _detect_env_fns({"parse": parse, "date": date,
+                           "monthrange": calendar.monthrange,
+                           "np": np, "other": len,
+                           "myparse": lambda x: x})
+    assert fns == {"parse": "parse", "date": "date",
+                   "monthrange": "monthrange", "np.mean": "mean"}
+
+
+def test_truthy_name_requires_tracked_vars():
+    from pythonql_spark import pql as P
+    saved = dict(P._PQL_CTX)
+    P._PQL_CTX.update(seq_vars={"arr"}, opt_vars={"opt"},
+                      ts_vars=set(), env_fns={})
+    try:
+        assert P._truthy_name("arr") == "size(arr) > 0"
+        assert P._truthy_name("not arr") == "size(arr) = 0"
+        assert P._truthy_name("opt") == "opt IS NOT NULL"
+        assert P._truthy_name("not opt") == "opt IS NULL"
+        assert P._truthy_name("flag") is None
+        assert P._truthy_name("arr == 1") is None
+    finally:
+        P._PQL_CTX.update(saved)
