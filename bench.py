@@ -71,6 +71,7 @@ def main() -> None:
         "cluster_embed_md5", "quality_classify_md5", "media_probe_meta",
         "embed_quantize", "ann_int8",
         "pql_burnrate", "ann_pq_md5", "text_bpe_fixed",
+        "journey_default_rate",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers, and spin up the Python worker

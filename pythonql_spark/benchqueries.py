@@ -661,6 +661,7 @@ def pql_burnrate(spark, sf):
     parity: amounts as integer cents, so every sum is order-free."""
     from pyspark.sql import functions as F
 
+    from pythonql_spark.operators.journey import to_journeys
     from pythonql_spark.pql import pql
     ev = (load_table(spark, sf, "events")
           .filter(F.dayofmonth("ts") <= 28)
@@ -669,8 +670,7 @@ def pql_burnrate(spark, sf):
                   .alias("ts"),
                   F.expr("cast(round(value * 100) as bigint)")
                   .alias("cents")))
-    j = ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_list(F.struct("ts", "cents"))).alias("cj"))
+    j = to_journeys(ev, "user_id", "ts")
     return pql(spark, """
       select (u as user_id, avg(burn_rates) as avg_burn)
       for r in journeys
@@ -684,6 +684,67 @@ def pql_burnrate(spark, sf):
             and last_day(make_date(yr, mo, 1)) >= to_date(first_date)
           let ws = [select e.cents for e in cj
                     where year(e.ts) == yr and month(e.ts) == mo] ]
+    """, env={"journeys": j})
+
+
+@q("journey_default_rate", """
+WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events),
+frst AS (
+  SELECT user_id, event_type AS first_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM ev) WHERE rn = 1),
+lastp AS (
+  SELECT user_id, ts AS lp_ts FROM (
+    SELECT user_id, ts,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev WHERE event_type = 'purchase') WHERE rn = 1),
+flags AS (
+  SELECT f.user_id, f.first_type,
+         CASE WHEN EXISTS (SELECT 1 FROM ev c
+                           WHERE c.user_id = f.user_id
+                             AND c.event_type = 'click'
+                             AND c.ts > l.lp_ts)
+              THEN 0 ELSE 1 END AS flag
+  FROM frst f JOIN lastp l ON l.user_id = f.user_id)
+SELECT first_type AS etype, count(*) AS n_users,
+       sum(flag) / cast(count(*) as double) AS rate
+FROM flags GROUP BY first_type
+""")
+def journey_default_rate(spark, sf):
+    """The reference's cust_journey q1 SHAPE (default rate per state,
+    cust_journey_scenario_tests.py:12-45) as a DISTRIBUTED query over
+    the events table: ``to_journeys`` packs one ordered
+    array<struct> journey per user (ONE shuffle), then the verbatim
+    query idioms — nested `[select e for e in cj where …]` filters,
+    `[-1]` last-element, `!= []` truthiness, ternary flag, group-by
+    over a journey-derived key — all compile to per-row HOFs.  A
+    journey is bounded by its user's event count, never the corpus:
+    the 100 TB shape."""
+    from pythonql_spark.operators.journey import to_journeys
+
+    from pythonql_spark.pql import pql
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    j = to_journeys(ev, "user_id", ["ts", "event_id"])
+    return pql(spark, """
+      select (etype, len(flag) as n_users,
+              sum(flag)/float(len(flag)) as rate)
+      for r in journeys
+      let cj = r.cj
+      let first_type = cj[0].event_type
+      let purchases = [select e for e in cj
+                       where e.event_type == 'purchase']
+      where purchases != []
+      let last_p = purchases[-1],
+          paid = [select e for e in cj
+                  where e.event_type == 'click'
+                    and e.ts > last_p.ts] != [],
+          flag = 1 if not paid else 0
+      group by first_type as etype
+      order by etype
     """, env={"journeys": j})
 
 

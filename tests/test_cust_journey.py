@@ -295,3 +295,27 @@ def test_codec_runs_reference_scenario_file_verbatim(spark):
         assert ran == 1
     finally:
         sys.path.remove("/root/reference/tests")
+
+
+def test_to_journeys_packs_ordered_arrays(spark, tables):
+    """to_journeys: one row per entity, events ascending by the order
+    cols, array length == the entity's event count; max_events
+    refuses hot entities with their ids."""
+    import pytest as _pytest
+
+    from pythonql_spark.operators.journey import to_journeys
+
+    ev = tables["events"].select("user_id", "ts", "event_id",
+                                 "event_type")
+    j = to_journeys(ev, "user_id", ["ts", "event_id"])
+    assert j.columns == ["user_id", "cj"]
+    rows = j.collect()
+    counts = {r.user_id: c for r, c in
+              ((r, r["count"]) for r in
+               ev.groupBy("user_id").count().collect())}
+    assert {r.user_id: len(r.cj) for r in rows} == counts
+    for r in rows:
+        keys = [(e.ts, e.event_id) for e in r.cj]
+        assert keys == sorted(keys)
+    with _pytest.raises(ValueError, match="max_events"):
+        to_journeys(ev, "user_id", "ts", max_events=1)
