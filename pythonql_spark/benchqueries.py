@@ -1488,6 +1488,48 @@ def profile_quantiles(spark, sf):
                             keys=["event_type"])
 
 
+@q("profile_sketch_md5", None)  # oracle registered below (generated SQL)
+def profile_sketch_md5_q(spark, sf):
+    """Hash-checkable sibling of profile_sketch: md5-HLL register
+    tables (col_name, bucket, register) built per half, merged by
+    pure max algebra — every register value lands under the DuckDB
+    full-value oracle.  Shuffle is bounded at cols * 256 rows per
+    half regardless of input size (map-side partial max)."""
+    from pythonql_spark.operators.sketch import (hll_registers_md5,
+                                                 merge_md5_registers)
+    docs = load_table(spark, sf, "documents")
+    cols = ["doc_id", "lang", "source"]
+    return merge_md5_registers(
+        hll_registers_md5(docs.filter("doc_id % 2 = 0"), cols),
+        hll_registers_md5(docs.filter("doc_id % 2 = 1"), cols))
+
+
+@q("profile_quantiles_md5", None)  # oracle registered below
+def profile_quantiles_md5_q(spark, sf):
+    """Hash-checkable sibling of profile_quantiles: per-event-type
+    quantiles by exact rank selection over a deterministic bottom-k
+    md5 sample, with the two-half mergeability proof (bottom-k of
+    bottom-k unions) running inside the oracled plan.  Values are
+    selected, never combined, so doubles hash identically."""
+    from pythonql_spark.operators.sketch import sample_quantiles_md5
+    ev = load_table(spark, sf, "events")
+    return sample_quantiles_md5(ev, "value", "event_type", "event_id",
+                                k=256, split="event_id % 2")
+
+
+def _register_sketch_md5_oracles():
+    from pythonql_spark.operators.sketch import (
+        hll_registers_md5_sql, sample_quantiles_md5_sql)
+    ORACLE["profile_sketch_md5"] = hll_registers_md5_sql(
+        "documents", ["doc_id", "lang", "source"])
+    ORACLE["profile_quantiles_md5"] = sample_quantiles_md5_sql(
+        "events", "value", "event_type", "event_id",
+        k=256, split="event_id % 2")
+
+
+_register_sketch_md5_oracles()
+
+
 @q("media_audio", None)  # oracle attached below (generated SQL)
 def media_audio(spark, sf):
     """Real audio decode path: synthesize one WAV tone per document

@@ -19,7 +19,7 @@ Flow:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # log2 of HLL register count: 12 → ~1.6% relative standard error, 4KB
@@ -174,3 +174,220 @@ def sketch_overlap(a: DataFrame, b: DataFrame) -> DataFrame:
             .withColumn("jaccard", F.expr(
                 "cast(round(n_intersection / cast(greatest(n_union, 1) "
                 "as double), 6) as double)")))
+
+
+# ------------------------------- md5 full-oracle sketch siblings
+#
+# The DataSketches HLL/KLL binaries above are the production path,
+# but their hash (a Murmur variant inside the JVM library) cannot be
+# reproduced in an external SQL engine, so their registry keys are
+# rows-only.  The two families below are the hash-checkable SIBLINGS:
+# the identical distributed shape (one scan per delta, few-KB state,
+# merge by pure algebra) built from md5 primitives that Spark SQL and
+# DuckDB evaluate bit-identically — every register / every sampled
+# value lands under the driver's full value-hash oracle.
+
+# 60-bit md5 hash of a string expression, identical in both dialects
+# (dedup._h60 is the same convention; repeated here so the sketch
+# module stays import-light).
+def _h60(arg: str, dialect: str) -> str:
+    if dialect == "spark":
+        return (f"cast(conv(substring(md5({arg}), 1, 15), 16, 10) "
+                "as bigint)")
+    return f"cast(('0x' || substring(md5({arg}), 1, 15)) as bigint)"
+
+
+HLL_P_BITS = 8           # 256 registers — ~6.5% RSE, 256 ints of state
+_HLL_FIELD = 52          # rho field: the low 52 bits of the 60-bit hash
+_HLL_MOD = 1 << _HLL_FIELD
+
+
+def _hll_rho_sql(h: str) -> str:
+    """rho = leading zeros of the 52-bit field + 1, exact integer
+    arithmetic in both dialects: length(bin(x)) = floor(log2 x)+1."""
+    low = f"({h} % {_HLL_MOD})"
+    return (f"cast(case when {low} = 0 then {_HLL_FIELD + 1} "
+            f"else {_HLL_FIELD + 1} - length(bin({low})) end as int)")
+
+
+def hll_registers_md5(df: DataFrame, cols: list[str],
+                      p_bits: int = HLL_P_BITS) -> DataFrame:
+    """(col_name, bucket, register) md5-HLL register table — the
+    hash-checkable sibling of :func:`distinct_sketch`.
+
+    One scan computes every column's (bucket, rho) pairs; a partial
+    max-aggregate collapses them map-side, so the shuffle is at most
+    ``len(cols) * 2^p_bits`` rows no matter the input size — the same
+    few-KB-state bound as the DataSketches path.  The register table
+    IS the sketch: merge any two with :func:`merge_md5_registers`
+    (pure max algebra, idempotent — re-merging a subset is a no-op,
+    which is what makes the streaming maintainer replay-safe)."""
+    shift = 60 - p_bits
+    stacked = None
+    for c in cols:
+        h = _h60(f"cast({c} as string)", "spark")
+        part = (df.filter(F.col(c).isNotNull())
+                .selectExpr(f"'{c}' as col_name",
+                            f"cast(shiftright({h}, {shift}) as int) as bucket",
+                            f"{_hll_rho_sql(h)} as rho"))
+        stacked = part if stacked is None else stacked.unionByName(part)
+    return (stacked.groupBy("col_name", "bucket")
+            .agg(F.max("rho").alias("register")))
+
+
+def merge_md5_registers(*tables: DataFrame) -> DataFrame:
+    """Union md5-HLL register tables by (col_name, bucket) — pure max
+    algebra, never touching the original data."""
+    if not tables:
+        raise ValueError("need at least one register table")
+    allof = tables[0]
+    for t in tables[1:]:
+        allof = allof.unionByName(t)
+    return (allof.groupBy("col_name", "bucket")
+            .agg(F.max("register").alias("register")))
+
+
+def hll_estimate_md5(registers: DataFrame,
+                     p_bits: int = HLL_P_BITS) -> DataFrame:
+    """(col_name, n_distinct) HLL estimate from an md5 register table.
+
+    The harmonic sum is accumulated as exact integers
+    (sum of 2^(53-register), max 256 * 2^52 < 2^63) so the estimate is
+    a deterministic function of the registers — absent buckets count
+    as register 0 via the (m - buckets_seen) correction term.  The
+    standard small-range correction applies: when the raw estimate is
+    under 2.5m and empty registers remain, linear counting
+    m * ln(m / empty) is the better estimator (raw HLL overshoots
+    badly at tiny cardinalities — a 5-language column would read as
+    ~190 without it)."""
+    m = 1 << p_bits
+    alpha = 0.7213 / (1 + 1.079 / m)   # standard HLL alpha for m >= 128
+    top = 1 << (_HLL_FIELD + 1)        # 2^53: integer-scaled 2^-rho sum
+    raw = (f"{alpha} * {m} * {m} * {top} / "
+           f"(__s + ({m} - __b) * cast({top} as bigint))")
+    return (registers.groupBy("col_name")
+            .agg(F.sum(F.expr(
+                f"shiftleft(cast(1 as bigint), {_HLL_FIELD + 1} - register)"
+            )).alias("__s"), F.count("*").alias("__b"))
+            .selectExpr(
+                "col_name",
+                f"cast(round(case when {raw} <= 2.5 * {m} and __b < {m} "
+                f"then {m} * ln({m} / cast({m} - __b as double)) "
+                f"else {raw} end) as bigint) as n_distinct"))
+
+
+def hll_registers_md5_sql(table: str, cols: list[str],
+                          p_bits: int = HLL_P_BITS,
+                          where: str = "true") -> str:
+    """DuckDB mirror of :func:`hll_registers_md5` (same register
+    values bit-for-bit)."""
+    shift = 60 - p_bits
+    vals = "\nUNION ALL ".join(
+        f"SELECT '{c}' AS col_name, cast({c} as varchar) AS v "
+        f"FROM {table} WHERE ({where}) AND {c} IS NOT NULL"
+        for c in cols)
+    h = _h60("v", "duck")
+    return f"""
+WITH vals AS ({vals}),
+hashed AS (SELECT col_name, cast({h} >> {shift} as int) AS bucket,
+                  {_hll_rho_sql(h)} AS rho
+           FROM vals)
+SELECT col_name, bucket, cast(max(rho) as int) AS register
+FROM hashed GROUP BY col_name, bucket
+"""
+
+
+# ---------------------- bottom-k md5 sample quantiles (full oracle)
+
+def bottomk_sample_md5(df: DataFrame, key: str, id_col: str,
+                       k: int) -> DataFrame:
+    """Keep the k rows with the smallest md5(id) per key group — a
+    deterministic, MERGEABLE uniform sample (the bottom-k sketch):
+    bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)), and
+    re-absorbing a replayed subset is a no-op.  Spark plans this as a
+    WindowGroupLimit: each map task ships at most k rows per group."""
+    w = Window.partitionBy(key).orderBy("__h", id_col)
+    h = _h60(f"cast({id_col} as string)", "spark")
+    return (df.withColumn("__h", F.expr(h))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn"))
+
+
+def sample_quantiles_md5(df: DataFrame, value_col: str, key: str,
+                         id_col: str, *, k: int = 256,
+                         quantiles: tuple = (0.5, 0.9, 0.99),
+                         split: str | None = None) -> DataFrame:
+    """(key, n_sample, q_50, q_90, ...) — quantiles by exact rank
+    selection over a deterministic bottom-k md5 sample: the
+    hash-checkable sibling of :func:`quantile_sketch`.
+
+    Values are SELECTED, never arithmetically combined, so doubles
+    hash identically across engines.  ``split`` (an integer-column
+    predicate pair like ``event_id % 2``) routes the input through two
+    independent bottom-k sketches merged by a second bottom-k — the
+    mergeability proof runs inside the oracled plan itself."""
+    if split is not None:
+        halves = [bottomk_sample_md5(df.filter(f"{split} = {i}"),
+                                     key, id_col, k) for i in (0, 1)]
+        samp = (halves[0].unionByName(halves[1])
+                .withColumn("__rn", F.row_number().over(
+                    Window.partitionBy(key).orderBy("__h", id_col)))
+                .filter(F.col("__rn") <= k).drop("__rn"))
+    else:
+        samp = bottomk_sample_md5(df, key, id_col, k)
+    wv = Window.partitionBy(key).orderBy(value_col, id_col)
+    wall = Window.partitionBy(key)
+    ranked = (samp.withColumn("__vr", F.row_number().over(wv))
+              .withColumn("__n", F.count("*").over(wall)))
+    aggs = [F.max("__n").alias("n_sample")]
+    for p in quantiles:
+        name = f"q_{int(round(p * 100))}"
+        aggs.append(F.max(F.when(
+            F.col("__vr") == F.expr(f"cast(floor({p} * (__n - 1)) "
+                                    "as bigint) + 1"),
+            F.col(value_col))).alias(name))
+    return ranked.groupBy(key).agg(*aggs)
+
+
+def sample_quantiles_md5_sql(table: str, value_col: str, key: str,
+                             id_col: str, *, k: int = 256,
+                             quantiles: tuple = (0.5, 0.9, 0.99),
+                             split: str | None = None) -> str:
+    """DuckDB mirror of :func:`sample_quantiles_md5`."""
+    h = _h60(f"cast({id_col} as varchar)", "duck")
+    if split is not None:
+        halves = "\nUNION ALL ".join(f"""
+SELECT * FROM (
+  SELECT {key}, {id_col}, {value_col}, {h} AS __h,
+         row_number() OVER (PARTITION BY {key}
+                            ORDER BY {h}, {id_col}) AS __rn
+  FROM {table} WHERE {split} = {i}) WHERE __rn <= {k}""" for i in (0, 1))
+        base = f"""
+WITH halves AS ({halves}),
+samp AS (SELECT * FROM (
+  SELECT {key}, {id_col}, {value_col},
+         row_number() OVER (PARTITION BY {key}
+                            ORDER BY __h, {id_col}) AS __rn2
+  FROM halves) WHERE __rn2 <= {k})"""
+    else:
+        base = f"""
+WITH samp AS (SELECT * FROM (
+  SELECT {key}, {id_col}, {value_col},
+         row_number() OVER (PARTITION BY {key}
+                            ORDER BY {h}, {id_col}) AS __rn
+  FROM {table}) WHERE __rn <= {k})"""
+    picks = ",\n       ".join(
+        f"max(CASE WHEN __vr = cast(floor({p} * (__n - 1)) as bigint) + 1 "
+        f"THEN {value_col} END) AS q_{int(round(p * 100))}"
+        for p in quantiles)
+    return f"""{base},
+ranked AS (SELECT {key}, {value_col},
+                  row_number() OVER (PARTITION BY {key}
+                                     ORDER BY {value_col}, {id_col}) AS __vr,
+                  count(*) OVER (PARTITION BY {key}) AS __n
+           FROM samp)
+SELECT {key}, max(__n) AS n_sample,
+       {picks}
+FROM ranked GROUP BY {key}
+"""

@@ -451,3 +451,54 @@ def quality_monitor_stream(stream_df: DataFrame,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sketch_maintain_stream(stream_df: DataFrame, cols: list[str],
+                           out_path: str, checkpoint: str, *,
+                           p_bits: int | None = None,
+                           trigger_available_now: bool = True
+                           ) -> StreamingQuery:
+    """Maintain a distinct-count sketch of an ever-growing stream —
+    the continuous counterpart of operators.sketch.hll_registers_md5
+    (the corpus profile question "how many distinct users/langs/docs
+    so far" answered from a few-KB register table, never a rescan).
+
+    Per micro-batch: build the batch's md5-HLL register table (one
+    scan of the DELTA, shuffle bounded at cols * 2^p_bits rows) and
+    max-merge it into the persisted registers.  The max algebra is a
+    commutative idempotent SEMIGROUP, so a replayed batch re-maxes a
+    subset of what the state already absorbed — a no-op — and
+    idempotence needs no partition bookkeeping, same as
+    sample_maintain_stream's bottom-k.  State stays ≤ cols * 2^p_bits
+    rows of 3 small columns forever."""
+    from pythonql_spark.operators.sketch import (HLL_P_BITS,
+                                                 hll_registers_md5,
+                                                 merge_md5_registers)
+    p = HLL_P_BITS if p_bits is None else p_bits
+
+    spark = stream_df.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+        regs = hll_registers_md5(batch_df, cols, p)
+        # probe existing state through Spark's FS layer (out_path may
+        # be s3://... where a driver-local os.path check is always
+        # False and every batch would silently reset the registers)
+        try:
+            existing = spark.read.parquet(out_path)
+            existing.head(1)
+            regs = merge_md5_registers(existing, regs)
+        except AnalysisException:   # first batch: no state yet
+            pass
+        # materialize before overwriting the path the plan reads from;
+        # the collect is bounded by cols * 2^p_bits rows — the
+        # documented register-state bound
+        rows = regs.collect()
+        (spark.createDataFrame(rows, regs.schema)
+         .coalesce(1).write.mode("overwrite").parquet(out_path))
+
+    writer = (stream_df.writeStream.foreachBatch(_apply)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -2488,3 +2488,74 @@ def test_int8_topk_matches_float_ranking(vecs):
     assert rows[0].n_id == 1 and rows[0].cosine > 0.99   # planted dup
     # int8 recall vs exact float cosine on well-separated vectors
     assert len(exact & {r.n_id for r in rows}) >= 2
+
+
+def test_md5_hll_registers_merge_and_estimate(spark, tables):
+    """md5-HLL (the hash-checkable sibling of the DataSketches path):
+    merging per-half register tables equals the whole-corpus
+    registers (max semigroup), re-merging a subset is a no-op
+    (idempotence — the streaming maintainer's replay contract), and
+    the integer-arithmetic estimate lands within the ~6.5% RSE band
+    of the exact distinct count at p_bits=8."""
+    from pythonql_spark.operators.sketch import (hll_estimate_md5,
+                                                 hll_registers_md5,
+                                                 merge_md5_registers)
+    docs = tables["documents"]
+    cols = ["doc_id", "lang"]
+
+    def as_map(df):
+        return {(r.col_name, r.bucket): r.register for r in df.collect()}
+
+    whole = hll_registers_md5(docs, cols)
+    halves = merge_md5_registers(
+        hll_registers_md5(docs.filter("doc_id % 2 = 0"), cols),
+        hll_registers_md5(docs.filter("doc_id % 2 = 1"), cols))
+    assert as_map(whole) == as_map(halves)
+    # idempotence: re-absorbing one half changes nothing
+    again = merge_md5_registers(
+        halves, hll_registers_md5(docs.filter("doc_id % 2 = 0"), cols))
+    assert as_map(again) == as_map(whole)
+
+    est = {r.col_name: r.n_distinct
+           for r in hll_estimate_md5(whole).collect()}
+    exact = docs.selectExpr(
+        "count(distinct doc_id) as doc_id",
+        "count(distinct lang) as lang").collect()[0]
+    # 256 registers -> ~6.5% relative standard error; allow 4 sigma
+    assert abs(est["doc_id"] - exact.doc_id) <= max(0.26 * exact.doc_id, 8)
+    # tiny cardinalities (a handful of langs) sit in the sparse range
+    # where every value occupies its own bucket: estimate ~= exact
+    assert abs(est["lang"] - exact.lang) <= 2
+
+
+def test_bottomk_sample_quantiles_mergeable(spark, tables):
+    """bottom-k md5 sample: bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪
+    bottom-k(B)) per group, and when k covers the whole group the
+    rank-selected quantiles are the exact quantiles."""
+    from pythonql_spark.operators.sketch import (bottomk_sample_md5,
+                                                 sample_quantiles_md5)
+    ev = tables["events"].select("event_id", "event_type", "value")
+
+    def ids(df):
+        return sorted((r.event_type, r.event_id) for r in df.collect())
+
+    whole = bottomk_sample_md5(ev, "event_type", "event_id", 20)
+    merged = (bottomk_sample_md5(ev.filter("event_id % 2 = 0"),
+                                 "event_type", "event_id", 20)
+              .unionByName(bottomk_sample_md5(
+                  ev.filter("event_id % 2 = 1"),
+                  "event_type", "event_id", 20)))
+    remerged = bottomk_sample_md5(
+        merged.drop("__h"), "event_type", "event_id", 20)
+    assert ids(whole) == ids(remerged)
+
+    # k >= group size -> sample is the whole group -> exact quantiles
+    big_k = ev.count()
+    got = {r.event_type: r.q_50 for r in sample_quantiles_md5(
+        ev, "value", "event_type", "event_id", k=big_k).collect()}
+    import math
+    for t, q50 in got.items():
+        vals = sorted(r.value for r in
+                      ev.filter(f"event_type = '{t}'").collect())
+        want = vals[math.floor(0.5 * (len(vals) - 1))]
+        assert q50 == want

@@ -782,3 +782,49 @@ def test_int8_index_ingest_stream_parity_and_replay(spark, tables, tmp_path):
     got = int8_topk(full, [1, 2, 3], k=5, encoded=inc_index).collect()
     want = int8_topk(full, [1, 2, 3], k=5).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_sketch_maintain_stream_matches_batch(spark, tables, tmp_path):
+    """The streamed md5-HLL register table == the batch
+    hll_registers_md5 over everything seen, regardless of micro-batch
+    boundaries; replaying from a fresh checkpoint converges to the
+    same registers (max-merge idempotence)."""
+    import shutil
+
+    from pythonql_spark.operators.sketch import (hll_estimate_md5,
+                                                 hll_registers_md5)
+    from pythonql_spark.streaming import run_to_completion
+    from pythonql_spark.streaming.ingest import sketch_maintain_stream
+
+    docs = tables["documents"].select("doc_id", "lang", "source")
+    cols = ["doc_id", "lang"]
+    src, out, ck = (str(tmp_path / p) for p in ("in", "regs", "ck"))
+
+    docs.filter("doc_id < 200").write.parquet(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    run_to_completion(sketch_maintain_stream(stream, cols, out, ck))
+    # second wave arrives; the maintainer absorbs only the delta
+    docs.filter("doc_id >= 200").write.mode("append").parquet(src)
+    stream2 = (spark.readStream.schema(docs.schema)
+               .option("maxFilesPerTrigger", 2).parquet(src))
+    run_to_completion(sketch_maintain_stream(stream2, cols, out, ck))
+
+    def as_map(df):
+        return {(r.col_name, r.bucket): r.register for r in df.collect()}
+
+    got = as_map(spark.read.parquet(out))
+    want = as_map(hll_registers_md5(docs, cols))
+    assert got == want
+
+    # the state answers the profile question without any rescan
+    est = {r.col_name: r.n_distinct for r in
+           hll_estimate_md5(spark.read.parquet(out)).collect()}
+    exact = docs.selectExpr("count(distinct doc_id) as n").collect()[0].n
+    assert abs(est["doc_id"] - exact) <= max(0.26 * exact, 8)
+
+    # replay everything from a fresh checkpoint: same registers
+    shutil.rmtree(ck)
+    stream3 = spark.readStream.schema(docs.schema).parquet(src)
+    run_to_completion(sketch_maintain_stream(stream3, cols, out, ck))
+    assert as_map(spark.read.parquet(out)) == want
