@@ -1517,14 +1517,31 @@ def profile_quantiles_md5_q(spark, sf):
                                 k=256, split="event_id % 2")
 
 
+@q("profile_cms", None)  # oracle registered below (generated SQL)
+def profile_cms_q(spark, sf):
+    """Count-Min frequency sketch of o_custkey (1,500 distinct keys
+    into 128 slots — real collision behavior) with the sum-merge of
+    two disjoint halves running inside the oracled plan.  Counters
+    are pure sums, so the sketch is order/partition-independent and
+    every counter lands under the DuckDB full-value oracle; shuffle
+    is bounded at depth*width rows per half (map-side partial sum)."""
+    from pythonql_spark.operators.sketch import cms_counters_md5, cms_merge
+    orders = load_table(spark, sf, "orders")
+    return cms_merge(
+        cms_counters_md5(orders.filter("o_orderkey % 2 = 0"), "o_custkey"),
+        cms_counters_md5(orders.filter("o_orderkey % 2 = 1"), "o_custkey"))
+
+
 def _register_sketch_md5_oracles():
     from pythonql_spark.operators.sketch import (
-        hll_registers_md5_sql, sample_quantiles_md5_sql)
+        cms_counters_md5_sql, hll_registers_md5_sql,
+        sample_quantiles_md5_sql)
     ORACLE["profile_sketch_md5"] = hll_registers_md5_sql(
         "documents", ["doc_id", "lang", "source"])
     ORACLE["profile_quantiles_md5"] = sample_quantiles_md5_sql(
         "events", "value", "event_type", "event_id",
         k=256, split="event_id % 2")
+    ORACLE["profile_cms"] = cms_counters_md5_sql("orders", "o_custkey")
 
 
 _register_sketch_md5_oracles()

@@ -391,3 +391,102 @@ SELECT {key}, max(__n) AS n_sample,
        {picks}
 FROM ranked GROUP BY {key}
 """
+
+# ------------------------- Count-Min frequency sketch (full oracle)
+
+CMS_DEPTH = 3
+CMS_WIDTH = 128
+
+
+def _cms_slots(col: str, depth: int, width: int, dialect: str) -> list:
+    """Per-depth slot expressions: md5 of the salted value mod width.
+    The salt rides inside the hashed string, so each depth row is an
+    independent hash function in both dialects."""
+    cast_t = "string" if dialect == "spark" else "varchar"
+    out = []
+    for d in range(depth):
+        h = _h60(f"concat('cms{d}:', cast({col} as {cast_t}))", dialect)
+        out.append(f"cast({h} % {width} as int)")
+    return out
+
+
+def cms_counters_md5(df: DataFrame, col: str, *,
+                     depth: int = CMS_DEPTH,
+                     width: int = CMS_WIDTH) -> DataFrame:
+    """(d, slot, counter) Count-Min sketch of a column's frequencies —
+    the FREQUENCY member of the sketch toolkit (HLL answers distinct,
+    KLL quantiles, Theta set algebra; CMS answers "how often does X
+    appear" and heavy-hitters from depth*width ints of state).
+
+    Count-Min is chosen over Misra-Gries because its counters are a
+    pure SUM over rows — order- and partition-independent, hence
+    deterministic, mergeable by element-wise addition, and exactly
+    reproducible in an external SQL engine (Misra-Gries evictions
+    depend on arrival order).  One scan fans each value out to its
+    ``depth`` md5 slots (a generate, not extra scans); the partial
+    sum collapses map-side so the shuffle is at most depth*width rows
+    no matter the input size."""
+    slots = _cms_slots(col, depth, width, "spark")
+    rows = ", ".join(
+        f"named_struct('d', {d}, 'slot', {s})"
+        for d, s in enumerate(slots))
+    return (df.filter(F.col(col).isNotNull())
+            .select(F.expr(f"explode(array({rows}))").alias("x"))
+            .groupBy(F.col("x.d").alias("d"),
+                     F.col("x.slot").alias("slot"))
+            .agg(F.count("*").alias("counter")))
+
+
+def cms_merge(*tables: DataFrame) -> DataFrame:
+    """Element-wise sum of CMS counter tables — the sketch algebra
+    for combining per-delta sketches.  Sum is a semigroup but NOT
+    idempotent, so unlike the HLL register max a streaming maintainer
+    must land per-batch tables and merge at read time (dynamic
+    partition overwrite makes a replayed batch rewrite itself instead
+    of double-counting)."""
+    if not tables:
+        raise ValueError("need at least one counter table")
+    allof = tables[0]
+    for t in tables[1:]:
+        allof = allof.unionByName(t)
+    return (allof.groupBy("d", "slot")
+            .agg(F.sum("counter").alias("counter")))
+
+
+def cms_estimate(counters: DataFrame, probes: DataFrame, col: str, *,
+                 depth: int = CMS_DEPTH,
+                 width: int = CMS_WIDTH) -> DataFrame:
+    """(col, n_est) point-frequency estimates: min over the depth
+    rows of the probed slots.  One-sided error — n_est >= true count
+    always, exceeding it only by collision mass (≤ 2N/width with
+    probability 1 - 2^-depth, the standard CMS bound).  The counter
+    table is ≤ depth*width rows, so it broadcasts to the probes
+    regardless of how many values are asked."""
+    slots = _cms_slots(col, depth, width, "spark")
+    rows = ", ".join(
+        f"named_struct('d', {d}, 'slot', {s})"
+        for d, s in enumerate(slots))
+    probed = (probes.select(col)
+              .withColumn("x", F.expr(f"explode(array({rows}))"))
+              .select(col, "x.d", "x.slot"))
+    return (probed.join(F.broadcast(counters), ["d", "slot"], "left")
+            .fillna(0, ["counter"])
+            .groupBy(col)
+            .agg(F.min("counter").alias("n_est")))
+
+
+def cms_counters_md5_sql(table: str, col: str, *,
+                         depth: int = CMS_DEPTH,
+                         width: int = CMS_WIDTH,
+                         where: str = "true") -> str:
+    """DuckDB mirror of :func:`cms_counters_md5` (same counters
+    bit-for-bit)."""
+    slots = _cms_slots(col, depth, width, "duck")
+    sels = "\nUNION ALL ".join(
+        f"SELECT {d} AS d, {s} AS slot "
+        f"FROM {table} WHERE ({where}) AND {col} IS NOT NULL"
+        for d, s in enumerate(slots))
+    return f"""
+WITH slots AS ({sels})
+SELECT d, slot, count(*) AS counter FROM slots GROUP BY d, slot
+"""

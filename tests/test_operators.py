@@ -2559,3 +2559,36 @@ def test_bottomk_sample_quantiles_mergeable(spark, tables):
                       ev.filter(f"event_type = '{t}'").collect())
         want = vals[math.floor(0.5 * (len(vals) - 1))]
         assert q50 == want
+
+
+def test_cms_counters_merge_estimate_bounds(spark, tables):
+    """Count-Min sketch: sum-merging disjoint halves equals the
+    whole-table counters; point estimates are one-sided (never under
+    the true count) and within the 2N/width collision bound for the
+    probed keys."""
+    from pythonql_spark.operators.sketch import (CMS_WIDTH,
+                                                 cms_counters_md5,
+                                                 cms_estimate, cms_merge)
+    orders = tables["orders"]
+
+    def as_map(df):
+        return {(r.d, r.slot): r.counter for r in df.collect()}
+
+    whole = cms_counters_md5(orders, "o_custkey")
+    halves = cms_merge(
+        cms_counters_md5(orders.filter("o_orderkey % 2 = 0"), "o_custkey"),
+        cms_counters_md5(orders.filter("o_orderkey % 2 = 1"), "o_custkey"))
+    assert as_map(whole) == as_map(halves)
+
+    exact = {r.o_custkey: r.n for r in
+             orders.groupBy("o_custkey").agg(
+                 F.count("*").alias("n")).collect()}
+    probes = orders.select("o_custkey").distinct()
+    est = {r.o_custkey: r.n_est for r in
+           cms_estimate(whole, probes, "o_custkey").collect()}
+    n_total = orders.count()
+    bound = 2.0 * n_total / CMS_WIDTH
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert e >= exact[k]                  # one-sided by construction
+        assert e - exact[k] <= bound + 1      # standard CMS error bound
