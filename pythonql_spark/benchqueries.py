@@ -1532,10 +1532,39 @@ def profile_cms_q(spark, sf):
         cms_counters_md5(orders.filter("o_orderkey % 2 = 1"), "o_custkey"))
 
 
+@q("rollup_distinct", None)  # oracle registered below (generated SQL)
+def rollup_distinct_q(spark, sf):
+    """Distinct-count ROLLUP: count(distinct user) per day maintained
+    from hourly md5-HLL register deltas — count(distinct) is not a
+    semigroup, its register table is.  The plan computes hourly
+    partials (the per-ingest-batch artifact at 100 TB) and max-merges
+    them to daily registers WITHOUT rescanning events; the oracle
+    computes the daily registers directly from raw rows — equal by
+    max associativity, every register hash-checked."""
+    from pythonql_spark.operators.sketch import (hll_registers_keyed,
+                                                 merge_registers_keyed)
+    ev = load_table(spark, sf, "events")
+    hourly = hll_registers_keyed(
+        ev, {"hour": "date_trunc('hour', ts)"}, "user_id")
+    return merge_registers_keyed(
+        hourly, {"day": "cast(to_date(hour) as string)"})
+
+
 def _register_sketch_md5_oracles():
     from pythonql_spark.operators.sketch import (
         cms_counters_md5_sql, hll_registers_md5_sql,
         sample_quantiles_md5_sql)
+    from pythonql_spark.operators.sketch import _h60, _hll_rho_sql
+    h = _h60("cast(user_id as varchar)", "duck")
+    ORACLE["rollup_distinct"] = f"""
+WITH hashed AS (
+  SELECT cast(cast(ts as date) as varchar) AS day,
+         cast({h} >> 52 as int) AS bucket,
+         {_hll_rho_sql(h)} AS rho
+  FROM events WHERE user_id IS NOT NULL)
+SELECT day, bucket, cast(max(rho) as int) AS register
+FROM hashed GROUP BY day, bucket
+"""
     ORACLE["profile_sketch_md5"] = hll_registers_md5_sql(
         "documents", ["doc_id", "lang", "source"])
     ORACLE["profile_quantiles_md5"] = sample_quantiles_md5_sql(

@@ -490,3 +490,44 @@ def cms_counters_md5_sql(table: str, col: str, *,
 WITH slots AS ({sels})
 SELECT d, slot, count(*) AS counter FROM slots GROUP BY d, slot
 """
+
+
+# ----------------- keyed md5-HLL: distinct-count rollups over time
+
+def hll_registers_keyed(df: DataFrame, key_exprs: dict, col: str,
+                        p_bits: int = HLL_P_BITS) -> DataFrame:
+    """(keys..., bucket, register) md5-HLL registers per key group —
+    the building block for DISTINCT-COUNT rollups: count(distinct) is
+    not a semigroup (you cannot add yesterday's distinct users to
+    today's), but its register table IS (max-merge), so hourly
+    register deltas roll up to daily/weekly distinct counts with no
+    rescan of raw history — the hypertable continuous-aggregate story
+    (timeseries.rollup_delta / merge_rollups) extended to the one
+    aggregate those sum/min/max columns cannot express.
+
+    ``key_exprs`` maps output column name -> SQL expression (e.g.
+    ``{"hour": "date_trunc('hour', ts)"}``).  Shuffle is bounded at
+    |key groups| * 2^p_bits rows (map-side partial max)."""
+    shift = 60 - p_bits
+    h = _h60(f"cast({col} as string)", "spark")
+    keyed = df.filter(F.col(col).isNotNull()).selectExpr(
+        *[f"{e} as {name}" for name, e in key_exprs.items()],
+        f"cast(shiftright({h}, {shift}) as int) as bucket",
+        f"{_hll_rho_sql(h)} as rho")
+    return (keyed.groupBy(*key_exprs, "bucket")
+            .agg(F.max("rho").alias("register")))
+
+
+def merge_registers_keyed(deltas: DataFrame, rollup_exprs: dict
+                          ) -> DataFrame:
+    """Roll register deltas up to a coarser key — e.g. hourly
+    registers to daily: ``rollup_exprs`` maps output name -> SQL over
+    the delta's key columns (``{"day": "to_date(hour)"}``).  Pure max
+    algebra over |groups| * 2^p_bits rows; raw history is never
+    rescanned, and re-merging a late or replayed delta is absorbed by
+    idempotence."""
+    return (deltas.selectExpr(
+        *[f"{e} as {name}" for name, e in rollup_exprs.items()],
+        "bucket", "register")
+        .groupBy(*rollup_exprs, "bucket")
+        .agg(F.max("register").alias("register")))

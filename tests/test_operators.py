@@ -2592,3 +2592,37 @@ def test_cms_counters_merge_estimate_bounds(spark, tables):
     for k, e in est.items():
         assert e >= exact[k]                  # one-sided by construction
         assert e - exact[k] <= bound + 1      # standard CMS error bound
+
+
+def test_keyed_hll_rollup_matches_direct_and_exact(spark, tables):
+    """Distinct-count rollup: hourly register deltas max-merged to
+    days equal the registers computed directly at day grain (max
+    associativity — the no-rescan maintenance claim), and the daily
+    estimates land within the 256-register error band of the exact
+    per-day distinct user counts."""
+    from pythonql_spark.operators.sketch import (hll_estimate_md5,
+                                                 hll_registers_keyed,
+                                                 merge_registers_keyed)
+    ev = tables["events"]
+
+    hourly = hll_registers_keyed(
+        ev, {"hour": "date_trunc('hour', ts)"}, "user_id")
+    daily = merge_registers_keyed(
+        hourly, {"day": "cast(to_date(hour) as string)"})
+    direct = hll_registers_keyed(
+        ev, {"day": "cast(to_date(ts) as string)"}, "user_id")
+
+    def as_map(df):
+        return {(r.day, r.bucket): r.register for r in df.collect()}
+
+    assert as_map(daily) == as_map(direct)
+
+    est = {r.col_name: r.n_distinct for r in hll_estimate_md5(
+        daily.withColumnRenamed("day", "col_name")).collect()}
+    exact = {r.day: r.n for r in ev.selectExpr(
+        "cast(to_date(ts) as string) as day", "user_id")
+        .groupBy("day").agg(F.countDistinct("user_id").alias("n"))
+        .collect()}
+    assert set(est) == set(exact)
+    for day, n in exact.items():
+        assert abs(est[day] - n) <= max(0.26 * n, 8), (day, est[day], n)

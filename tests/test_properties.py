@@ -394,3 +394,55 @@ def test_int8_quantize_matches_pure_python(vec):
         assert -127 <= got <= 127 or abs(got) == 127
         if scale:    # dequantization error within half a step
             assert abs(got * scale - x64) <= scale / 2 * (1 + 1e-12)
+
+
+@given(vals=st.lists(st.one_of(
+    st.text(min_size=0, max_size=24), st.integers(-10**9, 10**9)),
+    min_size=1, max_size=60))
+@SLOW
+def test_md5_hll_registers_match_pure_python(spark, vals):
+    """The md5-HLL register table (the hash-oracle sketch sibling)
+    must equal a pure-Python replay of the same construction on
+    ARBITRARY values: 60-bit md5 prefix, top-8-bit bucket, leading
+    zeros of the 52-bit remainder + 1, max per bucket."""
+    import hashlib
+
+    from pythonql_spark.operators.sketch import hll_registers_md5
+
+    df = spark.createDataFrame([(str(v),) for v in vals], ["v"])
+    got = {(r.col_name, r.bucket): r.register
+           for r in hll_registers_md5(df, ["v"]).collect()}
+
+    want: dict = {}
+    for v in vals:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        bucket, low = h >> 52, h % (1 << 52)
+        rho = 53 if low == 0 else 53 - low.bit_length()
+        key = ("v", bucket)
+        want[key] = max(want.get(key, 0), rho)
+    assert got == want
+
+
+@given(vals=st.lists(st.integers(-10**9, 10**9),
+                     min_size=1, max_size=60))
+@SLOW
+def test_cms_counters_match_pure_python(spark, vals):
+    """Count-Min counters must equal a pure-Python replay on
+    arbitrary values (depth-salted 60-bit md5 mod width, summed)."""
+    import hashlib
+
+    from pythonql_spark.operators.sketch import (CMS_DEPTH, CMS_WIDTH,
+                                                 cms_counters_md5)
+
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = {(r.d, r.slot): r.counter
+           for r in cms_counters_md5(df, "v").collect()}
+
+    want: dict = {}
+    for v in vals:
+        for d in range(CMS_DEPTH):
+            h = int(hashlib.md5(f"cms{d}:{v}".encode())
+                    .hexdigest()[:15], 16)
+            key = (d, h % CMS_WIDTH)
+            want[key] = want.get(key, 0) + 1
+    assert got == want
