@@ -502,3 +502,43 @@ def sketch_maintain_stream(stream_df: DataFrame, cols: list[str],
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cms_maintain_stream(stream_df: DataFrame, col: str,
+                        out_path: str, checkpoint: str, *,
+                        depth: int | None = None,
+                        width: int | None = None,
+                        trigger_available_now: bool = True
+                        ) -> StreamingQuery:
+    """Maintain a Count-Min frequency sketch of an ever-growing
+    stream — the frequency counterpart of sketch_maintain_stream
+    ("how often has URL/user/shingle X appeared so far" from
+    depth*width ints, never a rescan).
+
+    CMS counters merge by SUM, which is a semigroup but NOT
+    idempotent — a replayed batch re-added into a single state table
+    would double-count.  So unlike the HLL maintainer this one lands
+    each batch's counter table in its own partition with dynamic
+    partition overwrite (the replayed batch REWRITES itself), and the
+    read-side merge (operators.sketch.cms_merge over the landed
+    partitions, ≤ depth*width rows per batch) produces the current
+    sketch.  Periodic compaction can fold old partitions into one —
+    also just cms_merge — without touching raw history."""
+    from pythonql_spark.operators.sketch import (CMS_DEPTH, CMS_WIDTH,
+                                                 cms_counters_md5)
+    d = CMS_DEPTH if depth is None else depth
+    w = CMS_WIDTH if width is None else width
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        counters = cms_counters_md5(batch_df, col, depth=d, width=w)
+        (counters.withColumn(BATCH_COL, F.lit(batch_id))
+         .coalesce(1).write.mode("overwrite")
+         .partitionBy(BATCH_COL)
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(out_path))
+
+    writer = (stream_df.writeStream.foreachBatch(_apply)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

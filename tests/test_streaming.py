@@ -828,3 +828,57 @@ def test_sketch_maintain_stream_matches_batch(spark, tables, tmp_path):
     stream3 = spark.readStream.schema(docs.schema).parquet(src)
     run_to_completion(sketch_maintain_stream(stream3, cols, out, ck))
     assert as_map(spark.read.parquet(out)) == want
+
+
+def test_cms_maintain_stream_matches_batch(spark, tables, tmp_path):
+    """The read-side merge of the streamed per-batch CMS partitions
+    == the batch cms_counters_md5 over everything seen; replaying
+    from a fresh checkpoint rewrites partitions instead of
+    double-counting (sum is not idempotent — the landing pattern is
+    what makes replay safe)."""
+    import shutil
+
+    from pythonql_spark.operators.sketch import (cms_counters_md5,
+                                                 cms_merge)
+    from pythonql_spark.streaming import run_to_completion
+    from pythonql_spark.streaming.ingest import cms_maintain_stream
+
+    orders = tables["orders"].select("o_orderkey", "o_custkey")
+    src, out, ck = (str(tmp_path / p) for p in ("in", "cms", "ck"))
+    orders.filter("o_orderkey % 3 != 0").write.parquet(src)
+    stream = (spark.readStream.schema(orders.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    run_to_completion(cms_maintain_stream(stream, "o_custkey", out, ck))
+    orders.filter("o_orderkey % 3 = 0").write.mode("append").parquet(src)
+    stream2 = (spark.readStream.schema(orders.schema)
+               .option("maxFilesPerTrigger", 2).parquet(src))
+    run_to_completion(cms_maintain_stream(stream2, "o_custkey", out, ck))
+
+    def as_map(df):
+        return {(r.d, r.slot): r.counter for r in df.collect()}
+
+    landed = spark.read.parquet(out).drop("_ingest_batch")
+    got = as_map(cms_merge(landed))
+    want = as_map(cms_counters_md5(orders, "o_custkey"))
+    assert got == want
+
+    # crash replay: drop the LAST batch's commit marker so a restart
+    # re-executes that batch against the same checkpoint — the
+    # re-executed batch must REWRITE its own partition (dynamic
+    # overwrite), leaving the merged totals unchanged.  (A fresh
+    # checkpoint is a new stream identity with new batch boundaries —
+    # sum-merge state is only replay-safe under the checkpointed
+    # contract, which is exactly what a crash-restart exercises.)
+    import os
+    commits = os.path.join(ck, "commits")
+    last = max((f for f in os.listdir(commits) if f.isdigit()), key=int)
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    stream3 = (spark.readStream.schema(orders.schema)
+               .option("maxFilesPerTrigger", 2).parquet(src))
+    run_to_completion(cms_maintain_stream(stream3, "o_custkey", out, ck))
+    landed2 = spark.read.parquet(out).drop("_ingest_batch")
+    assert as_map(cms_merge(landed2)) == want
+    shutil.rmtree(ck)
