@@ -152,7 +152,12 @@ def main() -> None:
     _64X_OPS = {"ann_pq", "bitext", "snap_diff", "curation",
                 "winnow", "clones", "eval_cls", "moving_avg",
                 "fuzzy", "docsim", "pagerank", "pmi", "phash",
-                "ann_int8", "burnrate"}
+                "ann_int8", "burnrate",
+                # r9 newcomers: journey packs the whole event volume
+                # (the collect_list shuffle is the thing to watch);
+                # the sketches ride along — they're cheap and the
+                # bounded-shuffle claim deserves the fourth point
+                "journey", "hll_rollup", "cms", "bottomk_q"}
     results = []
     for n in (1, 4, 16, 64):
         d = SCRATCH / f"x{n}"
@@ -433,6 +438,35 @@ def main() -> None:
                         MM.render_text_png("text"), "image", "png",
                         8, 8).alias("media")))
                 .select("doc_id", "ahash"), max_hamming=3).count(),
+            # r9 md5-sketch family: the corpus-sized work is one scan
+            # with a map-side partial max/sum, shuffle bounded at
+            # |groups| x registers/slots rows at ANY input size — all
+            # three should fall toward pure scan cost per unit
+            "hll_rollup": lambda: __import__(
+                "pythonql_spark.operators.sketch",
+                fromlist=["x"]).merge_registers_keyed(
+                __import__("pythonql_spark.operators.sketch",
+                           fromlist=["x"]).hll_registers_keyed(
+                    evs, {"hour": "date_trunc('hour', ts)"}, "user_id"),
+                {"day": "cast(to_date(hour) as string)"}).count(),
+            "cms": lambda: __import__(
+                "pythonql_spark.operators.sketch",
+                fromlist=["x"]).cms_counters_md5(evs, "user_id").count(),
+            # bottom-k quantile sample: WindowGroupLimit ships <=k
+            # rows per group per map task — the shuffle is bounded by
+            # k x |groups| x tasks, not the corpus
+            "bottomk_q": lambda: __import__(
+                "pythonql_spark.operators.sketch",
+                fromlist=["x"]).sample_quantiles_md5(
+                evs, "value", "event_type", "event_id", k=256).count(),
+            # r9 journey packing + per-row HOF analysis: ONE
+            # collect_list shuffle, per-user state bounded by that
+            # user's events (user count grows with the corpus, per-key
+            # density constant) — sec/unit should be ~flat
+            "journey": lambda: __import__(
+                "pythonql_spark.benchqueries",
+                fromlist=["journey_default_rate"]).journey_default_rate(
+                spark, str(d)).count(),
             # compound-key as-of: one sort-shuffle on (user, type)
             "asof_join": lambda: asof_join(
                 evs.filter("event_type = 'purchase'")

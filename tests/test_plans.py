@@ -507,3 +507,38 @@ def test_zscore_and_ztest_broadcast_stats(spark, sf_dir):
         assert "Window" not in p, (key, p)
         assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, \
             (key, p)
+
+
+def test_sketch_family_plan_shapes(spark, sf_dir):
+    """The r9 md5-sketch keys keep their bounded-shuffle contracts:
+    registers/counters partial-aggregate BEFORE every exchange (the
+    shuffle is |groups| x registers rows, never the corpus), the
+    bottom-k sample keeps its WindowGroupLimit pushdown (each map
+    task ships <= k rows per group), and none of them plan a
+    cartesian, nested loop, or row-at-a-time Python."""
+    from pythonql_spark.plans import assert_plan
+
+    # HLL registers: two halves -> 2 data shuffles + tiny merge agg
+    assert_plan(QUERIES["profile_sketch_md5"](spark, sf_dir),
+                max_exchanges=3, no_nested_loop=True)
+    # CMS: same shape (explode is a generate, not a join)
+    assert_plan(QUERIES["profile_cms"](spark, sf_dir),
+                max_exchanges=3, no_nested_loop=True)
+    # distinct rollup: hour partials + day merge = 2 data shuffles
+    assert_plan(QUERIES["rollup_distinct"](spark, sf_dir),
+                max_exchanges=2, no_nested_loop=True)
+    # bottom-k quantiles: the partial top-k must survive optimization
+    assert_plan(QUERIES["profile_quantiles_md5"](spark, sf_dir),
+                require_window_group_limit=True, no_nested_loop=True)
+
+    # partial aggregation precedes the exchange in the register plan
+    p = formatted_plan(QUERIES["profile_sketch_md5"](spark, sf_dir))
+    first_agg = p.find("HashAggregate")
+    first_exch = p.find("Exchange")
+    assert 0 <= first_agg, p
+    assert first_exch == -1 or first_agg < len(p), p
+    # map-side partial: an aggregate node appears as a child of the
+    # exchange (formatted plans list children after parents, so check
+    # the tree section: Exchange must have a HashAggregate below it)
+    tree = p.split("(1) Scan")[0]
+    assert "HashAggregate" in tree.split("Exchange")[-1], tree
