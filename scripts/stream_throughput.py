@@ -90,6 +90,22 @@ def main() -> None:
             ("sample_maintain", lambda s: sample_maintain_stream(
                 s.select("doc_id", "text"), 1000,
                 str(d / "out_smp"), str(d / "ck_smp"))),
+            # r9 sketch maintainers: per-batch work is one scan of the
+            # batch with a bounded-output aggregate; HLL state rewrites
+            # <= cols*256 rows per batch, CMS lands <= depth*width rows
+            # per batch partition — both should hold flat per-batch
+            # cost as arrival volume grows
+            ("hll_maintain", lambda s: __import__(
+                "pythonql_spark.streaming.ingest",
+                fromlist=["x"]).sketch_maintain_stream(
+                s.select("doc_id", "lang", "source"),
+                ["doc_id", "lang", "source"],
+                str(d / "out_hll"), str(d / "ck_hll"))),
+            ("cms_maintain", lambda s: __import__(
+                "pythonql_spark.streaming.ingest",
+                fromlist=["x"]).cms_maintain_stream(
+                s.select("doc_id", "source"), "source",
+                str(d / "out_cms"), str(d / "ck_cms"))),
         ):
             if only and name not in only:
                 continue
