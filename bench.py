@@ -73,7 +73,7 @@ def main() -> None:
         "pql_burnrate", "ann_pq_md5", "text_bpe_fixed",
         "journey_default_rate",
         "profile_sketch_md5", "profile_quantiles_md5", "profile_cms",
-        "rollup_distinct",
+        "rollup_distinct", "url_curate",
     ) if n in QUERIES]
 
     # warm the JVM + parquet footers, and spin up the Python worker

@@ -1532,6 +1532,46 @@ def profile_cms_q(spark, sf):
         cms_counters_md5(orders.filter("o_orderkey % 2 = 1"), "o_custkey"))
 
 
+def _messy_url_expr(dialect: str) -> str:
+    """Deterministic messy-URL column over documents — the dual-
+    dialect INPUT for the URL-curation oracle (like the media keys'
+    synthesized WAV/PNG payloads: the testdata has no url column, so
+    the plumbing is exercised on a deterministic one).  Five spelling
+    variants of source-derived pages: www + tracking params +
+    fragment, reordered params, port + trailing slash, a co.uk
+    multi-part-suffix host, and a clean spelling."""
+    s = "string" if dialect == "spark" else "varchar"
+    d = f"cast(doc_id as {s})"
+    return f"""case cast(doc_id % 5 as int)
+  when 0 then concat('https://www.', source, '.com/p/', {d},
+                     '?utm_source=feed&b=2&a=1#frag')
+  when 1 then concat('https://', source, '.com/p/', {d}, '?a=1&b=2')
+  when 2 then concat('http://', source, '.com:80/p/', {d}, '/')
+  when 3 then concat('https://news.', source, '.co.uk/p/', {d},
+                     '?gclid=xyz')
+  else concat('https://', source, '.com/about')
+  end"""
+
+
+@q("url_curate", None)  # oracle registered below (generated SQL)
+def url_curate_q(spark, sf):
+    """URL canonicalization + per-domain cap (the C4/RefinedWeb
+    curation step): canonical url (host case/www/ports/fragments/
+    tracking params/param order/trailing slash all folded), registered
+    domain with multi-part-suffix handling (news.X.co.uk → X.co.uk),
+    and a top-10-per-domain cap planned as WindowGroupLimit.  The
+    whole pipeline is scan-fused string expressions under the FULL
+    value oracle; variants 0 and 1 of the same page collapse to ONE
+    canonical spelling, which the oracle checks row-for-row."""
+    from pythonql_spark.operators.url import domain_cap
+    docs = load_table(spark, sf, "documents")
+    with_url = docs.selectExpr(
+        "doc_id", "n_chars", f"{_messy_url_expr('spark')} as url")
+    capped = domain_cap(with_url, 10,
+                        order=["n_chars desc", "doc_id"])
+    return capped.select("doc_id", "url_norm", "domain")
+
+
 @q("rollup_distinct", None)  # oracle registered below (generated SQL)
 def rollup_distinct_q(spark, sf):
     """Distinct-count ROLLUP: count(distinct user) per day maintained
@@ -1571,6 +1611,24 @@ FROM hashed GROUP BY day, bucket
         "events", "value", "event_type", "event_id",
         k=256, split="event_id % 2")
     ORACLE["profile_cms"] = cms_counters_md5_sql("orders", "o_custkey")
+    from pythonql_spark.operators.url import (registered_domain_expr,
+                                              url_normalize_expr)
+    ORACLE["url_curate"] = f"""
+WITH with_url AS (
+  SELECT doc_id, n_chars, {_messy_url_expr('duck')} AS url
+  FROM documents),
+curated AS (
+  SELECT doc_id, n_chars,
+         {url_normalize_expr('url', 'duck')} AS url_norm,
+         {registered_domain_expr('url', dialect='duck')} AS domain
+  FROM with_url),
+ranked AS (
+  SELECT doc_id, url_norm, domain,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM curated)
+SELECT doc_id, url_norm, domain FROM ranked WHERE rn <= 10
+"""
 
 
 _register_sketch_md5_oracles()

@@ -1,0 +1,141 @@
+"""URL canonicalization and per-domain curation.
+
+Web-crawl corpora (C4, RefinedWeb, Gopher's MassiveWeb) treat the URL
+as a first-class curation signal: exact-dedup runs on the CANONICAL
+url (scheme/host case, default ports, fragments, tracking params and
+trailing slashes all denormalize the same page into many spellings),
+and per-REGISTERED-DOMAIN caps stop a single template-heavy site from
+dominating the mixture.  Reference scope: the reference engine has no
+URL operators — this module is part of the beyond-reference
+LLM-pipeline surface (SURVEY §2.5), like dedup.py and text.py.
+
+Everything is scan-fused string expressions (no UDF, no shuffle until
+the cap's WindowGroupLimit), written once and emitted for BOTH
+dialects so the whole pipeline sits under the DuckDB value oracle:
+
+* :func:`url_host_expr` / :func:`url_path_expr` / :func:`url_query_expr`
+  — component extraction by regexp (identical regexp semantics in
+  Spark and DuckDB).
+* :func:`url_normalize_expr` — lowercase host, strip ``www.``, drop
+  default ports / fragments, drop tracking params (``utm_*``,
+  ``gclid``, ``fbclid``, ``ref``), SORT surviving params (param order
+  is not page identity), strip the trailing slash except at root.
+* :func:`registered_domain_expr` — last-two-labels heuristic with an
+  explicit multi-part-suffix list (``co.uk`` …): the deterministic
+  core of the public-suffix rule (the full PSL is a data file, not an
+  algorithm — swap the list for it in production).
+* :func:`domain_cap` — keep the top-``n`` rows per registered domain
+  (WindowGroupLimit: each map task ships at most n rows per domain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# multi-part public suffixes the last-two-label rule would get wrong.
+# Deliberately a SMALL explicit list (deterministic, oracle-mirrorable);
+# production swaps in the full public-suffix list as a data file.
+MULTIPART_SUFFIXES = (
+    "co.uk", "ac.uk", "gov.uk", "org.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "co.in", "co.kr", "com.br", "com.mx", "com.cn",
+)
+
+TRACKING_PARAM_RE = "^(utm_[a-z]+|gclid|fbclid|ref)="
+
+
+def url_host_expr(col: str) -> str:
+    """Lowercased host without a leading ``www.`` — valid in both
+    dialects (regexp component split, never a UDF)."""
+    host = f"lower(regexp_extract({col}, 'https?://([^/:?#]+)', 1))"
+    return (f"case when {host} like 'www.%' "
+            f"then substring({host}, 5) else {host} end")
+
+
+def url_path_expr(col: str) -> str:
+    """Path with the trailing slash stripped (except root ``/``);
+    an empty path normalizes to ``/``."""
+    path = f"regexp_extract({col}, '^[a-z]+://[^/?#]*([^?#]*)', 1)"
+    return (f"case when {path} = '' then '/' "
+            f"when {path} != '/' and {path} like '%/' "
+            f"then substring({path}, 1, length({path}) - 1) "
+            f"else {path} end")
+
+
+def url_query_expr(col: str, dialect: str = "spark") -> str:
+    """Canonical query string: tracking params dropped, survivors
+    sorted (param ORDER is not page identity), empty result -> ''."""
+    q = f"regexp_extract({col}, '[?]([^#]*)', 1)"
+    if dialect == "spark":
+        kept = (f"array_sort(filter(split({q}, '&'), "
+                f"p -> p != '' and p not rlike '{TRACKING_PARAM_RE}'))")
+        joined = f"array_join({kept}, '&')"
+    else:
+        kept = (f"list_sort(list_filter(string_split({q}, '&'), "
+                f"p -> p != '' and not regexp_matches(p, "
+                f"'{TRACKING_PARAM_RE}')))")
+        joined = f"array_to_string({kept}, '&')"
+    return f"coalesce({joined}, '')"
+
+
+def url_normalize_expr(col: str, dialect: str = "spark") -> str:
+    """Full canonical URL: ``https://host/path[?sorted-params]`` —
+    scheme folded to https (crawls record both spellings of the same
+    page), host lowercased/www-stripped, default ports dropped by the
+    host regexp (it stops at ``:``), fragment dropped, query
+    canonicalized."""
+    host = url_host_expr(col)
+    path = url_path_expr(col)
+    q = url_query_expr(col, dialect)
+    return (f"concat('https://', {host}, {path}, "
+            f"case when {q} = '' then '' else concat('?', {q}) end)")
+
+
+def registered_domain_expr(col_or_host: str, *, is_host: bool = False,
+                           dialect: str = "spark") -> str:
+    """Registered (pay-level) domain of a URL or host expression:
+    last two labels, or last THREE when the two-label tail is a
+    known multi-part public suffix (``foo.co.uk`` → ``foo.co.uk``,
+    not ``co.uk``)."""
+    host = col_or_host if is_host else url_host_expr(col_or_host)
+    if dialect == "spark":
+        labels = f"split({host}, '[.]')"
+        el = lambda i: f"element_at({labels}, {i})"  # noqa: E731
+        size = f"size({labels})"
+    else:
+        labels = f"string_split({host}, '.')"
+        el = lambda i: f"{labels}[{i}]"              # noqa: E731
+        size = f"len({labels})"
+    tail2 = f"concat({el(-2)}, '.', {el(-1)})"
+    tail3 = f"concat({el(-3)}, '.', {tail2})"
+    suffixes = ", ".join(f"'{s}'" for s in MULTIPART_SUFFIXES)
+    return (f"case when {size} >= 3 and {tail2} in ({suffixes}) "
+            f"then {tail3} "
+            f"when {size} >= 2 then {tail2} else {host} end")
+
+
+def curate_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds ``url_norm`` and ``domain`` columns — one scan, pure
+    expressions, ready for exact dedup on ``url_norm`` (the canonical
+    identity) and for :func:`domain_cap`."""
+    return df.selectExpr(
+        "*",
+        f"{url_normalize_expr(url_col)} as url_norm",
+        f"{registered_domain_expr(url_col)} as domain")
+
+
+def domain_cap(df: DataFrame, n: int, *,
+               url_col: str = "url",
+               order: list[str] | None = None) -> DataFrame:
+    """Keep at most ``n`` rows per REGISTERED DOMAIN, best-first —
+    the RefinedWeb-style cap that stops template-heavy sites from
+    dominating the corpus.  Plans as WindowGroupLimit: each map task
+    ships at most n rows per domain, so the shuffle is bounded by
+    n * |domains| * tasks regardless of corpus size."""
+    from pythonql_spark.operators.topk import _order_cols
+    out = curate_urls(df, url_col)
+    w = Window.partitionBy("domain").orderBy(
+        *_order_cols(order or [url_col]))
+    return (out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n).drop("__rn"))

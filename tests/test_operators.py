@@ -2626,3 +2626,77 @@ def test_keyed_hll_rollup_matches_direct_and_exact(spark, tables):
     assert set(est) == set(exact)
     for day, n in exact.items():
         assert abs(est[day] - n) <= max(0.26 * n, 8), (day, est[day], n)
+
+
+def test_url_normalize_collapses_spelling_variants(spark):
+    """Every denormalized spelling of the same page — www prefix,
+    host case, default port, fragment, tracking params, param order,
+    trailing slash — must canonicalize to ONE url_norm; distinct
+    pages must stay distinct."""
+    from pythonql_spark.operators.url import curate_urls
+    same_page = [
+        "https://www.Example.COM/a/b?utm_source=x&b=2&a=1#frag",
+        "https://example.com/a/b?a=1&b=2",
+        "http://example.com:80/a/b/?b=2&a=1&fbclid=zzz",
+        "https://EXAMPLE.com/a/b?gclid=q&a=1&b=2#other",
+    ]
+    different = [
+        "https://example.com/a/b?a=1&b=3",      # different param value
+        "https://example.com/a/c?a=1&b=2",      # different path
+        "https://other.com/a/b?a=1&b=2",        # different host
+        "https://example.com/a/b",              # no params at all
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(same_page + different)],
+        ["id", "url"])
+    out = {r.id: (r.url_norm, r.domain)
+           for r in curate_urls(df).collect()}
+    canon = {out[i][0] for i in range(len(same_page))}
+    assert canon == {"https://example.com/a/b?a=1&b=2"}, canon
+    all_norms = [v[0] for v in out.values()]
+    assert len(set(all_norms)) == 1 + len(different)
+    assert all(v[1] in ("example.com", "other.com")
+               for v in out.values())
+
+
+def test_registered_domain_multipart_suffixes(spark):
+    from pythonql_spark.operators.url import registered_domain_expr
+    cases = {
+        "https://news.bbc.co.uk/x": "bbc.co.uk",
+        "https://a.b.example.com/x": "example.com",
+        "https://example.com/x": "example.com",
+        "https://www.shop.com.au/x": "shop.com.au",
+        "https://localhost/x": "localhost",
+    }
+    df = spark.createDataFrame(list(cases.items()), ["url", "want"])
+    rows = df.selectExpr(
+        f"{registered_domain_expr('url')} as got", "want").collect()
+    for r in rows:
+        assert r.got == r.want, (r.got, r.want)
+
+
+def test_domain_cap_plans_window_group_limit(spark, tables):
+    """The per-domain cap must keep its partial top-k pushdown and
+    never exceed n rows per registered domain."""
+    from pythonql_spark.operators.url import domain_cap
+    from pythonql_spark.plans import assert_plan
+    docs = tables["documents"].selectExpr(
+        "doc_id", "n_chars",
+        "concat('https://', source, '.com/p/', cast(doc_id as string)) "
+        "as url")
+    capped = domain_cap(docs, 5, order=["n_chars desc", "doc_id"])
+    assert_plan(capped, require_window_group_limit=True,
+                no_nested_loop=True)
+    counts = capped.groupBy("domain").count().collect()
+    assert counts and all(r["count"] <= 5 for r in counts)
+    # best-first: the kept rows are the top-5 n_chars of each domain
+    import collections
+    best = collections.defaultdict(list)
+    for r in docs.collect():
+        dom = r.url.split("//")[1].split("/")[0]
+        best[dom].append((-r.n_chars, r.doc_id))
+    want = {dom: sorted(v)[:5] for dom, v in best.items()}
+    got = collections.defaultdict(list)
+    for r in capped.collect():
+        got[r.domain].append((-r.n_chars, r.doc_id))
+    assert {d: sorted(v) for d, v in got.items()} == want
