@@ -1536,39 +1536,55 @@ def _messy_url_expr(dialect: str) -> str:
     """Deterministic messy-URL column over documents — the dual-
     dialect INPUT for the URL-curation oracle (like the media keys'
     synthesized WAV/PNG payloads: the testdata has no url column, so
-    the plumbing is exercised on a deterministic one).  Five spelling
-    variants of source-derived pages: www + tracking params +
-    fragment, reordered params, port + trailing slash, a co.uk
-    multi-part-suffix host, and a clean spelling."""
+    the plumbing is exercised on a deterministic one).  Variants 0-2
+    are three spellings of the SAME page (the page id is doc_id
+    rounded down to its variant group, so the collapse is real):
+    www + uppercase host + tracking params + fragment, reordered
+    params, and default port + trailing slash + http scheme; variant
+    3 is a distinct co.uk multi-part-suffix page, variant 4 a clean
+    distinct page."""
     s = "string" if dialect == "spark" else "varchar"
     d = f"cast(doc_id as {s})"
+    page = f"cast(doc_id - (doc_id % 5) as {s})"   # shared by 0/1/2
     return f"""case cast(doc_id % 5 as int)
-  when 0 then concat('https://www.', source, '.com/p/', {d},
+  when 0 then concat('https://www.', upper(source), '.COM/p/', {page},
                      '?utm_source=feed&b=2&a=1#frag')
-  when 1 then concat('https://', source, '.com/p/', {d}, '?a=1&b=2')
-  when 2 then concat('http://', source, '.com:80/p/', {d}, '/')
+  when 1 then concat('https://', source, '.com/p/', {page}, '?a=1&b=2')
+  when 2 then concat('http://', source, '.com:80/p/', {page},
+                     '/?b=2&a=1&gclid=zzz')
   when 3 then concat('https://news.', source, '.co.uk/p/', {d},
                      '?gclid=xyz')
-  else concat('https://', source, '.com/about')
+  else concat('https://', source, '.com/about/', {d})
   end"""
 
 
 @q("url_curate", None)  # oracle registered below (generated SQL)
 def url_curate_q(spark, sf):
-    """URL canonicalization + per-domain cap (the C4/RefinedWeb
-    curation step): canonical url (host case/www/ports/fragments/
-    tracking params/param order/trailing slash all folded), registered
-    domain with multi-part-suffix handling (news.X.co.uk → X.co.uk),
-    and a top-10-per-domain cap planned as WindowGroupLimit.  The
-    whole pipeline is scan-fused string expressions under the FULL
-    value oracle; variants 0 and 1 of the same page collapse to ONE
-    canonical spelling, which the oracle checks row-for-row."""
-    from pythonql_spark.operators.url import domain_cap
+    """URL canonicalization → exact dedup on the canonical identity →
+    per-domain cap (the C4/RefinedWeb curation steps in order):
+    canonical url (scheme/host case, www, userinfo, default ports,
+    fragments, tracking params, param order, trailing slash all
+    folded), one survivor per canonical url (min doc_id — variants
+    0/1/2 of each page genuinely collapse 3→1 here, which the
+    row-for-row oracle verifies), registered domain with multi-part-
+    suffix handling (news.X.co.uk → X.co.uk), then a top-10-per-
+    domain cap planned as WindowGroupLimit."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from pythonql_spark.operators.url import curate_urls
     docs = load_table(spark, sf, "documents")
-    with_url = docs.selectExpr(
-        "doc_id", "n_chars", f"{_messy_url_expr('spark')} as url")
-    capped = domain_cap(with_url, 10,
-                        order=["n_chars desc", "doc_id"])
+    curated = curate_urls(docs.selectExpr(
+        "doc_id", "n_chars", f"{_messy_url_expr('spark')} as url"))
+    deduped = (curated
+               .withColumn("__rn", F.row_number().over(
+                   W.partitionBy("url_norm").orderBy("doc_id")))
+               .filter("__rn = 1").drop("__rn"))
+    capped = (deduped
+              .withColumn("__rn", F.row_number().over(
+                  W.partitionBy("domain")
+                  .orderBy(F.col("n_chars").desc(), F.col("doc_id"))))
+              .filter("__rn <= 10").drop("__rn"))
     return capped.select("doc_id", "url_norm", "domain")
 
 
@@ -1622,11 +1638,16 @@ curated AS (
          {url_normalize_expr('url', 'duck')} AS url_norm,
          {registered_domain_expr('url', dialect='duck')} AS domain
   FROM with_url),
+deduped AS (
+  SELECT doc_id, n_chars, url_norm, domain FROM (
+    SELECT *, row_number() OVER (PARTITION BY url_norm
+                                 ORDER BY doc_id) AS rn
+    FROM curated) WHERE rn = 1),
 ranked AS (
   SELECT doc_id, url_norm, domain,
          row_number() OVER (PARTITION BY domain
                             ORDER BY n_chars DESC, doc_id) AS rn
-  FROM curated)
+  FROM deduped)
 SELECT doc_id, url_norm, domain FROM ranked WHERE rn <= 10
 """
 

@@ -198,16 +198,18 @@ def _h60(arg: str, dialect: str) -> str:
 
 
 HLL_P_BITS = 8           # 256 registers — ~6.5% RSE, 256 ints of state
-_HLL_FIELD = 52          # rho field: the low 52 bits of the 60-bit hash
-_HLL_MOD = 1 << _HLL_FIELD
+_HLL_FIELD = 60 - HLL_P_BITS   # rho field: the hash bits below the bucket
 
 
-def _hll_rho_sql(h: str) -> str:
-    """rho = leading zeros of the 52-bit field + 1, exact integer
-    arithmetic in both dialects: length(bin(x)) = floor(log2 x)+1."""
-    low = f"({h} % {_HLL_MOD})"
-    return (f"cast(case when {low} = 0 then {_HLL_FIELD + 1} "
-            f"else {_HLL_FIELD + 1} - length(bin({low})) end as int)")
+def _hll_rho_sql(h: str, field_bits: int = _HLL_FIELD) -> str:
+    """rho = leading zeros of the ``field_bits``-bit field + 1, exact
+    integer arithmetic in both dialects: length(bin(x)) =
+    floor(log2 x)+1.  ``field_bits`` must be 60 - p_bits so bucket
+    and rho bits never overlap (a fixed 52 would bias registers the
+    moment p_bits != 8)."""
+    low = f"({h} % {1 << field_bits})"
+    return (f"cast(case when {low} = 0 then {field_bits + 1} "
+            f"else {field_bits + 1} - length(bin({low})) end as int)")
 
 
 def hll_registers_md5(df: DataFrame, cols: list[str],
@@ -236,7 +238,7 @@ def hll_registers_md5(df: DataFrame, cols: list[str],
         entries.append(
             f"named_struct('col_name', '{c}', "
             f"'bucket', cast(shiftright({h}, {shift}) as int), "
-            f"'rho', {_hll_rho_sql(h)})")
+            f"'rho', {_hll_rho_sql(h, shift)})")
     return (df.select(F.expr(
         f"explode(array({', '.join(entries)}))").alias("x"))
         .filter(F.col("x.bucket").isNotNull())
@@ -272,12 +274,16 @@ def hll_estimate_md5(registers: DataFrame,
     ~190 without it)."""
     m = 1 << p_bits
     alpha = 0.7213 / (1 + 1.079 / m)   # standard HLL alpha for m >= 128
-    top = 1 << (_HLL_FIELD + 1)        # 2^53: integer-scaled 2^-rho sum
+    field = 60 - p_bits
+    # integer-scaled 2^-rho sum: every bucket contributes
+    # 2^(field+1-register) <= 2^field, and m * 2^(field+1) == 2^61
+    # for ANY p_bits, so the bigint accumulator cannot overflow
+    top = 1 << (field + 1)
     raw = (f"{alpha} * {m} * {m} * {top} / "
            f"(__s + ({m} - __b) * cast({top} as bigint))")
     return (registers.groupBy("col_name")
             .agg(F.sum(F.expr(
-                f"shiftleft(cast(1 as bigint), {_HLL_FIELD + 1} - register)"
+                f"shiftleft(cast(1 as bigint), {field + 1} - register)"
             )).alias("__s"), F.count("*").alias("__b"))
             .selectExpr(
                 "col_name",
@@ -300,7 +306,7 @@ def hll_registers_md5_sql(table: str, cols: list[str],
     return f"""
 WITH vals AS ({vals}),
 hashed AS (SELECT col_name, cast({h} >> {shift} as int) AS bucket,
-                  {_hll_rho_sql(h)} AS rho
+                  {_hll_rho_sql(h, shift)} AS rho
            FROM vals)
 SELECT col_name, bucket, cast(max(rho) as int) AS register
 FROM hashed GROUP BY col_name, bucket
@@ -523,7 +529,7 @@ def hll_registers_keyed(df: DataFrame, key_exprs: dict, col: str,
     keyed = df.filter(F.col(col).isNotNull()).selectExpr(
         *[f"{e} as {name}" for name, e in key_exprs.items()],
         f"cast(shiftright({h}, {shift}) as int) as bucket",
-        f"{_hll_rho_sql(h)} as rho")
+        f"{_hll_rho_sql(h, shift)} as rho")
     return (keyed.groupBy(*key_exprs, "bucket")
             .agg(F.max("rho").alias("register")))
 

@@ -45,18 +45,39 @@ MULTIPART_SUFFIXES = (
 TRACKING_PARAM_RE = "^(utm_[a-z]+|gclid|fbclid|ref)="
 
 
+def _hostport_expr(col: str) -> str:
+    """``host[:port]`` of the URL: the authority component (scheme
+    matched CASE-INSENSITIVELY — RFC 3986 schemes are; crawls contain
+    ``HTTP://`` spellings) with any ``user:pass@`` userinfo stripped
+    (everything up to the last ``@`` — credentials are not page
+    identity, and naively stopping at the userinfo ``:`` would
+    extract the username as the host)."""
+    auth = f"regexp_extract({col}, '(?i)^https?://([^/?#]*)', 1)"
+    return f"regexp_extract({auth}, '([^@]*)$', 1)"
+
+
 def url_host_expr(col: str) -> str:
-    """Lowercased host without a leading ``www.`` — valid in both
-    dialects (regexp component split, never a UDF)."""
-    host = f"lower(regexp_extract({col}, 'https?://([^/:?#]+)', 1))"
+    """Lowercased host without a leading ``www.`` or port — valid in
+    both dialects (regexp component split, never a UDF)."""
+    host = f"lower(regexp_extract({_hostport_expr(col)}, '^([^:]*)', 1))"
     return (f"case when {host} like 'www.%' "
             f"then substring({host}, 5) else {host} end")
+
+
+def url_port_expr(col: str) -> str:
+    """Canonical port suffix: ``':8080'`` for an explicit NON-default
+    port, ``''`` otherwise — distinct origins must stay distinct
+    (``host:8080`` is not the same page as ``host``), while the
+    default 80/443 spellings fold into the portless canonical."""
+    port = f"regexp_extract({_hostport_expr(col)}, ':([0-9]+)$', 1)"
+    return (f"case when {port} in ('', '80', '443') then '' "
+            f"else concat(':', {port}) end")
 
 
 def url_path_expr(col: str) -> str:
     """Path with the trailing slash stripped (except root ``/``);
     an empty path normalizes to ``/``."""
-    path = f"regexp_extract({col}, '^[a-z]+://[^/?#]*([^?#]*)', 1)"
+    path = f"regexp_extract({col}, '(?i)^[a-z]+://[^/?#]*([^?#]*)', 1)"
     return (f"case when {path} = '' then '/' "
             f"when {path} != '/' and {path} like '%/' "
             f"then substring({path}, 1, length({path}) - 1) "
@@ -65,8 +86,10 @@ def url_path_expr(col: str) -> str:
 
 def url_query_expr(col: str, dialect: str = "spark") -> str:
     """Canonical query string: tracking params dropped, survivors
-    sorted (param ORDER is not page identity), empty result -> ''."""
-    q = f"regexp_extract({col}, '[?]([^#]*)', 1)"
+    sorted (param ORDER is not page identity), empty result -> ''.
+    The ``?`` only counts BEFORE any ``#`` — a ``?`` inside the
+    fragment (``/a#sec?b=2``) is fragment content, not a query."""
+    q = f"regexp_extract({col}, '^[^#?]*[?]([^#]*)', 1)"
     if dialect == "spark":
         kept = (f"array_sort(filter(split({q}, '&'), "
                 f"p -> p != '' and p not rlike '{TRACKING_PARAM_RE}'))")
@@ -80,15 +103,17 @@ def url_query_expr(col: str, dialect: str = "spark") -> str:
 
 
 def url_normalize_expr(col: str, dialect: str = "spark") -> str:
-    """Full canonical URL: ``https://host/path[?sorted-params]`` —
-    scheme folded to https (crawls record both spellings of the same
-    page), host lowercased/www-stripped, default ports dropped by the
-    host regexp (it stops at ``:``), fragment dropped, query
-    canonicalized."""
+    """Full canonical URL: ``https://host[:port]/path[?sorted-params]``
+    — scheme folded to https and matched case-insensitively (crawls
+    record both spellings of the same page), host lowercased /
+    www-stripped, userinfo dropped, DEFAULT ports (80/443) dropped
+    while explicit other ports are kept (different origin, different
+    page), fragment dropped, query canonicalized."""
     host = url_host_expr(col)
+    port = url_port_expr(col)
     path = url_path_expr(col)
     q = url_query_expr(col, dialect)
-    return (f"concat('https://', {host}, {path}, "
+    return (f"concat('https://', {host}, {port}, {path}, "
             f"case when {q} = '' then '' else concat('?', {q}) end)")
 
 

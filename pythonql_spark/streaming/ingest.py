@@ -478,49 +478,46 @@ def sketch_maintain_stream(stream_df: DataFrame, cols: list[str],
     (the corpus profile question "how many distinct users/langs/docs
     so far" answered from a few-KB register table, never a rescan).
 
-    Per micro-batch: build the batch's md5-HLL register table (one
-    scan of the DELTA, shuffle bounded at cols * 2^p_bits rows) and
-    max-merge it into the persisted registers.  The max algebra is a
-    commutative idempotent SEMIGROUP, so a replayed batch re-maxes a
-    subset of what the state already absorbed — a no-op — and
-    idempotence needs no partition bookkeeping, same as
-    sample_maintain_stream's bottom-k.  State stays ≤ cols * 2^p_bits
-    rows of 3 small columns forever."""
+    Each micro-batch lands ITS OWN register delta (one scan of the
+    batch, ≤ cols * 2^p_bits rows) in a batch-id partition with
+    dynamic overwrite; :func:`read_sketch_registers` max-merges the
+    landed partitions into the current registers.  Two layers of
+    replay safety: a crash-replayed batch REWRITES its own partition
+    (the landing contract every ingest sink here shares), and even a
+    duplicated or partial landing is absorbed because max-merge is a
+    commutative IDEMPOTENT semigroup.  A read-modify-overwrite state
+    file would be strictly worse — mode('overwrite') deletes the
+    path before rewriting it, so a crash between the two silently
+    drops ALL history while the checkpoint only replays the last
+    batch.  Periodic compaction = merge_md5_registers over old
+    partitions, folding them into one."""
     from pythonql_spark.operators.sketch import (HLL_P_BITS,
-                                                 hll_registers_md5,
-                                                 merge_md5_registers)
+                                                 hll_registers_md5)
     p = HLL_P_BITS if p_bits is None else p_bits
 
-    spark = stream_df.sparkSession
-
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
         regs = hll_registers_md5(batch_df, cols, p)
-        # probe existing state through Spark's FS layer (out_path may
-        # be s3://... where a driver-local os.path check is always
-        # False and every batch would silently reset the registers).
-        # spark.read.parquet raises AnalysisException EAGERLY on a
-        # missing/empty path (schema inference reads the footer), so
-        # the read call itself is the probe — an extra head(1) action
-        # here costs a full scheduled job per micro-batch for nothing
-        # (measured ~1s/batch of pure fixed cost).
-        try:
-            existing = spark.read.parquet(out_path)
-            regs = merge_md5_registers(existing, regs)
-        except AnalysisException:   # first batch: no state yet
-            pass
-        # materialize before overwriting the path the plan reads from;
-        # the collect is bounded by cols * 2^p_bits rows — the
-        # documented register-state bound
-        rows = regs.collect()
-        (_df_from_rows(spark, rows, regs.schema)
-         .write.mode("overwrite").parquet(out_path))
+        (regs.withColumn(BATCH_COL, F.lit(batch_id))
+         .coalesce(1).write.mode("overwrite")
+         .partitionBy(BATCH_COL)
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(out_path))
 
     writer = (stream_df.writeStream.foreachBatch(_apply)
               .option("checkpointLocation", checkpoint))
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_sketch_registers(spark, out_path: str) -> DataFrame:
+    """Current md5-HLL registers from a :func:`sketch_maintain_stream`
+    output directory: max-merge over the landed per-batch deltas
+    (≤ cols * 2^p_bits rows each) — feed to
+    operators.sketch.hll_estimate_md5 for the distinct counts."""
+    from pythonql_spark.operators.sketch import merge_md5_registers
+    return merge_md5_registers(
+        spark.read.parquet(out_path).drop(BATCH_COL))
 
 
 def cms_maintain_stream(stream_df: DataFrame, col: str,

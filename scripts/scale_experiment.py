@@ -95,6 +95,7 @@ def main() -> None:
     from pythonql_spark.operators.bitext import mine_bitext
     from pythonql_spark.operators.window_clause import predicate_windows
     from pythonql_spark.operators.pq import ivfpq_topk, pq_topk
+    from pythonql_spark.operators.quantize import int8_topk
     from pythonql_spark.operators import multimodal as MM
     from pythonql_spark.operators import text as TX
     from pythonql_spark.operators.cooccur import cooccurrence_pmi
@@ -110,6 +111,12 @@ def main() -> None:
     from pythonql_spark.operators.topk import top_k_per_group
 
     from pythonql_spark.operators.diff import snapshot_diff
+    from pythonql_spark.operators.sketch import (cms_counters_md5,
+                                                 hll_registers_keyed,
+                                                 merge_registers_keyed,
+                                                 sample_quantiles_md5)
+    from pythonql_spark.benchqueries import (journey_default_rate,
+                                             pql_burnrate, text_bpe_fixed)
 
     def _curation_composition(docs, n):
         from pythonql_spark.benchqueries import _LINED
@@ -276,23 +283,15 @@ def main() -> None:
                 id_col="vec_id", vec_col="embedding").count(),
             # int8 (SQ8) quantized brute ANN: one Arrow quantize pass
             # + broadcast-probe integer-dot scoring — linear corpus scan
-            "ann_int8": lambda: __import__(
-                "pythonql_spark.operators.quantize",
-                fromlist=["int8_topk"]).int8_topk(
+            "ann_int8": lambda: int8_topk(
                 embs, query_ids=list(range(10)), k=5, dim=64).count(),
             # r9: burn-rate query shape (per-entity month grid as
             # per-row HOFs, one collect_list shuffle) — the pql()
             # front-end's nested-let machinery at growing event volume
-            "burnrate": lambda: __import__(
-                "pythonql_spark.benchqueries",
-                fromlist=["pql_burnrate"]).pql_burnrate(
-                spark, str(d)).count(),
+            "burnrate": lambda: pql_burnrate(spark, str(d)).count(),
             # r9: production BPE Arrow encoder under the fixed merge
             # table (the oracled sibling's Spark side) — linear map
-            "bpe_fixed": lambda: __import__(
-                "pythonql_spark.benchqueries",
-                fromlist=["text_bpe_fixed"]).text_bpe_fixed(
-                spark, str(d)).count(),
+            "bpe_fixed": lambda: text_bpe_fixed(spark, str(d)).count(),
             # bitext mining, deployment shape: FIXED probe chunk
             # (mine per language-pair chunk at 100 TB — knn_join's
             # documented bounded-probe contract) against a corpus
@@ -442,31 +441,21 @@ def main() -> None:
             # with a map-side partial max/sum, shuffle bounded at
             # |groups| x registers/slots rows at ANY input size — all
             # three should fall toward pure scan cost per unit
-            "hll_rollup": lambda: __import__(
-                "pythonql_spark.operators.sketch",
-                fromlist=["x"]).merge_registers_keyed(
-                __import__("pythonql_spark.operators.sketch",
-                           fromlist=["x"]).hll_registers_keyed(
+            "hll_rollup": lambda: merge_registers_keyed(
+                hll_registers_keyed(
                     evs, {"hour": "date_trunc('hour', ts)"}, "user_id"),
                 {"day": "cast(to_date(hour) as string)"}).count(),
-            "cms": lambda: __import__(
-                "pythonql_spark.operators.sketch",
-                fromlist=["x"]).cms_counters_md5(evs, "user_id").count(),
+            "cms": lambda: cms_counters_md5(evs, "user_id").count(),
             # bottom-k quantile sample: WindowGroupLimit ships <=k
             # rows per group per map task — the shuffle is bounded by
             # k x |groups| x tasks, not the corpus
-            "bottomk_q": lambda: __import__(
-                "pythonql_spark.operators.sketch",
-                fromlist=["x"]).sample_quantiles_md5(
+            "bottomk_q": lambda: sample_quantiles_md5(
                 evs, "value", "event_type", "event_id", k=256).count(),
             # r9 journey packing + per-row HOF analysis: ONE
             # collect_list shuffle, per-user state bounded by that
             # user's events (user count grows with the corpus, per-key
             # density constant) — sec/unit should be ~flat
-            "journey": lambda: __import__(
-                "pythonql_spark.benchqueries",
-                fromlist=["journey_default_rate"]).journey_default_rate(
-                spark, str(d)).count(),
+            "journey": lambda: journey_default_rate(spark, str(d)).count(),
             # compound-key as-of: one sort-shuffle on (user, type)
             "asof_join": lambda: asof_join(
                 evs.filter("event_type = 'purchase'")

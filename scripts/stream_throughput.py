@@ -42,11 +42,13 @@ def main() -> None:
 
     from pythonql_spark.operators.dedup import build_minhash_index
     from pythonql_spark.streaming import run_to_completion
-    from pythonql_spark.streaming.ingest import (dedup_ingest_stream,
+    from pythonql_spark.streaming.ingest import (cms_maintain_stream,
+                                                 dedup_ingest_stream,
                                                  drift_monitor_stream,
                                                  int8_index_ingest_stream,
                                                  quality_monitor_stream,
-                                                 sample_maintain_stream)
+                                                 sample_maintain_stream,
+                                                 sketch_maintain_stream)
 
     corpus = (load_table(spark, SF, "documents")
               .select("doc_id", "text").cache())
@@ -95,15 +97,11 @@ def main() -> None:
             # <= cols*256 rows per batch, CMS lands <= depth*width rows
             # per batch partition — both should hold flat per-batch
             # cost as arrival volume grows
-            ("hll_maintain", lambda s: __import__(
-                "pythonql_spark.streaming.ingest",
-                fromlist=["x"]).sketch_maintain_stream(
+            ("hll_maintain", lambda s: sketch_maintain_stream(
                 s.select("doc_id", "lang", "source"),
                 ["doc_id", "lang", "source"],
                 str(d / "out_hll"), str(d / "ck_hll"))),
-            ("cms_maintain", lambda s: __import__(
-                "pythonql_spark.streaming.ingest",
-                fromlist=["x"]).cms_maintain_stream(
+            ("cms_maintain", lambda s: cms_maintain_stream(
                 s.select("doc_id", "source"), "source",
                 str(d / "out_cms"), str(d / "ck_cms"))),
         ):

@@ -785,16 +785,19 @@ def test_int8_index_ingest_stream_parity_and_replay(spark, tables, tmp_path):
 
 
 def test_sketch_maintain_stream_matches_batch(spark, tables, tmp_path):
-    """The streamed md5-HLL register table == the batch
-    hll_registers_md5 over everything seen, regardless of micro-batch
-    boundaries; replaying from a fresh checkpoint converges to the
-    same registers (max-merge idempotence)."""
+    """The read-side max-merge of the streamed per-batch register
+    deltas == the batch hll_registers_md5 over everything seen,
+    regardless of micro-batch boundaries; a crash-replayed batch
+    rewrites its own partition AND would be absorbed by max
+    idempotence even if it double-landed."""
+    import os
     import shutil
 
     from pythonql_spark.operators.sketch import (hll_estimate_md5,
                                                  hll_registers_md5)
     from pythonql_spark.streaming import run_to_completion
-    from pythonql_spark.streaming.ingest import sketch_maintain_stream
+    from pythonql_spark.streaming.ingest import (read_sketch_registers,
+                                                 sketch_maintain_stream)
 
     docs = tables["documents"].select("doc_id", "lang", "source")
     cols = ["doc_id", "lang"]
@@ -804,7 +807,7 @@ def test_sketch_maintain_stream_matches_batch(spark, tables, tmp_path):
     stream = (spark.readStream.schema(docs.schema)
               .option("maxFilesPerTrigger", 2).parquet(src))
     run_to_completion(sketch_maintain_stream(stream, cols, out, ck))
-    # second wave arrives; the maintainer absorbs only the delta
+    # second wave arrives; the maintainer lands only the delta
     docs.filter("doc_id >= 200").write.mode("append").parquet(src)
     stream2 = (spark.readStream.schema(docs.schema)
                .option("maxFilesPerTrigger", 2).parquet(src))
@@ -813,21 +816,30 @@ def test_sketch_maintain_stream_matches_batch(spark, tables, tmp_path):
     def as_map(df):
         return {(r.col_name, r.bucket): r.register for r in df.collect()}
 
-    got = as_map(spark.read.parquet(out))
+    got = as_map(read_sketch_registers(spark, out))
     want = as_map(hll_registers_md5(docs, cols))
     assert got == want
 
     # the state answers the profile question without any rescan
-    est = {r.col_name: r.n_distinct for r in
-           hll_estimate_md5(spark.read.parquet(out)).collect()}
+    est = {r.col_name: r.n_distinct for r in hll_estimate_md5(
+        read_sketch_registers(spark, out)).collect()}
     exact = docs.selectExpr("count(distinct doc_id) as n").collect()[0].n
     assert abs(est["doc_id"] - exact) <= max(0.26 * exact, 8)
 
-    # replay everything from a fresh checkpoint: same registers
-    shutil.rmtree(ck)
-    stream3 = spark.readStream.schema(docs.schema).parquet(src)
+    # crash replay: drop the LAST batch's commit marker so a restart
+    # re-executes that batch — it must REWRITE its partition, leaving
+    # the merged registers unchanged
+    commits = os.path.join(ck, "commits")
+    last = max((f for f in os.listdir(commits) if f.isdigit()), key=int)
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    stream3 = (spark.readStream.schema(docs.schema)
+               .option("maxFilesPerTrigger", 2).parquet(src))
     run_to_completion(sketch_maintain_stream(stream3, cols, out, ck))
-    assert as_map(spark.read.parquet(out)) == want
+    assert as_map(read_sketch_registers(spark, out)) == want
+    shutil.rmtree(ck)
 
 
 def test_cms_maintain_stream_matches_batch(spark, tables, tmp_path):
