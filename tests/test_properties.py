@@ -446,3 +446,54 @@ def test_cms_counters_match_pure_python(spark, vals):
             key = (d, h % CMS_WIDTH)
             want[key] = want.get(key, 0) + 1
     assert got == want
+
+
+@given(data=st.data())
+@SLOW
+def test_url_components_match_urllib(spark, data):
+    """URL host/port/path extraction must agree with stdlib
+    urllib.parse on STRUCTURED arbitrary URLs (scheme case, optional
+    userinfo/port/path/query/fragment) — an independent reference
+    implementation for the regexp component split."""
+    from urllib.parse import urlsplit
+
+    from pythonql_spark.operators.url import (url_host_expr,
+                                              url_path_expr,
+                                              url_port_expr)
+
+    label = st.text("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ09",
+                    min_size=1, max_size=8)
+    urls = []
+    for _ in range(data.draw(st.integers(1, 12))):
+        scheme = data.draw(st.sampled_from(
+            ["http", "https", "HTTP", "HTTPS", "Http"]))
+        user = data.draw(st.sampled_from(["", "u@", "u:p@"]))
+        host = ".".join(data.draw(st.lists(label, min_size=1, max_size=3)))
+        port = data.draw(st.sampled_from(["", ":80", ":443", ":8080", ":9"]))
+        path = data.draw(st.sampled_from(
+            ["", "/", "/a", "/a/b", "/a/b/", "/a%20b"]))
+        query = data.draw(st.sampled_from(["", "?x=1", "?x=1&y=2"]))
+        frag = data.draw(st.sampled_from(["", "#f", "#f?notaquery=1"]))
+        urls.append(f"{scheme}://{user}{host}{port}{path}{query}{frag}")
+
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               ["id", "url"])
+    rows = {r.id: r for r in df.selectExpr(
+        "id",
+        f"{url_host_expr('url')} as host",
+        f"{url_port_expr('url')} as port",
+        f"{url_path_expr('url')} as path").collect()}
+
+    for i, u in enumerate(urls):
+        ref = urlsplit(u)
+        want_host = (ref.hostname or "")
+        if want_host.startswith("www."):
+            want_host = want_host[4:]
+        assert rows[i].host == want_host, (u, rows[i].host, want_host)
+        want_port = ("" if ref.port in (None, 80, 443)
+                     else f":{ref.port}")
+        assert rows[i].port == want_port, (u, rows[i].port, want_port)
+        want_path = ref.path or "/"
+        if want_path != "/" and want_path.endswith("/"):
+            want_path = want_path[:-1]
+        assert rows[i].path == want_path, (u, rows[i].path, want_path)
