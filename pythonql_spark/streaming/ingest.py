@@ -411,12 +411,15 @@ def sample_maintain_stream(stream_df: DataFrame, n: int,
         # probe existence through Spark's FS layer, not the driver's
         # local os.path — out_path may be s3://... or hdfs://..., where
         # a local check is always False and each batch would silently
-        # discard the maintained sample
+        # discard the maintained sample.  The read call itself raises
+        # AnalysisException EAGERLY on a missing path; an extra
+        # head(1) action here would cost a full scheduled job per
+        # micro-batch for nothing (the empty-dir edge just unions
+        # zero rows — harmless under the min-n algebra)
         from pyspark.errors import AnalysisException
         pool = batch_df
         try:
             existing = spark.read.schema(schema).parquet(out_path)
-            existing.head(1)
             pool = existing.unionByName(batch_df)
         except AnalysisException:   # path absent yet (first batch)
             pass
