@@ -561,3 +561,43 @@ def cms_maintain_stream(stream_df: DataFrame, col: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_sketch_registers(spark, out_path: str) -> int:
+    """Fold a :func:`sketch_maintain_stream` output directory's landed
+    per-batch register deltas into ONE partition (batch id 0) —
+    bounding the directory at a single ≤ cols * 2^p_bits-row file no
+    matter how many batches have run.
+
+    Safe to run at ANY time, concurrently with the stream: max-merge
+    is idempotent, so even if a crash-replayed batch later rewrites a
+    partition that was already folded in, re-merging it at read time
+    changes nothing.  (A CMS state directory does NOT get this
+    helper: sum-merge is not idempotent, so folding a partition that
+    a replay later rewrites would double-count — compacting CMS
+    requires knowing the checkpoint's committed horizon and folding
+    only strictly-committed batches.)  Returns the number of register
+    rows after compaction."""
+    regs = read_sketch_registers(spark, out_path)
+    rows = regs.collect()                  # bounded: cols * 2^p_bits
+    schema = regs.schema
+    merged = (_df_from_rows(spark, rows, schema)
+              .withColumn(BATCH_COL, F.lit(0)))
+    # land the fold FIRST (rewrites partition 0 only), then drop the
+    # now-redundant higher partitions; a crash between the two steps
+    # leaves extra partitions whose re-merge is a no-op — never loss
+    (merged.coalesce(1).write.mode("overwrite")
+     .partitionBy(BATCH_COL)
+     .option("partitionOverwriteMode", "dynamic")
+     .parquet(out_path))
+    import re as _re
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = path.getFileSystem(conf)
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        m = _re.match(rf"{BATCH_COL}=(\d+)$", name)
+        if m and int(m.group(1)) > 0:
+            fs.delete(st.getPath(), True)
+    return len(rows)

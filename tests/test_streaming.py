@@ -894,3 +894,46 @@ def test_cms_maintain_stream_matches_batch(spark, tables, tmp_path):
     landed2 = spark.read.parquet(out).drop("_ingest_batch")
     assert as_map(cms_merge(landed2)) == want
     shutil.rmtree(ck)
+
+
+def test_compact_sketch_registers(spark, tables, tmp_path):
+    """Compaction folds the landed per-batch register deltas into one
+    partition without changing the merged registers, and the stream
+    keeps absorbing new batches afterwards."""
+    import os
+
+    from pythonql_spark.operators.sketch import hll_registers_md5
+    from pythonql_spark.streaming import run_to_completion
+    from pythonql_spark.streaming.ingest import (compact_sketch_registers,
+                                                 read_sketch_registers,
+                                                 sketch_maintain_stream)
+
+    docs = tables["documents"].select("doc_id", "lang")
+    src, out, ck = (str(tmp_path / p) for p in ("in", "regs", "ck"))
+    docs.filter("doc_id < 200").repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    run_to_completion(sketch_maintain_stream(stream, ["doc_id"], out, ck))
+
+    def as_map():
+        return {(r.col_name, r.bucket): r.register
+                for r in read_sketch_registers(spark, out).collect()}
+
+    before = as_map()
+    n_parts_before = len([d for d in os.listdir(out)
+                          if d.startswith("_ingest_batch=")])
+    assert n_parts_before > 1            # multiple landed batches
+    compact_sketch_registers(spark, out)
+    assert as_map() == before            # fold is value-neutral
+    n_parts_after = len([d for d in os.listdir(out)
+                         if d.startswith("_ingest_batch=")])
+    assert n_parts_after == 1
+
+    # the stream continues against the compacted directory
+    docs.filter("doc_id >= 200").write.mode("append").parquet(src)
+    stream2 = (spark.readStream.schema(docs.schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    run_to_completion(sketch_maintain_stream(stream2, ["doc_id"], out, ck))
+    want = {(r.col_name, r.bucket): r.register
+            for r in hll_registers_md5(docs, ["doc_id"]).collect()}
+    assert as_map() == want
