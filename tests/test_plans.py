@@ -541,3 +541,18 @@ def test_sketch_family_plan_shapes(spark, sf_dir):
     assert len(parts) > 1, tree            # the plan does shuffle
     for below in parts[1:]:
         assert "HashAggregate" in below, tree
+
+
+def test_url_curate_plan_shape(spark, sf_dir):
+    """Both windows in the URL-curation key — the keep-one-per-
+    canonical-url dedup and the per-domain cap — must keep their
+    WindowGroupLimit pushdowns (each map task ships at most n rows
+    per group), with no nested loop and no row-Python."""
+    from pythonql_spark.plans import assert_plan, formatted_plan
+    df = QUERIES["url_curate"](spark, sf_dir)
+    rep = assert_plan(df, require_window_group_limit=True,
+                      no_nested_loop=True)
+    assert rep["window_group_limits"] >= 2, rep
+    # string canonicalization stays scan-fused: no Python evaluator
+    p = formatted_plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
