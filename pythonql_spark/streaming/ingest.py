@@ -601,3 +601,60 @@ def compact_sketch_registers(spark, out_path: str) -> int:
         if m and int(m.group(1)) > 0:
             fs.delete(st.getPath(), True)
     return len(rows)
+
+
+def compact_cms_counters(spark, out_path: str, checkpoint: str) -> int:
+    """Fold a :func:`cms_maintain_stream` output directory's landed
+    per-batch counter tables into ONE partition — the sum-merge
+    counterpart of :func:`compact_sketch_registers`, which needs one
+    extra guard: sum is NOT idempotent, so a partition that a crash
+    replay might later rewrite must never be folded (it would count
+    twice).  The replay-at-risk set is exactly the batches whose
+    offset exists but whose COMMIT marker does not, so this reads the
+    checkpoint's ``commits`` directory and folds only partitions with
+    batch id ≤ the last committed id — committed batches are never
+    re-executed by Structured Streaming.  The fold lands INTO the
+    last committed batch's partition (itself never rewritten), then
+    the older folded partitions are deleted; a crash between the two
+    steps leaves partitions that were already summed into the fold —
+    detectable and re-runnable because compaction is driven from the
+    directory listing, never assumed.  Returns the number of counter
+    rows in the folded partition."""
+    import os as _os
+    import re as _re
+
+    from pythonql_spark.operators.sketch import cms_merge
+
+    commits_dir = _os.path.join(checkpoint, "commits")
+    committed = [int(f) for f in _os.listdir(commits_dir) if f.isdigit()]
+    if not committed:
+        return 0
+    horizon = max(committed)
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = path.getFileSystem(conf)
+    foldable = []
+    for st in fs.listStatus(path):
+        m = _re.match(rf"{BATCH_COL}=(\d+)$", st.getPath().getName())
+        if m and int(m.group(1)) <= horizon:
+            foldable.append(int(m.group(1)))
+    if len(foldable) <= 1:
+        return 0
+
+    landed = (spark.read.parquet(out_path)
+              .filter(F.col(BATCH_COL) <= horizon).drop(BATCH_COL))
+    folded = cms_merge(landed)
+    rows = folded.collect()                # bounded: depth * width
+    merged = (_df_from_rows(spark, rows, folded.schema)
+              .withColumn(BATCH_COL, F.lit(horizon)))
+    (merged.coalesce(1).write.mode("overwrite")
+     .partitionBy(BATCH_COL)
+     .option("partitionOverwriteMode", "dynamic")
+     .parquet(out_path))
+    for b in foldable:
+        if b != horizon:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(
+                out_path, f"{BATCH_COL}={b}"), True)
+    return len(rows)

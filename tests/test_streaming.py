@@ -937,3 +937,63 @@ def test_compact_sketch_registers(spark, tables, tmp_path):
     want = {(r.col_name, r.bucket): r.register
             for r in hll_registers_md5(docs, ["doc_id"]).collect()}
     assert as_map() == want
+
+
+def test_compact_cms_counters_respects_commit_horizon(spark, tables,
+                                                      tmp_path):
+    """CMS compaction folds only COMMITTED batches (sum is not
+    idempotent): after compaction the merged totals are unchanged,
+    and a crash replay of the LAST batch — simulated by deleting its
+    commit marker before compacting — must leave that batch's
+    partition out of the fold so its re-execution rewrites rather
+    than double-counts."""
+    import os
+    import shutil
+
+    from pythonql_spark.operators.sketch import (cms_counters_md5,
+                                                 cms_merge)
+    from pythonql_spark.streaming import run_to_completion
+    from pythonql_spark.streaming.ingest import (cms_maintain_stream,
+                                                 compact_cms_counters)
+
+    orders = tables["orders"].select("o_orderkey", "o_custkey")
+    src, out, ck = (str(tmp_path / p) for p in ("in", "cms", "ck"))
+    orders.repartition(6).write.parquet(src)
+    stream = (spark.readStream.schema(orders.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    run_to_completion(cms_maintain_stream(stream, "o_custkey", out, ck))
+
+    def as_map():
+        landed = spark.read.parquet(out).drop("_ingest_batch")
+        return {(r.d, r.slot): r.counter for r in cms_merge(landed).collect()}
+
+    def parts():
+        return sorted(int(d.split("=")[1]) for d in os.listdir(out)
+                      if d.startswith("_ingest_batch="))
+
+    want = {(r.d, r.slot): r.counter
+            for r in cms_counters_md5(orders, "o_custkey").collect()}
+    assert as_map() == want
+    assert len(parts()) > 2
+
+    # simulate a crash after the last batch LANDED but before it
+    # COMMITTED: its partition exists, its commit marker does not
+    commits = os.path.join(ck, "commits")
+    last = max((f for f in os.listdir(commits) if f.isdigit()), key=int)
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    compact_cms_counters(spark, out, ck)
+    # the uncommitted batch's partition survived the fold untouched
+    assert int(last) in parts() and len(parts()) == 2
+    assert as_map() == want
+
+    # restart: Structured Streaming re-executes the uncommitted batch,
+    # rewriting its partition — totals must remain exact, not doubled
+    stream2 = (spark.readStream.schema(orders.schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    run_to_completion(cms_maintain_stream(stream2, "o_custkey", out, ck))
+    assert as_map() == want
+    shutil.rmtree(ck)
