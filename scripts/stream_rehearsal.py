@@ -75,6 +75,100 @@ def out_fingerprint(spark, out_path: str):
     return int(row.n), int(row.h)
 
 
+def _sketch_rehearsal(spark, src: str, d, n_rows: int, reps: int) -> None:
+    """REST-metric rehearsal rows for the r9 sketch maintainers: HLL
+    register deltas and CMS counters maintained over the arriving
+    corpus in constant-size micro-batches.  Correctness here is EXACT
+    algebra, not a tolerance: the streamed state max/sum-merges to
+    the identical register/counter table the batch operator computes
+    over everything seen; crash replay (last commit deleted) and
+    compaction both leave it bit-identical."""
+    from scripts.scale_rehearsal import stage_totals
+
+    from pythonql_spark.operators.sketch import (cms_counters_md5,
+                                                 cms_merge,
+                                                 hll_registers_md5)
+    from pythonql_spark.streaming import run_to_completion
+    from pythonql_spark.streaming.ingest import (
+        cms_maintain_stream, compact_cms_counters,
+        compact_sketch_registers, read_sketch_registers,
+        sketch_maintain_stream)
+
+    arriving = spark.read.parquet(src)
+    docs = arriving.select("doc_id", "lang", "text")
+    batch_hll = {(r.col_name, r.bucket): r.register
+                 for r in hll_registers_md5(
+                     docs, ["doc_id", "lang"]).collect()}
+    batch_cms = {(r.d, r.slot): r.counter
+                 for r in cms_counters_md5(docs, "doc_id").collect()}
+
+    for name, launch, state_of, batch_state, compact in (
+        ("hll_maintain",
+         lambda s, out, ck: sketch_maintain_stream(
+             s.select("doc_id", "lang"), ["doc_id", "lang"], out, ck),
+         lambda out: {(r.col_name, r.bucket): r.register
+                      for r in read_sketch_registers(spark, out).collect()},
+         batch_hll,
+         lambda out, ck: compact_sketch_registers(spark, out)),
+        ("cms_maintain",
+         lambda s, out, ck: cms_maintain_stream(s, "doc_id", out, ck),
+         lambda out: {(r.d, r.slot): r.counter for r in cms_merge(
+             spark.read.parquet(out).drop("_ingest_batch")).collect()},
+         batch_cms,
+         lambda out, ck: compact_cms_counters(spark, out, ck)),
+    ):
+        out, ck = str(d / f"out_{name}"), str(d / f"ck_{name}")
+        stream = (spark.readStream.schema(arriving.schema)
+                  .option("maxFilesPerTrigger", 16).parquet(src))
+        before = stage_totals(spark)
+        t0 = time.perf_counter()
+        q = launch(stream, out, ck)
+        run_to_completion(q, timeout_s=1800)
+        wall = time.perf_counter() - t0
+        prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        batch_walls = sorted(
+            p["durationMs"].get("triggerExecution", 0) / 1000
+            for p in prog)
+        delta = {k: v - before[k]
+                 for k, v in stage_totals(spark).items()}
+        mb = {k: round(v / 2**20, 1) for k, v in delta.items()
+              if k.endswith("Bytes") or "Spilled" in k}
+
+        assert state_of(out) == batch_state, f"{name}: stream != batch"
+        # crash replay: forget the last commit, restart, state unchanged
+        commits = sorted((Path(ck) / "commits").glob("[0-9]*"),
+                         key=lambda p: int(p.name))
+        commits[-1].unlink()
+        crc = commits[-1].parent / f".{commits[-1].name}.crc"
+        if crc.exists():
+            crc.unlink()
+        stream2 = (spark.readStream.schema(arriving.schema)
+                   .option("maxFilesPerTrigger", 16).parquet(src))
+        run_to_completion(launch(stream2, out, ck), timeout_s=1800)
+        assert state_of(out) == batch_state, f"{name}: replay diverged"
+        state_before_compact = dir_mb(out)
+        compact(out, ck)
+        assert state_of(out) == batch_state, f"{name}: compaction changed state"
+
+        print(json.dumps({
+            "pipeline": f"{name}_x{reps}",
+            "arriving_rows": n_rows,
+            "batches": len(prog),
+            "wall_sec": round(wall, 2),
+            "rows_per_sec": round(n_rows / wall),
+            "batch_wall_median_s": round(
+                batch_walls[len(batch_walls) // 2], 2),
+            "batch_wall_max_s": round(batch_walls[-1], 2),
+            "stream_equals_batch": True,
+            "replay_idempotent": True,
+            "compaction_value_neutral": True,
+            "state_mb": {"before_compaction": state_before_compact,
+                         "after_compaction": dir_mb(out),
+                         "checkpoint": dir_mb(ck)},
+            "metrics_mb": mb,
+        }), flush=True)
+
+
 def main() -> None:
     from scripts.scale_rehearsal import build_corpus, stage_totals
 
@@ -118,8 +212,17 @@ def main() -> None:
 
         # two batch sizes at the smallest scale measure the per-batch
         # fixed cost for the sizing rule; larger scales run the rule's
-        # recommended size only (override with STREAM_RH_FPT=a,b)
+        # recommended size only (override with STREAM_RH_FPT=a,b).
+        # STREAM_RH_OPS=sketch swaps the run to the r9 sketch
+        # maintainers (HLL registers + CMS counters) over the same
+        # arriving corpus — their correctness check is EXACT (streamed
+        # state == batch sketch over everything seen), so the planted
+        # dedup invariants are replaced by algebra equality.
         import os
+        if "sketch" in os.environ.get("STREAM_RH_OPS", ""):
+            _sketch_rehearsal(spark, src, d, n_rows, reps)
+            shutil.rmtree(d, ignore_errors=True)
+            continue
         fpts = tuple(int(x) for x in os.environ.get(
             "STREAM_RH_FPT",
             "4,16" if reps == reps_list[0] else "16").split(","))
