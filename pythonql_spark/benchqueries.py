@@ -1539,7 +1539,8 @@ def _messy_url_expr(dialect: str) -> str:
     the plumbing is exercised on a deterministic one).  Variants 0-2
     are three spellings of the SAME page (the page id is doc_id
     rounded down to its variant group, so the collapse is real):
-    www + uppercase host + tracking params + fragment, reordered
+    www + uppercase host + tracking params + fragment, percent-
+    encoded unreserved chars (%70 → p, %31 → 1) with reordered
     params, and default port + trailing slash + http scheme; variant
     3 is a distinct co.uk multi-part-suffix page, variant 4 a clean
     distinct page."""
@@ -1549,7 +1550,8 @@ def _messy_url_expr(dialect: str) -> str:
     return f"""case cast(doc_id % 5 as int)
   when 0 then concat('https://www.', upper(source), '.COM/p/', {page},
                      '?utm_source=feed&b=2&a=1#frag')
-  when 1 then concat('https://', source, '.com/p/', {page}, '?a=1&b=2')
+  when 1 then concat('https://', source, '.com/%70/', {page},
+                     '?a=%31&b=2')
   when 2 then concat('http://', source, '.com:80/p/', {page},
                      '/?b=2&a=1&gclid=zzz')
   when 3 then concat('https://news.', source, '.co.uk/p/', {d},
@@ -1627,17 +1629,21 @@ FROM hashed GROUP BY day, bucket
         "events", "value", "event_type", "event_id",
         k=256, split="event_id % 2")
     ORACLE["profile_cms"] = cms_counters_md5_sql("orders", "o_custkey")
-    from pythonql_spark.operators.url import (registered_domain_expr,
+    from pythonql_spark.operators.url import (pct_decode_expr,
+                                              registered_domain_expr,
                                               url_normalize_expr)
     ORACLE["url_curate"] = f"""
 WITH with_url AS (
   SELECT doc_id, n_chars, {_messy_url_expr('duck')} AS url
   FROM documents),
+decoded AS (
+  SELECT doc_id, n_chars, {pct_decode_expr('url')} AS url_d
+  FROM with_url),
 curated AS (
   SELECT doc_id, n_chars,
-         {url_normalize_expr('url', 'duck')} AS url_norm,
-         {registered_domain_expr('url', dialect='duck')} AS domain
-  FROM with_url),
+         {url_normalize_expr('url_d', 'duck')} AS url_norm,
+         {registered_domain_expr('url_d', dialect='duck')} AS domain
+  FROM decoded),
 deduped AS (
   SELECT doc_id, n_chars, url_norm, domain FROM (
     SELECT *, row_number() OVER (PARTITION BY url_norm

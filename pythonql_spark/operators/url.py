@@ -143,11 +143,17 @@ def registered_domain_expr(col_or_host: str, *, is_host: bool = False,
 def curate_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Adds ``url_norm`` and ``domain`` columns — one scan, pure
     expressions, ready for exact dedup on ``url_norm`` (the canonical
-    identity) and for :func:`domain_cap`."""
-    return df.selectExpr(
-        "*",
-        f"{url_normalize_expr(url_col)} as url_norm",
-        f"{registered_domain_expr(url_col)} as domain")
+    identity) and for :func:`domain_cap`.  Unreserved percent-escapes
+    are decoded FIRST (one :func:`pct_decode_expr` pass staged as a
+    column so the replace chain evaluates once per row, not once per
+    component extractor), so ``%41``/``%61`` spellings fold into the
+    same canonical page as their literal characters."""
+    staged = df.selectExpr(
+        "*", f"{pct_decode_expr(url_col)} as __url_d")
+    return staged.selectExpr(
+        *df.columns,
+        f"{url_normalize_expr('__url_d')} as url_norm",
+        f"{registered_domain_expr('__url_d')} as domain")
 
 
 def domain_cap(df: DataFrame, n: int, *,
@@ -164,3 +170,29 @@ def domain_cap(df: DataFrame, n: int, *,
         *_order_cols(order or [url_col]))
     return (out.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n).drop("__rn"))
+
+
+# ---------------------------- percent-encoding normalization (r9)
+
+def pct_decode_expr(expr: str) -> str:
+    """Decode ``%XX`` escapes of UNRESERVED characters (RFC 3986:
+    A-Z a-z 0-9 - . _ ~), folding hex-digit case — ``%41``/``%4a``
+    spellings of ``A`` stop splitting one page into many.  Reserved
+    escapes (``%2F`` ``%26`` ``%3D`` ``%25`` …) are left encoded:
+    decoding them would change which characters act as delimiters,
+    so they ARE page identity.  Because every unreserved character is
+    a non-delimiter, this decode is safe to apply to the WHOLE url
+    string BEFORE parsing — which is how the canonicalizers here use
+    it (one replace chain per plan, then component extraction).
+
+    Pure nested ``replace`` calls, identical in both dialects.  On
+    malformed inputs (a stray ``%`` fabricating a new escape mid-
+    chain) both engines apply the same fixed chain order, so the
+    oracle stays aligned."""
+    out = expr
+    unreserved = (list(range(0x41, 0x5B)) + list(range(0x61, 0x7B))
+                  + list(range(0x30, 0x3A)) + [0x2D, 0x2E, 0x5F, 0x7E])
+    for b in unreserved:
+        for h in {f"{b:02X}", f"{b:02x}"}:
+            out = f"replace({out}, '%{h}', '{chr(b)}')"
+    return out

@@ -2700,3 +2700,23 @@ def test_domain_cap_plans_window_group_limit(spark, tables):
     for r in capped.collect():
         got[r.domain].append((-r.n_chars, r.doc_id))
     assert {d: sorted(v) for d, v in got.items()} == want
+
+
+def test_pct_decode_unreserved_only(spark):
+    """Percent-decoding folds unreserved escapes (hex case included)
+    into their literal characters while leaving reserved escapes —
+    which ARE page identity — encoded; equal pages spelled with and
+    without encoding collapse to one canonical URL."""
+    from pythonql_spark.operators.url import curate_urls
+    df = spark.createDataFrame([
+        (1, "https://ex.com/p%61th/%41%2Dx?q=%31"),
+        (2, "https://ex.com/path/A-x?q=1"),
+        (3, "https://ex.com/a%2Fb"),       # %2F = '/' reserved: kept
+        (4, "https://ex.com/a/b"),         # NOT the same page as 3
+        (5, "https://ex.com/x%7E?y=%5Fz"), # lower-hex ~ and _
+        (6, "https://ex.com/x~?y=_z"),
+    ], ["id", "url"])
+    rows = {r.id: r.url_norm for r in curate_urls(df).collect()}
+    assert rows[1] == rows[2] == "https://ex.com/path/A-x?q=1"
+    assert rows[3] == "https://ex.com/a%2Fb" != rows[4]
+    assert rows[5] == rows[6] == "https://ex.com/x~?y=_z"
