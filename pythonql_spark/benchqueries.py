@@ -1629,21 +1629,21 @@ FROM hashed GROUP BY day, bucket
         "events", "value", "event_type", "event_id",
         k=256, split="event_id % 2")
     ORACLE["profile_cms"] = cms_counters_md5_sql("orders", "o_custkey")
-    from pythonql_spark.operators.url import (pct_decode_expr,
+    from pythonql_spark.operators.url import (pct_decode_ctes,
                                               registered_domain_expr,
                                               url_normalize_expr)
+    pct_frag, pct_last = pct_decode_ctes(
+        "with_url", ["doc_id", "n_chars"])
     ORACLE["url_curate"] = f"""
 WITH with_url AS (
   SELECT doc_id, n_chars, {_messy_url_expr('duck')} AS url
   FROM documents),
-decoded AS (
-  SELECT doc_id, n_chars, {pct_decode_expr('url')} AS url_d
-  FROM with_url),
+{pct_frag},
 curated AS (
   SELECT doc_id, n_chars,
          {url_normalize_expr('url_d', 'duck')} AS url_norm,
          {registered_domain_expr('url_d', dialect='duck')} AS domain
-  FROM decoded),
+  FROM {pct_last}),
 deduped AS (
   SELECT doc_id, n_chars, url_norm, domain FROM (
     SELECT *, row_number() OVER (PARTITION BY url_norm

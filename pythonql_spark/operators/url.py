@@ -148,12 +148,15 @@ def curate_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     column so the replace chain evaluates once per row, not once per
     component extractor), so ``%41``/``%61`` spellings fold into the
     same canonical page as their literal characters."""
-    staged = df.selectExpr(
-        "*", f"{pct_decode_expr(url_col)} as __url_d")
+    staged, cur = df, url_col
+    for i in range(N_PCT_STAGES):
+        staged = staged.selectExpr(
+            "*", f"{pct_decode_stage_expr(cur, i)} as __pd{i}")
+        cur = f"__pd{i}"
     return staged.selectExpr(
         *df.columns,
-        f"{url_normalize_expr('__url_d')} as url_norm",
-        f"{registered_domain_expr('__url_d')} as domain")
+        f"{url_normalize_expr(cur)} as url_norm",
+        f"{registered_domain_expr(cur)} as domain")
 
 
 def domain_cap(df: DataFrame, n: int, *,
@@ -174,25 +177,79 @@ def domain_cap(df: DataFrame, n: int, *,
 
 # ---------------------------- percent-encoding normalization (r9)
 
-def pct_decode_expr(expr: str) -> str:
-    """Decode ``%XX`` escapes of UNRESERVED characters (RFC 3986:
-    A-Z a-z 0-9 - . _ ~), folding hex-digit case — ``%41``/``%4a``
-    spellings of ``A`` stop splitting one page into many.  Reserved
-    escapes (``%2F`` ``%26`` ``%3D`` ``%25`` …) are left encoded:
-    decoding them would change which characters act as delimiters,
-    so they ARE page identity.  Because every unreserved character is
-    a non-delimiter, this decode is safe to apply to the WHOLE url
-    string BEFORE parsing — which is how the canonicalizers here use
-    it (one replace chain per plan, then component extraction).
+def _pct_replaces() -> list:
+    """The full percent-canonicalization replace list, in a FIXED
+    deterministic order (sorted byte then spelling — a Python set
+    here would randomize the emitted SQL text per process via
+    PYTHONHASHSEED even though the values agree):
 
-    Pure nested ``replace`` calls, identical in both dialects.  On
-    malformed inputs (a stray ``%`` fabricating a new escape mid-
-    chain) both engines apply the same fixed chain order, so the
-    oracle stays aligned."""
-    out = expr
-    unreserved = (list(range(0x41, 0x5B)) + list(range(0x61, 0x7B))
-                  + list(range(0x30, 0x3A)) + [0x2D, 0x2E, 0x5F, 0x7E])
+    1. decode ``%XX`` escapes of UNRESERVED characters (RFC 3986:
+       A-Z a-z 0-9 - . _ ~), hex case folded — ``%41``/``%4a`` become
+       the literal ``A``;
+    2. fold the hex-digit case of every REMAINING escape to uppercase
+       — ``%2f``/``%2F`` spellings of the same reserved byte
+       normalize to one form WITHOUT being decoded (RFC 3986
+       §6.2.2.1: escape hex digits are case-insensitive; decoding
+       reserved bytes would change which characters act as
+       delimiters, so they stay encoded but case-canonical).
+    """
+    out = []
+    unreserved = sorted(
+        list(range(0x41, 0x5B)) + list(range(0x61, 0x7B))
+        + list(range(0x30, 0x3A)) + [0x2D, 0x2E, 0x5F, 0x7E])
     for b in unreserved:
-        for h in {f"{b:02X}", f"{b:02x}"}:
-            out = f"replace({out}, '%{h}', '{chr(b)}')"
+        for h in sorted({f"{b:02X}", f"{b:02x}"}):
+            out.append((f"%{h}", chr(b)))
+    for b in range(0x100):
+        if b in unreserved:
+            continue
+        hi, lo = f"{b:02X}"[0], f"{b:02X}"[1]
+        canonical = hi + lo
+        for v in sorted({hi.lower() + lo, hi + lo.lower(),
+                         hi.lower() + lo.lower()} - {canonical}):
+            out.append((f"%{v}", f"%{canonical}"))
     return out
+
+
+# Spark's SQL parser rejects expression trees much deeper than ~150
+# nested calls ([FAILED_TO_PARSE_TOO_COMPLEX]), so the ~450-replace
+# chain is applied in bounded STAGES: each stage is one expression a
+# parser handles, chained through staged columns (Spark) or CTEs
+# (the DuckDB oracle).
+_PCT_STAGE_SIZE = 120
+N_PCT_STAGES = (len(_pct_replaces()) + _PCT_STAGE_SIZE - 1) \
+    // _PCT_STAGE_SIZE
+
+
+def pct_decode_stage_expr(expr: str, stage: int) -> str:
+    """The ``stage``-th bounded slice of the percent-canonicalization
+    replace chain, applied to ``expr`` — identical in both dialects.
+    Apply stages 0..N_PCT_STAGES-1 in order (each to the previous
+    stage's output) for the full canonicalization."""
+    out = expr
+    lo = stage * _PCT_STAGE_SIZE
+    for pat, rep in _pct_replaces()[lo:lo + _PCT_STAGE_SIZE]:
+        rep_sql = rep.replace("'", "''")
+        out = f"replace({out}, '{pat}', '{rep_sql}')"
+    return out
+
+
+def pct_decode_ctes(source_cte: str, cols: list[str],
+                    url_col: str = "url",
+                    out_col: str = "url_d") -> tuple:
+    """(cte_sql_fragment, final_cte_name) applying the full staged
+    chain in SQL — Spark's parser AND DuckDB's binder both cap
+    expression nesting (~150 / 128), so the single-expression form of
+    the ~450-replace chain is not parseable anywhere; every consumer
+    goes through stages.  ``cols`` are passed through unchanged."""
+    passthru = ", ".join(cols)
+    frags, prev, cur_col = [], source_cte, url_col
+    for i in range(N_PCT_STAGES):
+        name = f"__pct{i}"
+        alias = out_col if i == N_PCT_STAGES - 1 else f"__pd{i}"
+        frags.append(
+            f"{name} AS (SELECT {passthru}, "
+            f"{pct_decode_stage_expr(cur_col, i)} AS {alias} "
+            f"FROM {prev})")
+        prev, cur_col = name, alias
+    return ",\n".join(frags), prev

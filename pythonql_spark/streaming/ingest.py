@@ -563,98 +563,173 @@ def cms_maintain_stream(stream_df: DataFrame, col: str,
     return writer.start()
 
 
+def _hadoop_fs(spark, path_str: str):
+    """(FileSystem, Path-factory) for ``path_str`` through Spark's
+    Hadoop FS layer — every listing/delete in the compaction helpers
+    goes through this, never driver-local os.path (out_path and
+    checkpoint may be s3://... or hdfs://..., where a local listing
+    is empty or raises and state maintenance silently breaks)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    mk = jvm.org.apache.hadoop.fs.Path
+    return mk(path_str).getFileSystem(conf), mk
+
+
+def _list_batch_partitions(spark, out_path: str) -> list:
+    """Sorted batch ids currently landed under ``out_path``."""
+    import re as _re
+    fs, mk = _hadoop_fs(spark, out_path)
+    ids = []
+    for st in fs.listStatus(mk(out_path)):
+        m = _re.match(rf"{BATCH_COL}=(\d+)$", st.getPath().getName())
+        if m:
+            ids.append(int(m.group(1)))
+    return sorted(ids)
+
+
+def _delete_batch_partitions(spark, out_path: str, ids) -> None:
+    fs, mk = _hadoop_fs(spark, out_path)
+    for b in ids:
+        fs.delete(mk(out_path, f"{BATCH_COL}={b}"), True)
+
+
+def _last_committed_batch(spark, checkpoint: str):
+    """Largest batch id with a COMMIT marker in the checkpoint —
+    batches at or below it are never re-executed by Structured
+    Streaming.  Read through the Hadoop FS (a driver-local listdir
+    breaks on hdfs://-style checkpoints)."""
+    fs, mk = _hadoop_fs(spark, checkpoint)
+    commits = mk(checkpoint, "commits")
+    if not fs.exists(commits):
+        return None
+    ids = [int(st.getPath().getName())
+           for st in fs.listStatus(commits)
+           if st.getPath().getName().isdigit()]
+    return max(ids) if ids else None
+
+
 def compact_sketch_registers(spark, out_path: str) -> int:
     """Fold a :func:`sketch_maintain_stream` output directory's landed
-    per-batch register deltas into ONE partition (batch id 0) —
-    bounding the directory at a single ≤ cols * 2^p_bits-row file no
-    matter how many batches have run.
+    per-batch register deltas into ONE partition — bounding the
+    directory at a single ≤ cols * 2^p_bits-row file no matter how
+    many batches have run.
 
-    Safe to run at ANY time, concurrently with the stream: max-merge
-    is idempotent, so even if a crash-replayed batch later rewrites a
-    partition that was already folded in, re-merging it at read time
-    changes nothing.  (A CMS state directory does NOT get this
-    helper: sum-merge is not idempotent, so folding a partition that
-    a replay later rewrites would double-count — compacting CMS
-    requires knowing the checkpoint's committed horizon and folding
-    only strictly-committed batches.)  Returns the number of register
-    rows after compaction."""
-    regs = read_sketch_registers(spark, out_path)
-    rows = regs.collect()                  # bounded: cols * 2^p_bits
-    schema = regs.schema
-    merged = (_df_from_rows(spark, rows, schema)
-              .withColumn(BATCH_COL, F.lit(0)))
-    # land the fold FIRST (rewrites partition 0 only), then drop the
-    # now-redundant higher partitions; a crash between the two steps
-    # leaves extra partitions whose re-merge is a no-op — never loss
-    (merged.coalesce(1).write.mode("overwrite")
+    The partition listing is SNAPSHOTTED first and the fold reads,
+    lands into, and deletes exactly that snapshot: a batch landed
+    concurrently (after the snapshot) is never touched, so running
+    this alongside the live stream is safe.  Max-merge idempotence
+    covers the crash windows: the fold lands into the snapshot's
+    LOWEST id (rewriting one of its own sources) BEFORE the other
+    sources are deleted, and a partition re-landed by a crash replay
+    after folding re-merges to a no-op.  (The CMS sibling below needs
+    a manifest protocol instead — sum is not idempotent.)  Returns
+    the number of register rows in the folded partition."""
+    from pythonql_spark.operators.sketch import merge_md5_registers
+
+    ids = _list_batch_partitions(spark, out_path)
+    if len(ids) <= 1:
+        return 0
+    target = ids[0]
+    snap = (spark.read.parquet(out_path)
+            .filter(F.col(BATCH_COL).isin(ids)).drop(BATCH_COL))
+    folded = merge_md5_registers(snap)
+    rows = folded.collect()                # bounded: cols * 2^p_bits
+    (_df_from_rows(spark, rows, folded.schema)
+     .withColumn(BATCH_COL, F.lit(target))
+     .coalesce(1).write.mode("overwrite")
      .partitionBy(BATCH_COL)
      .option("partitionOverwriteMode", "dynamic")
      .parquet(out_path))
-    import re as _re
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(out_path)
-    fs = path.getFileSystem(conf)
-    for st in fs.listStatus(path):
-        name = st.getPath().getName()
-        m = _re.match(rf"{BATCH_COL}=(\d+)$", name)
-        if m and int(m.group(1)) > 0:
-            fs.delete(st.getPath(), True)
+    _delete_batch_partitions(spark, out_path,
+                             [b for b in ids if b != target])
     return len(rows)
+
+
+_CMS_TMP = "_cms_compact_tmp"
+_CMS_MANIFEST = "_cms_compact_manifest.json"
 
 
 def compact_cms_counters(spark, out_path: str, checkpoint: str) -> int:
     """Fold a :func:`cms_maintain_stream` output directory's landed
     per-batch counter tables into ONE partition — the sum-merge
-    counterpart of :func:`compact_sketch_registers`, which needs one
-    extra guard: sum is NOT idempotent, so a partition that a crash
-    replay might later rewrite must never be folded (it would count
-    twice).  The replay-at-risk set is exactly the batches whose
-    offset exists but whose COMMIT marker does not, so this reads the
-    checkpoint's ``commits`` directory and folds only partitions with
-    batch id ≤ the last committed id — committed batches are never
-    re-executed by Structured Streaming.  The fold lands INTO the
-    last committed batch's partition (itself never rewritten), then
-    the older folded partitions are deleted; a crash between the two
-    steps leaves partitions that were already summed into the fold —
-    detectable and re-runnable because compaction is driven from the
-    directory listing, never assumed.  Returns the number of counter
-    rows in the folded partition."""
-    import os as _os
-    import re as _re
+    counterpart of :func:`compact_sketch_registers`, with the two
+    guards sum (NOT idempotent) requires:
+
+    * COMMITTED HORIZON — only batches whose commit marker exists in
+      the checkpoint are folded; a batch a crash replay might
+      re-execute would otherwise be counted twice when it rewrites
+      its partition.
+    * TWO-PHASE FOLD — the fold is written to a temp dir and a
+      manifest records (target, sources) BEFORE any partition is
+      touched; the swap (delete target → rename tmp → delete other
+      sources → delete manifest) is resumable, so a crash at any
+      point either leaves the originals intact or is completed by
+      the next call — never the fold AND its sources both counted
+      (the naive write-fold-then-delete shape double-counts
+      permanently if it dies between the two).
+
+    Returns the number of counter rows in the folded partition (0 if
+    there was nothing to fold)."""
+    import json as _json
 
     from pythonql_spark.operators.sketch import cms_merge
 
-    commits_dir = _os.path.join(checkpoint, "commits")
-    committed = [int(f) for f in _os.listdir(commits_dir) if f.isdigit()]
-    if not committed:
-        return 0
-    horizon = max(committed)
+    fs, mk = _hadoop_fs(spark, out_path)
+    manifest_p = mk(out_path, _CMS_MANIFEST)
+    tmp_dir = f"{out_path}/{_CMS_TMP}"
 
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(out_path)
-    fs = path.getFileSystem(conf)
-    foldable = []
-    for st in fs.listStatus(path):
-        m = _re.match(rf"{BATCH_COL}=(\d+)$", st.getPath().getName())
-        if m and int(m.group(1)) <= horizon:
-            foldable.append(int(m.group(1)))
-    if len(foldable) <= 1:
-        return 0
+    if fs.exists(manifest_p):              # resume a crashed run
+        stream = fs.open(manifest_p)
+        try:
+            raw = bytes(spark.sparkContext._jvm.org.apache.commons.io
+                        .IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        man = _json.loads(raw.decode())
+        if fs.exists(mk(tmp_dir, "_SUCCESS")):
+            _finish_cms_swap(spark, out_path, man)
+        else:                              # fold never completed:
+            fs.delete(mk(tmp_dir), True)   # originals are intact
+            fs.delete(manifest_p, False)
 
-    landed = (spark.read.parquet(out_path)
-              .filter(F.col(BATCH_COL) <= horizon).drop(BATCH_COL))
-    folded = cms_merge(landed)
+    horizon = _last_committed_batch(spark, checkpoint)
+    if horizon is None:
+        return 0
+    ids = [b for b in _list_batch_partitions(spark, out_path)
+           if b <= horizon]
+    if len(ids) <= 1:
+        return 0
+    target = max(ids)                      # committed: never re-run
+
+    man = {"target": target, "sources": ids}
+    out_stream = fs.create(manifest_p, True)
+    try:
+        out_stream.write(bytearray(_json.dumps(man).encode()))
+    finally:
+        out_stream.close()
+    folded = cms_merge(spark.read.parquet(out_path)
+                       .filter(F.col(BATCH_COL).isin(ids))
+                       .drop(BATCH_COL))
     rows = folded.collect()                # bounded: depth * width
-    merged = (_df_from_rows(spark, rows, folded.schema)
-              .withColumn(BATCH_COL, F.lit(horizon)))
-    (merged.coalesce(1).write.mode("overwrite")
-     .partitionBy(BATCH_COL)
-     .option("partitionOverwriteMode", "dynamic")
-     .parquet(out_path))
-    for b in foldable:
-        if b != horizon:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(
-                out_path, f"{BATCH_COL}={b}"), True)
+    (_df_from_rows(spark, rows, folded.schema)
+     .coalesce(1).write.mode("overwrite").parquet(tmp_dir))
+    _finish_cms_swap(spark, out_path, man)
     return len(rows)
+
+
+def _finish_cms_swap(spark, out_path: str, man: dict) -> None:
+    """Resumable tail of :func:`compact_cms_counters`: the completed
+    fold in the temp dir replaces the target partition, the other
+    source partitions and the manifest are removed.  Every step is
+    re-runnable from the manifest."""
+    fs, mk = _hadoop_fs(spark, out_path)
+    target = int(man["target"])
+    tmp = mk(out_path, _CMS_TMP)
+    part = mk(out_path, f"{BATCH_COL}={target}")
+    if fs.exists(tmp):                     # not yet swapped in
+        fs.delete(part, True)
+        fs.rename(tmp, part)
+    _delete_batch_partitions(
+        spark, out_path,
+        [int(b) for b in man["sources"] if int(b) != target])
+    fs.delete(mk(out_path, _CMS_MANIFEST), False)

@@ -75,6 +75,22 @@ def out_fingerprint(spark, out_path: str):
     return int(row.n), int(row.h)
 
 
+def stream_run_stats(spark, q, before):
+    """(batches, sorted batch walls, metric-MB delta) for a finished
+    streaming query — shared by both rehearsal modes so their
+    reported metrics can never drift apart."""
+    from scripts.scale_rehearsal import stage_totals
+    prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    batch_walls = sorted(
+        p["durationMs"].get("triggerExecution", 0) / 1000
+        for p in prog)
+    delta = {k: v - before[k] for k, v in stage_totals(spark).items()}
+    mb = {k: round(v / 2**20, 1) for k, v in delta.items()
+          if k.endswith("Bytes") or "Spilled" in k}
+    return prog, batch_walls, mb
+
+
+
 def _sketch_rehearsal(spark, src: str, d, n_rows: int, reps: int) -> None:
     """REST-metric rehearsal rows for the r9 sketch maintainers: HLL
     register deltas and CMS counters maintained over the arriving
@@ -125,14 +141,7 @@ def _sketch_rehearsal(spark, src: str, d, n_rows: int, reps: int) -> None:
         q = launch(stream, out, ck)
         run_to_completion(q, timeout_s=1800)
         wall = time.perf_counter() - t0
-        prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
-        batch_walls = sorted(
-            p["durationMs"].get("triggerExecution", 0) / 1000
-            for p in prog)
-        delta = {k: v - before[k]
-                 for k, v in stage_totals(spark).items()}
-        mb = {k: round(v / 2**20, 1) for k, v in delta.items()
-              if k.endswith("Bytes") or "Spilled" in k}
+        prog, batch_walls, mb = stream_run_stats(spark, q, before)
 
         assert state_of(out) == batch_state, f"{name}: stream != batch"
         # crash replay: forget the last commit, restart, state unchanged
@@ -240,15 +249,7 @@ def main() -> None:
                 jaccard_threshold=0.5, index_table="sr_idx")
             run_to_completion(q, timeout_s=1800)
             wall = time.perf_counter() - t0
-            prog = [p for p in q.recentProgress
-                    if p["numInputRows"] > 0]
-            batch_walls = sorted(
-                p["durationMs"].get("triggerExecution", 0) / 1000
-                for p in prog)
-            delta = {k: v - before[k]
-                     for k, v in stage_totals(spark).items()}
-            mb = {k: round(v / 2**20, 1) for k, v in delta.items()
-                  if k.endswith("Bytes") or "Spilled" in k}
+            prog, batch_walls, mb = stream_run_stats(spark, q, before)
 
             # ---- planted-structure invariants -----------------------
             landed = spark.read.parquet(out)

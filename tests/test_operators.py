@@ -2720,3 +2720,22 @@ def test_pct_decode_unreserved_only(spark):
     assert rows[1] == rows[2] == "https://ex.com/path/A-x?q=1"
     assert rows[3] == "https://ex.com/a%2Fb" != rows[4]
     assert rows[5] == rows[6] == "https://ex.com/x~?y=_z"
+
+
+def test_pct_reserved_escape_case_folds_without_decoding(spark):
+    """Reserved escapes stay ENCODED but their hex-digit case folds
+    to uppercase (RFC 3986 §6.2.2.1) — %2f and %2F spellings of the
+    same reserved byte collapse to one canonical page, while the
+    decoded '/' spelling remains a different page."""
+    from pythonql_spark.operators.url import curate_urls
+    df = spark.createDataFrame([
+        (1, "https://ex.com/a%2fb?x=%3d1"),
+        (2, "https://ex.com/a%2Fb?x=%3D1"),
+        (3, "https://ex.com/a/b?x==1"),      # decoded: different page
+        (4, "https://ex.com/u%Ff"),          # non-ASCII byte, mixed case
+        (5, "https://ex.com/u%fF"),
+    ], ["id", "url"])
+    rows = {r.id: r.url_norm for r in curate_urls(df).collect()}
+    assert rows[1] == rows[2] == "https://ex.com/a%2Fb?x=%3D1"
+    assert rows[3] != rows[1]
+    assert rows[4] == rows[5] == "https://ex.com/u%FF"

@@ -997,3 +997,64 @@ def test_compact_cms_counters_respects_commit_horizon(spark, tables,
     run_to_completion(cms_maintain_stream(stream2, "o_custkey", out, ck))
     assert as_map() == want
     shutil.rmtree(ck)
+
+
+def test_compact_cms_crash_between_fold_and_swap_is_resumable(
+        spark, tables, tmp_path, monkeypatch):
+    """The two-phase CMS compaction must never double-count across a
+    crash: if the process dies after the fold landed in the temp dir
+    but before the partition swap, the directory still reads EXACTLY
+    (originals intact, temp ignored by the reader), and the next
+    compaction call resumes the swap from the manifest instead of
+    re-folding the fold."""
+    import os
+
+    import pythonql_spark.streaming.ingest as ingest
+    from pythonql_spark.operators.sketch import (cms_counters_md5,
+                                                 cms_merge)
+    from pythonql_spark.streaming import run_to_completion
+
+    orders = tables["orders"].select("o_orderkey", "o_custkey")
+    src, out, ck = (str(tmp_path / p) for p in ("in", "cms", "ck"))
+    orders.repartition(5).write.parquet(src)
+    stream = (spark.readStream.schema(orders.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    run_to_completion(ingest.cms_maintain_stream(
+        stream, "o_custkey", out, ck))
+
+    def as_map():
+        landed = spark.read.parquet(out).drop("_ingest_batch")
+        return {(r.d, r.slot): r.counter
+                for r in cms_merge(landed).collect()}
+
+    want = {(r.d, r.slot): r.counter
+            for r in cms_counters_md5(orders, "o_custkey").collect()}
+    assert as_map() == want
+
+    # crash exactly between phase 1 (manifest + temp fold written)
+    # and phase 2 (the swap)
+    real_finish = ingest._finish_cms_swap
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before swap")
+
+    monkeypatch.setattr(ingest, "_finish_cms_swap", boom)
+    try:
+        ingest.compact_cms_counters(spark, out, ck)
+        assert False, "crash did not fire"
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(ingest, "_finish_cms_swap", real_finish)
+
+    # mid-crash state: manifest + completed temp fold on disk, all
+    # original partitions untouched — and the reader still sums exact
+    assert os.path.exists(os.path.join(out, ingest._CMS_MANIFEST))
+    assert os.path.exists(os.path.join(out, ingest._CMS_TMP, "_SUCCESS"))
+    assert as_map() == want
+
+    # the next call resumes the swap (no re-fold) and finishes
+    ingest.compact_cms_counters(spark, out, ck)
+    parts = [d for d in os.listdir(out) if d.startswith("_ingest_batch=")]
+    assert len(parts) == 1
+    assert not os.path.exists(os.path.join(out, ingest._CMS_MANIFEST))
+    assert as_map() == want
