@@ -733,3 +733,35 @@ def _finish_cms_swap(spark, out_path: str, man: dict) -> None:
         spark, out_path,
         [int(b) for b in man["sources"] if int(b) != target])
     fs.delete(mk(out_path, _CMS_MANIFEST), False)
+
+
+def url_dedup_ingest_stream(stream_df: DataFrame, corpus: DataFrame,
+                            out_path: str, checkpoint: str, *,
+                            id_col: str = "doc_id",
+                            url_col: str = "url",
+                            n_bits: int = 1 << 22, k: int = 5,
+                            trigger_available_now: bool = True
+                            ) -> StreamingQuery:
+    """Continuous CANONICAL-URL dedup ingestion — the crawl-frontier
+    question "have we already fetched this page under any spelling":
+    both the standing ``corpus`` and every arriving micro-batch are
+    canonicalized (operators.url.curate_urls: scheme/host case, www,
+    userinfo, ports, fragments, tracking params, param order,
+    trailing slash, percent-encoding — all streaming-compatible
+    column expressions), then exact dedup runs on ``url_norm``
+    through the Bloom-prefiltered path: the corpus's canonical-url
+    hashes fold once into a fixed-size bit array, definitely-new
+    pages skip any join, and only bloom hits are confirmed exactly.
+    Inherits bloom_dedup_ingest_stream's replay contract (the confirm
+    side excludes the batch's own landed partition; dynamic overwrite
+    rewrites a replayed batch).  Landed rows carry ``url_norm`` and
+    ``domain``, ready for downstream domain caps."""
+    from pythonql_spark.operators.url import curate_urls
+
+    return bloom_dedup_ingest_stream(
+        curate_urls(stream_df, url_col),
+        curate_urls(corpus, url_col),
+        out_path, checkpoint,
+        id_col=id_col, text_col="url_norm",
+        n_bits=n_bits, k=k,
+        trigger_available_now=trigger_available_now)

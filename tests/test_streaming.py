@@ -1058,3 +1058,41 @@ def test_compact_cms_crash_between_fold_and_swap_is_resumable(
     assert len(parts) == 1
     assert not os.path.exists(os.path.join(out, ingest._CMS_MANIFEST))
     assert as_map() == want
+
+
+def test_url_dedup_ingest_stream(spark, tables, tmp_path):
+    """Canonical-URL dedup ingestion: arriving spellings of pages the
+    corpus already holds (www/case/params/percent-encoding variants)
+    are rejected even though the raw strings differ; genuinely new
+    pages land with their url_norm/domain columns; in-batch spelling
+    twins collapse to one row."""
+    from pythonql_spark.streaming import run_to_completion
+    from pythonql_spark.streaming.ingest import url_dedup_ingest_stream
+
+    corpus = spark.createDataFrame([
+        (1, "https://site.com/a?x=1"),
+        (2, "https://site.com/b"),
+    ], ["doc_id", "url"])
+    arriving = spark.createDataFrame([
+        # spelling variants of corpus pages -> must be rejected
+        (10, "https://WWW.Site.COM/a?utm_source=z&x=1#frag"),
+        (11, "http://site.com:80/b/"),
+        (12, "https://site.com/%62"),
+        # a new page, plus an in-batch spelling twin of it
+        (20, "https://site.com/c?y=2"),
+        (21, "https://site.com/c?utm_medium=m&y=2"),
+        # and a second genuinely new page
+        (30, "https://other.com/d"),
+    ], ["doc_id", "url"])
+
+    src, out, ck = (str(tmp_path / p) for p in ("in", "out", "ck"))
+    arriving.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(arriving.schema).parquet(src)
+    run_to_completion(url_dedup_ingest_stream(stream, corpus, out, ck))
+
+    landed = spark.read.parquet(out)
+    got = sorted(r.doc_id for r in landed.collect())
+    assert got == [20, 30], got
+    norms = {r.doc_id: (r.url_norm, r.domain) for r in landed.collect()}
+    assert norms[20] == ("https://site.com/c?y=2", "site.com")
+    assert norms[30] == ("https://other.com/d", "other.com")
