@@ -93,10 +93,10 @@ def main() -> None:
                 s.select("doc_id", "text"), 1000,
                 str(d / "out_smp"), str(d / "ck_smp"))),
             # r9 sketch maintainers: per-batch work is one scan of the
-            # batch with a bounded-output aggregate; HLL state rewrites
-            # <= cols*256 rows per batch, CMS lands <= depth*width rows
-            # per batch partition — both should hold flat per-batch
-            # cost as arrival volume grows
+            # batch with a bounded-output aggregate; both land their
+            # per-batch delta (<= cols*256 register rows / <= depth*
+            # width counter rows) in a batch-id partition — flat
+            # per-batch cost as arrival volume grows
             ("hll_maintain", lambda s: sketch_maintain_stream(
                 s.select("doc_id", "lang", "source"),
                 ["doc_id", "lang", "source"],
