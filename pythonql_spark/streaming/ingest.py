@@ -668,6 +668,21 @@ def compact_cms_counters(spark, out_path: str, checkpoint: str) -> int:
       (the naive write-fold-then-delete shape double-counts
       permanently if it dies between the two).
 
+    Crash-resume covers BOTH phases: fold-incomplete (tmp/_SUCCESS
+    absent and the target partition unmarked → originals intact,
+    discard and restart) and swap-started (the fold's _SUCCESS is
+    present in tmp or already renamed into the target partition →
+    the swap MUST be finished, never discarded).
+
+    ATOMICITY ASSUMPTION: the swap relies on ``fs.rename`` being
+    atomic, which holds on HDFS/local but NOT on object stores (S3A
+    rename is copy+delete) — a crash mid-rename there can leave a
+    partial target partition the resume path cannot distinguish from
+    a completed one.  On s3:// run compaction under a coordinator
+    that retries the whole call on failure, or point ``out_path`` at
+    an HDFS/ABFS-class store for the compacted copy; the live
+    landed-partition protocol itself never renames and is unaffected.
+
     Returns the number of counter rows in the folded partition (0 if
     there was nothing to fold)."""
     import json as _json
@@ -686,7 +701,17 @@ def compact_cms_counters(spark, out_path: str, checkpoint: str) -> int:
         finally:
             stream.close()
         man = _json.loads(raw.decode())
-        if fs.exists(mk(tmp_dir, "_SUCCESS")):
+        swapped = fs.exists(                # rename already happened:
+            mk(out_path,
+               f"{BATCH_COL}={int(man['target'])}/_SUCCESS"))
+        # the fold's _SUCCESS rode
+        # along into the target partition (normally-landed batches
+        # never have a per-partition _SUCCESS — dynamic overwrite
+        # writes it at the directory root), so its presence under the
+        # manifest's target means the swap phase started and MUST be
+        # completed; discarding the manifest here would leave the
+        # folded sum AND its un-deleted sources both counted.
+        if fs.exists(mk(tmp_dir, "_SUCCESS")) or swapped:
             _finish_cms_swap(spark, out_path, man)
         else:                              # fold never completed:
             fs.delete(mk(tmp_dir), True)   # originals are intact

@@ -1060,6 +1060,78 @@ def test_compact_cms_crash_between_fold_and_swap_is_resumable(
     assert as_map() == want
 
 
+def test_compact_cms_crash_after_rename_is_resumable(
+        spark, tables, tmp_path, monkeypatch):
+    """Crash on the OTHER side of the swap seam: the fold was renamed
+    into the target partition but the process died before the source
+    partitions / manifest were deleted.  The resume path must detect
+    that phase 2 started (the fold's _SUCCESS marker rode into the
+    target partition — landed batches never carry one) and FINISH the
+    swap; treating it as 'fold never completed' would discard the
+    manifest and leave the folded sum plus its sources both counted
+    forever (sum-merge is not idempotent)."""
+    import os
+
+    import pythonql_spark.streaming.ingest as ingest
+    from pythonql_spark.operators.sketch import (cms_counters_md5,
+                                                 cms_merge)
+    from pythonql_spark.streaming import run_to_completion
+
+    orders = tables["orders"].select("o_orderkey", "o_custkey")
+    src, out, ck = (str(tmp_path / p) for p in ("in", "cms", "ck"))
+    orders.repartition(5).write.parquet(src)
+    stream = (spark.readStream.schema(orders.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    run_to_completion(ingest.cms_maintain_stream(
+        stream, "o_custkey", out, ck))
+
+    def as_map():
+        landed = spark.read.parquet(out).drop("_ingest_batch")
+        return {(r.d, r.slot): r.counter
+                for r in cms_merge(landed).collect()}
+
+    def parts():
+        return sorted(int(d.split("=")[1]) for d in os.listdir(out)
+                      if d.startswith("_ingest_batch="))
+
+    want = {(r.d, r.slot): r.counter
+            for r in cms_counters_md5(orders, "o_custkey").collect()}
+    assert as_map() == want
+    n_before = len(parts())
+    assert n_before > 2
+
+    # crash exactly after the rename: delete-target + rename happen,
+    # then the process dies before any source partition is removed
+    real_delete = ingest._delete_batch_partitions
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash after rename")
+
+    monkeypatch.setattr(ingest, "_delete_batch_partitions", boom)
+    try:
+        ingest.compact_cms_counters(spark, out, ck)
+        assert False, "crash did not fire"
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(ingest, "_delete_batch_partitions", real_delete)
+
+    # mid-crash state: manifest present, tmp gone (renamed away), the
+    # target partition carries the fold's _SUCCESS, sources remain
+    target = max(parts())
+    assert os.path.exists(os.path.join(out, ingest._CMS_MANIFEST))
+    assert not os.path.exists(os.path.join(out, ingest._CMS_TMP))
+    assert os.path.exists(
+        os.path.join(out, f"_ingest_batch={target}", "_SUCCESS"))
+    assert len(parts()) == n_before
+
+    # the next call must FINISH the swap — deleting the sources, not
+    # the manifest — so the directory reads exact again, once
+    ingest.compact_cms_counters(spark, out, ck)
+    assert parts() == [target]
+    assert not os.path.exists(os.path.join(out, ingest._CMS_MANIFEST))
+    assert as_map() == want
+
+
 def test_url_dedup_ingest_stream(spark, tables, tmp_path):
     """Canonical-URL dedup ingestion: arriving spellings of pages the
     corpus already holds (www/case/params/percent-encoding variants)
