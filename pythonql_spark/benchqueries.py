@@ -1629,7 +1629,8 @@ FROM hashed GROUP BY day, bucket
         "events", "value", "event_type", "event_id",
         k=256, split="event_id % 2")
     ORACLE["profile_cms"] = cms_counters_md5_sql("orders", "o_custkey")
-    from pythonql_spark.operators.url import (pct_decode_ctes,
+    from pythonql_spark.operators.url import (_is_http_expr,
+                                              pct_decode_ctes,
                                               registered_domain_expr,
                                               url_normalize_expr)
     pct_frag, pct_last = pct_decode_ctes(
@@ -1641,8 +1642,10 @@ WITH with_url AS (
 {pct_frag},
 curated AS (
   SELECT doc_id, n_chars,
-         {url_normalize_expr('url_d', 'duck')} AS url_norm,
-         {registered_domain_expr('url_d', dialect='duck')} AS domain
+         {url_normalize_expr('url_d', 'duck', raw='url')} AS url_norm,
+         CASE WHEN {_is_http_expr('url_d', 'duck')}
+              THEN {registered_domain_expr('url_d', dialect='duck')}
+              ELSE CAST(NULL AS VARCHAR) END AS domain
   FROM {pct_last}),
 deduped AS (
   SELECT doc_id, n_chars, url_norm, domain FROM (

@@ -20,29 +20,81 @@ dialects so the whole pipeline sits under the DuckDB value oracle:
   default ports / fragments, drop tracking params (``utm_*``,
   ``gclid``, ``fbclid``, ``ref``), SORT surviving params (param order
   is not page identity), strip the trailing slash except at root.
-* :func:`registered_domain_expr` — last-two-labels heuristic with an
-  explicit multi-part-suffix list (``co.uk`` …): the deterministic
-  core of the public-suffix rule (the full PSL is a data file, not an
-  algorithm — swap the list for it in production).
+  Only ``http``/``https`` URLs are canonicalized: anything else in a
+  real crawl frontier (``ftp:``, ``mailto:``, scheme-less garbage)
+  passes through UNCHANGED, so distinct non-web strings never
+  collapse onto one another (they would all have extracted an empty
+  host and collided on ``https:///``).
+* :func:`registered_domain_expr` — registered (pay-level) domain per
+  the full Mozilla Public Suffix List, shipped as packaged data
+  (``data/public_suffixes.csv``, compiled by scripts/compile_psl.py
+  from the upstream ``public_suffix_list.dat``) and evaluated as
+  flat ``IN`` sets — Spark turns a large ``IN`` into an O(1) hash
+  ``InSet`` probe inside whole-stage codegen, so the lookup is
+  scan-fused with no join and no shuffle at any corpus size.
 * :func:`domain_cap` — keep the top-``n`` rows per registered domain
   (WindowGroupLimit: each map task ships at most n rows per domain).
+
+CANONICAL-IDENTITY RULES (documented decisions, each tested):
+
+* ``www.X`` and ``X`` are the same page (the ``www.`` prefix is
+  stripped before anything else).  This intentionally extends to the
+  PSL exception rule ``!www.ck`` — ``www.ck``'s registered domain
+  computes from the stripped host ``ck``, a deliberate casualty of
+  the www-folding identity.
+* IDN hosts canonicalize to their LOWERCASE spelling as crawled:
+  a punycode host (``XN--BCHER-KVA.example`` → ``xn--bcher-kva``...)
+  is case-folded, but Unicode↔punycode conversion is NOT performed —
+  full IDNA is not expressible as a scan-fused SQL expression, so
+  the two encodings of one IDN host stay distinct identities.
+* Percent-escapes are canonicalized (unreserved decoded, reserved
+  hex-case-folded) ONLY for URLs whose every ``%`` starts a valid
+  ``%XX`` escape.  A malformed URL (stray ``%``) passes through raw:
+  chained replaces could otherwise cascade (``%%341`` → ``%41`` →
+  ``A``), making two byte-distinct malformed URLs collide.  For
+  well-formed URLs the chain provably cannot cascade: every ``%XY``
+  substring is a genuine escape, and no replacement ever emits a new
+  ``%`` (``%25`` is reserved and stays encoded).
 """
 
 from __future__ import annotations
 
+import csv
+from functools import lru_cache
+from pathlib import Path
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# multi-part public suffixes the last-two-label rule would get wrong.
-# Deliberately a SMALL explicit list (deterministic, oracle-mirrorable);
-# production swaps in the full public-suffix list as a data file.
-MULTIPART_SUFFIXES = (
-    "co.uk", "ac.uk", "gov.uk", "org.uk",
-    "com.au", "net.au", "org.au",
-    "co.jp", "co.in", "co.kr", "com.br", "com.mx", "com.cn",
-)
-
 TRACKING_PARAM_RE = "^(utm_[a-z]+|gclid|fbclid|ref)="
+
+_PSL_CSV = (Path(__file__).resolve().parent.parent
+            / "data" / "public_suffixes.csv")
+
+
+@lru_cache(maxsize=1)
+def load_public_suffixes() -> dict:
+    """The compiled Public Suffix List as ``{(kind, labels): (suffix,
+    ...)}`` — ``kind`` is ``plain`` (exact rule), ``wild`` (the ``X``
+    of a ``*.X`` rule) or ``exc`` (a ``!rule`` exception); values are
+    SORTED tuples so the SQL emitted from them is deterministic
+    across processes.  Swap ``data/public_suffixes.csv`` (recompile
+    with scripts/compile_psl.py from a newer upstream snapshot) to
+    update — it is data, not code."""
+    out: dict = {}
+    with _PSL_CSV.open(newline="") as f:
+        for row in csv.DictReader(f):
+            out.setdefault((row["kind"], int(row["labels"])),
+                           []).append(row["suffix"])
+    return {k: tuple(sorted(v)) for k, v in out.items()}
+
+
+def _is_http_expr(col: str, dialect: str = "spark") -> str:
+    """Boolean: does the URL have an http/https scheme (the only URLs
+    the canonicalizer claims — everything else passes through raw)."""
+    if dialect == "spark":
+        return f"{col} rlike '(?i)^https?://'"
+    return f"regexp_matches({col}, '(?i)^https?://')"
 
 
 def _hostport_expr(col: str) -> str:
@@ -76,8 +128,10 @@ def url_port_expr(col: str) -> str:
 
 def url_path_expr(col: str) -> str:
     """Path with the trailing slash stripped (except root ``/``);
-    an empty path normalizes to ``/``."""
-    path = f"regexp_extract({col}, '(?i)^[a-z]+://[^/?#]*([^?#]*)', 1)"
+    an empty path normalizes to ``/``.  http(s)-only, like every
+    component extractor — non-web URLs never reach these (the
+    normalizer passes them through raw)."""
+    path = f"regexp_extract({col}, '(?i)^https?://[^/?#]*([^?#]*)', 1)"
     return (f"case when {path} = '' then '/' "
             f"when {path} != '/' and {path} like '%/' "
             f"then substring({path}, 1, length({path}) - 1) "
@@ -102,61 +156,219 @@ def url_query_expr(col: str, dialect: str = "spark") -> str:
     return f"coalesce({joined}, '')"
 
 
-def url_normalize_expr(col: str, dialect: str = "spark") -> str:
+def url_normalize_expr(col: str, dialect: str = "spark",
+                       raw: str | None = None) -> str:
     """Full canonical URL: ``https://host[:port]/path[?sorted-params]``
     — scheme folded to https and matched case-insensitively (crawls
     record both spellings of the same page), host lowercased /
     www-stripped, userinfo dropped, DEFAULT ports (80/443) dropped
     while explicit other ports are kept (different origin, different
-    page), fragment dropped, query canonicalized."""
+    page), fragment dropped, query canonicalized.
+
+    Non-http(s) input (``ftp:``, ``mailto:``, scheme-less strings)
+    yields ``raw`` (default: ``col``) UNCHANGED — such strings have
+    no https-authority, and canonicalizing them would collapse every
+    distinct one onto ``https:///...`` (a real crawl frontier is full
+    of them).  Pass ``raw`` when ``col`` is a pre-decoded staging of
+    the original column so the fallback is the original bytes."""
+    fallback = raw or col
     host = url_host_expr(col)
     port = url_port_expr(col)
     path = url_path_expr(col)
     q = url_query_expr(col, dialect)
-    return (f"concat('https://', {host}, {port}, {path}, "
-            f"case when {q} = '' then '' else concat('?', {q}) end)")
+    canonical = (f"concat('https://', {host}, {port}, {path}, "
+                 f"case when {q} = '' then '' else concat('?', {q}) end)")
+    return (f"case when {_is_http_expr(col, dialect)} "
+            f"then {canonical} else {fallback} end")
+
+
+def _tail_expr(host: str, k: int) -> str:
+    """The last ``k`` dot-separated labels of ``host`` ('' when the
+    host has fewer than k labels) — ``$``-anchored regexp, so it is
+    bounds-safe in both dialects (no element_at, which raises
+    out-of-bounds under Spark's ANSI mode).  Leftmost-match semantics
+    guarantee full labels: a match can only start at the string start
+    or after a dot, because a mid-label start is always beaten by the
+    same match extended left to the label start."""
+    if k == 1:
+        return f"regexp_extract({host}, '([^.]+)$', 1)"
+    return (f"regexp_extract({host}, "
+            f"'((?:[^.]+[.]){{{k - 1}}}[^.]+)$', 1)")
 
 
 def registered_domain_expr(col_or_host: str, *, is_host: bool = False,
                            dialect: str = "spark") -> str:
-    """Registered (pay-level) domain of a URL or host expression:
-    last two labels, or last THREE when the two-label tail is a
-    known multi-part public suffix (``foo.co.uk`` → ``foo.co.uk``,
-    not ``co.uk``)."""
+    """Registered (pay-level) domain of a URL or host expression per
+    the full Public Suffix List: the matched public suffix plus one
+    more label — ``news.bbc.co.uk`` → ``bbc.co.uk``, ``foo.github.io``
+    → ``foo.github.io`` (private-section rules included), any-label
+    wildcards (``*.ck``) and exceptions (``!www.ck``, modulo the
+    www-stripping identity documented in the module docstring)
+    handled.  A host that IS a public suffix, or a single label
+    (``localhost``), returns itself.
+
+    Longest match wins, exceptions first (PSL algorithm); unmatched
+    hosts take the implicit default rule (1-label suffix).  Each rule
+    set is one flat ``IN`` list: Spark compiles it to an ``InSet``
+    hash probe (O(1) per row, whole-stage codegen, no join), DuckDB
+    binds it as a constant set — the ~8k-entry SQL text is a
+    one-time driver parse, not a per-row cost."""
     host = col_or_host if is_host else url_host_expr(col_or_host)
-    if dialect == "spark":
-        labels = f"split({host}, '[.]')"
-        el = lambda i: f"element_at({labels}, {i})"  # noqa: E731
-        size = f"size({labels})"
-    else:
-        labels = f"string_split({host}, '.')"
-        el = lambda i: f"{labels}[{i}]"              # noqa: E731
-        size = f"len({labels})"
-    tail2 = f"concat({el(-2)}, '.', {el(-1)})"
-    tail3 = f"concat({el(-3)}, '.', {tail2})"
-    suffixes = ", ".join(f"'{s}'" for s in MULTIPART_SUFFIXES)
-    return (f"case when {size} >= 3 and {tail2} in ({suffixes}) "
-            f"then {tail3} "
-            f"when {size} >= 2 then {tail2} else {host} end")
+    psl = load_public_suffixes()
+    t = {k: _tail_expr(host, k) for k in range(1, 7)}
+
+    def mem(kind: str, labels: int) -> str:
+        vals = psl.get((kind, labels), ())
+        if not vals:
+            return "false"
+        quoted = ", ".join("'" + v.replace("'", "''") + "'"
+                           for v in vals)
+        return f"{t[labels]} in ({quoted})"
+
+    def reg(k: int) -> str:                # suffix of k labels matched
+        return (f"case when {t[k + 1]} = '' then {host} "
+                f"else {t[k + 1]} end")
+
+    branches = [
+        (mem("exc", 2), t[2]),
+        (mem("exc", 3), t[3]),
+        (f"{mem('plain', 5)} or {mem('wild', 4)}", reg(5)),
+        (f"{mem('plain', 4)} or {mem('wild', 3)}", reg(4)),
+        (f"{mem('plain', 3)} or {mem('wild', 2)}", reg(3)),
+        (f"{mem('plain', 2)} or {mem('wild', 1)}", reg(2)),
+    ]
+    whens = " ".join(f"when {c} then {r}" for c, r in branches)
+    return f"case {whens} else {reg(1)} end"
+
+
+_PSL_FRAME_CACHE: dict = {}
+
+
+def _psl_frame(spark):
+    """The PSL as ONE broadcast-join build side for
+    :func:`curate_urls`, keyed by each rule's last-2-label tail:
+    ``(__pslk, __p2b, __w2b, __e2b, __ap3, __aw3, __ae3, __ap4,
+    __aw4, __ap5)`` — the boolean columns are the 2-label rule kinds
+    for the key itself, the arrays hold the ≥3-label rules sharing
+    that tail (groups are tiny — a handful of geo/SaaS rules each),
+    probed with ``array_contains`` against the host's longer tails.
+
+    The join form exists because the 8k-literal ``InSet`` expression,
+    while O(1) per row, makes a ~130 KB plan tree costing ~1 s of
+    driver time PER EXECUTION once windows + AQE walk it, and five
+    separate per-length broadcast joins cost ~0.2 s of exchange setup
+    EACH (both measured at sf0.1); one ≤7k-row broadcast keeps plan
+    and exchange overhead at a single small constant, stays stateless
+    (stream-static joins work in append-mode streaming), and probes
+    the same hash semantics.  Cached per session."""
+    key = id(spark)
+    if key not in _PSL_FRAME_CACHE:
+        from pyspark.sql.types import (ArrayType, BooleanType,
+                                       StringType, StructField,
+                                       StructType)
+        psl = load_public_suffixes()
+        by_key: dict = {}
+
+        def ent(suffix: str) -> dict:
+            tail2 = ".".join(suffix.split(".")[-2:])
+            return by_key.setdefault(tail2, {
+                "p2": False, "w2": False, "e2": False,
+                "p3": [], "w3": [], "e3": [], "p4": [], "w4": [],
+                "p5": []})
+
+        for (kind, labels), suffixes in sorted(psl.items()):
+            if labels == 1:
+                continue                   # wild1 is a 9-entry IN list
+            for s in suffixes:
+                e = ent(s)
+                if labels == 2:
+                    e[kind[0] + "2"] = True
+                else:
+                    e[f"{kind[0]}{labels}"].append(s)
+        schema = StructType(
+            [StructField("__pslk", StringType())]
+            + [StructField(f"__{f}b", BooleanType())
+               for f in ("p2", "w2", "e2")]
+            + [StructField(f"__a{f}", ArrayType(StringType()))
+               for f in ("p3", "w3", "e3", "p4", "w4", "p5")])
+        rows = [(k, e["p2"], e["w2"], e["e2"], e["p3"], e["w3"],
+                 e["e3"], e["p4"], e["w4"], e["p5"])
+                for k, e in sorted(by_key.items())]
+        frame = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema).cache()
+        frame.count()                      # materialize once per session
+        _PSL_FRAME_CACHE[key] = frame
+    return _PSL_FRAME_CACHE[key]
+
+
+def pct_wellformed_expr(col: str, dialect: str = "spark") -> str:
+    """Boolean: every ``%`` in the URL starts a valid ``%XX`` hex
+    escape (remove all ``%XX`` and no ``%`` survives).  Gates the
+    percent-canonicalization: decoding a malformed URL could cascade
+    (an early replace synthesizing a new escape a later replace
+    consumes), falsely colliding byte-distinct strings — malformed
+    URLs therefore pass through raw."""
+    flags = "" if dialect == "spark" else ", 'g'"
+    return (f"not contains(regexp_replace({col}, "
+            f"'%[0-9A-Fa-f]{{2}}', ''{flags}), '%')")
 
 
 def curate_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Adds ``url_norm`` and ``domain`` columns — one scan, pure
     expressions, ready for exact dedup on ``url_norm`` (the canonical
     identity) and for :func:`domain_cap`.  Unreserved percent-escapes
-    are decoded FIRST (one :func:`pct_decode_expr` pass staged as a
-    column so the replace chain evaluates once per row, not once per
-    component extractor), so ``%41``/``%61`` spellings fold into the
-    same canonical page as their literal characters."""
-    staged, cur = df, url_col
+    are decoded FIRST (one staged :func:`pct_decode_stage_expr` chain
+    evaluated once per row), gated on :func:`pct_wellformed_expr` so
+    malformed escapes never cascade; escaped HOSTS fold too
+    (``example%2Ecom`` → ``example.com`` — the decode runs on the
+    whole string before component extraction).  Non-http(s) rows keep
+    their raw string as ``url_norm`` and get a NULL ``domain``.
+
+    ``domain`` resolves against the full PSL via five broadcast hash
+    joins (see :func:`_psl_frames` for why not the inline ``InSet``
+    form :func:`registered_domain_expr` emits) — stateless, so the
+    same plan runs unchanged inside append-mode streams."""
+    staged = df.selectExpr(
+        "*", f"{pct_wellformed_expr(url_col)} as __pct_ok")
+    cur = url_col
     for i in range(N_PCT_STAGES):
         staged = staged.selectExpr(
             "*", f"{pct_decode_stage_expr(cur, i)} as __pd{i}")
         cur = f"__pd{i}"
-    return staged.selectExpr(
-        *df.columns,
-        f"{url_normalize_expr(cur)} as url_norm",
-        f"{registered_domain_expr(cur)} as domain")
+    staged = staged.selectExpr(
+        "*", f"case when __pct_ok then {cur} else {url_col} end as __u")
+    out = staged.selectExpr(
+        "*", f"{url_normalize_expr('__u', raw=url_col)} as url_norm",
+        f"{url_host_expr('__u')} as __h")
+    out = out.selectExpr(
+        "*", *[f"{_tail_expr('__h', k)} as __t{k}" for k in range(1, 7)])
+    frame = _psl_frame(df.sparkSession)
+    out = out.join(F.broadcast(frame),
+                   out["__t2"] == frame["__pslk"], "left")
+
+    def g(c: str) -> str:
+        return f"coalesce({c}, false)"
+
+    def arr(a: str, t: int) -> str:
+        return f"coalesce(array_contains({a}, __t{t}), false)"
+
+    def reg(k: int) -> str:
+        return f"case when __t{k + 1} = '' then __h else __t{k + 1} end"
+
+    wild1 = load_public_suffixes().get(("wild", 1), ())
+    w1 = (f"__t1 in ({', '.join(repr(s) for s in wild1)})"
+          if wild1 else "false")
+    dom = (f"case when {g('__e2b')} then __t2 "
+           f"when {arr('__ae3', 3)} then __t3 "
+           f"when {arr('__ap5', 5)} or {arr('__aw4', 4)} then {reg(5)} "
+           f"when {arr('__ap4', 4)} or {arr('__aw3', 3)} then {reg(4)} "
+           f"when {arr('__ap3', 3)} or {g('__w2b')} then {reg(3)} "
+           f"when {g('__p2b')} or {w1} then {reg(2)} "
+           f"else {reg(1)} end")
+    return out.selectExpr(
+        *df.columns, "url_norm",
+        f"case when {_is_http_expr('__u')} then {dom} "
+        f"else cast(null as string) end as domain")
 
 
 def domain_cap(df: DataFrame, n: int, *,
@@ -192,7 +404,11 @@ def _pct_replaces() -> list:
        §6.2.2.1: escape hex digits are case-insensitive; decoding
        reserved bytes would change which characters act as
        delimiters, so they stay encoded but case-canonical).
-    """
+
+    Applied only to escape-WELL-FORMED URLs (see
+    :func:`pct_wellformed_expr`): there every ``%XY`` substring is a
+    genuine escape and no replacement emits a ``%``, so the chained
+    replaces cannot cascade."""
     out = []
     unreserved = sorted(
         list(range(0x41, 0x5B)) + list(range(0x61, 0x7B))
@@ -241,15 +457,25 @@ def pct_decode_ctes(source_cte: str, cols: list[str],
     chain in SQL — Spark's parser AND DuckDB's binder both cap
     expression nesting (~150 / 128), so the single-expression form of
     the ~450-replace chain is not parseable anywhere; every consumer
-    goes through stages.  ``cols`` are passed through unchanged."""
-    passthru = ", ".join(cols)
-    frags, prev, cur_col = [], source_cte, url_col
+    goes through stages.  ``cols`` are passed through unchanged, as
+    is ``url_col`` itself (the raw string is the fallback for rows
+    the well-formedness gate rejects — mirror of
+    :func:`curate_urls`)."""
+    passthru = ", ".join(dict.fromkeys(list(cols) + [url_col]))
+    ok = pct_wellformed_expr(url_col, "duck")
+    frags = [f"__pctok AS (SELECT {passthru}, {ok} AS __pct_ok "
+             f"FROM {source_cte})"]
+    carry = f"{passthru}, __pct_ok"
+    prev, cur_col = "__pctok", url_col
     for i in range(N_PCT_STAGES):
         name = f"__pct{i}"
-        alias = out_col if i == N_PCT_STAGES - 1 else f"__pd{i}"
         frags.append(
-            f"{name} AS (SELECT {passthru}, "
-            f"{pct_decode_stage_expr(cur_col, i)} AS {alias} "
+            f"{name} AS (SELECT {carry}, "
+            f"{pct_decode_stage_expr(cur_col, i)} AS __pd{i} "
             f"FROM {prev})")
-        prev, cur_col = name, alias
-    return ",\n".join(frags), prev
+        prev, cur_col = name, f"__pd{i}"
+    frags.append(
+        f"__pctg AS (SELECT {passthru}, "
+        f"CASE WHEN __pct_ok THEN {cur_col} ELSE {url_col} END "
+        f"AS {out_col} FROM {prev})")
+    return ",\n".join(frags), "__pctg"

@@ -2702,6 +2702,143 @@ def test_domain_cap_plans_window_group_limit(spark, tables):
     assert {d: sorted(v) for d, v in got.items()} == want
 
 
+def test_registered_domain_full_psl(spark):
+    """The packaged Public Suffix List drives registered-domain
+    extraction: country-code second-levels, private-section suffixes
+    (github.io-class), multi-label rules, any-label wildcards and
+    exceptions all resolve per the PSL algorithm — via BOTH the
+    expression form and curate_urls' broadcast-join form (they must
+    agree everywhere)."""
+    from pythonql_spark.operators.url import (curate_urls,
+                                              registered_domain_expr)
+    cases = {
+        "https://news.bbc.co.uk/x": "bbc.co.uk",          # co.uk
+        "https://www.shop.com.au/x": "shop.com.au",       # com.au
+        "https://foo.github.io/x": "foo.github.io",       # private sec.
+        "https://b.blogspot.com/x": "b.blogspot.com",     # private sec.
+        "https://x.s3.dualstack.eu-west-1.amazonaws.com/":
+            "x.s3.dualstack.eu-west-1.amazonaws.com",     # 5-label rule
+        "https://a.b.ck/x": "a.b.ck",                     # *.ck wildcard
+        "https://x.city.kawasaki.jp/": "city.kawasaki.jp",  # !exception
+        "https://x.higashi.nagoya.jp/": "x.higashi.nagoya.jp",  # geo 3-lbl
+        "https://deep.a.b.example.com/x": "example.com",
+        "https://example.com/x": "example.com",
+        "https://localhost/x": "localhost",
+        "https://co.uk/": "co.uk",          # host IS a public suffix
+    }
+    df = spark.createDataFrame(
+        [(i, u, w) for i, (u, w) in enumerate(cases.items())],
+        ["doc_id", "url", "want"])
+    expr_rows = df.selectExpr(
+        f"{registered_domain_expr('url')} as got", "want").collect()
+    for r in expr_rows:
+        assert r.got == r.want, ("expr", r.got, r.want)
+    join_rows = curate_urls(df.select("doc_id", "url")).collect()
+    want_by_id = dict(enumerate(cases.values()))
+    for r in join_rows:
+        assert r.domain == want_by_id[r.doc_id], \
+            ("join", r.doc_id, r.domain, want_by_id[r.doc_id])
+
+
+def test_non_http_urls_pass_through_raw(spark):
+    """ftp:/mailto:/scheme-less strings in a crawl frontier must NOT
+    collapse onto each other: the canonicalizer only claims http(s),
+    everything else keeps its raw bytes as url_norm (still a valid
+    exact-dedup identity) and a NULL domain — previously ftp://a.com/x
+    and ftp://b.com/x both normalized to 'https:///x'."""
+    from pythonql_spark.operators.url import curate_urls
+    raw = ["ftp://a.com/x", "ftp://b.com/x", "mailto:u@example.com",
+           "notaurl", "other-garbage", "//scheme-relative.com/x",
+           "HTTPS://ok.example.com/x"]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(raw)], ["id", "url"])
+    rows = {r.id: (r.url_norm, r.domain)
+            for r in curate_urls(df).collect()}
+    for i, u in enumerate(raw[:-1]):
+        assert rows[i] == (u, None), (u, rows[i])
+    assert rows[6] == ("https://ok.example.com/x", "example.com")
+    assert len({v[0] for v in rows.values()}) == len(raw)
+
+
+def test_malformed_percent_escapes_skip_decoding(spark):
+    """A URL whose '%' chars do not all start valid %XX escapes skips
+    percent-canonicalization entirely (the chained replaces could
+    cascade — '%%341' would decode to '%41' then 'A'); byte-distinct
+    malformed URLs therefore stay distinct, and canonicalizing an
+    already-canonical malformed URL is a fixpoint."""
+    from pythonql_spark.operators.url import curate_urls
+    df = spark.createDataFrame([
+        (1, "https://ex.com/%%341"),       # would cascade to /A
+        (2, "https://ex.com/A"),           # must stay distinct from 1
+        (3, "https://ex.com/%2%35"),       # would cascade to /%25
+        (4, "https://ex.com/%25"),         # must stay distinct from 3
+        (5, "https://ex.com/tail%"),       # trailing bare %
+        (6, "https://ex.com/%41"),         # well-formed: decodes
+    ], ["id", "url"])
+    rows = {r.id: r.url_norm for r in curate_urls(df).collect()}
+    assert rows[1] == "https://ex.com/%%341"
+    assert rows[3] == "https://ex.com/%2%35"
+    assert rows[5] == "https://ex.com/tail%"
+    assert rows[6] == "https://ex.com/A"
+    assert len(set(rows.values())) == 5    # only 2 and 6 collide
+    # fixpoint: re-curating the canonical forms changes nothing
+    df2 = spark.createDataFrame(
+        [(k, v) for k, v in rows.items()], ["id", "url"])
+    again = {r.id: r.url_norm for r in curate_urls(df2).collect()}
+    assert again == rows
+
+
+def test_escaped_and_punycode_hosts_fold(spark):
+    """Percent-escaped host bytes decode before component extraction
+    (http://EXAMPLE%2Ecom == http://example.com) and punycode labels
+    case-fold with the host — while Unicode and ACE spellings of one
+    IDN host remain DISTINCT identities (documented: IDNA conversion
+    is not expressible as a scan-fused expression)."""
+    from pythonql_spark.operators.url import curate_urls
+    df = spark.createDataFrame([
+        (1, "http://EXAMPLE%2Ecom/a"),
+        (2, "https://example.com/a"),
+        (3, "https://XN--BCHER-KVA.example/x"),
+        (4, "https://xn--bcher-kva.example/x"),
+        (5, "https://bücher.example/x"),   # Unicode spelling
+    ], ["id", "url"])
+    rows = {r.id: (r.url_norm, r.domain)
+            for r in curate_urls(df).collect()}
+    assert rows[1] == rows[2] == ("https://example.com/a", "example.com")
+    assert rows[3] == rows[4]
+    assert rows[3][0] == "https://xn--bcher-kva.example/x"
+    assert rows[5] != rows[3]
+
+
+def test_psl_loader_and_compiler_roundtrip():
+    """The packaged suffix table is the deterministic compilation of
+    the OS's upstream public_suffix_list.dat: recompiling yields the
+    same rows, kinds partition cleanly, and well-known suffixes are
+    present in ACE lowercase."""
+    import importlib.util
+    from pathlib import Path
+
+    from pythonql_spark.operators.url import load_public_suffixes
+    psl = load_public_suffixes()
+    plain2 = set(psl[("plain", 2)])
+    assert {"co.uk", "com.au", "github.io", "blogspot.com"} <= plain2
+    assert "www.ck" in psl[("exc", 2)]
+    assert "ck" in psl[("wild", 1)]
+    assert all(s.isascii() and s == s.lower()
+               for vals in psl.values() for s in vals)
+    spec = importlib.util.spec_from_file_location(
+        "compile_psl", Path(__file__).resolve().parent.parent
+        / "scripts" / "compile_psl.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    src = Path(mod.DEFAULT_SRC)
+    if src.exists():
+        recompiled = set(mod.compile_psl(str(src)))
+        packaged = {(k, n, s) for (k, n), vals in psl.items()
+                    for s in vals}
+        assert packaged == recompiled
+
+
 def test_pct_decode_unreserved_only(spark):
     """Percent-decoding folds unreserved escapes (hex case included)
     into their literal characters while leaving reserved escapes —
