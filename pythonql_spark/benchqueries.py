@@ -1286,7 +1286,22 @@ def media_gif(spark, sf):
             .orderBy("doc_id"))
 
 
-@q("media_probe", None)  # rows-only: container/header parsing is not SQL
+_PROBE_COLS = ["doc_id", "format", "codec", "width", "height",
+               "duration_ms", "sample_rate", "channels",
+               "bitrate_kbps", "n_frames", "n_keyframes"]
+
+
+def _checksum_mirror_sql(cols) -> str:
+    """DuckDB mirror of helpers.with_checksum: md5 over the canonical
+    '|'-joined rendering of the columns SORTED BY NAME, NULL → '∅' —
+    so a rows-only key's checksum convention itself can ride a FULL
+    value oracle when every underlying column is oracle-expressible."""
+    parts = ", ".join(
+        f"coalesce(cast({c} as varchar), '∅')" for c in sorted(cols))
+    return f"md5(concat_ws('|', {parts}))"
+
+
+@q("media_probe", None)  # oracle registered below (generated SQL)
 def media_probe(spark, sf):
     """ffprobe analog over a MIXED-format media column: every doc
     renders one of PNG / animated GIF / WAV tone / MP4 (real ISO-BMFF
@@ -1295,9 +1310,18 @@ def media_probe(spark, sf):
     one Arrow-batched probe pass reports format, codec, dimensions,
     duration, sample rate, bitrate and frame/keyframe counts from the
     true headers — zero pixel/PCM decode, so the scan stays cheap at
-    any corpus size.  One mapInPandas pass, no shuffle."""
+    any corpus size.  One mapInPandas pass, no shuffle.
+
+    Formerly rows-only; every probed field is a deterministic
+    function of doc_id under the synthesis parameters and the
+    ``checksum`` convention column is md5 over those same fields, so
+    the WHOLE key (checksum included, mirrored by
+    :func:`_checksum_mirror_sql`) now sits under the FULL DuckDB
+    value oracle — the explicit with_checksum call keeps the
+    rows-only-era output shape bit-identical."""
     from pyspark.sql import functions as F
 
+    from pythonql_spark.helpers import with_checksum
     from pythonql_spark.operators import multimodal as MM
 
     docs = (load_table(spark, sf, "documents")
@@ -1310,8 +1334,8 @@ def media_probe(spark, sf):
             .otherwise(MM.render_mp3("doc_id")))
     media = docs.select(
         "doc_id", MM.make_media(blob, "media", "mixed").alias("media"))
-    return (MM.probe_media(media).drop("media", "text")
-            .orderBy("doc_id"))
+    return with_checksum(MM.probe_media(media).drop("media", "text")) \
+        .orderBy("doc_id")
 
 
 @q("media_probe_meta", """
@@ -1349,9 +1373,17 @@ def media_probe_meta(spark, sf):
     function of doc_id under the synthesis parameters, so DuckDB
     reconstructs the expected headers arithmetically while Spark
     parses the REAL containers (PNG/GIF/WAV/ISO-BMFF/MPEG frame
-    walks).  media_probe stays the production rows-only surface (its
-    checksum also binds the compressed-payload-derived values)."""
+    walks).  media_probe is the same surface PLUS the checksum
+    convention column, itself now fully oracled (r10)."""
     return QUERIES["media_probe"](spark, sf).drop("checksum")
+
+
+# media_probe rides media_probe_meta's oracle plus the mirrored
+# checksum — the key stops being rows-only (r10).
+ORACLE["media_probe"] = (
+    f"WITH meta AS ({ORACLE['media_probe_meta']})\n"
+    f"SELECT *, {_checksum_mirror_sql(_PROBE_COLS)} AS checksum "
+    f"FROM meta")
 
 
 @q("media_mp4", None)  # oracle attached below (generated SQL)

@@ -28,7 +28,11 @@ def to_journeys(df: DataFrame, entity_col: str, order_cols,
 
     ``max_events`` (optional) fails fast if any entity exceeds it —
     at 100 TB an unbounded hot entity would brew an executor OOM
-    thousands of tasks later; better to refuse here with the id."""
+    thousands of tasks later; better to refuse with the id.  The
+    guard is IN-PLAN (a conditional ``raise_error`` wrapping the
+    packed column), so it costs zero extra jobs and zero extra
+    passes: it fires during whatever job first materializes the
+    journeys, naming the offending entity in the error."""
     order_cols = [order_cols] if isinstance(order_cols, str) \
         else list(order_cols)
     if event_cols is None:
@@ -38,13 +42,13 @@ def to_journeys(df: DataFrame, entity_col: str, order_cols,
               .agg(F.sort_array(F.collect_list(
                   F.struct(*order_cols, *event_cols))).alias(journey_col)))
     if max_events is not None:
+        msg = F.concat(
+            F.lit(f"entity exceeds max_events={max_events}: "),
+            F.col(entity_col).cast("string"), F.lit(" has "),
+            F.size(F.col(journey_col)).cast("string"), F.lit(" events"))
         packed = packed.withColumn(
-            "__n", F.size(F.col(journey_col)))
-        bad = packed.filter(F.col("__n") > max_events) \
-            .select(entity_col, "__n").head(3)
-        if bad:
-            raise ValueError(
-                f"entities exceed max_events={max_events}: "
-                + ", ".join(f"{r[0]}={r[1]}" for r in bad))
-        packed = packed.drop("__n")
+            journey_col,
+            F.when(F.size(F.col(journey_col)) <= max_events,
+                   F.col(journey_col))
+            .otherwise(F.raise_error(msg)))
     return packed

@@ -317,5 +317,24 @@ def test_to_journeys_packs_ordered_arrays(spark, tables):
     for r in rows:
         keys = [(e.ts, e.event_id) for e in r.cj]
         assert keys == sorted(keys)
-    with _pytest.raises(ValueError, match="max_events"):
-        to_journeys(ev, "user_id", "ts", max_events=1)
+    # max_events guard is IN-PLAN: constructing the DataFrame runs
+    # ZERO jobs (the old eager validation cost a full extra pack per
+    # call), the error surfaces at materialization with the entity id
+    sc = spark.sparkContext
+    sc.setJobGroup("journey_guard", "to_journeys lazy-guard check")
+    try:
+        guarded = to_journeys(ev, "user_id", "ts", max_events=1)
+        assert list(sc.statusTracker().getJobIdsForGroup(
+            "journey_guard")) == []
+        with _pytest.raises(Exception, match="max_events=1"):
+            guarded.collect()
+        hot = max(counts, key=counts.get)
+        with _pytest.raises(Exception, match=str(hot)):
+            to_journeys(ev, "user_id", "ts",
+                        max_events=counts[hot] - 1).collect()
+        # a satisfied guard passes through the full journeys
+        ok = to_journeys(ev, "user_id", "ts",
+                         max_events=max(counts.values())).collect()
+        assert {r.user_id: len(r.cj) for r in ok} == counts
+    finally:
+        sc.setJobGroup("", "")
