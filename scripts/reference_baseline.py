@@ -258,7 +258,52 @@ def run_ours(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def ensure_scaled_events(mult: int) -> str:
+    """A sf-dir holding events at ``mult`` × sf0.1, derived by
+    replicating the driver testdata with DISTINCT user ids per
+    replica (windows are per-user, so the replication changes volume
+    without changing any window's shape).  Both engines read the SAME
+    written file — the derivation is race input, not an oracle."""
+    out_dir = Path(f"/root/repo/.scratch/race_events_x{mult}")
+    path = out_dir / "events.parquet"
+    if not path.exists():
+        from pyspark.sql import functions as F
+
+        from pythonql_spark import get_spark
+        from pythonql_spark.sources import load_table
+
+        spark = get_spark("ref-baseline")
+        spark.sparkContext.setLogLevel("ERROR")
+        ev = load_table(spark, "/root/testdata/sf0.1", "events")
+        r = spark.range(mult).withColumnRenamed("id", "rep")
+        scaled = ev.crossJoin(F.broadcast(r)).selectExpr(
+            "event_id + rep * 100000000 as event_id",
+            "user_id + rep * 1000000 as user_id",
+            "ts", "event_type", "value", "props")
+        scaled.repartition(32).write.mode("overwrite") \
+            .parquet(str(path))
+    return str(out_dir)
+
+
+def main_window_scale(mults: list[int]) -> None:
+    """The window_agg race at mult × sf0.1 (reference side is linear
+    there; the distributed gap should widen the way group-by's does).
+    Value parity asserted before timing, as everywhere."""
+    for mult in mults:
+        sf_dir = ensure_scaled_events(mult)
+        refw, ourw = run_reference_window(sf_dir), run_ours_window(sf_dir)
+        assert (refw["window_n"], refw["window_sum"]) == \
+               (ourw["window_n"], ourw["window_sum"]), (refw, ourw)
+        print(f"sf0.1x{mult:<3d} window_agg  reference="
+              f"{refw['window_agg']:8.2f}s ours={ourw['window_agg']:6.2f}s"
+              f"  speedup={refw['window_agg'] / ourw['window_agg']:7.1f}x"
+              f"  ({refw['window_n']} windows, equal sums)", flush=True)
+
+
 def main() -> None:
+    if sys.argv[1:2] == ["--window-scale"]:
+        main_window_scale([int(a) for a in sys.argv[2:]] or [4, 10])
+        return
     sfs = sys.argv[1:] or ["0.001", "0.01"]
     for sf in sfs:
         sf_dir = f"/root/testdata/sf{sf}"

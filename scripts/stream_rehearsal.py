@@ -178,6 +178,148 @@ def _sketch_rehearsal(spark, src: str, d, n_rows: int, reps: int) -> None:
         }), flush=True)
 
 
+def _url_corpus_expr(page: str) -> str:
+    """Deterministic canonical-spelling URL for page id expression
+    ``page`` — a mix of .example.com and .co.uk (PSL multi-part)
+    hosts with a two-param query."""
+    host = (f"concat('s', cast({page} % 1000 as string), "
+            f"case when {page} % 7 = 0 then '.co.uk' "
+            f"else '.example.com' end)")
+    return (f"concat('https://', {host}, '/p/', "
+            f"cast({page} as string), '?a=1&b=2')")
+
+
+def _build_url_corpus(spark, reps: int, path: str) -> None:
+    """Arriving crawl frontier for the URL-dedup rehearsal: rep 0 is
+    a SPELLING VARIANT of each standing-corpus page (www + uppercase
+    host + tracking params + fragment / percent-encoded path +
+    reordered params / :443 + trailing slash / HTTP://:80 + gclid —
+    each must canonicalize onto the corpus url and be REJECTED), all
+    other reps are genuinely new pages (every one must be KEPT),
+    with a deterministic ftp:// slice among the new pages exercising
+    the non-http passthrough at scale."""
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    r = spark.range(reps).withColumnRenamed("id", "rep")
+    page = "(case when rep = 0 then doc_id " \
+           "else doc_id + rep * 10000000 end)"
+    host = (f"concat('s', cast({page} % 1000 as string), "
+            f"case when {page} % 7 = 0 then '.co.uk' "
+            f"else '.example.com' end)")
+    pid = f"cast({page} as string)"
+    url = f"""CASE
+      WHEN rep > 0 AND doc_id % 97 = 0
+        THEN concat('ftp://x', {pid}, '/f')
+      WHEN rep > 0 THEN {_url_corpus_expr(page)}
+      WHEN doc_id % 4 = 0 THEN concat('https://WWW.', upper({host}),
+             '/p/', {pid}, '?utm_source=x&b=2&a=1#f')
+      WHEN doc_id % 4 = 1 THEN concat('https://', {host}, '/%70/',
+             {pid}, '?b=2&a=1')
+      WHEN doc_id % 4 = 2 THEN concat('https://', {host}, ':443/p/',
+             {pid}, '/?a=1&b=2')
+      ELSE concat('HTTP://', {host}, ':80/p/', {pid},
+             '?a=1&b=2&gclid=z')
+    END"""
+    out = (docs.crossJoin(F.broadcast(r)).selectExpr(
+        f"doc_id * {reps} + rep as doc_id", f"{url} as url"))
+    n_files = max(32, reps * 2)
+    out.repartition(n_files).write.mode("overwrite").parquet(path)
+
+
+def _url_fingerprint(spark, out_path: str):
+    df = spark.read.parquet(out_path)
+    row = (df.selectExpr(
+        "count(*) AS n",
+        "sum(cast(xxhash64(doc_id, url_norm) as decimal(38,0))) AS h")
+        .first())
+    return int(row.n), int(row.h)
+
+
+def _url_rehearsal(spark, d, reps: int) -> None:
+    """REST-metric rehearsal row for url_dedup_ingest_stream (35q):
+    the canonical-URL crawl-frontier dedup under arriving volume —
+    the staged ~450-replace percent-decode chain plus the PSL
+    broadcast join run INSIDE every micro-batch's incremental plan,
+    so this measures their real per-batch cost, not the batch-mode
+    amortization.  Planted invariants are exact: every rep-0
+    spelling variant rejected, every new page (ftp slice included)
+    kept; replay idempotence re-checked at scale by forgetting the
+    last commit."""
+    from scripts.scale_rehearsal import stage_totals
+
+    from pythonql_spark.streaming import run_to_completion
+    from pythonql_spark.streaming.ingest import url_dedup_ingest_stream
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    n_corpus = docs.count()
+    corpus = docs.selectExpr(
+        "doc_id", f"{_url_corpus_expr('doc_id')} as url").cache()
+    corpus.count()
+
+    src = str(d / "in")
+    t0 = time.perf_counter()
+    _build_url_corpus(spark, reps, src)
+    arriving = spark.read.parquet(src)
+    n_rows = arriving.count()
+    print(f"--- arriving x{reps}: {n_rows:,} urls ({dir_mb(src):,.0f} "
+          f"MB) built in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    fpt = 16 if reps <= 128 else 64
+    out, ck = str(d / "out_url"), str(d / "ck_url")
+    stream = (spark.readStream.schema(arriving.schema)
+              .option("maxFilesPerTrigger", fpt).parquet(src))
+    before = stage_totals(spark)
+    t0 = time.perf_counter()
+    q = url_dedup_ingest_stream(stream, corpus, out, ck)
+    run_to_completion(q, timeout_s=1800)
+    wall = time.perf_counter() - t0
+    prog, batch_walls, mb = stream_run_stats(spark, q, before)
+
+    landed = spark.read.parquet(out)
+    by_rep = (landed.withColumn("rep", F.expr(f"doc_id % {reps}"))
+              .groupBy().agg(
+        F.sum(F.expr("cast(rep = 0 as long)")).alias("rep0"),
+        F.count("*").alias("kept")).first())
+    assert int(by_rep.rep0) == 0, \
+        f"{int(by_rep.rep0)} corpus spelling variants slipped through"
+    assert int(by_rep.kept) == n_rows - n_corpus, \
+        f"kept {int(by_rep.kept)} != new pages {n_rows - n_corpus}"
+
+    n_before, h_before = _url_fingerprint(spark, out)
+    commits = sorted((Path(ck) / "commits").glob("[0-9]*"),
+                     key=lambda p: int(p.name))
+    commits[-1].unlink()
+    crc = commits[-1].parent / f".{commits[-1].name}.crc"
+    if crc.exists():
+        crc.unlink()
+    stream2 = (spark.readStream.schema(arriving.schema)
+               .option("maxFilesPerTrigger", fpt).parquet(src))
+    run_to_completion(url_dedup_ingest_stream(stream2, corpus, out, ck),
+                      timeout_s=1800)
+    assert (n_before, h_before) == _url_fingerprint(spark, out), \
+        "replayed final batch changed the output"
+
+    print(json.dumps({
+        "pipeline": f"url_dedup_ingest_stream_x{reps}_fpt{fpt}",
+        "arriving_rows": n_rows,
+        "batches": len(prog),
+        "files_per_trigger": fpt,
+        "wall_sec": round(wall, 2),
+        "rows_per_sec": round(n_rows / wall),
+        "batch_wall_median_s": round(
+            batch_walls[len(batch_walls) // 2], 2),
+        "batch_wall_p95_s": round(
+            batch_walls[int(len(batch_walls) * 0.95) - 1], 2),
+        "batch_wall_max_s": round(batch_walls[-1], 2),
+        "kept_rows": int(by_rep.kept),
+        "planted": {"variant_rejected": n_corpus,
+                    "new_kept": int(by_rep.kept)},
+        "replay_idempotent": True,
+        "state_mb": {"checkpoint": dir_mb(ck),
+                     "landed": dir_mb(out)},
+        "metrics_mb": mb,
+    }), flush=True)
+
+
 def main() -> None:
     from scripts.scale_rehearsal import build_corpus, stage_totals
 
@@ -188,6 +330,19 @@ def main() -> None:
         "spark.sql.streaming.numRecentProgressUpdates": "512",
     })
     spark.sparkContext.setLogLevel("ERROR")
+
+    import os
+    if "url" in os.environ.get("STREAM_RH_OPS", ""):
+        # STREAM_RH_OPS=url: the canonical-URL dedup stream (35q) —
+        # its own arriving corpus (spelling variants + new pages), no
+        # text/LSH machinery needed
+        for reps in reps_list:
+            d = SCRATCH / f"x{reps}"
+            shutil.rmtree(d, ignore_errors=True)
+            _url_rehearsal(spark, d, reps)
+            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        return
 
     from pythonql_spark.operators.dedup import build_minhash_index
     from pythonql_spark.streaming import run_to_completion
