@@ -39,6 +39,14 @@ sys.path.insert(0, "/root/reference")
 import duckdb
 
 
+def _pq(sf_dir: str, table: str) -> str:
+    """DuckDB-readable parquet path: the driver testdata is one file
+    per table, the scaled race events are a Spark-written DIRECTORY
+    (needs the glob form)."""
+    p = Path(sf_dir) / f"{table}.parquet"
+    return f"{p}/*.parquet" if p.is_dir() else str(p)
+
+
 def load_rows(sf_dir: str, table: str, cols: list[str]) -> list:
     """Rows as namedtuples: the reference's Ast.py predates the
     Python 3.9 subscript AST change, so dict access inside query
@@ -114,7 +122,7 @@ def run_reference_window(sf_dir: str) -> dict[str, float]:
     # Filtering keeps the comparison apples-to-apples without tripping
     # that reference bug.
     rows = duckdb.sql(
-        f"select user_id, value from '{sf_dir}/events.parquet' "
+        f"select user_id, value from '{_pq(sf_dir, 'events')}' "
         "where value is not null and value <> 0 "
         "order by user_id, ts, value").fetchall()
     seqs: dict[int, list[float]] = {}
