@@ -1675,7 +1675,7 @@ WITH with_url AS (
 curated AS (
   SELECT doc_id, n_chars,
          {url_normalize_expr('url_d', 'duck', raw='url')} AS url_norm,
-         CASE WHEN {_is_http_expr('url_d', 'duck')}
+         CASE WHEN {_is_http_expr('url', 'duck')}
               THEN {registered_domain_expr('url_d', dialect='duck')}
               ELSE CAST(NULL AS VARCHAR) END AS domain
   FROM {pct_last}),

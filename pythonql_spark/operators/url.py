@@ -72,6 +72,18 @@ _PSL_CSV = (Path(__file__).resolve().parent.parent
             / "data" / "public_suffixes.csv")
 
 
+# every rule shape both registered-domain forms (the IN-set
+# expression and curate_urls' broadcast join) know how to resolve —
+# the current PSL uses exactly these; a future snapshot introducing
+# a deeper rule must fail LOUDLY at load (extending the branch grid
+# in registered_domain_expr + _psl_frame is a 3-line change each),
+# never silently drop the rule in one form but crash the other
+_PSL_SHAPES = frozenset(
+    [("plain", n) for n in (2, 3, 4, 5)]
+    + [("wild", n) for n in (1, 2, 3, 4)]
+    + [("exc", n) for n in (2, 3)])
+
+
 @lru_cache(maxsize=1)
 def load_public_suffixes() -> dict:
     """The compiled Public Suffix List as ``{(kind, labels): (suffix,
@@ -80,12 +92,20 @@ def load_public_suffixes() -> dict:
     SORTED tuples so the SQL emitted from them is deterministic
     across processes.  Swap ``data/public_suffixes.csv`` (recompile
     with scripts/compile_psl.py from a newer upstream snapshot) to
-    update — it is data, not code."""
+    update — it is data, not code; a snapshot with a rule shape
+    outside ``_PSL_SHAPES`` raises here, in BOTH consumers, rather
+    than resolving domains wrongly in one of them."""
     out: dict = {}
     with _PSL_CSV.open(newline="") as f:
         for row in csv.DictReader(f):
-            out.setdefault((row["kind"], int(row["labels"])),
-                           []).append(row["suffix"])
+            key = (row["kind"], int(row["labels"]))
+            if key not in _PSL_SHAPES:
+                raise ValueError(
+                    f"unsupported PSL rule shape {key} "
+                    f"({row['suffix']!r}): extend the branch grid in "
+                    "registered_domain_expr and _psl_frame for the "
+                    "new depth, then update _PSL_SHAPES")
+            out.setdefault(key, []).append(row["suffix"])
     return {k: tuple(sorted(v)) for k, v in out.items()}
 
 
@@ -170,7 +190,12 @@ def url_normalize_expr(col: str, dialect: str = "spark",
     no https-authority, and canonicalizing them would collapse every
     distinct one onto ``https:///...`` (a real crawl frontier is full
     of them).  Pass ``raw`` when ``col`` is a pre-decoded staging of
-    the original column so the fallback is the original bytes."""
+    the original column so the fallback is the original bytes; the
+    http test then runs on ``raw`` TOO: the scheme must be literal in
+    the original string (``htt%70://x`` is not an http URL and must
+    not decode its way into colliding with ``http://x`` — decoding
+    never alters a genuinely literal scheme, so gating on the raw
+    side costs nothing for real URLs)."""
     fallback = raw or col
     host = url_host_expr(col)
     port = url_port_expr(col)
@@ -178,7 +203,7 @@ def url_normalize_expr(col: str, dialect: str = "spark",
     q = url_query_expr(col, dialect)
     canonical = (f"concat('https://', {host}, {port}, {path}, "
                  f"case when {q} = '' then '' else concat('?', {q}) end)")
-    return (f"case when {_is_http_expr(col, dialect)} "
+    return (f"case when {_is_http_expr(fallback, dialect)} "
             f"then {canonical} else {fallback} end")
 
 
@@ -260,9 +285,18 @@ def _psl_frame(spark):
     EACH (both measured at sf0.1); one ≤7k-row broadcast keeps plan
     and exchange overhead at a single small constant, stays stateless
     (stream-static joins work in append-mode streaming), and probes
-    the same hash semantics.  Cached per session."""
+    the same hash semantics.  Cached per session — ONE entry: a new
+    session evicts (and best-effort unpersists) the previous one, so
+    a long-lived process cycling sessions never accumulates dead
+    session graphs behind id() keys."""
     key = id(spark)
     if key not in _PSL_FRAME_CACHE:
+        for old_key in list(_PSL_FRAME_CACHE):
+            old = _PSL_FRAME_CACHE.pop(old_key)
+            try:
+                old.unpersist()
+            except Exception:
+                pass                       # stale/stopped session
         from pyspark.sql.types import (ArrayType, BooleanType,
                                        StringType, StructField,
                                        StructType)
@@ -367,7 +401,7 @@ def curate_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
            f"else {reg(1)} end")
     return out.selectExpr(
         *df.columns, "url_norm",
-        f"case when {_is_http_expr('__u')} then {dom} "
+        f"case when {_is_http_expr(url_col)} then {dom} "
         f"else cast(null as string) end as domain")
 
 

@@ -700,8 +700,20 @@ def compact_cms_counters(spark, out_path: str, checkpoint: str) -> int:
                         .IOUtils.toByteArray(stream))
         finally:
             stream.close()
-        man = _json.loads(raw.decode())
-        swapped = fs.exists(                # rename already happened:
+        try:
+            man = _json.loads(raw.decode())
+        except (ValueError, UnicodeDecodeError):
+            # crash DURING the manifest write itself: the manifest is
+            # fully written before the fold starts, so a truncated/
+            # unparseable one proves the originals are intact —
+            # discard and start fresh (without this, every later call
+            # would raise here and compaction would wedge forever)
+            man = None
+        if man is None:
+            fs.delete(mk(tmp_dir), True)
+            fs.delete(manifest_p, False)
+            man = {}
+        swapped = bool(man) and fs.exists(  # rename already happened:
             mk(out_path,
                f"{BATCH_COL}={int(man['target'])}/_SUCCESS"))
         # the fold's _SUCCESS rode

@@ -274,7 +274,9 @@ def ensure_scaled_events(mult: int) -> str:
     written file — the derivation is race input, not an oracle."""
     out_dir = Path(f"/root/repo/.scratch/race_events_x{mult}")
     path = out_dir / "events.parquet"
-    if not path.exists():
+    # _SUCCESS, not bare existence: a killed prior run leaves a
+    # partial directory that would silently shrink the race corpus
+    if not (path / "_SUCCESS").exists():
         from pyspark.sql import functions as F
 
         from pythonql_spark import get_spark

@@ -2718,6 +2718,11 @@ def test_registered_domain_full_psl(spark):
         "https://b.blogspot.com/x": "b.blogspot.com",     # private sec.
         "https://x.s3.dualstack.eu-west-1.amazonaws.com/":
             "x.s3.dualstack.eu-west-1.amazonaws.com",     # 5-label rule
+        "https://x.a.ssl.fastly.net/": "x.a.ssl.fastly.net",  # 4-label
+        "https://a.b.compute.amazonaws.com.cn/":
+            "a.b.compute.amazonaws.com.cn",      # *.compute... wild-4
+        "https://y.compute-1.amazonaws.com/":
+            "y.compute-1.amazonaws.com",         # *.compute-1 wild-3
         "https://a.b.ck/x": "a.b.ck",                     # *.ck wildcard
         "https://x.city.kawasaki.jp/": "city.kawasaki.jp",  # !exception
         "https://x.higashi.nagoya.jp/": "x.higashi.nagoya.jp",  # geo 3-lbl
@@ -2749,6 +2754,10 @@ def test_non_http_urls_pass_through_raw(spark):
     from pythonql_spark.operators.url import curate_urls
     raw = ["ftp://a.com/x", "ftp://b.com/x", "mailto:u@example.com",
            "notaurl", "other-garbage", "//scheme-relative.com/x",
+           # the scheme must be LITERAL in the original string — a
+           # percent-escape must not decode its way into http and
+           # collide with the real page
+           "htt%70://sneaky.com/x",
            "HTTPS://ok.example.com/x"]
     df = spark.createDataFrame(
         [(i, u) for i, u in enumerate(raw)], ["id", "url"])
@@ -2756,7 +2765,7 @@ def test_non_http_urls_pass_through_raw(spark):
             for r in curate_urls(df).collect()}
     for i, u in enumerate(raw[:-1]):
         assert rows[i] == (u, None), (u, rows[i])
-    assert rows[6] == ("https://ok.example.com/x", "example.com")
+    assert rows[7] == ("https://ok.example.com/x", "example.com")
     assert len({v[0] for v in rows.values()}) == len(raw)
 
 

@@ -1132,6 +1132,50 @@ def test_compact_cms_crash_after_rename_is_resumable(
     assert as_map() == want
 
 
+def test_compact_cms_truncated_manifest_recovers(spark, tables,
+                                                 tmp_path):
+    """A crash DURING the manifest write leaves a truncated (or
+    empty) manifest file; the manifest is fully written before any
+    fold starts, so the originals are provably intact — the next
+    compaction call must discard it and compact normally instead of
+    raising JSONDecodeError forever."""
+    import os
+
+    import pythonql_spark.streaming.ingest as ingest
+    from pythonql_spark.operators.sketch import (cms_counters_md5,
+                                                 cms_merge)
+    from pythonql_spark.streaming import run_to_completion
+
+    orders = tables["orders"].select("o_orderkey", "o_custkey")
+    src, out, ck = (str(tmp_path / p) for p in ("in", "cms", "ck"))
+    orders.repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema(orders.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    run_to_completion(ingest.cms_maintain_stream(
+        stream, "o_custkey", out, ck))
+
+    def as_map():
+        landed = spark.read.parquet(out).drop("_ingest_batch")
+        return {(r.d, r.slot): r.counter
+                for r in cms_merge(landed).collect()}
+
+    want = {(r.d, r.slot): r.counter
+            for r in cms_counters_md5(orders, "o_custkey").collect()}
+    assert as_map() == want
+
+    # simulate the mid-write crash: a half-written manifest on disk
+    with open(os.path.join(out, ingest._CMS_MANIFEST), "w") as f:
+        f.write('{"target": 3, "sour')
+
+    rows = ingest.compact_cms_counters(spark, out, ck)
+    assert rows > 0
+    parts = [d for d in os.listdir(out)
+             if d.startswith("_ingest_batch=")]
+    assert len(parts) == 1
+    assert not os.path.exists(os.path.join(out, ingest._CMS_MANIFEST))
+    assert as_map() == want
+
+
 def test_url_dedup_ingest_stream(spark, tables, tmp_path):
     """Canonical-URL dedup ingestion: arriving spellings of pages the
     corpus already holds (www/case/params/percent-encoding variants)
