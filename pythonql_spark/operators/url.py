@@ -50,11 +50,10 @@ CANONICAL-IDENTITY RULES (documented decisions, each tested):
 * Percent-escapes are canonicalized (unreserved decoded, reserved
   hex-case-folded) ONLY for URLs whose every ``%`` starts a valid
   ``%XX`` escape.  A malformed URL (stray ``%``) passes through raw:
-  chained replaces could otherwise cascade (``%%341`` → ``%41`` →
-  ``A``), making two byte-distinct malformed URLs collide.  For
-  well-formed URLs the chain provably cannot cascade: every ``%XY``
-  substring is a genuine escape, and no replacement ever emits a new
-  ``%`` (``%25`` is reserved and stays encoded).
+  decoding it could cascade (``%%341`` → ``%41`` → ``A``), making
+  two byte-distinct malformed URLs collide; well-formedness also
+  guarantees every ``%``-split piece the arithmetic decoder
+  (:func:`pct_decode_expr`) sees starts with two hex digits.
 """
 
 from __future__ import annotations
@@ -351,8 +350,8 @@ def curate_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Adds ``url_norm`` and ``domain`` columns — one scan, pure
     expressions, ready for exact dedup on ``url_norm`` (the canonical
     identity) and for :func:`domain_cap`.  Unreserved percent-escapes
-    are decoded FIRST (one staged :func:`pct_decode_stage_expr` chain
-    evaluated once per row), gated on :func:`pct_wellformed_expr` so
+    are decoded FIRST (one :func:`pct_decode_expr` pass staged as a
+    column), gated on :func:`pct_wellformed_expr` so
     malformed escapes never cascade; escaped HOSTS fold too
     (``example%2Ecom`` → ``example.com`` — the decode runs on the
     whole string before component extraction).  Non-http(s) rows keep
@@ -363,14 +362,9 @@ def curate_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     form :func:`registered_domain_expr` emits) — stateless, so the
     same plan runs unchanged inside append-mode streams."""
     staged = df.selectExpr(
-        "*", f"{pct_wellformed_expr(url_col)} as __pct_ok")
-    cur = url_col
-    for i in range(N_PCT_STAGES):
-        staged = staged.selectExpr(
-            "*", f"{pct_decode_stage_expr(cur, i)} as __pd{i}")
-        cur = f"__pd{i}"
-    staged = staged.selectExpr(
-        "*", f"case when __pct_ok then {cur} else {url_col} end as __u")
+        "*",
+        f"case when {pct_wellformed_expr(url_col)} "
+        f"then {pct_decode_expr(url_col)} else {url_col} end as __u")
     out = staged.selectExpr(
         "*", f"{url_normalize_expr('__u', raw=url_col)} as url_norm",
         f"{url_host_expr('__u')} as __h")
@@ -421,95 +415,64 @@ def domain_cap(df: DataFrame, n: int, *,
             .filter(F.col("__rn") <= n).drop("__rn"))
 
 
-# ---------------------------- percent-encoding normalization (r9)
+# ------------------- percent-encoding normalization (r9; r10 form)
 
-def _pct_replaces() -> list:
-    """The full percent-canonicalization replace list, in a FIXED
-    deterministic order (sorted byte then spelling — a Python set
-    here would randomize the emitted SQL text per process via
-    PYTHONHASHSEED even though the values agree):
+def pct_decode_expr(col: str, dialect: str = "spark") -> str:
+    """ONE expression computing the full percent-canonicalization
+    ARITHMETICALLY — split on ``%``, then for each piece decide from
+    the leading two hex digits' code point whether to
 
-    1. decode ``%XX`` escapes of UNRESERVED characters (RFC 3986:
-       A-Z a-z 0-9 - . _ ~), hex case folded — ``%41``/``%4a`` become
-       the literal ``A``;
-    2. fold the hex-digit case of every REMAINING escape to uppercase
-       — ``%2f``/``%2F`` spellings of the same reserved byte
-       normalize to one form WITHOUT being decoded (RFC 3986
-       §6.2.2.1: escape hex digits are case-insensitive; decoding
-       reserved bytes would change which characters act as
-       delimiters, so they stay encoded but case-canonical).
+    1. decode (UNRESERVED characters, RFC 3986: A-Z a-z 0-9 - . _ ~;
+       hex case folded — ``%41``/``%4a`` become the literal ``A``), or
+    2. re-emit the escape with UPPERCASE hex (``%2f``/``%2F``
+       spellings of the same reserved byte normalize to one form
+       WITHOUT being decoded — RFC 3986 §6.2.2.1: escape hex digits
+       are case-insensitive; decoding reserved bytes would change
+       which characters act as delimiters).
 
-    Applied only to escape-WELL-FORMED URLs (see
-    :func:`pct_wellformed_expr`): there every ``%XY`` substring is a
-    genuine escape and no replacement emits a ``%``, so the chained
-    replaces cannot cascade."""
-    out = []
-    unreserved = sorted(
-        list(range(0x41, 0x5B)) + list(range(0x61, 0x7B))
-        + list(range(0x30, 0x3A)) + [0x2D, 0x2E, 0x5F, 0x7E])
-    for b in unreserved:
-        for h in sorted({f"{b:02X}", f"{b:02x}"}):
-            out.append((f"%{h}", chr(b)))
-    for b in range(0x100):
-        if b in unreserved:
-            continue
-        hi, lo = f"{b:02X}"[0], f"{b:02X}"[1]
-        canonical = hi + lo
-        for v in sorted({hi.lower() + lo, hi + lo.lower(),
-                         hi.lower() + lo.lower()} - {canonical}):
-            out.append((f"%{v}", f"%{canonical}"))
-    return out
-
-
-# Spark's SQL parser rejects expression trees much deeper than ~150
-# nested calls ([FAILED_TO_PARSE_TOO_COMPLEX]), so the ~450-replace
-# chain is applied in bounded STAGES: each stage is one expression a
-# parser handles, chained through staged columns (Spark) or CTEs
-# (the DuckDB oracle).
-_PCT_STAGE_SIZE = 120
-N_PCT_STAGES = (len(_pct_replaces()) + _PCT_STAGE_SIZE - 1) \
-    // _PCT_STAGE_SIZE
-
-
-def pct_decode_stage_expr(expr: str, stage: int) -> str:
-    """The ``stage``-th bounded slice of the percent-canonicalization
-    replace chain, applied to ``expr`` — identical in both dialects.
-    Apply stages 0..N_PCT_STAGES-1 in order (each to the previous
-    stage's output) for the full canonicalization."""
-    out = expr
-    lo = stage * _PCT_STAGE_SIZE
-    for pat, rep in _pct_replaces()[lo:lo + _PCT_STAGE_SIZE]:
-        rep_sql = rep.replace("'", "''")
-        out = f"replace({out}, '{pat}', '{rep_sql}')"
-    return out
+    Apply only to escape-WELL-FORMED input (:func:`pct_wellformed_expr`
+    gates it in every consumer): well-formedness guarantees every
+    post-split piece starts with two hex digits.  This replaced the
+    r9 ~450-literal replace chain, which needed parser-depth staging
+    (Spark ~150 / DuckDB 128 nesting caps) and cost real per-batch
+    incremental-planning time in streams; the arithmetic form is a
+    single small expression with identical output (parity pinned by
+    the pct test matrix in both dialects)."""
+    if dialect == "spark":
+        code = "conv(substring(p, 1, 2), 16, 10)"
+        chrf, parts = "char", f"split({col}, '[%]')"
+        rest = (f"slice({parts}, 2, "
+                f"greatest(size({parts}) - 1, 0))")
+        join = "array_join(transform({rest}, {piece}), '')"
+        first = f"element_at({parts}, 1)"
+    else:
+        code = "cast(concat('0x', substring(p, 1, 2)) as int)"
+        chrf, parts = "chr", f"string_split({col}, '%')"
+        rest = f"{parts}[2:]"
+        join = "array_to_string(list_transform({rest}, {piece}), '')"
+        first = f"{parts}[1]"
+    unres = (f"({code} between 48 and 57 or {code} between 65 and 90 "
+             f"or {code} between 97 and 122 "
+             f"or {code} in (45, 46, 95, 126))")
+    piece = (f"p -> concat(case when {unres} then {chrf}({code}) "
+             f"else concat('%', upper(substring(p, 1, 2))) end, "
+             f"substring(p, 3))")
+    return (f"concat({first}, "
+            f"{join.format(rest=rest, piece=piece)})")
 
 
 def pct_decode_ctes(source_cte: str, cols: list[str],
                     url_col: str = "url",
                     out_col: str = "url_d") -> tuple:
-    """(cte_sql_fragment, final_cte_name) applying the full staged
-    chain in SQL — Spark's parser AND DuckDB's binder both cap
-    expression nesting (~150 / 128), so the single-expression form of
-    the ~450-replace chain is not parseable anywhere; every consumer
-    goes through stages.  ``cols`` are passed through unchanged, as
-    is ``url_col`` itself (the raw string is the fallback for rows
-    the well-formedness gate rejects — mirror of
-    :func:`curate_urls`)."""
+    """(cte_sql_fragment, final_cte_name) applying the gated decode
+    in DuckDB SQL: ``out_col`` is the canonicalized url for
+    escape-well-formed rows and the raw ``url_col`` otherwise —
+    mirror of :func:`curate_urls`'s staging.  ``cols`` pass through
+    unchanged, as does ``url_col`` itself (downstream gates test the
+    raw string)."""
     passthru = ", ".join(dict.fromkeys(list(cols) + [url_col]))
     ok = pct_wellformed_expr(url_col, "duck")
-    frags = [f"__pctok AS (SELECT {passthru}, {ok} AS __pct_ok "
-             f"FROM {source_cte})"]
-    carry = f"{passthru}, __pct_ok"
-    prev, cur_col = "__pctok", url_col
-    for i in range(N_PCT_STAGES):
-        name = f"__pct{i}"
-        frags.append(
-            f"{name} AS (SELECT {carry}, "
-            f"{pct_decode_stage_expr(cur_col, i)} AS __pd{i} "
-            f"FROM {prev})")
-        prev, cur_col = name, f"__pd{i}"
-    frags.append(
-        f"__pctg AS (SELECT {passthru}, "
-        f"CASE WHEN __pct_ok THEN {cur_col} ELSE {url_col} END "
-        f"AS {out_col} FROM {prev})")
-    return ",\n".join(frags), "__pctg"
+    frag = (f"__pctg AS (SELECT {passthru}, "
+            f"CASE WHEN {ok} THEN {pct_decode_expr(url_col, 'duck')} "
+            f"ELSE {url_col} END AS {out_col} FROM {source_cte})")
+    return frag, "__pctg"
