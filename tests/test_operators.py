@@ -2819,6 +2819,59 @@ def test_escaped_and_punycode_hosts_fold(spark):
     assert rows[5] != rows[3]
 
 
+def test_curate_urls_plans_broadcast_join_no_shuffle(spark, tables):
+    """The PSL lookup must plan as ONE broadcast hash join with ZERO
+    data shuffles — a sort-merge fallback would shuffle the whole
+    corpus on the 2-label tail at 100 TB, and any Exchange in
+    curate_urls itself means the scan-fused contract broke."""
+    from pythonql_spark.operators.url import curate_urls
+    from pythonql_spark.plans import assert_plan
+    docs = tables["documents"].selectExpr(
+        "doc_id",
+        "concat('https://', source, '.com/p/', cast(doc_id as string))"
+        " as url")
+    out = curate_urls(docs)
+    assert_plan(out, max_exchanges=0, require_broadcast_joins=1,
+                no_nested_loop=True)
+    assert out.count() == docs.count()
+
+
+def test_pct_decode_exhaustive_escape_sweep(spark):
+    """Every %XX escape (all 256 bytes, upper AND lower hex) through
+    BOTH dialects' arithmetic decoders: unreserved bytes decode to
+    their literal character, everything else re-emits with uppercase
+    hex — pinned against a pure-Python rendering of the RFC 3986
+    rule, so the two SQL implementations can never drift from the
+    spec or from each other."""
+    import string
+
+    import duckdb
+
+    from pythonql_spark.operators.url import pct_decode_expr
+    unreserved = set(string.ascii_letters + string.digits + "-._~")
+    cases = ["x%%%02X y" % b for b in range(256)] \
+        + ["x%%%02x y" % b for b in range(256)]
+
+    def expect(u):
+        hexpair = u[2:4]
+        c = chr(int(hexpair, 16))
+        return ("x" + c + " y") if c in unreserved \
+            else ("x%" + hexpair.upper() + " y")
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(cases)], ["id", "u"])
+    got = {r.id: r.d for r in df.selectExpr(
+        "id", f"{pct_decode_expr('u')} as d").collect()}
+    vals = ", ".join("(%d, '%s')" % (i, u) for i, u in enumerate(cases))
+    duck = dict(duckdb.sql(
+        f"select id, {pct_decode_expr('u', 'duck')} "
+        f"from (values {vals}) t(id, u)").fetchall())
+    for i, u in enumerate(cases):
+        w = expect(u)
+        assert got[i] == w, ("spark", u, got[i], w)
+        assert duck[i] == w, ("duck", u, duck[i], w)
+
+
 def test_psl_loader_and_compiler_roundtrip():
     """The packaged suffix table is the deterministic compilation of
     the OS's upstream public_suffix_list.dat: recompiling yields the
