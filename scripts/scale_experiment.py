@@ -53,6 +53,36 @@ def replicate_embs(spark, n: int, path: str) -> None:
      .write.mode("overwrite").parquet(path))
 
 
+def _url_curation(docs, n: int) -> int:
+    """Messy-URL synthesis over the replicated corpus (3 spellings
+    of each page for doc_id%5<3, distinct pages otherwise; domain
+    count ∝ corpus) through curate → url_norm dedup → domain cap."""
+    from pyspark.sql.window import Window as W
+
+    from pythonql_spark.operators.url import curate_urls
+    n_hosts = 1000 * n
+    host = (f"concat('s', cast(doc_id % {n_hosts} as string), "
+            f"case when doc_id % 7 = 0 then '.co.uk' "
+            f"else '.example.com' end)")
+    page = "cast(doc_id - (doc_id % 3) as string)"
+    url = f"""case cast(doc_id % 5 as int)
+      when 0 then concat('https://WWW.', upper({host}), '/p/', {page},
+                         '?utm_source=x&b=2&a=1#f')
+      when 1 then concat('https://', {host}, '/%70/', {page}, '?b=2&a=1')
+      when 2 then concat('http://', {host}, ':80/p/', {page}, '/?a=1&b=2')
+      else concat('https://', {host}, '/q/', cast(doc_id as string))
+      end"""
+    curated = curate_urls(docs.selectExpr(
+        "doc_id", "n_chars", f"{url} as url"))
+    deduped = (curated.withColumn("__rn", F.row_number().over(
+        W.partitionBy("url_norm").orderBy("doc_id")))
+        .filter("__rn = 1").drop("__rn"))
+    return (deduped.withColumn("__rn", F.row_number().over(
+        W.partitionBy("domain").orderBy(F.col("n_chars").desc(),
+                                        F.col("doc_id"))))
+        .filter("__rn <= 10").count())
+
+
 def replicate_events(spark, n: int, path: str) -> None:
     # distinct per-replica user spaces: per-key density stays constant
     # as the corpus grows, which is how real event data scales
@@ -164,7 +194,9 @@ def main() -> None:
                 # (the collect_list shuffle is the thing to watch);
                 # the sketches ride along — they're cheap and the
                 # bounded-shuffle claim deserves the fourth point
-                "journey", "hll_rollup", "cms", "bottomk_q"}
+                "journey", "hll_rollup", "cms", "bottomk_q",
+                # r10: the PSL-backed curation composition
+                "url_curate"}
     results = []
     for n in (1, 4, 16, 64):
         d = SCRATCH / f"x{n}"
@@ -456,6 +488,13 @@ def main() -> None:
             # user's events (user count grows with the corpus, per-key
             # density constant) — sec/unit should be ~flat
             "journey": lambda: journey_default_rate(spark, str(d)).count(),
+            # full URL curation (r10, PSL-backed): canonicalize
+            # (arithmetic pct decode + one PSL broadcast join) →
+            # exact dedup on url_norm → top-10-per-domain cap.
+            # Domain count grows ∝ corpus (real crawls add sites as
+            # they grow) so the cap's WindowGroupLimit bound and the
+            # dedup shuffle both scale linearly — sec/unit ~flat
+            "url_curate": lambda: _url_curation(docs, n),
             # compound-key as-of: one sort-shuffle on (user, type)
             "asof_join": lambda: asof_join(
                 evs.filter("event_type = 'purchase'")
