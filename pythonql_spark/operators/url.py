@@ -128,9 +128,13 @@ def _hostport_expr(col: str) -> str:
 
 
 def url_host_expr(col: str) -> str:
-    """Lowercased host without a leading ``www.`` or port — valid in
-    both dialects (regexp component split, never a UDF)."""
-    host = f"lower(regexp_extract({_hostport_expr(col)}, '^([^:]*)', 1))"
+    """Lowercased host without a leading ``www.``, a port, or any
+    TRAILING dots (``example.com.`` is the FQDN spelling of
+    ``example.com`` — same DNS name, same page; crawl frontiers
+    contain both) — valid in both dialects (regexp component split +
+    standard ``trim(TRAILING ...)``, never a UDF)."""
+    host = (f"trim(trailing '.' from lower(regexp_extract("
+            f"{_hostport_expr(col)}, '^([^:]*)', 1)))")
     return (f"case when {host} like 'www.%' "
             f"then substring({host}, 5) else {host} end")
 

@@ -2797,6 +2797,25 @@ def test_malformed_percent_escapes_skip_decoding(spark):
     assert again == rows
 
 
+def test_fqdn_trailing_dot_host_folds(spark):
+    """'example.com.' is the FQDN spelling of 'example.com' — same
+    DNS name, same page: trailing host dots fold in the canonical
+    url AND in the registered domain (a dotted host previously fell
+    through to the default rule with the dot attached)."""
+    from pythonql_spark.operators.url import curate_urls
+    df = spark.createDataFrame([
+        (1, "https://example.com./a"),
+        (2, "https://example.com/a"),
+        (3, "https://www.Example.COM./a"),
+        (4, "https://news.bbc.co.uk.:443/x"),
+    ], ["id", "url"])
+    rows = {r.id: (r.url_norm, r.domain)
+            for r in curate_urls(df).collect()}
+    assert rows[1] == rows[2] == rows[3] \
+        == ("https://example.com/a", "example.com")
+    assert rows[4] == ("https://news.bbc.co.uk/x", "bbc.co.uk")
+
+
 def test_escaped_and_punycode_hosts_fold(spark):
     """Percent-escaped host bytes decode before component extraction
     (http://EXAMPLE%2Ecom == http://example.com) and punycode labels
