@@ -1564,31 +1564,49 @@ def profile_cms_q(spark, sf):
         cms_counters_md5(orders.filter("o_orderkey % 2 = 1"), "o_custkey"))
 
 
-def _messy_url_expr(dialect: str) -> str:
+def _messy_url_expr(dialect: str, n_hosts: int | None = None) -> str:
     """Deterministic messy-URL column over documents — the dual-
     dialect INPUT for the URL-curation oracle (like the media keys'
     synthesized WAV/PNG payloads: the testdata has no url column, so
     the plumbing is exercised on a deterministic one).  Variants 0-2
     are three spellings of the SAME page (the page id is doc_id
-    rounded down to its variant group, so the collapse is real):
-    www + uppercase host + tracking params + fragment, percent-
-    encoded unreserved chars (%70 → p, %31 → 1) with reordered
-    params, and default port + trailing slash + http scheme; variant
-    3 is a distinct co.uk multi-part-suffix page, variant 4 a clean
-    distinct page."""
+    rounded down to its variant group, AND the host is keyed on that
+    page id — both must align or the 'variants' would live on
+    different hosts and never collapse): www + uppercase host +
+    tracking params + fragment, percent-encoded unreserved chars
+    (%70 → p, %31 → 1) with reordered params, and default port +
+    trailing slash + http scheme; variant 3 is a distinct co.uk
+    multi-part-suffix page, variant 4 a clean distinct page.
+
+    ``n_hosts`` switches the host from the low-cardinality ``source``
+    column (the oracle default) to page-keyed synthetic hosts with
+    ``n_hosts`` distinct values — scripts/scale_experiment.py uses
+    this so the domain count grows with the corpus the way a real
+    crawl's does, while reusing THIS synthesis (a hand-rolled copy
+    once drifted: mod-3 pages under mod-5 variants collapsed
+    nothing)."""
     s = "string" if dialect == "spark" else "varchar"
     d = f"cast(doc_id as {s})"
-    page = f"cast(doc_id - (doc_id % 5) as {s})"   # shared by 0/1/2
+    pid = "(doc_id - (doc_id % 5))"                # shared by 0/1/2
+    page = f"cast({pid} as {s})"
+    if n_hosts is None:
+        host, uhost, cuk = ("concat(source, '.com')",
+                            "concat(upper(source), '.COM')",
+                            "concat('news.', source, '.co.uk')")
+    else:
+        stem = f"concat('s', cast({pid} % {n_hosts} as {s}))"
+        host = f"concat({stem}, '.example.com')"
+        uhost = f"upper({host})"
+        cuk = f"concat({stem}, '.co.uk')"
     return f"""case cast(doc_id % 5 as int)
-  when 0 then concat('https://www.', upper(source), '.COM/p/', {page},
+  when 0 then concat('https://www.', {uhost}, '/p/', {page},
                      '?utm_source=feed&b=2&a=1#frag')
-  when 1 then concat('https://', source, '.com/%70/', {page},
+  when 1 then concat('https://', {host}, '/%70/', {page},
                      '?a=%31&b=2')
-  when 2 then concat('http://', source, '.com:80/p/', {page},
+  when 2 then concat('http://', {host}, ':80/p/', {page},
                      '/?b=2&a=1&gclid=zzz')
-  when 3 then concat('https://news.', source, '.co.uk/p/', {d},
-                     '?gclid=xyz')
-  else concat('https://', source, '.com/about/', {d})
+  when 3 then concat('https://', {cuk}, '/p/', {d}, '?gclid=xyz')
+  else concat('https://', {host}, '/about/', {d})
   end"""
 
 

@@ -128,13 +128,15 @@ def _hostport_expr(col: str) -> str:
 
 
 def url_host_expr(col: str) -> str:
-    """Lowercased host without a leading ``www.``, a port, or any
-    TRAILING dots (``example.com.`` is the FQDN spelling of
-    ``example.com`` — same DNS name, same page; crawl frontiers
-    contain both) — valid in both dialects (regexp component split +
-    standard ``trim(TRAILING ...)``, never a UDF)."""
-    host = (f"trim(trailing '.' from lower(regexp_extract("
-            f"{_hostport_expr(col)}, '^([^:]*)', 1)))")
+    """Lowercased host without a leading ``www.``, a port, or THE
+    single trailing root dot (``example.com.`` is the FQDN spelling
+    of ``example.com`` — same DNS name, same page; crawl frontiers
+    contain both).  Exactly ONE dot is stripped: ``example.com..``
+    is not a valid DNS name and must NOT fold onto the real page —
+    only the one-root-dot spelling is an identity.  Valid in both
+    dialects (regexp component split, never a UDF)."""
+    host = (f"regexp_replace(lower(regexp_extract("
+            f"{_hostport_expr(col)}, '^([^:]*)', 1)), '[.]$', '')")
     return (f"case when {host} like 'www.%' "
             f"then substring({host}, 5) else {host} end")
 
@@ -361,10 +363,12 @@ def curate_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     whole string before component extraction).  Non-http(s) rows keep
     their raw string as ``url_norm`` and get a NULL ``domain``.
 
-    ``domain`` resolves against the full PSL via five broadcast hash
-    joins (see :func:`_psl_frames` for why not the inline ``InSet``
-    form :func:`registered_domain_expr` emits) — stateless, so the
-    same plan runs unchanged inside append-mode streams."""
+    ``domain`` resolves against the full PSL via ONE broadcast hash
+    join (see :func:`_psl_frame` for why not the inline ``InSet``
+    form :func:`registered_domain_expr` emits, nor per-length joins)
+    — stateless, so the same plan runs unchanged inside append-mode
+    streams; the plan-gate test asserts zero data exchanges and
+    exactly one broadcast join."""
     staged = df.selectExpr(
         "*",
         f"case when {pct_wellformed_expr(url_col)} "

@@ -54,26 +54,18 @@ def replicate_embs(spark, n: int, path: str) -> None:
 
 
 def _url_curation(docs, n: int) -> int:
-    """Messy-URL synthesis over the replicated corpus (3 spellings
-    of each page for doc_id%5<3, distinct pages otherwise; domain
-    count ∝ corpus) through curate → url_norm dedup → domain cap."""
+    """The SAME messy-URL synthesis the url_curate oracle key uses
+    (benchqueries._messy_url_expr — page-keyed hosts so the 3
+    spelling variants of each page genuinely collapse 3→1), with
+    host cardinality ∝ corpus the way a real crawl's domain count
+    grows, through curate → url_norm dedup → domain cap."""
     from pyspark.sql.window import Window as W
 
+    from pythonql_spark.benchqueries import _messy_url_expr
     from pythonql_spark.operators.url import curate_urls
-    n_hosts = 1000 * n
-    host = (f"concat('s', cast(doc_id % {n_hosts} as string), "
-            f"case when doc_id % 7 = 0 then '.co.uk' "
-            f"else '.example.com' end)")
-    page = "cast(doc_id - (doc_id % 3) as string)"
-    url = f"""case cast(doc_id % 5 as int)
-      when 0 then concat('https://WWW.', upper({host}), '/p/', {page},
-                         '?utm_source=x&b=2&a=1#f')
-      when 1 then concat('https://', {host}, '/%70/', {page}, '?b=2&a=1')
-      when 2 then concat('http://', {host}, ':80/p/', {page}, '/?a=1&b=2')
-      else concat('https://', {host}, '/q/', cast(doc_id as string))
-      end"""
     curated = curate_urls(docs.selectExpr(
-        "doc_id", "n_chars", f"{url} as url"))
+        "doc_id", "n_chars",
+        f"{_messy_url_expr('spark', n_hosts=1000 * n)} as url"))
     deduped = (curated.withColumn("__rn", F.row_number().over(
         W.partitionBy("url_norm").orderBy("doc_id")))
         .filter("__rn = 1").drop("__rn"))

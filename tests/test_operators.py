@@ -2808,12 +2808,18 @@ def test_fqdn_trailing_dot_host_folds(spark):
         (2, "https://example.com/a"),
         (3, "https://www.Example.COM./a"),
         (4, "https://news.bbc.co.uk.:443/x"),
+        (5, "https://example.com../a"),   # NOT a valid DNS name:
+        (6, "https://example.com.../a"),  # multi-dot stays distinct
     ], ["id", "url"])
     rows = {r.id: (r.url_norm, r.domain)
             for r in curate_urls(df).collect()}
     assert rows[1] == rows[2] == rows[3] \
         == ("https://example.com/a", "example.com")
     assert rows[4] == ("https://news.bbc.co.uk/x", "bbc.co.uk")
+    # exactly ONE root dot folds; further dots are different strings
+    assert rows[5][0] == "https://example.com./a"
+    assert rows[6][0] == "https://example.com../a"
+    assert rows[5] != rows[1] and rows[6] != rows[5]
 
 
 def test_escaped_and_punycode_hosts_fold(spark):
