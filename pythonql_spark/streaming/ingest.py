@@ -784,8 +784,9 @@ def url_dedup_ingest_stream(stream_df: DataFrame, corpus: DataFrame,
     both the standing ``corpus`` and every arriving micro-batch are
     canonicalized (operators.url.curate_urls: scheme/host case, www,
     userinfo, ports, fragments, tracking params, param order,
-    trailing slash, percent-encoding — all streaming-compatible
-    column expressions), then exact dedup runs on ``url_norm``
+    trailing slash, percent-encoding — scan-fused column expressions
+    plus the one stream-static PSL broadcast join, all legal in
+    append-mode streams), then exact dedup runs on ``url_norm``
     through the Bloom-prefiltered path: the corpus's canonical-url
     hashes fold once into a fixed-size bit array, definitely-new
     pages skip any join, and only bloom hits are confirmed exactly.
