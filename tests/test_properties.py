@@ -497,3 +497,97 @@ def test_url_components_match_urllib(spark, data):
         if want_path != "/" and want_path.endswith("/"):
             want_path = want_path[:-1]
         assert rows[i].path == want_path, (u, rows[i].path, want_path)
+
+
+def _psl_reference_domain(host: str) -> str:
+    """Independent pure-Python PSL matcher (the spec algorithm:
+    exceptions first, then longest plain/wildcard rule, then the
+    implicit default 1-label rule; registered domain = suffix + one
+    label, or the host itself when it IS a suffix / single label).
+    Deliberately NOT derived from either SQL form — the test's value
+    is three implementations agreeing."""
+    from pythonql_spark.operators.url import load_public_suffixes
+    psl = load_public_suffixes()
+    labels = host.split(".")
+    n = len(labels)
+
+    def tail(k):
+        return ".".join(labels[n - k:]) if n >= k else None
+
+    for k in (2, 3):                      # exception rules
+        t = tail(k)
+        if t and t in psl.get(("exc", k), ()):
+            return t                      # suffix = rule minus 1 label
+    suffix_len = 1                        # implicit default rule
+    for k in (2, 3, 4, 5):                # longest match wins
+        t = tail(k)
+        if t and t in psl.get(("plain", k), ()):
+            suffix_len = max(suffix_len, k)
+    for k in (1, 2, 3, 4):                # wildcard *.X -> len(X)+1
+        t = tail(k)
+        if t and t in psl.get(("wild", k), ()):
+            suffix_len = max(suffix_len, k + 1)
+    if n <= suffix_len:
+        return host
+    return ".".join(labels[n - suffix_len - 1:])
+
+
+@given(data=st.data())
+@SLOW
+def test_registered_domain_matches_reference_psl_algorithm(spark, data):
+    """BOTH registered-domain forms (the IN-set expression and
+    curate_urls' broadcast join) must agree with an independent
+    pure-Python implementation of the PSL spec algorithm on
+    RANDOMIZED hosts: random labels stacked under real PSL rules of
+    every kind (plain 2-5, wildcard, exception, bare suffix) plus
+    rule-free hosts taking the default rule."""
+    import random as _random
+
+    from pythonql_spark.operators.url import (curate_urls,
+                                              load_public_suffixes,
+                                              registered_domain_expr)
+    psl = load_public_suffixes()
+    rnd = _random.Random(data.draw(st.integers(0, 2**31)))
+    label = st.text("abcdefghjkmnpqrstuvxyz0123456789",
+                    min_size=1, max_size=6).filter(
+                        lambda s: not s.startswith("www"))
+    hosts = []
+    for _ in range(data.draw(st.integers(3, 10))):
+        kind = data.draw(st.sampled_from(
+            ["plain2", "plain3", "plain4", "plain5", "wild", "exc",
+             "bare", "default", "deep"]))
+        extra = [data.draw(label)
+                 for _ in range(data.draw(st.integers(0, 2)))]
+        if kind.startswith("plain"):
+            suf = rnd.choice(psl[("plain", int(kind[-1]))])
+            hosts.append(".".join(extra + [suf]))
+        elif kind == "wild":
+            k = rnd.choice([1, 2, 3, 4])
+            suf = rnd.choice(psl[("wild", k)])
+            hosts.append(".".join(extra + [data.draw(label), suf]))
+        elif kind == "exc":
+            k = rnd.choice([2, 3])
+            suf = rnd.choice(psl[("exc", k)])
+            hosts.append(".".join(extra + [suf]))
+        elif kind == "bare":                # host IS a public suffix
+            hosts.append(rnd.choice(psl[("plain", rnd.choice([2, 3]))]))
+        elif kind == "deep":
+            hosts.append(".".join(
+                [data.draw(label) for _ in range(5)] + ["example",
+                                                        "com"]))
+        else:
+            hosts.append(".".join(extra + [data.draw(label)]))
+    hosts = [h for h in hosts if not h.startswith("www.")]
+
+    df = spark.createDataFrame(
+        [(i, h, f"https://{h}/x") for i, h in enumerate(hosts)],
+        ["id", "host", "url"])
+    expr_got = {r.id: r.d for r in df.selectExpr(
+        "id", f"{registered_domain_expr('host', is_host=True)} as d")
+        .collect()}
+    join_got = {r.id: r.domain
+                for r in curate_urls(df.select("id", "url")).collect()}
+    for i, h in enumerate(hosts):
+        want = _psl_reference_domain(h)
+        assert expr_got[i] == want, ("expr", h, expr_got[i], want)
+        assert join_got[i] == want, ("join", h, join_got[i], want)
