@@ -55,7 +55,7 @@ def load_rows(sf_dir: str, table: str, cols: list[str]) -> list:
     Row = namedtuple(f"{table}_row", cols)
     sel = ", ".join(cols)
     rows = duckdb.sql(
-        f"select {sel} from '{sf_dir}/{table}.parquet'").fetchall()
+        f"select {sel} from '{_pq(sf_dir, table)}'").fetchall()
     return [Row(*r) for r in rows]
 
 
@@ -295,6 +295,84 @@ def ensure_scaled_events(mult: int) -> str:
     return str(out_dir)
 
 
+def ensure_scaled_lineitem(mult: int) -> str:
+    """lineitem at ``mult`` × sf0.1 by straight replication (group-by
+    sums scale deterministically; both engines read the SAME file)."""
+    out_dir = Path(f"/root/repo/.scratch/race_lineitem_x{mult}")
+    path = out_dir / "lineitem.parquet"
+    if not (path / "_SUCCESS").exists():
+        from pyspark.sql import functions as F
+
+        from pythonql_spark import get_spark
+        from pythonql_spark.sources import load_table
+
+        spark = get_spark("ref-baseline")
+        spark.sparkContext.setLogLevel("ERROR")
+        li = load_table(spark, "/root/testdata/sf0.1", "lineitem") \
+            .select("l_returnflag", "l_quantity", "l_shipdate")
+        r = spark.range(mult).withColumnRenamed("id", "rep")
+        (li.crossJoin(F.broadcast(r)).drop("rep")
+         .repartition(32).write.mode("overwrite").parquet(str(path)))
+    return str(out_dir)
+
+
+def run_reference_groupby(sf_dir: str) -> dict:
+    import datetime
+
+    from pythonql.Executor import PyQuery
+    from pythonql.algebra.operators import For, GroupBy, Select, Where
+
+    lineitem = load_rows(sf_dir, "lineitem",
+                         ["l_returnflag", "l_quantity", "l_shipdate"])
+    env = {"lineitem": lineitem,
+           "cutoff": datetime.datetime(1998, 9, 2)}
+    t0 = time.perf_counter()
+    res = PyQuery(
+        [For(["l"], False, "lineitem"),
+         Where("l.l_shipdate <= cutoff"),
+         GroupBy([("l.l_returnflag", "rf")]),
+         Select("(rf, sum([x.l_quantity for x in l]))")],
+        env, env, "list")
+    dt = time.perf_counter() - t0
+    return {"t": dt, "vals": {r[0]: round(float(r[1]), 2)
+                              for r in res}}
+
+
+def run_ours_groupby(sf_dir: str) -> dict:
+    from pythonql_spark import Query, get_spark
+    from pythonql_spark.sources import load_table
+
+    spark = get_spark("ref-baseline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def q():
+        return (Query(spark)
+                .for_("l", load_table(spark, sf_dir, "lineitem"))
+                .where("l.l_shipdate <= timestamp'1998-09-02 00:00:00'")
+                .group_by("l.l_returnflag as rf")
+                .select("rf", "sum(l.l_quantity) as sum_qty").df())
+
+    q().collect()                         # warm the shape
+    t0 = time.perf_counter()
+    rows = q().collect()
+    dt = time.perf_counter() - t0
+    return {"t": dt, "vals": {r.rf: round(float(r.sum_qty), 2)
+                              for r in rows}}
+
+
+def main_groupby_scale(mults: list[int]) -> None:
+    """The q1-shape group-by race at mult × sf0.1 lineitem — value
+    parity (per-flag quantity sums) asserted before timing."""
+    for mult in mults:
+        sf_dir = ensure_scaled_lineitem(mult)
+        ref, ours = run_reference_groupby(sf_dir), run_ours_groupby(sf_dir)
+        assert ref["vals"] == ours["vals"], (ref, ours)
+        print(f"sf0.1x{mult:<3d} q1_groupby  reference="
+              f"{ref['t']:8.2f}s ours={ours['t']:6.2f}s"
+              f"  speedup={ref['t'] / ours['t']:7.1f}x"
+              f"  (equal per-flag sums)", flush=True)
+
+
 def main_window_scale(mults: list[int]) -> None:
     """The window_agg race at mult × sf0.1 (reference side is linear
     there; the distributed gap should widen the way group-by's does).
@@ -313,6 +391,9 @@ def main_window_scale(mults: list[int]) -> None:
 def main() -> None:
     if sys.argv[1:2] == ["--window-scale"]:
         main_window_scale([int(a) for a in sys.argv[2:]] or [4, 10])
+        return
+    if sys.argv[1:2] == ["--groupby-scale"]:
+        main_groupby_scale([int(a) for a in sys.argv[2:]] or [4, 10])
         return
     sfs = sys.argv[1:] or ["0.001", "0.01"]
     for sf in sfs:
