@@ -414,7 +414,16 @@ def domain_cap(df: DataFrame, n: int, *,
     the RefinedWeb-style cap that stops template-heavy sites from
     dominating the corpus.  Plans as WindowGroupLimit: each map task
     ships at most n rows per domain, so the shuffle is bounded by
-    n * |domains| * tasks regardless of corpus size."""
+    n * |domains| * tasks regardless of corpus size.
+
+    Non-http(s) rows have a NULL domain (see :func:`curate_urls`)
+    and NULLs form ONE window partition, so ALL such rows share a
+    single cap bucket: at most ``n`` pieces of schemeless/ftp/mailto
+    frontier garbage survive in total.  That is the intended
+    curation behavior — a crawl mixture should not carry unbounded
+    non-web strings — and it is pinned by test; filter
+    ``domain IS NOT NULL`` first to drop them entirely, or cap the
+    raw frontier before canonicalization to keep them all."""
     from pythonql_spark.operators.topk import _order_cols
     out = curate_urls(df, url_col)
     w = Window.partitionBy("domain").orderBy(

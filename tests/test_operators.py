@@ -2926,6 +2926,23 @@ def test_psl_loader_and_compiler_roundtrip():
         assert packaged == recompiled
 
 
+def test_domain_cap_null_domain_rows_share_one_bucket(spark):
+    """Non-http rows (NULL domain) form ONE window partition, so the
+    cap bounds total frontier garbage at n rows — documented curation
+    behavior: a crawl mixture must not carry unbounded non-web
+    strings, while real domains cap independently."""
+    from pythonql_spark.operators.url import domain_cap
+    rows = [(i, f"ftp://garbage{i}.example/x") for i in range(20)] \
+        + [(100 + i, f"https://site.com/p{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    capped = domain_cap(df, 3, order=["doc_id"]).collect()
+    by_dom = {}
+    for r in capped:
+        by_dom.setdefault(r.domain, []).append(r.doc_id)
+    assert len(by_dom[None]) == 3          # 20 garbage rows -> 3
+    assert sorted(by_dom["site.com"]) == [100, 101, 102]
+
+
 def test_pct_decode_unreserved_only(spark):
     """Percent-decoding folds unreserved escapes (hex case included)
     into their literal characters while leaving reserved escapes —
