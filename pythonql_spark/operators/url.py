@@ -133,10 +133,19 @@ def url_host_expr(col: str) -> str:
     of ``example.com`` — same DNS name, same page; crawl frontiers
     contain both).  Exactly ONE dot is stripped: ``example.com..``
     is not a valid DNS name and must NOT fold onto the real page —
-    only the one-root-dot spelling is an identity.  Valid in both
-    dialects (regexp component split, never a UDF)."""
-    host = (f"regexp_replace(lower(regexp_extract("
-            f"{_hostport_expr(col)}, '^([^:]*)', 1)), '[.]$', '')")
+    only the one-root-dot spelling is an identity.  Bracketed IPv6
+    literals extract whole (``[::1]`` — naively stopping at the
+    first ``:`` would extract ``[`` and collide every IPv6 host onto
+    one identity); the bracket scan uses standard ``position(...)``
+    because ``]`` cannot be spelled in one regex text both engines
+    accept (Spark demands ``\\]``, DuckDB strings keep the backslash
+    literal).  Valid in both dialects, never a UDF."""
+    hp = _hostport_expr(col)
+    plain = f"regexp_extract({hp}, '^([^:]*)', 1)"
+    raw = (f"case when {hp} like '[%' and position(']' in {hp}) > 0 "
+           f"then substring({hp}, 1, position(']' in {hp})) "
+           f"else {plain} end")
+    host = f"regexp_replace(lower({raw}), '[.]$', '')"
     return (f"case when {host} like 'www.%' "
             f"then substring({host}, 5) else {host} end")
 
@@ -212,6 +221,17 @@ def url_normalize_expr(col: str, dialect: str = "spark",
             f"then {canonical} else {fallback} end")
 
 
+def _is_ip_host_expr(host: str, dialect: str = "spark") -> str:
+    """Boolean: the host is an IP literal — dotted-quad IPv4 or a
+    bracketed IPv6 — which the PSL explicitly does not cover: an IP
+    is its own registration identity, never 'last labels' (the
+    default rule would group every 1.2.x.y crawl host under 'x.y')."""
+    v4 = "^([0-9]{1,3}[.]){3}[0-9]{1,3}$"
+    m = (f"{host} rlike '{v4}'" if dialect == "spark"
+         else f"regexp_matches({host}, '{v4}')")
+    return f"({m} or {host} like '[%')"
+
+
 def _tail_expr(host: str, k: int) -> str:
     """The last ``k`` dot-separated labels of ``host`` ('' when the
     host has fewer than k labels) — ``$``-anchored regexp, so it is
@@ -235,7 +255,10 @@ def registered_domain_expr(col_or_host: str, *, is_host: bool = False,
     wildcards (``*.ck``) and exceptions (``!www.ck``, modulo the
     www-stripping identity documented in the module docstring)
     handled.  A host that IS a public suffix, or a single label
-    (``localhost``), returns itself.
+    (``localhost``), returns itself; so does an IP-LITERAL host
+    (dotted-quad IPv4 or bracketed IPv6 — the PSL does not cover
+    IPs, and the default rule would otherwise group every
+    ``1.2.x.y`` crawl host under ``x.y``).
 
     Longest match wins, exceptions first (PSL algorithm); unmatched
     hosts take the implicit default rule (1-label suffix).  Each rule
@@ -260,6 +283,7 @@ def registered_domain_expr(col_or_host: str, *, is_host: bool = False,
                 f"else {t[k + 1]} end")
 
     branches = [
+        (_is_ip_host_expr(host, dialect), host),
         (mem("exc", 2), t[2]),
         (mem("exc", 3), t[3]),
         (f"{mem('plain', 5)} or {mem('wild', 4)}", reg(5)),
@@ -394,7 +418,8 @@ def curate_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     wild1 = load_public_suffixes().get(("wild", 1), ())
     w1 = (f"__t1 in ({', '.join(repr(s) for s in wild1)})"
           if wild1 else "false")
-    dom = (f"case when {g('__e2b')} then __t2 "
+    dom = (f"case when {_is_ip_host_expr('__h')} then __h "
+           f"when {g('__e2b')} then __t2 "
            f"when {arr('__ae3', 3)} then __t3 "
            f"when {arr('__ap5', 5)} or {arr('__aw4', 4)} then {reg(5)} "
            f"when {arr('__ap4', 4)} or {arr('__aw3', 3)} then {reg(4)} "

@@ -2926,6 +2926,39 @@ def test_psl_loader_and_compiler_roundtrip():
         assert packaged == recompiled
 
 
+def test_ip_literal_hosts(spark):
+    """IP-hosted pages (a real crawl slice): bracketed IPv6 hosts
+    extract WHOLE (naive first-colon splitting collided every IPv6
+    host onto '['), IPv4/IPv6 registered domains are the IP itself
+    (the PSL default rule would group every 1.2.x.y host under
+    'x.y'), ports/defaults still fold, distinct IPs stay distinct —
+    via BOTH registered-domain forms."""
+    from pythonql_spark.operators.url import (curate_urls,
+                                              registered_domain_expr)
+    df = spark.createDataFrame([
+        (1, "https://[2001:DB8::1]:8080/a"),
+        (2, "https://[2001:db8::1]:8080/a"),    # case-folds to 1
+        (3, "https://[2001:db8::2]:8080/a"),    # distinct IPv6
+        (4, "http://192.168.10.20:80/x"),
+        (5, "https://192.168.10.20/x"),         # default port folds to 4
+        (6, "https://10.0.10.20/x"),            # distinct IPv4
+        (7, "https://[::1]/x"),
+    ], ["id", "url"])
+    out = {r.id: (r.url_norm, r.domain)
+           for r in curate_urls(df).collect()}
+    assert out[1] == out[2] == ("https://[2001:db8::1]:8080/a",
+                                "[2001:db8::1]")
+    assert out[3][1] == "[2001:db8::2]" and out[3] != out[1]
+    assert out[4] == out[5] == ("https://192.168.10.20/x",
+                                "192.168.10.20")
+    assert out[6][1] == "10.0.10.20" and out[6] != out[4]
+    assert out[7] == ("https://[::1]/x", "[::1]")
+    expr_rows = df.selectExpr(
+        "id", f"{registered_domain_expr('url')} as d").collect()
+    for r in expr_rows:
+        assert r.d == out[r.id][1], ("expr-form", r.id, r.d)
+
+
 def test_domain_cap_null_domain_rows_share_one_bucket(spark):
     """Non-http rows (NULL domain) form ONE window partition, so the
     cap bounds total frontier garbage at n rows — documented curation
