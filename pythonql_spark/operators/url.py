@@ -144,6 +144,10 @@ def url_host_expr(col: str) -> str:
     plain = f"regexp_extract({hp}, '^([^:]*)', 1)"
     raw = (f"case when {hp} like '[%' and position(']' in {hp}) > 0 "
            f"then substring({hp}, 1, position(']' in {hp})) "
+           # unterminated bracket: keep the WHOLE hostport, so two
+           # byte-distinct malformed '[...'-strings never collide on
+           # a '[2001'-style first-colon truncation
+           f"when {hp} like '[%' then {hp} "
            f"else {plain} end")
     host = f"regexp_replace(lower({raw}), '[.]$', '')"
     return (f"case when {host} like 'www.%' "

@@ -60,29 +60,18 @@ def load_rows(sf_dir: str, table: str, cols: list[str]) -> list:
 
 
 def run_reference(sf_dir: str) -> dict[str, float]:
-    import datetime
-
     from pythonql.Executor import PyQuery
     from pythonql.algebra.operators import For, GroupBy, Select, Where
 
-    lineitem = load_rows(sf_dir, "lineitem",
-                         ["l_returnflag", "l_quantity", "l_shipdate"])
     customer = load_rows(sf_dir, "customer",
                          ["c_custkey", "c_mktsegment"])
     orders = load_rows(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    env = {"lineitem": lineitem, "customer": customer, "orders": orders,
-           "cutoff": datetime.datetime(1998, 9, 2)}
+    env = {"customer": customer, "orders": orders}
 
     out: dict[str, float] = {}
-    t0 = time.perf_counter()
-    res = PyQuery(
-        [For(["l"], False, "lineitem"),
-         Where("l.l_shipdate <= cutoff"),
-         GroupBy([("l.l_returnflag", "rf")]),
-         Select("(rf, sum([x.l_quantity for x in l]))")],
-        env, env, "list")
-    out["q1_groupby"] = time.perf_counter() - t0
-    out["q1_rows"] = len(res)
+    q1 = run_reference_groupby(sf_dir)    # ONE q1 definition for the
+    out["q1_groupby"] = q1["t"]           # headline AND the scaled race
+    out["q1_rows"] = len(q1["vals"])
 
     if len(customer) * len(orders) > 50_000_000:
         # the reference executes this as a nested loop (one eval'd
@@ -239,13 +228,6 @@ def run_ours(sf_dir: str) -> dict[str, float]:
     spark = get_spark("ref-baseline")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def q1():
-        return (Query(spark)
-                .for_("l", load_table(spark, sf_dir, "lineitem"))
-                .where("l.l_shipdate <= timestamp'1998-09-02 00:00:00'")
-                .group_by("l.l_returnflag as rf")
-                .select("rf", "sum(l.l_quantity) as sum_qty").df())
-
     def j():
         return (Query(spark)
                 .for_("c", load_table(spark, sf_dir, "customer"))
@@ -257,12 +239,14 @@ def run_ours(sf_dir: str) -> dict[str, float]:
                         "sum(o.o_totalprice) as total").df())
 
     out: dict[str, float] = {}
-    for name, fn in (("q1_groupby", q1), ("join_agg", j)):
-        fn().count()                      # warm the shape
-        t0 = time.perf_counter()
-        n = fn().count()
-        out[name] = time.perf_counter() - t0
-        out[name.split("_")[0] + "_rows"] = n
+    q1 = run_ours_groupby(sf_dir)         # ONE q1 definition for the
+    out["q1_groupby"] = q1["t"]           # headline AND the scaled race
+    out["q1_rows"] = len(q1["vals"])
+    j().count()                           # warm the shape
+    t0 = time.perf_counter()
+    n = j().count()
+    out["join_agg"] = time.perf_counter() - t0
+    out["join_rows"] = n
     return out
 
 

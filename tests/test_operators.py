@@ -2953,6 +2953,16 @@ def test_ip_literal_hosts(spark):
                                 "192.168.10.20")
     assert out[6][1] == "10.0.10.20" and out[6] != out[4]
     assert out[7] == ("https://[::1]/x", "[::1]")
+    # unterminated bracket (malformed): whole hostport kept, so two
+    # byte-distinct broken strings never collide on a '[2001'-style
+    # first-colon truncation
+    bad = spark.createDataFrame([
+        (1, "http://[2001:db8::5/a"),
+        (2, "http://[2001:ee8::5/a"),
+    ], ["id", "url"])
+    from pythonql_spark.operators.url import curate_urls as _cu
+    badout = {r.id: r.url_norm for r in _cu(bad).collect()}
+    assert badout[1] != badout[2]
     expr_rows = df.selectExpr(
         "id", f"{registered_domain_expr('url')} as d").collect()
     for r in expr_rows:

@@ -578,6 +578,8 @@ def test_registered_domain_matches_reference_psl_algorithm(spark, data):
         else:
             hosts.append(".".join(extra + [data.draw(label)]))
     hosts = [h for h in hosts if not h.startswith("www.")]
+    from hypothesis import assume
+    assume(hosts)          # the www-filter can (rarely) drop them all
 
     df = spark.createDataFrame(
         [(i, h, f"https://{h}/x") for i, h in enumerate(hosts)],
