@@ -1289,13 +1289,27 @@ def media_gif(spark, sf):
 _PROBE_COLS = ["doc_id", "format", "codec", "width", "height",
                "duration_ms", "sample_rate", "channels",
                "bitrate_kbps", "n_frames", "n_keyframes"]
+_PROBE_TYPES = {c: ("string" if c in ("format", "codec") else "int")
+                for c in _PROBE_COLS}
 
 
-def _checksum_mirror_sql(cols) -> str:
+def _checksum_mirror_sql(cols, coltypes=None) -> str:
     """DuckDB mirror of helpers.with_checksum: md5 over the canonical
     '|'-joined rendering of the columns SORTED BY NAME, NULL → '∅' —
     so a rows-only key's checksum convention itself can ride a FULL
-    value oracle when every underlying column is oracle-expressible."""
+    value oracle when every underlying column is oracle-expressible.
+
+    Mirrors ONLY the int/string rendering rules; with_checksum also
+    rounds doubles (round 6) and hex-encodes binary, so a double or
+    binary column here would silently produce a WRONG oracle
+    checksum.  ``coltypes`` (col → 'int'|'string') is asserted so a
+    reuse with unvetted columns fails loudly instead."""
+    coltypes = coltypes if coltypes is not None else _PROBE_TYPES
+    bad = {c: coltypes.get(c) for c in cols
+           if coltypes.get(c) not in ("int", "string")}
+    assert not bad, (
+        f"_checksum_mirror_sql only mirrors int/string columns; add "
+        f"the with_checksum round/hex rules before mirroring {bad}")
     parts = ", ".join(
         f"coalesce(cast({c} as varchar), '∅')" for c in sorted(cols))
     return f"md5(concat_ws('|', {parts}))"
@@ -1584,7 +1598,12 @@ def _messy_url_expr(dialect: str, n_hosts: int | None = None) -> str:
     this so the domain count grows with the corpus the way a real
     crawl's does, while reusing THIS synthesis (a hand-rolled copy
     once drifted: mod-3 pages under mod-5 variants collapsed
-    nothing)."""
+    nothing).  The stem is keyed on the PAGE INDEX ``pid/5`` (pid is
+    always a multiple of 5, so ``pid % n_hosts`` with n_hosts
+    divisible by 5 would yield only n_hosts/5 distinct stems).  Note
+    the ``.example.com`` stems all share ONE registered domain
+    (example.com); distinct registered-domain growth comes from the
+    variant-3 ``.co.uk`` slice, whose stems ARE registrable."""
     s = "string" if dialect == "spark" else "varchar"
     d = f"cast(doc_id as {s})"
     pid = "(doc_id - (doc_id % 5))"                # shared by 0/1/2
@@ -1594,7 +1613,8 @@ def _messy_url_expr(dialect: str, n_hosts: int | None = None) -> str:
                             "concat(upper(source), '.COM')",
                             "concat('news.', source, '.co.uk')")
     else:
-        stem = f"concat('s', cast({pid} % {n_hosts} as {s}))"
+        stem = (f"concat('s', cast(cast(({pid} / 5) as bigint) "
+                f"% {n_hosts} as {s}))")
         host = f"concat({stem}, '.example.com')"
         uhost = f"upper({host})"
         cuk = f"concat({stem}, '.co.uk')"
@@ -5110,12 +5130,36 @@ _R9_CHECKED = [
     "strip_spans", "text_bigram", "text_bpe", "text_bpe_fixed", "text_c4",
     "upsample_epochs", "url_curate", "window_aux",
 ]
+_R10_CHECKED = [
+    # all 50 keys in CORRECTNESS_r10 — every one hash-green (zero
+    # no_oracle rows: the _reorder_registry fix held)
+    "ann_lsh_md5", "calibration", "classify_features", "clone_pairs",
+    "corpus_checks", "count_clause", "curation_pipeline",
+    "decontam_multi", "decontam_winnow", "dedup_corpus_md5",
+    "distinct_set", "drift_psi", "eval_classifier", "eval_retrieval",
+    "funnel_sessions", "group_agg", "group_lists", "interleave_order",
+    "join_anti", "join_left_outer", "join_semi", "lateral_explode",
+    "match_exact", "match_partial", "mine_negatives", "mine_triplets",
+    "moving_avg", "order_multi", "path_child", "path_descendants",
+    "quantile_bucket", "rag_retrieval", "sessionize", "source_checks",
+    "source_filter", "stream_sliding", "stream_tumbling", "subquery_in",
+    "text_tokens", "token_shards", "tpch_q18", "tpch_q3", "tpch_q6",
+    "tpch_q9", "try_except", "vocab_stats", "window_predicate",
+    "window_sliding_fixed", "window_tumbling_count", "winnow_prints",
+]
 _DRIVER_CHECKED_ROUND: dict[str, int] = {}
 for _r, _keys in ((3, _R123_GREEN), (4, _R4_GREEN), (5, _R5_CHECKED),
                   (6, _R6_CHECKED), (7, _R7_CHECKED), (8, _R8_CHECKED),
-                  (9, _R9_CHECKED)):
+                  (9, _R9_CHECKED), (10, _R10_CHECKED)):
     for _k in _keys:
         _DRIVER_CHECKED_ROUND[_k] = _r
+# media_probe's r9 driver row was `no_oracle` (it had no oracle then;
+# it gained a FULL oracle in r10) — a no_oracle row verified nothing,
+# so the stamp would wrongly defer its first real driver check.  The
+# other 12 r9 no_oracle keys are permanently rows-only and sort last
+# regardless; this is the only key whose oracle arrived after a
+# no_oracle stamp.
+_DRIVER_CHECKED_ROUND.pop("media_probe", None)
 
 
 def _wrap_rows_only_checksums() -> None:

@@ -32,7 +32,16 @@ def to_journeys(df: DataFrame, entity_col: str, order_cols,
     guard is IN-PLAN (a conditional ``raise_error`` wrapping the
     packed column), so it costs zero extra jobs and zero extra
     passes: it fires during whatever job first materializes the
-    journeys, naming the offending entity in the error."""
+    journeys, naming the offending entity in the error.
+
+    .. versionchanged:: round 10
+       The guard moved in-plan: violations now surface LAZILY at
+       materialization as an executor ``SparkRuntimeException``
+       (Py4J-wrapped), not an eager driver-side ``ValueError`` at
+       ``to_journeys()`` call time.  Callers that caught
+       ``ValueError`` around the constructor must instead catch the
+       Spark exception around the action that materializes the
+       journeys (the message still names the offending entity)."""
     order_cols = [order_cols] if isinstance(order_cols, str) \
         else list(order_cols)
     if event_cols is None:

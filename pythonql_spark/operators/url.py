@@ -136,20 +136,37 @@ def url_host_expr(col: str) -> str:
     only the one-root-dot spelling is an identity.  Bracketed IPv6
     literals extract whole (``[::1]`` — naively stopping at the
     first ``:`` would extract ``[`` and collide every IPv6 host onto
-    one identity); the bracket scan uses standard ``position(...)``
-    because ``]`` cannot be spelled in one regex text both engines
-    accept (Spark demands ``\\]``, DuckDB strings keep the backslash
-    literal).  Valid in both dialects, never a UDF."""
+    one identity), and ONLY when the hostport is exactly ``[...]``
+    or ``[...]:digits`` — anything after the ``]`` other than a
+    numeric port (``[::1]x``, ``[::1]:abc``) is malformed and keeps
+    the WHOLE hostport, so byte-distinct broken strings never
+    collapse onto the real ``[::1]`` page.  The root-dot fold is a
+    DNS-name identity and bracketed hosts are not DNS names, so it
+    is skipped for ``[``-prefixed hosts (``[a::80.`` stays distinct
+    from ``[a::80``).  The bracket scan uses standard
+    ``position(...)`` because ``]`` cannot be spelled in one regex
+    text both engines accept (Spark demands ``\\]``, DuckDB strings
+    keep the backslash literal).  Valid in both dialects, never a
+    UDF."""
     hp = _hostport_expr(col)
     plain = f"regexp_extract({hp}, '^([^:]*)', 1)"
-    raw = (f"case when {hp} like '[%' and position(']' in {hp}) > 0 "
-           f"then substring({hp}, 1, position(']' in {hp})) "
-           # unterminated bracket: keep the WHOLE hostport, so two
-           # byte-distinct malformed '[...'-strings never collide on
-           # a '[2001'-style first-colon truncation
+    pos = f"position(']' in {hp})"
+    # well-formed bracket literal: ']' is the last char, or followed
+    # by a purely numeric ':port' (group 0 = whole match, '' if none
+    # — identical semantics in Spark and DuckDB)
+    tail_ok = (f"regexp_extract(substring({hp}, {pos} + 1), "
+               f"'^:[0-9]+$', 0) != ''")
+    raw = (f"case when {hp} like '[%' and {pos} > 0 "
+           f"and ({pos} = length({hp}) or {tail_ok}) "
+           f"then substring({hp}, 1, {pos}) "
+           # unterminated or trailing-garbage bracket: keep the WHOLE
+           # hostport, so two byte-distinct malformed '[...'-strings
+           # never collide on a truncation
            f"when {hp} like '[%' then {hp} "
            f"else {plain} end")
-    host = f"regexp_replace(lower({raw}), '[.]$', '')"
+    lowered = f"lower({raw})"
+    host = (f"case when {lowered} like '[%' then {lowered} "
+            f"else regexp_replace({lowered}, '[.]$', '') end")
     return (f"case when {host} like 'www.%' "
             f"then substring({host}, 5) else {host} end")
 
@@ -420,8 +437,12 @@ def curate_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         return f"case when __t{k + 1} = '' then __h else __t{k + 1} end"
 
     wild1 = load_public_suffixes().get(("wild", 1), ())
-    w1 = (f"__t1 in ({', '.join(repr(s) for s in wild1)})"
-          if wild1 else "false")
+    # SQL-quote with ''-escaping (same as registered_domain_expr's
+    # mem() helper) — Python repr() would emit a DOUBLE-quoted
+    # (identifier) literal for a suffix containing a quote
+    quoted1 = ", ".join("'" + s.replace("'", "''") + "'"
+                        for s in wild1)
+    w1 = f"__t1 in ({quoted1})" if wild1 else "false"
     dom = (f"case when {_is_ip_host_expr('__h')} then __h "
            f"when {g('__e2b')} then __t2 "
            f"when {arr('__ae3', 3)} then __t3 "

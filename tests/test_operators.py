@@ -2959,10 +2959,31 @@ def test_ip_literal_hosts(spark):
     bad = spark.createDataFrame([
         (1, "http://[2001:db8::5/a"),
         (2, "http://[2001:ee8::5/a"),
+        # garbage AFTER a ']' is malformed too: must not truncate at
+        # the bracket (would collide with each other AND the real
+        # [::1] page), and a trailing dot on a bracket host is not a
+        # DNS root-dot identity
+        (3, "http://[::1]x/p"),
+        (4, "http://[::1]y/p"),
+        (5, "https://[::1]/p"),
+        (6, "http://[a::80/x"),
+        (7, "http://[a::80./x"),
+        (8, "http://[::1]:abc/p"),
     ], ["id", "url"])
     from pythonql_spark.operators.url import curate_urls as _cu
     badout = {r.id: r.url_norm for r in _cu(bad).collect()}
     assert badout[1] != badout[2]
+    assert len({badout[3], badout[4], badout[5], badout[8]}) == 4
+    assert badout[6] != badout[7]
+    # same distinctness through the DuckDB oracle dialect
+    import duckdb
+    from pythonql_spark.operators.url import url_normalize_expr
+    rel = duckdb.sql(
+        "select " + url_normalize_expr("url", dialect="duckdb")
+        + " as u from (values " + ", ".join(
+            f"('{u}')" for _, u in bad.collect()) + ") t(url)")
+    duck = [r[0] for r in rel.fetchall()]
+    assert sorted(duck) == sorted(badout.values())
     expr_rows = df.selectExpr(
         "id", f"{registered_domain_expr('url')} as d").collect()
     for r in expr_rows:
