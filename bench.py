@@ -6,17 +6,68 @@ ONE JSON line {"metric": ..., "value": N, "unit": "sec", "queries":
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
 import sys
 import time
 
+# Cleanliness thresholds (r10 verdict "what's wrong #2": the
+# clean-vs-loaded verdict lived in prose; make it machine-checkable).
+# Calibrated on this box idle: the 256 MB single-thread md5 probe runs
+# ~0.47 s clean; during the r10 host CPU-steal episode an equivalent
+# single-thread md5 chain inflated ~2.7-3.2x, and loaded-run ref-key
+# retimes read 0.33-0.39 vs the 0.21-0.28 clean band.  A stamp of
+# clean=false means "do not compare this artifact per-key"; it does
+# NOT invalidate correctness.
+PROBE_MB = 256
+PROBE_CLEAN_MAX_S = 0.65          # ~1.4x the idle probe
+REF_RETIME_BAND = (0.18, 0.32)    # sf0.1 dedup_exact second-run band
+LOADAVG1_CLEAN_MAX = 2.0          # read BEFORE bench loads the box
+
+
+def single_thread_probe() -> float:
+    """Seconds to md5 PROBE_MB megabytes on one thread — no Spark, no
+    JVM, so any inflation is the HOST (hypervisor steal / external
+    load), never this repo's code."""
+    data = b"\xab" * (1 << 20)
+    h = hashlib.md5()
+    t0 = time.perf_counter()
+    for _ in range(PROBE_MB):
+        h.update(data)
+    return time.perf_counter() - t0
+
+
+def clean_stamp(probe_pre_s: float, probe_post_s: float | None,
+                ref_retime_s: float | None, loadavg1_pre: float,
+                sf: float) -> bool:
+    """True iff every load indicator sits in its calibrated clean
+    band, so diff tooling can skip loaded artifacts mechanically.
+    The ref-key band is calibrated at sf0.1 only (the driver's bench
+    sf); at other sfs the probe + loadavg gates alone decide."""
+    if probe_pre_s > PROBE_CLEAN_MAX_S:
+        return False
+    if probe_post_s is not None and probe_post_s > PROBE_CLEAN_MAX_S:
+        return False
+    if loadavg1_pre > LOADAVG1_CLEAN_MAX:
+        return False
+    if sf == 0.1:
+        if ref_retime_s is None:
+            return False
+        lo, hi = REF_RETIME_BAND
+        if not lo <= ref_retime_s <= hi:
+            return False
+    return True
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    loadavg_pre = [round(x, 2) for x in os.getloadavg()]
+    probe_pre = round(single_thread_probe(), 3)
 
     from pythonql_spark import get_spark
     from pythonql_spark.benchqueries import QUERIES
@@ -123,6 +174,7 @@ def main() -> None:
         except Exception:
             pass
 
+    probe_post = round(single_thread_probe(), 3)
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_queries_total_time",
@@ -136,8 +188,12 @@ def main() -> None:
         "queries_failed": len(failed),
         "sf": sf,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "loadavg_pre": loadavg_pre,
         "ref_key": ref_key,
         "ref_key_retime": ref_retime,
+        "single_thread_probe_s": [probe_pre, probe_post],
+        "clean": clean_stamp(probe_pre, probe_post, ref_retime,
+                             loadavg_pre[0], sf),
     }
     if failed:
         out["failed"] = failed

@@ -1,0 +1,62 @@
+"""bench.py cleanliness stamp: the clean/loaded verdict on a bench
+artifact must be machine-checkable (r10 verdict: a loaded driver rerun
+at loadavg 18 read 121.5 s vs the 90.4 s clean run, and the
+adjudication lived only in prose).  clean_stamp is a pure function of
+the recorded load indicators, so these tests pin the exact gating —
+no Spark session needed."""
+
+import importlib.util
+import sys
+from pathlib import Path
+
+
+def _bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench", Path(__file__).resolve().parent.parent / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("bench", mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_clean_run_stamps_true():
+    b = _bench()
+    assert b.clean_stamp(probe_pre_s=0.47, probe_post_s=0.48,
+                         ref_retime_s=0.25, loadavg1_pre=0.8,
+                         sf=0.1) is True
+
+
+def test_loaded_indicators_each_stamp_false():
+    b = _bench()
+    clean = dict(probe_pre_s=0.47, probe_post_s=0.48,
+                 ref_retime_s=0.25, loadavg1_pre=0.8, sf=0.1)
+    # the r10 steal episode: single-thread md5 ~2.7x inflated
+    assert b.clean_stamp(**{**clean, "probe_pre_s": 1.29}) is False
+    # contention arriving MID-RUN: pre probe clean, post probe not
+    assert b.clean_stamp(**{**clean, "probe_post_s": 1.52}) is False
+    # loaded-run retimes measured 0.33-0.39 (clean band 0.21-0.28)
+    assert b.clean_stamp(**{**clean, "ref_retime_s": 0.35}) is False
+    # a retime that never completed is not evidence of cleanliness
+    assert b.clean_stamp(**{**clean, "ref_retime_s": None}) is False
+    # another Spark job still running at bench start
+    assert b.clean_stamp(**{**clean, "loadavg1_pre": 18.0}) is False
+
+
+def test_retime_band_is_sf01_only():
+    b = _bench()
+    # at a non-driver sf the dedup_exact band is uncalibrated: the
+    # probe + loadavg gates alone decide, a missing retime is fine
+    assert b.clean_stamp(probe_pre_s=0.47, probe_post_s=0.48,
+                         ref_retime_s=None, loadavg1_pre=0.8,
+                         sf=0.01) is True
+    assert b.clean_stamp(probe_pre_s=1.29, probe_post_s=0.48,
+                         ref_retime_s=None, loadavg1_pre=0.8,
+                         sf=0.01) is False
+
+
+def test_probe_measures_host_not_spark():
+    """The probe must run in-band (~0.5 s idle) and return seconds;
+    a smoke bound wide enough to never flake under suite load."""
+    b = _bench()
+    s = b.single_thread_probe()
+    assert 0.05 < s < 30.0
