@@ -27,6 +27,22 @@ def _key_sql_type(events: DataFrame, key_col: str) -> str:
     return events.schema[key_col].dataType.simpleString()
 
 
+def _set_event_timeout(state: GroupState, want_ms: int) -> None:
+    """Set an event-time timeout, clamped to AFTER the current
+    watermark.  A file source delivers micro-batches in file order,
+    not event-time order, so a batch can carry a key whose whole
+    sequence is OLDER than the watermark another batch already
+    advanced — its last-event+gap timestamp is then in the past and
+    a raw ``setTimeoutTimestamp`` raises INVALID_TIMEOUT_TIMESTAMP,
+    crashing the query (found by the x7 scale rehearsal: 700k events
+    across 14 files, month-spread timestamps).  Clamping to
+    watermark+1 fires the timeout at the next batch boundary — the
+    earliest moment Spark processes timers anyway, so the observable
+    flush is identical."""
+    wm = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(want_ms, wm + 1))
+
+
 def stateful_predicate_windows(
         events: DataFrame, *,
         start_when, end_when,
@@ -228,7 +244,7 @@ def stateful_predicate_windows(
         else:
             state.update((idx, open_, s_at, s_ts, s_val, n, s,
                           prev_ts, prev_val, has_prev))
-            state.setTimeoutTimestamp(prev_ts // 1000 + sequence_gap_ms)
+            _set_event_timeout(state, prev_ts // 1000 + sequence_gap_ms)
         if not closed:
             yield pd.DataFrame(columns=[key_col, "s_at", "e_at", "s_ts",
                                         "e_ts", "n_events", "sum_value"])
@@ -336,7 +352,7 @@ def stateful_sessionize(events: DataFrame, *, gap_ms: int,
         elif cur is not None:
             state.update(tuple(cur))
             # flush the open session once the watermark passes last+gap
-            state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+            _set_event_timeout(state, (cur[1] + gap_us) // 1000)
         if not closed:
             yield pd.DataFrame(columns=[key_col, "session_start",
                                         "n_events", "sum_value"])

@@ -320,6 +320,250 @@ def _url_rehearsal(spark, d, reps: int) -> None:
     }), flush=True)
 
 
+def _image_rehearsal(spark, d, reps: int) -> None:
+    """REST-metric rehearsal row for image_dedup_ingest_stream (35h-n
+    family) — the priciest per-row stream (every arriving image is
+    PNG-decoded and aHashed inside the micro-batch).  Standing index:
+    the sf0.1 corpus rendered + hashed ONCE outside the timed window.
+    Arriving: rep 0 is an exact pixel copy of the corpus image (must
+    be rejected by the static-index probe — batch-placement-proof),
+    every other rep renders genuinely different pixels (sha256-seeded,
+    so distinct text → independent hash; must be kept up to the
+    computable random-collision slack of the 32-bit-effective aHash),
+    and a planted twin slice arrives as two same-pixel rows CO-LOCATED
+    in one input file (maxFilesPerTrigger never splits a file, so the
+    pair always shares a micro-batch — the larger id must collapse
+    in-batch, exactly).  Global stream==batch parity is NOT asserted
+    at scale: with multiple micro-batches a random near-pair split
+    across batches legitimately diverges from a one-shot batch run —
+    the unit test pins parity on the single-batch shape."""
+    from scripts.scale_rehearsal import stage_totals
+
+    from pythonql_spark.operators import multimodal as MM
+    from pythonql_spark.streaming import run_to_completion
+    from pythonql_spark.streaming.ingest import image_dedup_ingest_stream
+
+    TW = 10_000_000_000          # twin-copy id offset
+
+    def media_of(df):
+        return df.select(
+            "doc_id",
+            MM.make_media(MM.render_text_png("text"), "image", "png",
+                          8, 8).alias("media"))
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    n_corpus = docs.count()
+    t0 = time.perf_counter()
+    index = (MM.image_ahash(media_of(docs))
+             .select("doc_id", "ahash").cache())
+    index.count()                # hash the standing corpus once
+    idx_build = round(time.perf_counter() - t0, 1)
+
+    src = str(d / "in")
+    r = spark.range(reps).withColumnRenamed("id", "rep")
+    base = docs.crossJoin(F.broadcast(r)).selectExpr(
+        f"doc_id * {reps} + rep as doc_id",
+        "case when rep = 0 then text "
+        "else concat(text, ' r', cast(rep as string)) end as text",
+        "rep")
+    twins = base.filter(f"rep > 0 and doc_id % 101 = 7") \
+        .selectExpr(f"doc_id + {TW} as doc_id", "text", "rep")
+    arr = base.drop("rep").unionByName(twins.drop("rep")) \
+        .withColumn("twin_key", F.expr(f"doc_id % {TW}"))
+    n_files = max(32, reps * 2)
+    t0 = time.perf_counter()
+    media_of(arr.repartition(n_files, "twin_key")).write.mode(
+        "overwrite").parquet(src)
+    arriving = spark.read.parquet(src)
+    n_rows = arriving.count()
+    n_twins = arriving.filter(f"doc_id >= {TW}").count()
+    n_salted = n_rows - n_corpus - n_twins
+    print(f"--- arriving x{reps}: {n_rows:,} images ({dir_mb(src):,.0f}"
+          f" MB) built in {time.perf_counter() - t0:.1f}s; index "
+          f"{n_corpus:,} hashes in {idx_build}s", flush=True)
+
+    fpt = 16 if reps <= 128 else 64
+    out, ck = str(d / "out_img"), str(d / "ck_img")
+    stream = (spark.readStream.schema(arriving.schema)
+              .option("maxFilesPerTrigger", fpt)
+              .parquet(src).drop("twin_key"))
+    before = stage_totals(spark)
+    t0 = time.perf_counter()
+    q = image_dedup_ingest_stream(stream, index, out, ck)
+    run_to_completion(q, timeout_s=3000)
+    wall = time.perf_counter() - t0
+    prog, batch_walls, mb = stream_run_stats(spark, q, before)
+
+    landed = spark.read.parquet(out)
+    stats = landed.groupBy().agg(
+        F.sum(F.expr(f"cast(doc_id < {TW} and doc_id % {reps} = 0 "
+                     f"as long)")).alias("rep0"),
+        F.sum(F.expr(f"cast(doc_id >= {TW} as long)")).alias("twin"),
+        F.count("*").alias("kept")).first()
+    salted_kept = int(stats.kept) - int(stats.rep0) - int(stats.twin)
+    assert int(stats.rep0) == 0, \
+        f"{int(stats.rep0)} exact corpus copies slipped the index probe"
+    assert int(stats.twin) == 0, \
+        f"{int(stats.twin)} co-located twin copies survived in-batch"
+    # render_text_png pixels repeat the sha256 digest, so bits i and
+    # i+32 coincide: the aHash is 32-bit effective and a random pair
+    # collides at hamming<=3 with p = 33/2^32 — allow 0.5% slack and
+    # report the measured loss
+    assert salted_kept >= 0.995 * n_salted, \
+        f"salted survivors {salted_kept} vs arrivals {n_salted}"
+
+    def fp():
+        row = spark.read.parquet(out).selectExpr(
+            "count(*) as n",
+            "sum(cast(xxhash64(doc_id, ahash) as decimal(38,0))) as h"
+        ).first()
+        return int(row.n), int(row.h)
+
+    before_fp = fp()
+    commits = sorted((Path(ck) / "commits").glob("[0-9]*"),
+                     key=lambda p: int(p.name))
+    commits[-1].unlink()
+    crc = commits[-1].parent / f".{commits[-1].name}.crc"
+    if crc.exists():
+        crc.unlink()
+    stream2 = (spark.readStream.schema(arriving.schema)
+               .option("maxFilesPerTrigger", fpt)
+               .parquet(src).drop("twin_key"))
+    run_to_completion(image_dedup_ingest_stream(stream2, index, out, ck),
+                      timeout_s=3000)
+    assert fp() == before_fp, "replayed final batch changed the output"
+
+    print(json.dumps({
+        "pipeline": f"image_dedup_ingest_stream_x{reps}_fpt{fpt}",
+        "arriving_rows": n_rows,
+        "batches": len(prog),
+        "files_per_trigger": fpt,
+        "wall_sec": round(wall, 2),
+        "rows_per_sec": round(n_rows / wall),
+        "batch_wall_median_s": round(
+            batch_walls[len(batch_walls) // 2], 2),
+        "batch_wall_p95_s": round(
+            batch_walls[int(len(batch_walls) * 0.95) - 1], 2),
+        "batch_wall_max_s": round(batch_walls[-1], 2),
+        "kept_rows": int(stats.kept),
+        "planted": {"exact_copy_rejected": n_corpus,
+                    "twin_copy_rejected": n_twins,
+                    "salted_kept": salted_kept,
+                    "salted_arrived": n_salted,
+                    "random_ahash_losses": n_salted - salted_kept},
+        "replay_idempotent": True,
+        "state_mb": {"index": round(
+            index.count() * 16 / 2**20, 2),
+            "checkpoint": dir_mb(ck), "landed": dir_mb(out)},
+        "metrics_mb": mb,
+    }), flush=True)
+
+
+def _predicate_rehearsal(spark, d, reps: int) -> None:
+    """REST-metric rehearsal row for stateful_predicate_windows (35b
+    family): the reference's tumbling predicate window clause on
+    unbounded input, at reps x the sf0.1 events table — every replica
+    key carries the full per-user event sequence, so keys scale to
+    ~768k at x512 while per-key state stays O(1) scalars.  The
+    invariant is EXACT stream==batch parity: the batch dispatch (the
+    oracled `stream_predicate` path) over the same replicated input
+    must produce the identical window multiset — both paths walk each
+    key's events in the same order, so even the float sums agree
+    bit-for-bit (fingerprinted at round-6 for safety)."""
+    from scripts.scale_rehearsal import stage_totals
+
+    from pythonql_spark.streaming import (run_to_completion,
+                                          stateful_predicate_windows,
+                                          with_watermark)
+
+    start = lambda curr, at, prev, nxt: curr["value"] >= 150
+    end = lambda curr, at, prev, nxt, s_curr, s_at: curr["value"] < 20
+
+    ev = load_table(spark, SF, "events").select("user_id", "ts", "value")
+    r = spark.range(reps).withColumnRenamed("id", "rep")
+    arr = ev.crossJoin(F.broadcast(r)).selectExpr(
+        f"user_id * {reps} + rep as user_id", "ts", "value")
+    src = str(d / "in")
+    n_files = max(32, reps * 2)
+    t0 = time.perf_counter()
+    # a real event stream arrives (roughly) in event-time order; a
+    # RANDOM file scatter would hand the operator a key's events
+    # out of order across micro-batches, which no stateful stream can
+    # reorder — range-partition the files by ts and feed them to the
+    # source in ascending mtime order so cross-batch order IS event
+    # time (within a batch the operator sorts)
+    (arr.repartitionByRange(n_files, "ts").sortWithinPartitions("ts")
+     .write.mode("overwrite").parquet(src))
+    for i, f in enumerate(sorted(Path(src).glob("part-*.parquet"))):
+        os_utime = __import__("os").utime
+        os_utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    arriving = spark.read.parquet(src)
+    n_rows = arriving.count()
+    n_keys = reps * ev.select("user_id").distinct().count()
+    print(f"--- arriving x{reps}: {n_rows:,} events / {n_keys:,} keys "
+          f"({dir_mb(src):,.0f} MB) built in "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+    def win_fingerprint(df):
+        row = df.selectExpr(
+            "count(*) as n",
+            "sum(cast(xxhash64(user_id, s_at, e_at, n_events, "
+            "round(sum_value, 6)) as decimal(38,0))) as h").first()
+        return int(row.n), int(row.h) if row.h is not None else 0
+
+    fpt = 16 if reps <= 128 else 64
+    out, ck = str(d / "out_pw"), str(d / "ck_pw")
+    stream = (spark.readStream.schema(arriving.schema)
+              .option("maxFilesPerTrigger", fpt).parquet(src))
+    before = stage_totals(spark)
+    t0 = time.perf_counter()
+    w = stateful_predicate_windows(
+        with_watermark(stream, "ts", "10 seconds"),
+        start_when=start, end_when=end, only_end=True)
+    q = (w.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    run_to_completion(q, timeout_s=3000)
+    wall = time.perf_counter() - t0
+    prog, batch_walls, mb = stream_run_stats(spark, q, before)
+
+    got = win_fingerprint(spark.read.parquet(out))
+    batch = stateful_predicate_windows(
+        arriving, start_when=start, end_when=end, only_end=True)
+    want = win_fingerprint(batch)
+    assert got == want and got[0] > 0, \
+        f"stream {got} != batch {want} windows"
+    # every replica of a user must emit the same window count as the
+    # user's rep-0 sequence — key independence under state partitioning
+    per_rep = (spark.read.parquet(out)
+               .groupBy(F.expr(f"user_id div {reps}").alias("u"),
+                        F.expr(f"user_id % {reps}").alias("rep"))
+               .count().groupBy("u")
+               .agg(F.countDistinct("count").alias("variants"),
+                    F.count("*").alias("reps_seen")))
+    bad = per_rep.filter(f"variants != 1 OR reps_seen != {reps}").count()
+    assert bad == 0, f"{bad} users with replica-divergent windows"
+
+    print(json.dumps({
+        "pipeline": f"stateful_predicate_windows_x{reps}_fpt{fpt}",
+        "arriving_rows": n_rows, "keys": n_keys,
+        "batches": len(prog),
+        "files_per_trigger": fpt,
+        "wall_sec": round(wall, 2),
+        "rows_per_sec": round(n_rows / wall),
+        "batch_wall_median_s": round(
+            batch_walls[len(batch_walls) // 2], 2),
+        "batch_wall_p95_s": round(
+            batch_walls[int(len(batch_walls) * 0.95) - 1], 2),
+        "batch_wall_max_s": round(batch_walls[-1], 2),
+        "windows_emitted": got[0],
+        "stream_equals_batch": True,
+        "replica_consistent": True,
+        "state_mb": {"checkpoint": dir_mb(ck)},
+        "metrics_mb": mb,
+    }), flush=True)
+
+
 def main() -> None:
     from scripts.scale_rehearsal import build_corpus, stage_totals
 
@@ -332,17 +576,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     import os
-    if "url" in os.environ.get("STREAM_RH_OPS", ""):
-        # STREAM_RH_OPS=url: the canonical-URL dedup stream (35q) —
-        # its own arriving corpus (spelling variants + new pages), no
-        # text/LSH machinery needed
-        for reps in reps_list:
-            d = SCRATCH / f"x{reps}"
-            shutil.rmtree(d, ignore_errors=True)
-            _url_rehearsal(spark, d, reps)
-            shutil.rmtree(d, ignore_errors=True)
-        shutil.rmtree(SCRATCH, ignore_errors=True)
-        return
+    mode_fns = {"url": _url_rehearsal, "image": _image_rehearsal,
+                "predicate": _predicate_rehearsal}
+    mode = os.environ.get("STREAM_RH_OPS", "")
+    for tag, fn in mode_fns.items():
+        if tag in mode:
+            # STREAM_RH_OPS=url|image|predicate: a self-contained
+            # rehearsal (own arriving corpus + invariants), no
+            # text/LSH machinery needed
+            for reps in reps_list:
+                d = SCRATCH / f"x{reps}"
+                shutil.rmtree(d, ignore_errors=True)
+                fn(spark, d, reps)
+                shutil.rmtree(d, ignore_errors=True)
+            shutil.rmtree(SCRATCH, ignore_errors=True)
+            return
 
     from pythonql_spark.operators.dedup import build_minhash_index
     from pythonql_spark.streaming import run_to_completion

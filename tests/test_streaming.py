@@ -218,6 +218,77 @@ def test_file_sink_exactly_once(spark, tables, tmp_path):
     assert spark.read.parquet(out).count() == ev.count()
 
 
+def test_stateful_timeout_behind_watermark(spark, tmp_path):
+    """A file source delivers batches in FILE order, not event-time
+    order: a later batch can carry a key whose whole sequence is older
+    than the watermark an earlier batch advanced, making the key's
+    last-event+gap timeout land in the past.  setTimeoutTimestamp
+    rejects past timestamps, so without the watermark clamp the query
+    CRASHES (INVALID_TIMEOUT_TIMESTAMP — found by the x7 predicate-
+    window scale rehearsal).  Both stateful operators must survive the
+    shape and still emit every in-data-closed window/session."""
+    import datetime
+    import os
+
+    from pythonql_spark.streaming import (run_to_completion,
+                                          stateful_predicate_windows,
+                                          stateful_sessionize,
+                                          with_watermark)
+    TS = datetime.datetime
+    # file 0 (processed first): a key deep in the future -> watermark
+    # jumps to day 28.  file 1: an OLD key whose last+gap << watermark.
+    new = [(1, TS(2024, 1, 28, 0, 0, s), float(150 + s)) for s in (0, 1)] \
+        + [(1, TS(2024, 1, 28, 0, 0, 30), 5.0)]
+    old = [(2, TS(2024, 1, 1, 0, 0, s), float(150 + s)) for s in (0, 1)] \
+        + [(2, TS(2024, 1, 1, 0, 0, 30), 5.0)]
+    schema = "user_id long, ts timestamp, value double"
+    src = tmp_path / "wm_in"
+    src.mkdir()
+    for i, rows in enumerate([new, old]):
+        f = tmp_path / f"f{i}"
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(str(f))
+        part = next(f.glob("part-*.parquet"))
+        dst = src / f"f{i}.parquet"
+        part.rename(dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    w = stateful_predicate_windows(
+        with_watermark(stream, "ts", "0 seconds"),
+        start_when=lambda c, at, p, n: c["value"] >= 150,
+        end_when=lambda c, at, p, n, sc, sa: c["value"] < 20,
+        only_end=True)
+    ck = str(tmp_path / "wm_ck")
+    q = (w.writeStream.format("memory").queryName("t_wmclamp")
+         .outputMode("append").option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    run_to_completion(q)
+    got = sorted((r.user_id, r.s_at, r.e_at, r.n_events)
+                 for r in spark.table("t_wmclamp").collect())
+    # both keys' windows close IN DATA (value 5.0 < 20) and must emit
+    # regardless of which batch carried them
+    assert got == [(1, 0, 2, 3), (2, 0, 2, 3)]
+
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    s = stateful_sessionize(
+        with_watermark(stream2, "ts", "0 seconds"),
+        gap_ms=10_000, key_col="user_id")
+    q2 = (s.writeStream.format("memory").queryName("t_wmclamp_s")
+          .outputMode("append")
+          .option("checkpointLocation", str(tmp_path / "wm_ck2"))
+          .trigger(availableNow=True).start())
+    run_to_completion(q2)
+    # sessions close in-data on the 10s gap; the trailing open session
+    # of each key may or may not flush (availableNow fires no final
+    # timer pass) — the invariant here is NO CRASH + the closed ones
+    got_s = sorted((r.user_id, r.n_events)
+                   for r in spark.table("t_wmclamp_s").collect())
+    assert [(u, n) for u, n in got_s if n >= 2] == [(1, 2), (2, 2)]
+
+
 def test_predicate_windows_stream_matches_batch(spark, tables, tmp_path):
     """The reference's tumbling predicate window clause on a REAL
     stream (applyInPandasWithState) must emit the same closed windows
