@@ -75,6 +75,35 @@ def _url_curation(docs, n: int) -> int:
         .filter("__rn <= 10").count())
 
 
+def _domain_cap_skew(docs, n: int) -> int:
+    """domain_cap under the adversarial crawl mixture: ~20% of rows
+    on ONE hot template domain (the skew case the cap exists for),
+    5% non-http frontier garbage (NULL domain — ALL of it shares the
+    single NULL cap bucket, the documented semantics), the rest on
+    page-keyed registrable .co.uk domains growing ∝ corpus.  The cap
+    must plan as WindowGroupLimit so each map task ships at most n
+    rows per domain — the hot key and the NULL bucket are bounded
+    exactly like the long tail, which is why sec/unit falls through
+    the octaves instead of the hot domain's row count dominating."""
+    from pythonql_spark.operators.url import domain_cap
+    from pythonql_spark.plans import assert_plan
+    k = 1000 * n
+    pid = "cast(doc_id as string)"
+    url = f"""CASE
+      WHEN doc_id % 5 = 0
+        THEN concat('https://hot.example.com/p/', {pid})
+      WHEN doc_id % 20 = 1 THEN concat('ftp://junk', {pid}, '/f')
+      ELSE concat('https://s', cast(doc_id % {k} as string),
+                  '.co.uk/p/', {pid})
+    END"""
+    capped = domain_cap(
+        docs.selectExpr("doc_id", "n_chars", f"{url} as url"),
+        10, order=["n_chars desc", "doc_id"])
+    assert_plan(capped, require_window_group_limit=True,
+                no_cartesian=True, no_python_row_udf=True)
+    return capped.count()
+
+
 def replicate_events(spark, n: int, path: str) -> None:
     # distinct per-replica user spaces: per-key density stays constant
     # as the corpus grows, which is how real event data scales
@@ -188,7 +217,10 @@ def main() -> None:
                 # bounded-shuffle claim deserves the fourth point
                 "journey", "hll_rollup", "cms", "bottomk_q",
                 # r10: the PSL-backed curation composition
-                "url_curate"}
+                "url_curate",
+                # r11: the cap alone under hot-domain + NULL-bucket
+                # skew (WindowGroupLimit retention plan-gated inline)
+                "domain_cap"}
     results = []
     for n in (1, 4, 16, 64):
         d = SCRATCH / f"x{n}"
@@ -487,6 +519,9 @@ def main() -> None:
             # they grow) so the cap's WindowGroupLimit bound and the
             # dedup shuffle both scale linearly — sec/unit ~flat
             "url_curate": lambda: _url_curation(docs, n),
+            # the cap alone under 20%-hot-domain + 5%-non-http skew;
+            # WindowGroupLimit retention is asserted inside
+            "domain_cap": lambda: _domain_cap_skew(docs, n),
             # compound-key as-of: one sort-shuffle on (user, type)
             "asof_join": lambda: asof_join(
                 evs.filter("event_type = 'purchase'")
