@@ -593,3 +593,97 @@ def test_registered_domain_matches_reference_psl_algorithm(spark, data):
         want = _psl_reference_domain(h)
         assert expr_got[i] == want, ("expr", h, expr_got[i], want)
         assert join_got[i] == want, ("join", h, join_got[i], want)
+
+
+@given(data=st.data())
+@SLOW
+def test_url_normalize_frontier_shapes_both_dialects(spark, data):
+    """REAL crawl-frontier URL shapes — userinfo (``u@`` / ``u:p@`` /
+    ``a:b:c@`` / percent-escaped), out-of-range ports (urllib REFUSES
+    ports > 65535; a crawl must keep them as distinct origins, not
+    crash or fold), percent escapes in the query KEY vs VALUE
+    (unreserved, reserved, malformed), and ``+`` (a literal plus in
+    RFC 3986, never a space) — round-trip the FULL curation path
+    (gated percent decode -> normalize -> registered domain) with the
+    Spark and DuckDB dialects agreeing string-for-string, plus
+    shape-specific identities asserted directly."""
+    from pythonql_spark.operators.url import (_is_http_expr,
+                                              curate_urls,
+                                              pct_decode_ctes,
+                                              registered_domain_expr,
+                                              url_normalize_expr)
+    import duckdb
+
+    label = st.text("abcdefghjkmnpqrstuvxyz01239", min_size=1,
+                    max_size=6).filter(lambda s: not s.startswith("www"))
+    urls = []
+    for _ in range(data.draw(st.integers(4, 12))):
+        scheme = data.draw(st.sampled_from(["http", "https", "HTTP"]))
+        user = data.draw(st.sampled_from(
+            ["", "u@", "u:p@", "a:b:c@", "%75ser:pw@"]))
+        host = ".".join([data.draw(label) for _ in
+                         range(data.draw(st.integers(1, 2)))]
+                        + [data.draw(st.sampled_from(
+                            ["com", "co.uk", "example.com"]))])
+        port = data.draw(st.sampled_from(
+            ["", ":80", ":443", ":8080", ":99999", ":6553500"]))
+        path = data.draw(st.sampled_from(
+            ["", "/", "/a%20b", "/a%2fb", "/a%zzb", "/a+b", "/%41bc"]))
+        query = data.draw(st.sampled_from(
+            ["", "?a%20b=1", "?k=v%26w", "?a+b=c+d", "?k=%41",
+             "?utm_source=x&k=1", "?b=2&a=1"]))
+        frag = data.draw(st.sampled_from(["", "#f"]))
+        urls.append(f"{scheme}://{user}{host}{port}{path}{query}{frag}")
+
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               ["id", "url"])
+    got = {r.id: (r.url_norm, r.domain)
+           for r in curate_urls(df).collect()}
+
+    pct_frag, pct_last = pct_decode_ctes("with_url", ["id"])
+    values = ", ".join(f"({i}, '{u}')" for i, u in enumerate(urls))
+    duck = duckdb.sql(f"""
+WITH with_url AS (SELECT * FROM (VALUES {values}) t(id, url)),
+{pct_frag}
+SELECT id, {url_normalize_expr('url_d', 'duck', raw='url')} AS url_norm,
+       CASE WHEN {_is_http_expr('url', 'duck')}
+            THEN {registered_domain_expr('url_d', dialect='duck')}
+            ELSE CAST(NULL AS VARCHAR) END AS domain
+FROM {pct_last}""").fetchall()
+    for i, un, dom in duck:
+        assert (un, dom) == got[i], ("dialect", urls[i], (un, dom),
+                                     got[i])
+
+    for i, u in enumerate(urls):
+        un = got[i][0]
+        auth = un.split("://", 1)[1].split("/", 1)[0]
+        # userinfo (escaped or not) is never page identity
+        assert "@" not in auth, (u, un)
+        # default ports fold; ANY other numeric port — out-of-range
+        # included — is a distinct origin and survives verbatim
+        if ":99999" in u:
+            assert auth.endswith(":99999"), (u, un)
+        if ":6553500" in u:
+            assert auth.endswith(":6553500"), (u, un)
+        if ":80/" in u or u.endswith(":80") or ":443" in u:
+            pass  # folded — covered by the dialect equality above
+        # '+' is a literal plus in RFC 3986 paths/queries, not a space
+        if "/a+b" in u:
+            assert "/a+b" in un, (u, un)
+        if "a+b=c+d" in u:
+            assert "a+b=c+d" in un, (u, un)
+        # malformed escape gates off the WHOLE decode — the broken
+        # escape survives verbatim instead of cascading
+        if "%zz" in u:
+            assert "%zz" in un, (u, un)
+        else:
+            # unreserved escapes decode, reserved ones re-emit with
+            # uppercase hex
+            if "/%41bc" in u:
+                assert "/Abc" in un, (u, un)
+            if "?k=%41" in u:
+                assert "k=A" in un, (u, un)
+            if "/a%2fb" in u:
+                assert "/a%2Fb" in un, (u, un)
+            if "/a%20b" in u:
+                assert "/a%20b" in un, (u, un)
