@@ -51,7 +51,6 @@ import json
 import shutil
 import sys
 import time
-import urllib.request
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -72,19 +71,8 @@ BENCH_LINE = ("zqalpha zqbravo zqcharlie zqdelta zqecho zqfoxtrot "
 GARBAGE = "@#$ {x} !!! %% ^^ &&& *( )) @@ ## $$ " * 8
 
 
-def stage_totals(spark) -> dict:
-    """Cumulative completed-stage executor metrics from the public
-    monitoring REST API (same helper as scale_rehearsal.py)."""
-    base = spark.sparkContext.uiWebUrl
-    app = spark.sparkContext.applicationId
-    with urllib.request.urlopen(
-            f"{base}/api/v1/applications/{app}/stages?status=complete"
-    ) as resp:
-        stages = json.load(resp)
-    keys = ("shuffleReadBytes", "shuffleWriteBytes",
-            "memoryBytesSpilled", "diskBytesSpilled",
-            "inputBytes", "outputBytes", "executorRunTime")
-    return {k: sum(s.get(k, 0) for s in stages) for k in keys}
+from scripts.scale_rehearsal import stage_totals  # noqa: E402 — one
+# definition of the REST-metric snapshot for every rehearsal script
 
 
 def build_crawl(spark, reps: int, path: str) -> None:
@@ -145,9 +133,14 @@ def build_crawl(spark, reps: int, path: str) -> None:
 
 
 def run_stage(spark, name: str, build, sink: str, *, max_exchanges: int,
-              before: dict, rows: list) -> tuple[dict, "DataFrame"]:
+              rows: list) -> tuple[int, "DataFrame"]:
     """Plan-gate a stage, run it through a real parquet sink, record
-    wall + REST delta, return (new totals, re-read output)."""
+    wall + REST delta, return (row count, re-read output).  The REST
+    snapshot brackets THIS stage's jobs only — the invariant checks
+    main runs between stages are deliberately outside it, so a
+    stage's task_time/metrics never absorb its predecessor's
+    verification work."""
+    before = stage_totals(spark)
     t0 = time.perf_counter()
     df = build()
     rep = assert_plan(df, max_exchanges=max_exchanges,
@@ -169,7 +162,7 @@ def run_stage(spark, name: str, build, sink: str, *, max_exchanges: int,
            "metrics_mb": mb}
     rows.append(row)
     print(json.dumps(row), flush=True)
-    return after, out
+    return n, out
 
 
 def plant_pred(col: str, reps: int, mod51: int) -> str:
@@ -207,7 +200,6 @@ def main() -> None:
         rows: list = []
         invariants: dict = {}
         wall0 = time.perf_counter()
-        before = stage_totals(spark)
 
         # s1: canonical-URL dedup — one survivor per page
         from pyspark.sql.window import Window as W
@@ -219,10 +211,8 @@ def main() -> None:
                     .filter("__rn = 1")
                     .select("crawl_id", "doc_id", "domain",
                             "text", "lang", "source"))
-        before, out1 = run_stage(spark, "s1_url_dedup", s1,
-                                 str(d / "s1"), max_exchanges=3,
-                                 before=before, rows=rows)
-        n1 = out1.count()
+        n1, out1 = run_stage(spark, "s1_url_dedup", s1,
+                             str(d / "s1"), max_exchanges=3, rows=rows)
         non_canon = out1.filter("crawl_id % 4 != 0").count()
         invariants["url_dedup"] = {
             "survivors": n1, "expected": n_docs,
@@ -236,15 +226,14 @@ def main() -> None:
             return (c4.filter("c4_keep")
                     .filter(gopher_pass("text"))
                     .select("doc_id", "domain", "lang", "source", "text"))
-        before, out2 = run_stage(spark, "s2_quality", s2,
-                                 str(d / "s2"), max_exchanges=1,
-                                 before=before, rows=rows)
+        n2, out2 = run_stage(spark, "s2_quality", s2,
+                             str(d / "s2"), max_exchanges=1, rows=rows)
         g_pred = plant_pred("doc_id", reps, 2)
         garbage_in = out1.filter(g_pred).count()
         garbage_out = out2.filter(g_pred).count()
         invariants["quality"] = {
             "garbage_in": garbage_in, "garbage_survived": garbage_out,
-            "organic_removed": n1 - out2.count()
+            "organic_removed": n1 - n2
                                - (garbage_in - garbage_out)}
         assert garbage_out == 0, invariants["quality"]
 
@@ -257,13 +246,12 @@ def main() -> None:
             return out2.join(
                 cont.filter("NOT contaminated").select("doc_id"),
                 "doc_id")
-        before, out3 = run_stage(spark, "s3_decontam", s3,
-                                 str(d / "s3"), max_exchanges=4,
-                                 before=before, rows=rows)
+        n3, out3 = run_stage(spark, "s3_decontam", s3,
+                             str(d / "s3"), max_exchanges=4, rows=rows)
         c_pred = plant_pred("doc_id", reps, 5)
         planted_in = out2.filter(c_pred).count()
         planted_out = out3.filter(c_pred).count()
-        flagged = out2.count() - out3.count()
+        flagged = n2 - n3
         invariants["decontam"] = {
             "planted_reaching_s3": planted_in,
             "planted_survived": planted_out,
@@ -276,9 +264,9 @@ def main() -> None:
         def s4():
             pairs = minhash_lsh_pairs(out3, jaccard_threshold=0.5)
             return dedup_keep(out3, pairs)
-        before, out4 = run_stage(spark, "s4_minhash", s4,
+        n_kept, out4 = run_stage(spark, "s4_minhash", s4,
                                  str(d / "s4"), max_exchanges=20,
-                                 before=before, rows=rows)
+                                 rows=rows)
         nd_reps = [0] + [r for r in range(1, reps)
                          if r % NEARDUP_MOD == 1]
         nd_in = (out3.filter(F.expr(f"doc_id % {reps}").isin(nd_reps))
@@ -301,14 +289,13 @@ def main() -> None:
 
         def s5():
             return pack_sequences(out4, 1024, shard_col="source")
-        before, out5 = run_stage(spark, "s5_pack", s5,
-                                 str(d / "s5"), max_exchanges=2,
-                                 before=before, rows=rows)
+        n5, out5 = run_stage(spark, "s5_pack", s5,
+                             str(d / "s5"), max_exchanges=2, rows=rows)
         tok_direct = out4.selectExpr(
             f"sum({token_count('text')}) as t").head().t
         tok_packed = out5.selectExpr("sum(n_tokens) as t").head().t
         invariants["pack"] = {
-            "rows": out5.count(), "expected_rows": out4.count(),
+            "rows": n5, "expected_rows": n_kept,
             "tokens": int(tok_packed), "tokens_direct": int(tok_direct)}
         assert (invariants["pack"]["rows"]
                 == invariants["pack"]["expected_rows"]
@@ -316,6 +303,7 @@ def main() -> None:
 
         # s6: training shards + manifest
         rps = 100_000
+        before6 = stage_totals(spark)
         t0 = time.perf_counter()
         with_tok = out4.selectExpr(
             "doc_id", "domain", "lang", "source", "text",
@@ -324,8 +312,8 @@ def main() -> None:
             with_tok, str(d / "shards"), rows_per_shard=rps,
             order_col="doc_id", token_col="n_tokens")
         m = manifest.collect()
-        after = stage_totals(spark)
-        delta = {k: after[k] - before[k] for k in after}
+        delta = {k: v - before6[k]
+                 for k, v in stage_totals(spark).items()}
         rows.append({
             "stage": "s6_shards", "rows_out": len(m),
             "wall_sec": round(time.perf_counter() - t0, 2),
@@ -334,8 +322,6 @@ def main() -> None:
                            for k, v in delta.items()
                            if k.endswith("Bytes") or "Spilled" in k}})
         print(json.dumps(rows[-1]), flush=True)
-        before = after
-        n_kept = out4.count()
         full = [r for r in m if r.shard < max(x.shard for x in m)] \
             if len(m) > 1 else []
         invariants["shards"] = {

@@ -455,8 +455,15 @@ def main_genuine_scale(mults: list[int]) -> None:
               f"  (equal per-flag sums)", flush=True)
         ev_dir = ensure_genuine_events(mult)
         refw, ourw = run_reference_window(ev_dir), run_ours_window(ev_dir)
-        assert (refw["window_n"], refw["window_sum"]) == \
-               (ourw["window_n"], ourw["window_sum"]), (refw, ourw)
+        # counts exactly; sums with a relative tolerance — on the
+        # JITTERED corpora (non-representable low-order bits by
+        # construction) Python's sequential total and Spark's
+        # tree-merged total can legitimately differ in the last few
+        # double bits, which round(·, 6) equality would flakily trip
+        import math
+        assert refw["window_n"] == ourw["window_n"] and math.isclose(
+            refw["window_sum"], ourw["window_sum"], rel_tol=1e-9), \
+            (refw, ourw)
         print(f"genuine~sf{mult / 10:<4.1f} window_agg  reference="
               f"{refw['window_agg']:8.2f}s ours={ourw['window_agg']:6.2f}s"
               f"  speedup={refw['window_agg'] / ourw['window_agg']:7.1f}x"

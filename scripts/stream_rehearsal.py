@@ -469,7 +469,17 @@ def _predicate_rehearsal(spark, d, reps: int) -> None:
     oracled `stream_predicate` path) over the same replicated input
     must produce the identical window multiset — both paths walk each
     key's events in the same order, so even the float sums agree
-    bit-for-bit (fingerprinted at round-6 for safety)."""
+    bit-for-bit (fingerprinted at round-6 for safety).
+
+    ``sequence_gap_ms`` is set LONGER than the corpus time span: the
+    gap timeout deliberately ENDS a key's logical sequence (dropping
+    its open window and restarting its indices), and on a batched
+    file source it fires for any key that skips a whole micro-batch —
+    real divergence-by-design from the gap-less batch dispatch, not a
+    bug (measured: ~10 of 1500 base users skip one of 13 batches at
+    x101, each losing exactly the windows the gap semantics say they
+    lose).  Parity isolates the distributed state machinery; the gap
+    semantics have their own unit tests."""
     from scripts.scale_rehearsal import stage_totals
 
     from pythonql_spark.streaming import (run_to_completion,
@@ -517,9 +527,11 @@ def _predicate_rehearsal(spark, d, reps: int) -> None:
               .option("maxFilesPerTrigger", fpt).parquet(src))
     before = stage_totals(spark)
     t0 = time.perf_counter()
+    gap_ms = 45 * 86_400_000          # > the corpus' one-month span
     w = stateful_predicate_windows(
         with_watermark(stream, "ts", "10 seconds"),
-        start_when=start, end_when=end, only_end=True)
+        start_when=start, end_when=end, only_end=True,
+        sequence_gap_ms=gap_ms)
     q = (w.writeStream.format("parquet").option("path", out)
          .option("checkpointLocation", ck)
          .outputMode("append").trigger(availableNow=True).start())
@@ -579,18 +591,20 @@ def main() -> None:
     mode_fns = {"url": _url_rehearsal, "image": _image_rehearsal,
                 "predicate": _predicate_rehearsal}
     mode = os.environ.get("STREAM_RH_OPS", "")
-    for tag, fn in mode_fns.items():
-        if tag in mode:
-            # STREAM_RH_OPS=url|image|predicate: a self-contained
-            # rehearsal (own arriving corpus + invariants), no
-            # text/LSH machinery needed
+    matched = [fn for tag, fn in mode_fns.items() if tag in mode]
+    if matched:
+        # STREAM_RH_OPS=url|image|predicate (comma-combinable): each
+        # is a self-contained rehearsal (own arriving corpus +
+        # invariants), no text/LSH machinery needed — EVERY matching
+        # mode runs, in declaration order
+        for fn in matched:
             for reps in reps_list:
                 d = SCRATCH / f"x{reps}"
                 shutil.rmtree(d, ignore_errors=True)
                 fn(spark, d, reps)
                 shutil.rmtree(d, ignore_errors=True)
-            shutil.rmtree(SCRATCH, ignore_errors=True)
-            return
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        return
 
     from pythonql_spark.operators.dedup import build_minhash_index
     from pythonql_spark.streaming import run_to_completion

@@ -2969,12 +2969,18 @@ def test_ip_literal_hosts(spark):
         (6, "http://[a::80/x"),
         (7, "http://[a::80./x"),
         (8, "http://[::1]:abc/p"),
+        # WELL-formed bracket + numeric port: host extracts to the
+        # bracket, the port folds (80) or survives (8080)
+        (9, "http://[::1]:80/p"),
+        (10, "https://[::1]:8080/p"),
     ], ["id", "url"])
     from pythonql_spark.operators.url import curate_urls as _cu
     badout = {r.id: r.url_norm for r in _cu(bad).collect()}
     assert badout[1] != badout[2]
     assert len({badout[3], badout[4], badout[5], badout[8]}) == 4
     assert badout[6] != badout[7]
+    assert badout[9] == badout[5] == "https://[::1]/p"
+    assert badout[10] == "https://[::1]:8080/p"
     # same distinctness through the DuckDB oracle dialect
     import duckdb
     from pythonql_spark.operators.url import url_normalize_expr

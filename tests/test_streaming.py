@@ -246,7 +246,11 @@ def test_stateful_timeout_behind_watermark(spark, tmp_path):
     src.mkdir()
     for i, rows in enumerate([new, old]):
         f = tmp_path / f"f{i}"
-        spark.createDataFrame(rows, schema).coalesce(1) \
+        # parallelize(…, 1) first: createDataFrame(local rows)
+        # .coalesce(1) cycles a Python worker per default-parallelism
+        # slice (~4 s for 3 rows on local[32])
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema) \
             .write.mode("overwrite").parquet(str(f))
         part = next(f.glob("part-*.parquet"))
         dst = src / f"f{i}.parquet"
