@@ -576,6 +576,104 @@ def _predicate_rehearsal(spark, d, reps: int) -> None:
     }), flush=True)
 
 
+def _session_rehearsal(spark, d, reps: int) -> None:
+    """REST-metric rehearsal row for stateful_sessionize (35b family)
+    at reps x the sf0.1 events table.  Invariant: EXACT stream==batch
+    parity on the session multiset with ``emit_open_on_timeout=False``
+    (both sides drop each key's trailing open session).
+
+    Parity premise: the stream closes sessions IN DATA (next event
+    >= gap after the last) only when no event-time TIMER fires
+    mid-stream — a timer fires for any key absent from a batch once
+    the watermark passes its last+gap, and under ``False`` it DROPS
+    a session the gap-less batch plan would emit.  So the source is
+    cut into a FEW large time-range files (every key has events in
+    every multi-day range, so no key ever misses a batch) and the
+    run asserts the premise: batches == the planned count and every
+    key appears in every batch's range.  Cross-batch state handoff
+    for reps*1500 keys is still fully exercised — that, plus the
+    pure-JVM batch dispatch equivalence, is what this rehearses; the
+    timer semantics have their own unit tests and the predicate
+    rehearsal."""
+    from scripts.scale_rehearsal import stage_totals
+
+    from pythonql_spark.streaming import (run_to_completion,
+                                          stateful_sessionize,
+                                          with_watermark)
+
+    gap_ms = 4 * 3600_000                 # 4 h sessions in month data
+    n_files = 4                           # ~1-week ranges
+    ev = load_table(spark, SF, "events").select("user_id", "ts", "value")
+    r = spark.range(reps).withColumnRenamed("id", "rep")
+    arr = ev.crossJoin(F.broadcast(r)).selectExpr(
+        f"user_id * {reps} + rep as user_id", "ts", "value")
+    src = str(d / "in")
+    t0 = time.perf_counter()
+    (arr.repartitionByRange(n_files, "ts").sortWithinPartitions("ts")
+     .write.mode("overwrite").parquet(src))
+    import os
+    for i, f in enumerate(sorted(Path(src).glob("part-*.parquet"))):
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    arriving = spark.read.parquet(src)
+    n_rows = arriving.count()
+    n_keys = reps * ev.select("user_id").distinct().count()
+    # premise check: every key in every file range
+    per_file = (arriving.withColumn(
+        "__f", F.expr("regexp_extract(input_file_name(), "
+                      "'part-(\\\\d+)', 1)"))
+        .groupBy("__f").agg(F.countDistinct("user_id").alias("k")))
+    assert all(r.k == n_keys for r in per_file.collect()), \
+        "a key misses a file range — the no-timer premise is broken"
+    print(f"--- arriving x{reps}: {n_rows:,} events / {n_keys:,} keys "
+          f"in {n_files} time-range files, built in "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+    def fp(df):
+        row = df.selectExpr(
+            "count(*) as n",
+            "sum(cast(xxhash64(user_id, cast(session_start as string), "
+            "n_events, round(sum_value, 6)) as decimal(38,0))) as h"
+        ).first()
+        return int(row.n), int(row.h) if row.h is not None else 0
+
+    out, ck = str(d / "out_ss"), str(d / "ck_ss")
+    stream = (spark.readStream.schema(arriving.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    before = stage_totals(spark)
+    t0 = time.perf_counter()
+    s = stateful_sessionize(
+        with_watermark(stream, "ts", "10 seconds"),
+        gap_ms=gap_ms, emit_open_on_timeout=False)
+    q = (s.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    run_to_completion(q, timeout_s=3000)
+    wall = time.perf_counter() - t0
+    prog, batch_walls, mb = stream_run_stats(spark, q, before)
+    assert len(prog) == n_files, (len(prog), n_files)
+
+    got = fp(spark.read.parquet(out))
+    want = fp(stateful_sessionize(arriving, gap_ms=gap_ms,
+                                  emit_open_on_timeout=False))
+    assert got == want and got[0] > 0, \
+        f"stream {got} != batch {want} sessions"
+
+    print(json.dumps({
+        "pipeline": f"stateful_sessionize_x{reps}_fpt1",
+        "arriving_rows": n_rows, "keys": n_keys,
+        "batches": len(prog),
+        "wall_sec": round(wall, 2),
+        "rows_per_sec": round(n_rows / wall),
+        "batch_wall_median_s": round(
+            batch_walls[len(batch_walls) // 2], 2),
+        "batch_wall_max_s": round(batch_walls[-1], 2),
+        "sessions_emitted": got[0],
+        "stream_equals_batch": True,
+        "state_mb": {"checkpoint": dir_mb(ck)},
+        "metrics_mb": mb,
+    }), flush=True)
+
+
 def main() -> None:
     from scripts.scale_rehearsal import build_corpus, stage_totals
 
@@ -589,7 +687,8 @@ def main() -> None:
 
     import os
     mode_fns = {"url": _url_rehearsal, "image": _image_rehearsal,
-                "predicate": _predicate_rehearsal}
+                "predicate": _predicate_rehearsal,
+                "session": _session_rehearsal}
     mode = os.environ.get("STREAM_RH_OPS", "")
     matched = [fn for tag, fn in mode_fns.items() if tag in mode]
     if matched:
