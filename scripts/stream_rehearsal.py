@@ -459,6 +459,39 @@ def _image_rehearsal(spark, d, reps: int) -> None:
     }), flush=True)
 
 
+def _timeordered_events_src(spark, d, reps: int, n_files: int):
+    """Replicate sf0.1 events to reps× distinct key spaces and write
+    them as ``n_files`` TIME-RANGE parquet files with ascending
+    mtimes.  A real event stream arrives (roughly) in event-time
+    order; a RANDOM file scatter would hand a stateful operator a
+    key's events out of order across micro-batches, which no
+    stateful stream can reorder — range-partitioning by ts and
+    feeding files in mtime order makes cross-batch order BE event
+    time (within a batch the operators sort).  ONE definition shared
+    by the predicate-window and sessionize rehearsals so the
+    parity-critical ordering trick can never drift between them.
+    Returns (src_path, arriving_df, n_rows, n_keys)."""
+    import os
+
+    ev = load_table(spark, SF, "events").select("user_id", "ts", "value")
+    r = spark.range(reps).withColumnRenamed("id", "rep")
+    arr = ev.crossJoin(F.broadcast(r)).selectExpr(
+        f"user_id * {reps} + rep as user_id", "ts", "value")
+    src = str(d / "in")
+    t0 = time.perf_counter()
+    (arr.repartitionByRange(n_files, "ts").sortWithinPartitions("ts")
+     .write.mode("overwrite").parquet(src))
+    for i, f in enumerate(sorted(Path(src).glob("part-*.parquet"))):
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    arriving = spark.read.parquet(src)
+    n_rows = arriving.count()
+    n_keys = reps * ev.select("user_id").distinct().count()
+    print(f"--- arriving x{reps}: {n_rows:,} events / {n_keys:,} keys "
+          f"in {n_files} time-range files ({dir_mb(src):,.0f} MB), "
+          f"built in {time.perf_counter() - t0:.1f}s", flush=True)
+    return src, arriving, n_rows, n_keys
+
+
 def _predicate_rehearsal(spark, d, reps: int) -> None:
     """REST-metric rehearsal row for stateful_predicate_windows (35b
     family): the reference's tumbling predicate window clause on
@@ -489,30 +522,9 @@ def _predicate_rehearsal(spark, d, reps: int) -> None:
     start = lambda curr, at, prev, nxt: curr["value"] >= 150
     end = lambda curr, at, prev, nxt, s_curr, s_at: curr["value"] < 20
 
-    ev = load_table(spark, SF, "events").select("user_id", "ts", "value")
-    r = spark.range(reps).withColumnRenamed("id", "rep")
-    arr = ev.crossJoin(F.broadcast(r)).selectExpr(
-        f"user_id * {reps} + rep as user_id", "ts", "value")
-    src = str(d / "in")
     n_files = max(32, reps * 2)
-    t0 = time.perf_counter()
-    # a real event stream arrives (roughly) in event-time order; a
-    # RANDOM file scatter would hand the operator a key's events
-    # out of order across micro-batches, which no stateful stream can
-    # reorder — range-partition the files by ts and feed them to the
-    # source in ascending mtime order so cross-batch order IS event
-    # time (within a batch the operator sorts)
-    (arr.repartitionByRange(n_files, "ts").sortWithinPartitions("ts")
-     .write.mode("overwrite").parquet(src))
-    for i, f in enumerate(sorted(Path(src).glob("part-*.parquet"))):
-        os_utime = __import__("os").utime
-        os_utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
-    arriving = spark.read.parquet(src)
-    n_rows = arriving.count()
-    n_keys = reps * ev.select("user_id").distinct().count()
-    print(f"--- arriving x{reps}: {n_rows:,} events / {n_keys:,} keys "
-          f"({dir_mb(src):,.0f} MB) built in "
-          f"{time.perf_counter() - t0:.1f}s", flush=True)
+    src, arriving, n_rows, n_keys = _timeordered_events_src(
+        spark, d, reps, n_files)
 
     def win_fingerprint(df):
         row = df.selectExpr(
@@ -603,20 +615,8 @@ def _session_rehearsal(spark, d, reps: int) -> None:
 
     gap_ms = 4 * 3600_000                 # 4 h sessions in month data
     n_files = 4                           # ~1-week ranges
-    ev = load_table(spark, SF, "events").select("user_id", "ts", "value")
-    r = spark.range(reps).withColumnRenamed("id", "rep")
-    arr = ev.crossJoin(F.broadcast(r)).selectExpr(
-        f"user_id * {reps} + rep as user_id", "ts", "value")
-    src = str(d / "in")
-    t0 = time.perf_counter()
-    (arr.repartitionByRange(n_files, "ts").sortWithinPartitions("ts")
-     .write.mode("overwrite").parquet(src))
-    import os
-    for i, f in enumerate(sorted(Path(src).glob("part-*.parquet"))):
-        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
-    arriving = spark.read.parquet(src)
-    n_rows = arriving.count()
-    n_keys = reps * ev.select("user_id").distinct().count()
+    src, arriving, n_rows, n_keys = _timeordered_events_src(
+        spark, d, reps, n_files)
     # premise check: every key in every file range
     per_file = (arriving.withColumn(
         "__f", F.expr("regexp_extract(input_file_name(), "
@@ -624,9 +624,6 @@ def _session_rehearsal(spark, d, reps: int) -> None:
         .groupBy("__f").agg(F.countDistinct("user_id").alias("k")))
     assert all(r.k == n_keys for r in per_file.collect()), \
         "a key misses a file range — the no-timer premise is broken"
-    print(f"--- arriving x{reps}: {n_rows:,} events / {n_keys:,} keys "
-          f"in {n_files} time-range files, built in "
-          f"{time.perf_counter() - t0:.1f}s", flush=True)
 
     def fp(df):
         row = df.selectExpr(
@@ -662,10 +659,13 @@ def _session_rehearsal(spark, d, reps: int) -> None:
         "pipeline": f"stateful_sessionize_x{reps}_fpt1",
         "arriving_rows": n_rows, "keys": n_keys,
         "batches": len(prog),
+        "files_per_trigger": 1,
         "wall_sec": round(wall, 2),
         "rows_per_sec": round(n_rows / wall),
         "batch_wall_median_s": round(
             batch_walls[len(batch_walls) // 2], 2),
+        "batch_wall_p95_s": round(
+            batch_walls[int(len(batch_walls) * 0.95) - 1], 2),
         "batch_wall_max_s": round(batch_walls[-1], 2),
         "sessions_emitted": got[0],
         "stream_equals_batch": True,
@@ -692,10 +692,10 @@ def main() -> None:
     mode = os.environ.get("STREAM_RH_OPS", "")
     matched = [fn for tag, fn in mode_fns.items() if tag in mode]
     if matched:
-        # STREAM_RH_OPS=url|image|predicate (comma-combinable): each
-        # is a self-contained rehearsal (own arriving corpus +
-        # invariants), no text/LSH machinery needed — EVERY matching
-        # mode runs, in declaration order
+        # STREAM_RH_OPS=url|image|predicate|session (comma-
+        # combinable): each is a self-contained rehearsal (own
+        # arriving corpus + invariants), no text/LSH machinery
+        # needed — EVERY matching mode runs, in declaration order
         for fn in matched:
             for reps in reps_list:
                 d = SCRATCH / f"x{reps}"
