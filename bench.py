@@ -168,9 +168,15 @@ def main() -> None:
     ref_retime = None
     if ref_key in times:
         try:
-            t0 = time.perf_counter()
-            QUERIES[ref_key](spark, sf_dir).count()
-            ref_retime = round(time.perf_counter() - t0, 3)
+            # median of 5: the r11 host episode showed per-job latency
+            # jitter spanning 0.24-0.47 s — a single retime can sample
+            # the fast tail and stamp a still-degraded run clean
+            samples = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                QUERIES[ref_key](spark, sf_dir).count()
+                samples.append(time.perf_counter() - t0)
+            ref_retime = round(sorted(samples)[2], 3)
         except Exception:
             pass
 
