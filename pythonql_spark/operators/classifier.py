@@ -201,23 +201,32 @@ def classification_report(df: DataFrame, label_col: str,
 
     Scale shape: ONE partial-aggregated groupBy on (label, pred) is
     the only corpus-sized work; everything after runs on at most
-    |classes|² confusion cells."""
+    |classes|² confusion cells.  The per-class totals derive from the
+    confusion matrix by exploding each cell into its label-side and
+    prediction-side contributions and re-grouping — NOT by
+    re-aggregating the input three ways: the earlier three-branch
+    full-outer-join form recomputed the corpus scan + (label, pred)
+    shuffle once per branch (AQE reused only one of the three
+    exchanges — the tp branch's pushed ``l = p`` filter makes its
+    scan non-canonical), a 3× pass that matters when the pred column
+    is an expensive expression over 100 TB.  A NULL label and a NULL
+    pred now land in ONE NULL-class row (grouping semantics) rather
+    than the two rows the NULL-unequal full-outer join produced."""
     cm = (df.groupBy(F.col(label_col).alias("__l"),
                      F.col(pred_col).alias("__p"))
           .agg(F.count(F.lit(1)).alias("__n")))
-    n_true = (cm.groupBy(F.col("__l").alias("class"))
-              .agg(F.sum("__n").alias("n_true")))
-    n_pred = (cm.groupBy(F.col("__p").alias("class"))
-              .agg(F.sum("__n").alias("n_pred")))
-    tp = (cm.filter(F.col("__l") == F.col("__p"))
-          .select(F.col("__l").alias("class"),
-                  F.col("__n").alias("tp")))
-    out = (n_true.join(n_pred, "class", "full_outer")
-           .join(tp, "class", "left")
-           .select("class",
-                   F.coalesce("n_true", F.lit(0)).alias("n_true"),
-                   F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
-                   F.coalesce("tp", F.lit(0)).alias("tp")))
+    tall = cm.selectExpr(
+        "inline(array("
+        "  struct(__l as class, __n as n_true,"
+        "         cast(0 as bigint) as n_pred,"
+        "         case when __l = __p then __n"
+        "              else cast(0 as bigint) end as tp),"
+        "  struct(__p as class, cast(0 as bigint) as n_true,"
+        "         __n as n_pred, cast(0 as bigint) as tp)))")
+    out = (tall.groupBy("class")
+           .agg(F.sum("n_true").alias("n_true"),
+                F.sum("n_pred").alias("n_pred"),
+                F.sum("tp").alias("tp")))
     rat = (lambda num, den:
            F.round(F.when(F.col(den) > 0,
                           F.col(num).cast("double") / F.col(den))
@@ -232,21 +241,22 @@ def classification_report(df: DataFrame, label_col: str,
 
 def classification_report_oracle_sql(label_expr: str, pred_expr: str,
                                      table: str = "documents") -> str:
-    """DuckDB mirror of :func:`classification_report`."""
+    """DuckDB mirror of :func:`classification_report` (the same
+    explode-the-confusion-matrix form, as UNION ALL)."""
     return f"""
 WITH cm AS (
   SELECT {label_expr} AS l, {pred_expr} AS p, count(*) AS n
   FROM {table} GROUP BY l, p),
-nt AS (SELECT l AS class, sum(n) AS n_true FROM cm GROUP BY l),
-np AS (SELECT p AS class, sum(n) AS n_pred FROM cm GROUP BY p),
-tp AS (SELECT l AS class, n AS tp FROM cm WHERE l = p),
+tall AS (
+  SELECT l AS class, n AS n_true, 0 AS n_pred,
+         CASE WHEN l = p THEN n ELSE 0 END AS tp FROM cm
+  UNION ALL
+  SELECT p AS class, 0 AS n_true, n AS n_pred, 0 AS tp FROM cm),
 base AS (
-  SELECT coalesce(nt.class, np.class) AS class,
-         cast(coalesce(n_true, 0) as bigint) AS n_true,
-         cast(coalesce(n_pred, 0) as bigint) AS n_pred,
-         cast(coalesce(tp.tp, 0) as bigint) AS tp
-  FROM nt FULL OUTER JOIN np ON nt.class = np.class
-  LEFT JOIN tp ON coalesce(nt.class, np.class) = tp.class)
+  SELECT class, cast(sum(n_true) as bigint) AS n_true,
+         cast(sum(n_pred) as bigint) AS n_pred,
+         cast(sum(tp) as bigint) AS tp
+  FROM tall GROUP BY class)
 SELECT class, n_true, n_pred, tp,
        round(CASE WHEN n_pred > 0
              THEN cast(tp as double) / n_pred ELSE 0.0 END, 6)
