@@ -1983,15 +1983,21 @@ def curation_v2(spark, sf):
     from pythonql_spark.operators.profile import percentile_normalize
     from pythonql_spark.operators.sampling import select_to_budget
     from pythonql_spark.operators.text import c4_clean
-    lined = (load_table(spark, sf, "documents")
-             .selectExpr("doc_id", "lang", "n_chars", _LINED + " as text"))
+    from pythonql_spark.sources.catalog import parallelize_small_scan
+    lined = parallelize_small_scan(
+        load_table(spark, sf, "documents")
+        .selectExpr("doc_id", "lang", "n_chars", _LINED + " as text"))
     # the C4 stage fans out to three consumers (kept-corpus, bench
     # shingles, and through them the whole downstream chain): pin it
-    # once (lazy localCheckpoint, same boundary trick as
-    # training_pipeline; measured −8% at sf0.1)
+    # once.  EAGER, for the same reason as training_pipeline — AQE
+    # submits the consumers' exchange sub-jobs concurrently, and a
+    # lazy checkpoint's first materialization raced from several
+    # stages duplicates the C4 line explode + contends on block
+    # writes.  Fan-out + eager measured 6.2 -> 4.2 s median at sf0.1
+    # (single-file scan; no-op on a real multi-split table).
     c4 = (c4_clean(lined, min_words=4, min_lines=2,
                    extra_cols=["lang", "n_chars"])
-          .filter("c4_keep")).localCheckpoint(eager=False)
+          .filter("c4_keep")).localCheckpoint(eager=True)
     kept = c4.filter("doc_id % 97 != 0").select(
         "doc_id", "lang", "n_chars", "text")
     bench = c4.filter("doc_id % 97 = 0").select("text")
@@ -2792,15 +2798,26 @@ def training_pipeline(spark, sf):
     from pythonql_spark.operators.decontam import decontaminate
     from pythonql_spark.operators.packing import pack_sequences
     from pythonql_spark.operators.sampling import stratified_sample
-    docs = load_table(spark, sf, "documents")
+    from pythonql_spark.sources.catalog import parallelize_small_scan
+    docs = parallelize_small_scan(load_table(spark, sf, "documents"))
     cleaned = docs.selectExpr("doc_id", "source", "lang",
                               TX.clean_text("text") + " as ctext")
     # materialize the cleaned text ONCE: CollapseProject would inline
     # the clean_text regex chain into every ctext reference in the
     # quality/fingerprint expressions (~8 re-evaluations per row,
     # measured 4s vs 0.3s at sf0.1).  At 100 TB this is the standard
-    # stage boundary — you persist the cleaned corpus anyway.
-    cleaned = cleaned.localCheckpoint(eager=False)
+    # stage boundary — you persist the cleaned corpus anyway.  The
+    # scan fan-out above keeps the checkpoint (and the regex chain it
+    # materializes) parallel when the input is one small file; at
+    # real scale it's a no-op.  EAGER: this checkpoint has multiple
+    # independent downstream exchanges (dedup agg, join probe, bench
+    # side), and AQE submits those sub-jobs concurrently — racing a
+    # LAZY checkpoint's first materialization from several 32-slot
+    # stages at once measured 66 s executor / 8 s CPU on one stage
+    # (block-write contention + duplicated upstream compute).  One
+    # dedicated materialization job, then everyone reads blocks:
+    # median 3.2 s -> 1.7 s at sf0.1.
+    cleaned = cleaned.localCheckpoint(eager=True)
     scored = cleaned.selectExpr("*", TX.quality_score("ctext") + " as quality",
                                 TX.fingerprint("ctext") + " as fp")
     good = scored.filter("quality >= 0.5")

@@ -111,6 +111,34 @@ def load_sf(spark: SparkSession, sf_dir: str | None = None,
     return out
 
 
+def parallelize_small_scan(df: DataFrame,
+                           min_partitions: int | None = None) -> DataFrame:
+    """Give a small-file scan enough partitions to use the cluster.
+
+    A scan's task count comes from its input splits: a corpus stored
+    as a handful of small parquet files (the local testdata is ONE
+    ~600 KB file per table) plans as that many tasks, so an expensive
+    projection chained onto it — regex cleaning, shingling, hashing —
+    runs SERIALLY no matter how many cores exist, and a stage-boundary
+    localCheckpoint then pins the serial layout for every downstream
+    stage.  At production scale this is a no-op guard: a 100 TB table
+    scans as ~10⁵-10⁶ splits, already ≥ ``min_partitions``, and the
+    input is returned unchanged — the round-robin exchange only
+    appears when the input is small enough that shuffling it is
+    effectively free (measured: training_pipeline 3.6 s of
+    single-task executor time → 32-way, wall 4.7 → ~1.5 s at sf0.1).
+
+    ``min_partitions`` defaults to the session's default parallelism
+    (= core count on local mode).  Partition-count inspection is
+    metadata-only — no job runs.
+    """
+    spark = df.sparkSession
+    n = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def read_files(spark: SparkSession, path: str, fmt: str = "parquet",
                schema=None, *, corrupt_col: str | None = None,
                **options) -> DataFrame:
