@@ -1983,21 +1983,19 @@ def curation_v2(spark, sf):
     from pythonql_spark.operators.profile import percentile_normalize
     from pythonql_spark.operators.sampling import select_to_budget
     from pythonql_spark.operators.text import c4_clean
-    from pythonql_spark.sources.catalog import parallelize_small_scan
-    lined = parallelize_small_scan(
-        load_table(spark, sf, "documents")
-        .selectExpr("doc_id", "lang", "n_chars", _LINED + " as text"))
+    lined = (load_table(spark, sf, "documents")
+             .selectExpr("doc_id", "lang", "n_chars", _LINED + " as text"))
     # the C4 stage fans out to three consumers (kept-corpus, bench
     # shingles, and through them the whole downstream chain): pin it
-    # once.  EAGER, for the same reason as training_pipeline — AQE
-    # submits the consumers' exchange sub-jobs concurrently, and a
-    # lazy checkpoint's first materialization raced from several
-    # stages duplicates the C4 line explode + contends on block
-    # writes.  Fan-out + eager measured 6.2 -> 4.2 s median at sf0.1
-    # (single-file scan; no-op on a real multi-split table).
+    # once (lazy localCheckpoint, same boundary trick as
+    # training_pipeline; measured −8% at sf0.1).  Unlike
+    # training_pipeline, scan fan-out + eager measured NEUTRAL here
+    # under interleaved A/B (3.59 lazy vs 3.52-4.27 variants): the C4
+    # line explode parallelizes through its own downstream shuffle, so
+    # the serial head is short and the extra exchange buys nothing.
     c4 = (c4_clean(lined, min_words=4, min_lines=2,
                    extra_cols=["lang", "n_chars"])
-          .filter("c4_keep")).localCheckpoint(eager=True)
+          .filter("c4_keep")).localCheckpoint(eager=False)
     kept = c4.filter("doc_id % 97 != 0").select(
         "doc_id", "lang", "n_chars", "text")
     bench = c4.filter("doc_id % 97 = 0").select("text")
@@ -2799,7 +2797,14 @@ def training_pipeline(spark, sf):
     from pythonql_spark.operators.packing import pack_sequences
     from pythonql_spark.operators.sampling import stratified_sample
     from pythonql_spark.sources.catalog import parallelize_small_scan
-    docs = parallelize_small_scan(load_table(spark, sf, "documents"))
+    # quarter-parallelism fan-out: the serial clean_text head is
+    # ~3.5 s of work; with ~50-100 ms of per-task scheduling/block
+    # overhead on small inputs, ~8 tasks is the sweet spot (optimal
+    # tasks ≈ sqrt(work/overhead)); 32 tasks measured 1.72 s vs
+    # 1.08 s at 8 under interleaved A/B
+    docs = parallelize_small_scan(
+        load_table(spark, sf, "documents"),
+        max(2, spark.sparkContext.defaultParallelism // 4))
     cleaned = docs.selectExpr("doc_id", "source", "lang",
                               TX.clean_text("text") + " as ctext")
     # materialize the cleaned text ONCE: CollapseProject would inline
@@ -2816,7 +2821,8 @@ def training_pipeline(spark, sf):
     # stages at once measured 66 s executor / 8 s CPU on one stage
     # (block-write contention + duplicated upstream compute).  One
     # dedicated materialization job, then everyone reads blocks:
-    # median 3.2 s -> 1.7 s at sf0.1.
+    # interleaved A/B medians at sf0.1: 2.09 s lazy serial ->
+    # 1.08 s fan-out-8 + eager.
     cleaned = cleaned.localCheckpoint(eager=True)
     scored = cleaned.selectExpr("*", TX.quality_score("ctext") + " as quality",
                                 TX.fingerprint("ctext") + " as fp")

@@ -125,11 +125,15 @@ def parallelize_small_scan(df: DataFrame,
     scans as ~10⁵-10⁶ splits, already ≥ ``min_partitions``, and the
     input is returned unchanged — the round-robin exchange only
     appears when the input is small enough that shuffling it is
-    effectively free (measured: training_pipeline 3.6 s of
-    single-task executor time → 32-way, wall 4.7 → ~1.5 s at sf0.1).
+    effectively free (measured: training_pipeline's ~3.5 s serial
+    clean_text head, interleaved A/B median 2.09 → 1.08 s at sf0.1).
 
     ``min_partitions`` defaults to the session's default parallelism
-    (= core count on local mode).  Partition-count inspection is
+    (= core count on local mode); for inputs this small, per-task
+    scheduling/block overhead (~50-100 ms) argues for FEWER tasks
+    than cores — optimal ≈ sqrt(serial_work / per_task_overhead), so
+    callers with a known-short serial head pass e.g. a quarter of
+    ``defaultParallelism``.  Partition-count inspection is
     metadata-only — no job runs.
     """
     spark = df.sparkSession
