@@ -22,6 +22,29 @@ from pythonql_spark.operators.text import sql_str
 BUCKETS = 10_000
 
 
+def _range_parts(df: DataFrame, n_max: int,
+                 target_mb: int = 32) -> int:
+    """Partition count for a forced range exchange.
+
+    ``repartitionByRange(n, ...)`` is user-specified partitioning, so
+    AQE never coalesces it: a tiny input still occupies ``n``
+    scheduling slots in every downstream stage, and the Arrow
+    numbering passes here pay a per-task Python round-trip — measured
+    as 32-task stages moving ~2k rows with ~1% CPU utilization.  Size
+    the exchange from Catalyst's plan-time estimate (~``target_mb``
+    per partition, free — no job), capped at ``n_max``.  Unknown
+    statistics report a huge default size, so the cap (the session's
+    shuffle parallelism — the previous behavior) wins at scale and in
+    doubt; only a provably small input gets fewer, bigger partitions.
+    """
+    try:
+        stats_bytes = int(df._jdf.queryExecution().optimizedPlan()
+                          .stats().sizeInBytes())
+    except Exception:
+        return n_max
+    return max(1, min(n_max, -(-stats_bytes // (target_mb << 20))))
+
+
 def hash_bucket(expr: str, dialect: str = "spark",
                 buckets: int = BUCKETS) -> str:
     """Deterministic bucket in [0, buckets) from any expression —
@@ -145,8 +168,8 @@ def global_index(df: DataFrame, sort_cols=None, out_col: str = "pos",
     rank-to-percentile normalization needs no second corpus scan."""
     keyed = df
     if sort_cols is not None:
-        n = n_partitions or int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        n = n_partitions or _range_parts(df, int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
         keyed = (df.repartitionByRange(n, *sort_cols)
                  .sortWithinPartitions(*sort_cols))
     # materialize the partition layout ONCE: the numbering branch and
@@ -324,8 +347,8 @@ def select_to_budget(df: DataFrame, strata_col: str,
     # treat every stratum (incl. NULL) as one ordinary group
     sk = F.when(F.col(strata_col).isNull(), F.lit("0")).otherwise(
         F.concat(F.lit("1"), F.col(strata_col).cast("string")))
-    n = n_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n = n_partitions or _range_parts(df, int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
     keyed = (df.withColumn("__sk", sk)
              .repartitionByRange(n, F.col("__sk"), *ordcols)
              .sortWithinPartitions(F.col("__sk"), *ordcols)
@@ -638,7 +661,8 @@ def quantile_buckets(df: DataFrame, order_by: list[str], k: int, *,
     from pyspark.sql.types import LongType, StructField, StructType
     from pyspark.sql.window import Window as W
     ordcols = [_sort_col(e) for e in order_by]
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n = _range_parts(df, int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
     keyed = (df.repartitionByRange(n, *ordcols)
              .sortWithinPartitions(*ordcols)
              .withColumn("__pid", F.spark_partition_id())
