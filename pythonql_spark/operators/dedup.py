@@ -21,6 +21,16 @@ from pyspark.sql import functions as F
 from pythonql_spark.operators.text import fingerprint
 
 
+def _fan_out_small(df: DataFrame, full: bool = False) -> DataFrame:
+    """Fan out a small-file input before the expensive map side — the
+    shingle/hash/explode chains below otherwise run in the SCAN stage
+    at the input's split count (serial for a single small file).  See
+    :func:`pythonql_spark.sources.catalog.fan_out_small` for the
+    width policy."""
+    from pythonql_spark.sources.catalog import fan_out_small
+    return fan_out_small(df, full=full)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """(id_col, dup_count): the min id per normalized-text
@@ -181,6 +191,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     so mass-duplicated content still fully clusters; use
     :func:`minhash_bucket_report` to see which buckets the cap
     demoted."""
+    df = _fan_out_small(df)
     buckets = _minhash_band_buckets(df, id_col, text_col,
                                     num_hashes, bands, ngram)
     pairs = _bucket_pairs(
@@ -423,6 +434,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     ``max_bucket_size`` guards degenerate buckets (see
     minhash_lsh_pairs).  ``hash_fn="md5"`` is the 60-bit
     oracle-portable path (4×15-bit bands by default)."""
+    df = _fan_out_small(df)
     banded = _simhash_band_buckets(df, id_col, text_col, band_bits,
                                    hash_fn)
     return (_bucket_pairs(
@@ -564,6 +576,10 @@ def ngram_jaccard_pairs(df: DataFrame, block_cols: list[str],
     """Exact word-ngram Jaccard over pairs within the same blocking
     key (never all-pairs).  Word lists are sorted-distinct so the
     intersect/union sizes are engine-portable."""
+    # full width: the per-pair intersect/union work rides these
+    # partitions through a broadcast self-join (no exchange re-spreads
+    # it), and it is orders of magnitude heavier than the gram build
+    df = _fan_out_small(df, full=True)
     grams = F.expr(f"array_sort(array_distinct({word_ngrams(text_col, ngram)}))")
     side = df.select(F.col(id_col).alias("id"), grams.alias("grams"),
                      *[F.col(c) for c in block_cols])

@@ -78,7 +78,8 @@ def dup_span_stats(df: DataFrame, k: int = 8, *,
     WHOLE corpus (across or within documents), and the fraction of its
     token positions covered by at least one such k-gram.
     """
-    kg = _kgram_rows(df, k, id_col, text_col)
+    from pythonql_spark.sources.catalog import fan_out_small
+    kg = _kgram_rows(fan_out_small(df), k, id_col, text_col)
     kg = kg.localCheckpoint(eager=False)  # k-gram-ize once, use twice
     dup_h = (kg.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
              .filter("c > 1").select("h"))
@@ -242,7 +243,8 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4, *,
     if k <= 0 or w <= 0:
         raise ValueError("need k >= 1 and w >= 1")
     from pyspark.sql.window import Window as W
-    grams = _kgram_rows(df, k, id_col, text_col,
+    from pythonql_spark.sources.catalog import fan_out_small
+    grams = _kgram_rows(fan_out_small(df), k, id_col, text_col,
                         hash_fn=_kgram_hash36)
     win = (W.partitionBy(id_col).orderBy("start")
            .rowsBetween(-(w - 1), 0))

@@ -570,9 +570,11 @@ def top_ngram_fraction(df, n: int = 2, text_col: str = "text",
     partials → per-doc top-1 via a WindowGroupLimit (rank 1), which
     Spark pushes as a partial top-k before the final shuffle."""
     from pyspark.sql import Window
-    grams = (df.select(F.col(id_col), F.length(text_col).alias("dl"),
-                       F.explode(F.expr(ngram_list(text_col, n)))
-                       .alias("gram")))
+    from pythonql_spark.sources.catalog import fan_out_small
+    grams = (fan_out_small(df)
+             .select(F.col(id_col), F.length(text_col).alias("dl"),
+                     F.explode(F.expr(ngram_list(text_col, n)))
+                     .alias("gram")))
     counts = (grams.groupBy(id_col, "dl", "gram")
               .agg(F.count(F.lit(1)).alias("cnt")))
     w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("gram"))

@@ -143,6 +143,21 @@ def parallelize_small_scan(df: DataFrame,
     return df.repartition(n)
 
 
+def fan_out_small(df: DataFrame, full: bool = False) -> DataFrame:
+    """:func:`parallelize_small_scan` with the measured width policy.
+
+    Default quarter-parallelism suits a SHORT serial map head that
+    immediately exchanges (signature building, explode-then-groupBy):
+    per-task scheduling/block overhead (~50-100 ms on small inputs)
+    argues for fewer, bigger tasks.  ``full=True`` is for inputs whose
+    downstream heavy work PIPELINES onto these partitions with no
+    re-spreading exchange (e.g. a broadcast-joined verify pass) —
+    there, capping the width caps the whole computation.  Both are
+    no-ops at production scale."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    return parallelize_small_scan(df, cores if full else max(2, cores // 4))
+
+
 def read_files(spark: SparkSession, path: str, fmt: str = "parquet",
                schema=None, *, corrupt_col: str | None = None,
                **options) -> DataFrame:
