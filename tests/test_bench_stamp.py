@@ -23,13 +23,14 @@ def test_clean_run_stamps_true():
     b = _bench()
     assert b.clean_stamp(probe_pre_s=0.47, probe_post_s=0.48,
                          ref_retime_s=0.25, loadavg1_pre=0.8,
-                         sf=0.1) is True
+                         sf=0.1, ref_retime_pre_s=0.24) is True
 
 
 def test_loaded_indicators_each_stamp_false():
     b = _bench()
     clean = dict(probe_pre_s=0.47, probe_post_s=0.48,
-                 ref_retime_s=0.25, loadavg1_pre=0.8, sf=0.1)
+                 ref_retime_s=0.25, loadavg1_pre=0.8, sf=0.1,
+                 ref_retime_pre_s=0.24)
     # the r10 steal episode: single-thread md5 ~2.7x inflated
     assert b.clean_stamp(**{**clean, "probe_pre_s": 1.29}) is False
     # contention arriving MID-RUN: pre probe clean, post probe not
@@ -40,6 +41,11 @@ def test_loaded_indicators_each_stamp_false():
     assert b.clean_stamp(**{**clean, "ref_retime_s": None}) is False
     # another Spark job still running at bench start
     assert b.clean_stamp(**{**clean, "loadavg1_pre": 18.0}) is False
+    # residual load at bench START only (a 27-min suite just ended):
+    # the end retime, probes and 1-min loadavg all read clean while
+    # the early keys ran ~15% inflated — the PRE retime catches it
+    assert b.clean_stamp(**{**clean, "ref_retime_pre_s": 0.41}) is False
+    assert b.clean_stamp(**{**clean, "ref_retime_pre_s": None}) is False
 
 
 def test_retime_band_is_sf01_only():
