@@ -22,27 +22,36 @@ from pythonql_spark.operators.text import sql_str
 BUCKETS = 10_000
 
 
-def _range_parts(df: DataFrame, n_max: int,
-                 target_mb: int = 32) -> int:
-    """Partition count for a forced range exchange.
+def _range_partition(df: DataFrame, cols,
+                     n_partitions: int | None) -> DataFrame:
+    """Range-partition + locally sort for the two-phase prefix-sum
+    operators, with AQE-coalescible sizing.
 
-    ``repartitionByRange(n, ...)`` is user-specified partitioning, so
-    AQE never coalesces it: a tiny input still occupies ``n``
-    scheduling slots in every downstream stage, and the Arrow
-    numbering passes here pay a per-task Python round-trip — measured
-    as 32-task stages moving ~2k rows with ~1% CPU utilization.  Size
-    the exchange from Catalyst's plan-time estimate (~``target_mb``
-    per partition, free — no job), capped at ``n_max``.  Unknown
-    statistics report a huge default size, so the cap (the session's
-    shuffle parallelism — the previous behavior) wins at scale and in
-    doubt; only a provably small input gets fewer, bigger partitions.
-    """
-    try:
-        stats_bytes = int(df._jdf.queryExecution().optimizedPlan()
-                          .stats().sizeInBytes())
-    except Exception:
-        return n_max
-    return max(1, min(n_max, -(-stats_bytes // (target_mb << 20))))
+    ``repartitionByRange(n, ...)`` is user-specified partitioning
+    (shuffle origin REPARTITION_BY_NUM) that AQE never coalesces: a
+    tiny input still occupies ``n`` scheduling slots in every
+    downstream stage, and the Arrow numbering passes here pay a
+    per-task Python round-trip — measured as 32-task stages moving
+    ~2k rows at ~1% CPU.  An earlier fix sized ``n`` from Catalyst's
+    plan-time sizeInBytes estimate, but post-join estimates are
+    unusable (unknown → cap), which left e.g. curation_v2's budget
+    stage at full width.  The no-``n`` form (origin
+    REPARTITION_BY_COL) lets AQE pick the count from the MEASURED map
+    output sizes instead: it starts from the session's shuffle
+    parallelism (identical to the old cap at scale or with AQE off)
+    and coalesces to ``advisoryPartitionSizeInBytes`` — verified:
+    2k rows → 1 partition, ~240 MB → 16, straight through a
+    ``localCheckpoint``.  An explicit ``n_partitions`` still forces
+    the exact count (callers that pin layouts for tests).
+
+    Numbering correctness does not depend on the boundaries AQE picks:
+    the sort keys are a total order, so global position = (range
+    partition, local row) for ANY contiguous partitioning — only
+    determinism of the VALUES matters, not of the layout."""
+    cols = list(cols)
+    keyed = (df.repartitionByRange(n_partitions, *cols) if n_partitions
+             else df.repartitionByRange(*cols))
+    return keyed.sortWithinPartitions(*cols)
 
 
 def hash_bucket(expr: str, dialect: str = "spark",
@@ -168,10 +177,7 @@ def global_index(df: DataFrame, sort_cols=None, out_col: str = "pos",
     rank-to-percentile normalization needs no second corpus scan."""
     keyed = df
     if sort_cols is not None:
-        n = n_partitions or _range_parts(df, int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
-        keyed = (df.repartitionByRange(n, *sort_cols)
-                 .sortWithinPartitions(*sort_cols))
+        keyed = _range_partition(df, sort_cols, n_partitions)
     # materialize the partition layout ONCE: the numbering branch and
     # the offsets branch below must see the SAME partition boundaries,
     # and RangePartitioner's sampled split points are not contractually
@@ -347,11 +353,8 @@ def select_to_budget(df: DataFrame, strata_col: str,
     # treat every stratum (incl. NULL) as one ordinary group
     sk = F.when(F.col(strata_col).isNull(), F.lit("0")).otherwise(
         F.concat(F.lit("1"), F.col(strata_col).cast("string")))
-    n = n_partitions or _range_parts(df, int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
-    keyed = (df.withColumn("__sk", sk)
-             .repartitionByRange(n, F.col("__sk"), *ordcols)
-             .sortWithinPartitions(F.col("__sk"), *ordcols)
+    keyed = (_range_partition(df.withColumn("__sk", sk),
+                              [F.col("__sk"), *ordcols], n_partitions)
              .withColumn("__pid", F.spark_partition_id())
              .localCheckpoint(eager=False))
 
@@ -661,10 +664,7 @@ def quantile_buckets(df: DataFrame, order_by: list[str], k: int, *,
     from pyspark.sql.types import LongType, StructField, StructType
     from pyspark.sql.window import Window as W
     ordcols = [_sort_col(e) for e in order_by]
-    n = _range_parts(df, int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
-    keyed = (df.repartitionByRange(n, *ordcols)
-             .sortWithinPartitions(*ordcols)
+    keyed = (_range_partition(df, ordcols, None)
              .withColumn("__pid", F.spark_partition_id())
              .localCheckpoint(eager=False))
     partials = (keyed.groupBy("__pid")

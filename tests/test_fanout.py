@@ -34,28 +34,30 @@ def test_width_policy(spark):
     assert fan_out_small(one, full=True).rdd.getNumPartitions() == cores
 
 
-def test_range_parts_caps_on_unknown_or_large_stats(spark):
-    from pythonql_spark.operators.sampling import _range_parts
-    # a raw range has a concrete (small) size estimate → few partitions
+def test_range_partition_is_aqe_coalescible(spark):
+    """The forced range exchange must use the no-``n`` form
+    (shuffle origin REPARTITION_BY_COL): AQE then sizes the partition
+    count from MEASURED map output — a tiny input coalesces to ~1
+    partition instead of occupying the full session parallelism —
+    while an RDD-backed frame with unknown plan statistics (the case
+    that defeated the earlier estimate-based sizing) coalesces just
+    the same."""
+    from pythonql_spark.operators.sampling import _range_partition
     small = spark.range(100).selectExpr("id", "cast(id as double) as v")
-    assert _range_parts(small, 32) == 1
-    # an RDD-backed frame has NO size statistic — Catalyst reports the
-    # huge default, so the cap (= the pre-change behavior) must win
+    assert _range_partition(small, ["v", "id"],
+                            None).rdd.getNumPartitions() <= 2
     unknown = spark.createDataFrame(
         spark.sparkContext.parallelize([(1, 2.0), (3, 4.0)]),
         "id long, v double")
-    assert _range_parts(unknown, 32) == 32
+    assert _range_partition(unknown, ["v", "id"],
+                            None).rdd.getNumPartitions() <= 2
 
 
-def test_range_parts_scales_with_stats(spark):
-    from pythonql_spark.operators.sampling import _range_parts
-    small = spark.range(50).selectExpr("id", "cast(id as double) as v")
-    # ~400 bytes of stats at 1 MB/partition is still one partition;
-    # the same frame at a tiny target must request more partitions
-    # than at a huge target (monotonicity of the sizing rule)
-    lo = _range_parts(small, 32, target_mb=1024)
-    hi = _range_parts(small, 32, target_mb=1)
-    assert lo <= hi <= 32
+def test_range_partition_explicit_n_is_exact(spark):
+    from pythonql_spark.operators.sampling import _range_partition
+    small = spark.range(100).selectExpr("id", "cast(id as double) as v")
+    assert _range_partition(small, ["v", "id"],
+                            8).rdd.getNumPartitions() == 8
 
 
 def test_global_index_small_input_plans_few_range_partitions(spark):
