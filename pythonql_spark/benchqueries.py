@@ -4662,9 +4662,14 @@ def pagerank_q(spark, sf):
     from pythonql_spark.operators.graph import pagerank
     o = load_table(spark, sf, "orders")
     li = load_table(spark, sf, "lineitem")
+    # no .distinct() here: pagerank's undirected symmetrization dedups
+    # the union anyway (and the outer distinct's map-side partial agg
+    # already dedups locally before its shuffle), so a caller-side
+    # distinct is a pure extra exchange over the joined output —
+    # removing it drops one full shuffle from the edge derivation
     edges = (o.join(li, o.o_orderkey == li.l_orderkey)
              .selectExpr("o_custkey * 2 as src",
-                         "l_suppkey * 2 + 1 as dst").distinct())
+                         "l_suppkey * 2 + 1 as dst"))
     return pagerank(edges, iters=3)
 
 

@@ -59,14 +59,20 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     deg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
            .localCheckpoint(eager=False))
     n = deg.count()
+    # attach the out-degree to the edge list ONCE, outside the loop:
+    # every iteration previously joined deg again (guide §2.4 — two
+    # operations keyed the same way share one exchange; here the
+    # (edge ⋈ deg) result is iteration-invariant, so hoisting it
+    # removes one join + its exchanges from EVERY superstep)
+    ed = (e.join(deg, "src").select("src", "dst", "deg")
+          .localCheckpoint(eager=False))
     base = (f"(cast(1.0 as double) - cast({damping!r} as double))"
             f" / {n}")
     r = deg.select(F.col("src").alias("node"),
                    F.expr(f"cast(round(cast(1.0 as double) / {n}, 9) as double)")
                    .alias("rank"))
     for it in range(iters):
-        contrib = (e.join(r, e.src == r.node)
-                   .join(deg, "src")
+        contrib = (ed.join(r, ed.src == r.node)
                    .select(F.col("dst").alias("node"),
                            F.expr("cast(round(rank / deg, 9) as "
                                   "decimal(38,9))").alias("c")))
