@@ -481,7 +481,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     e = pairs.select(F.col(id_a).cast("bigint").alias("u"),
                      F.col(id_b).cast("bigint").alias("v"))
     e = e.localCheckpoint(eager=True)
-    if e.limit(1).count() == 0:
+    # BOUNDED driver fast path: LSH candidate lists are usually far
+    # smaller than the corpus (a few pairs per duplicate), and each
+    # distributed round costs 2+ jobs + a checkpoint — 1.9s of pure
+    # overhead for 256 pairs at sf0.1.  If every edge fits under
+    # ``driver_limit`` (<= ~16 MB of longs at the default), union-find
+    # on the driver in one pass; the distributed O(log d) loop below
+    # remains the path for duplicate-heavy corpora.  Same bounded
+    # contract as the IVF k-means training sample.
+    # The emptiness probe rides the same bounded transfer (an empty
+    # head IS the no-edges answer) — a separate limit(1).count() was
+    # one whole extra job on every call.
+    head = e.limit(max(driver_limit, 0) + 1).toPandas()
+    if len(head) == 0:
         # no edges: every node is its own component — skip the loop
         # (each round is 2+ jobs; a clean corpus / incremental probe
         # with no duplicates otherwise pays the full iteration floor)
@@ -491,18 +503,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                 F.col(nodes.columns[0]).cast("bigint").alias("id"))
                 .select("id", F.col("id").alias("comp")))
         return empty
-    # BOUNDED driver fast path: LSH candidate lists are usually far
-    # smaller than the corpus (a few pairs per duplicate), and each
-    # distributed round costs 2+ jobs + a checkpoint — 1.9s of pure
-    # overhead for 256 pairs at sf0.1.  If every edge fits under
-    # ``driver_limit`` (<= ~16 MB of longs at the default), union-find
-    # on the driver in one pass; the distributed O(log d) loop below
-    # remains the path for duplicate-heavy corpora.  Same bounded
-    # contract as the IVF k-means training sample.
     if driver_limit:
-        # Arrow transfer: row-wise collect() of ~1M edges costs ~20s
-        # through Py4J; toPandas is ~100× faster for two long columns
-        head = e.limit(driver_limit + 1).toPandas()
         if len(head) <= driver_limit:
             parent: dict[int, int] = {}
 
