@@ -2204,7 +2204,7 @@ def dedup_semantic_md5(spark, sf):
     pairwise cosine ≈ 0.47), so this keeps a real, modest pair set."""
     from pythonql_spark.operators.similarity import semantic_pairs_md5
     emb = load_table(spark, sf, "embeddings")
-    return semantic_pairs_md5(emb, threshold=0.3, n_cells=16)
+    return semantic_pairs_md5(emb, threshold=0.3, n_cells=16, dim=64)
 
 
 @q("cluster_embed_md5", None)  # oracle attached below (generated SQL)
@@ -2216,7 +2216,7 @@ def cluster_embed_md5(spark, sf):
     quantizer swapped for the fixed one DuckDB can replay."""
     from pythonql_spark.operators.similarity import cluster_embeddings_md5
     emb = load_table(spark, sf, "embeddings")
-    return cluster_embeddings_md5(emb, n_cells=16)
+    return cluster_embeddings_md5(emb, n_cells=16, dim=64)
 
 
 @q("quality_classify_md5", None)  # oracle attached below (generated SQL)
@@ -2685,7 +2685,7 @@ def ann_lsh_md5(spark, sf):
     # chains run interpreted (the dual-dialect price; production
     # search stays on the BLAS lsh_topk path)
     emb = load_table(spark, sf, "embeddings").filter("vec_id % 2 = 0")
-    return lsh_topk_md5(emb, query_ids=list(range(0, 20, 2)), k=5)
+    return lsh_topk_md5(emb, query_ids=list(range(0, 20, 2)), k=5, dim=64)
 
 
 @q("ann_ivf_md5", None)  # oracle attached below (generated SQL)
@@ -2697,7 +2697,7 @@ def ann_ivf_md5(spark, sf):
     from pythonql_spark.operators.similarity import ivf_topk_md5
     emb = load_table(spark, sf, "embeddings")
     return ivf_topk_md5(emb, query_ids=list(range(10)), k=5,
-                        n_cells=8, n_probe=3)
+                        n_cells=8, n_probe=3, dim=64)
 
 
 @q("ann_ivfpq_md5", None)  # oracle attached below (generated SQL)
@@ -2709,7 +2709,7 @@ def ann_ivfpq_md5(spark, sf):
     (ann_ivfpq)."""
     from pythonql_spark.operators.pq import ivfpq_topk_md5
     emb = load_table(spark, sf, "embeddings")
-    return ivfpq_topk_md5(emb, query_ids=list(range(10)), k=5)
+    return ivfpq_topk_md5(emb, query_ids=list(range(10)), k=5, dim=64)
 
 
 @q("ann_pq_md5", None)  # oracle attached below (generated SQL)
@@ -2721,7 +2721,7 @@ def ann_pq_md5(spark, sf):
     (ann_pq)."""
     from pythonql_spark.operators.pq import pq_topk_md5
     emb = load_table(spark, sf, "embeddings")
-    return pq_topk_md5(emb, query_ids=list(range(10)), k=5)
+    return pq_topk_md5(emb, query_ids=list(range(10)), k=5, dim=64)
 
 
 @q("classify_features", None)  # oracle attached below (generated SQL)

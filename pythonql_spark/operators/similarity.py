@@ -925,11 +925,13 @@ def semantic_pairs(df: DataFrame, threshold: float = 0.85, *,
     bits (near-duplicates agree on sign bits w.h.p., so refinement
     keeps dup pairs co-blocked while splitting the bulk) — the same
     argument as the LSH band cap in dedup.py."""
-    dim = _dim(df, vec_col)
     C = _train_centroids(df, n_clusters=n_clusters,
                          train_sample=train_sample,
                          kmeans_iters=kmeans_iters,
                          id_col=id_col, vec_col=vec_col)
+    # the trained centroid matrix already knows the dimension — a
+    # separate _dim() first() would be one extra driver job per call
+    dim = int(C.shape[1])
     assigned = df.select(F.col(id_col).alias("id"),
                          F.col(vec_col).alias("v"),
                          vector_norm(vec_col, dim).alias("nrm"),
