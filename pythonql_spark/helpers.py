@@ -105,3 +105,20 @@ def with_checksum(df: DataFrame, round_floats: int = 6) -> DataFrame:
             c = F.hex(c)
         parts.append(F.coalesce(c.cast("string"), F.lit("∅")))
     return df.withColumn("checksum", F.md5(F.concat_ws("|", *parts)))
+
+
+def local_rows_df(spark, rows, schema, rows_per_slice: int = 200_000):
+    """DataFrame from a small driver-resident row list WITHOUT the
+    default fan-out: ``createDataFrame(list)`` parallelizes into
+    ``defaultParallelism`` slices, so even a ONE-row broadcast source
+    (a Bloom bit array, a classifier weight vector) schedules a
+    32-task stage of empty work — measured 32 tasks for one row, each
+    paying per-task scheduling/dispatch overhead.  One slice per
+    ``rows_per_slice`` rows keeps big bounded lists (the 1M-pair
+    union-find output) reasonably parallel while tiny frames run one
+    task.  Callers must pass an explicit ``schema`` (RDD input skips
+    inference)."""
+    rows = list(rows)
+    n = max(1, -(-len(rows) // rows_per_slice))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n), schema)

@@ -102,7 +102,8 @@ def bloom_mark(probe: DataFrame, bits: list[int], expr: str, *,
     bits were built from.  The array rides a broadcast 1-row cross
     join — one copy per executor, never per task."""
     spark = probe.sparkSession
-    row = spark.createDataFrame([(bits,)], schema="__bloom array<bigint>")
+    from pythonql_spark.helpers import local_rows_df
+    row = local_rows_df(spark, [(bits,)], "__bloom array<bigint>")
     hit = bloom_hit_expr(expr, k, n_bits, hash_fn=hash_fn)
     return (probe.crossJoin(F.broadcast(row))
             .withColumn(out_col, F.expr(hit))

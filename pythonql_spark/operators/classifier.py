@@ -109,8 +109,9 @@ def quality_score(df: DataFrame, model: dict, *,
     nb = model["n_buckets"]
     b = bucket_expr("w", nb, "spark", model["hash_fn"])
     spark = df.sparkSession
-    wrow = spark.createDataFrame([(model["weights"],)],
-                                 schema="__qw array<double>")
+    from pythonql_spark.helpers import local_rows_df
+    wrow = local_rows_df(spark, [(model["weights"],)],
+                         "__qw array<double>")
     ws = _words(text_col)
     logit = (f"aggregate({ws}, cast(0 as double), "
              f"(acc, w) -> acc + element_at(__qw, cast({b} as int) + 1)) "

@@ -521,8 +521,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                     # attach larger root under smaller: the root of a
                     # set is always its min member id
                     parent[max(ru, rv)] = min(ru, rv)
-            comp = pairs.sparkSession.createDataFrame(
-                [(x, find(x)) for x in parent], "id long, comp long")
+            from pythonql_spark.helpers import local_rows_df
+            comp = local_rows_df(pairs.sparkSession,
+                                 [(x, find(x)) for x in parent],
+                                 "id long, comp long")
             if nodes is not None:
                 iso = (nodes.select(F.col(nodes.columns[0])
                                     .cast("bigint").alias("id"))

@@ -257,10 +257,13 @@ def ivf_topk(df: DataFrame, query_ids, k: int = 5, *,
     probe_cells = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]
 
     spark = df.sparkSession
-    probes = F.broadcast(spark.createDataFrame(
+    from pythonql_spark.helpers import local_rows_df
+    probes = F.broadcast(local_rows_df(
+        spark,
         [(int(r.q_id), int(c)) for r, cells in zip(qrows, probe_cells)
          for c in cells], "q_id long, cell int"))
-    qvecs = F.broadcast(spark.createDataFrame(
+    qvecs = F.broadcast(local_rows_df(
+        spark,
         [(int(r.q_id), [float(x) for x in r.q_vec], float(n))
          for r, n in zip(qrows, q_norms)],
         "q_id long, q_vec array<double>, q_norm double"))
@@ -512,11 +515,14 @@ def lsh_topk(df: DataFrame, query_ids, k: int = 5, *,
                         F.posexplode(sigs).alias("t", "sig")))
     masks = _probe_masks(n_planes, probe_hamming)
     spark = df.sparkSession
-    probes = spark.createDataFrame(
+    from pythonql_spark.helpers import local_rows_df
+    probes = local_rows_df(
+        spark,
         [(r.q_id, t, int(s) ^ m) for r, srow in zip(qrows, q_sigs)
          for t, s in enumerate(srow) for m in masks],
         "q_id long, t int, probe_sig long")
-    qvecs = F.broadcast(spark.createDataFrame(
+    qvecs = F.broadcast(local_rows_df(
+        spark,
         [(r.q_id, [float(x) for x in r.q_vec], float(nrm))
          for r, nrm in zip(qrows, q_norms)],
         "q_id long, q_vec array<double>, q_norm double"))
