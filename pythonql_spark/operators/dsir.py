@@ -80,12 +80,14 @@ def dsir_logweights(df: DataFrame, target_pred: str, *,
         f"explode({words(f'lower({text_col})')}) as tok")
         .filter("tok != ''")
         .withColumn("b", F.expr(b_expr)))
-    toks = toks.localCheckpoint(eager=False)  # explode once, use thrice
-    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("cnt_r"))
-    tgt = (toks.filter("__tgt").groupBy("b")
-           .agg(F.count(F.lit(1)).alias("cnt_t")))
-    lam = (raw.join(tgt, "b", "left")
-           .withColumn("cnt_t", F.expr("coalesce(cnt_t, 0)"))
+    toks = toks.localCheckpoint(eager=False)  # explode once, use twice
+    # raw and target bucket counts in ONE pass: the conditional count
+    # replaces a second full traversal of the token stream plus the
+    # raw⋈target left join (a bucket with no target rows counts 0
+    # exactly as the old coalesce did)
+    lam = (toks.groupBy("b")
+           .agg(F.count(F.lit(1)).alias("cnt_r"),
+                F.count_if("__tgt").alias("cnt_t"))
            .withColumn("tot_r", F.expr("sum(cnt_r) OVER ()"))
            .withColumn("tot_t", F.expr("sum(cnt_t) OVER ()"))
            .select("b", F.expr(_lam_expr(buckets)).alias("lam")))

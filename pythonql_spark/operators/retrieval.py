@@ -141,9 +141,13 @@ def tfidf_keywords(df: DataFrame, top_n: int = 3, *,
     toks = (df.select(F.col(id_col), F.explode(
         F.expr(words(f"lower({text_col})"))).alias("tok"))
         .filter(F.length("tok") >= min_token_len))
-    toks = toks.localCheckpoint(eager=False)  # explode once, use thrice
+    # tf is the single consumer of the exploded token stream, and both
+    # dl and dft fold out of tf itself (doc length = Σ counts), so the
+    # corpus-token-sized frame is traversed ONCE and the reused
+    # intermediate is the much smaller distinct-(doc, token) table
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    tf = tf.localCheckpoint(eager=False)      # reused by dl + dft + join
+    dl = tf.groupBy(id_col).agg(F.sum("cnt").alias("dl"))
     dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dft"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (tf.join(dl, id_col).join(dft, "tok")
