@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 
 from .text import ngram_list
 
+from pythonql_spark.helpers import local_rows_df
+
 
 def position_exprs(expr: str, k: int, n_bits: int,
                    dialect: str = "spark",
@@ -102,7 +104,6 @@ def bloom_mark(probe: DataFrame, bits: list[int], expr: str, *,
     bits were built from.  The array rides a broadcast 1-row cross
     join — one copy per executor, never per task."""
     spark = probe.sparkSession
-    from pythonql_spark.helpers import local_rows_df
     row = local_rows_df(spark, [(bits,)], "__bloom array<bigint>")
     hit = bloom_hit_expr(expr, k, n_bits, hash_fn=hash_fn)
     return (probe.crossJoin(F.broadcast(row))

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pythonql_spark.helpers import local_rows_df
+
 from .text import _ws
 
 
@@ -109,7 +111,6 @@ def quality_score(df: DataFrame, model: dict, *,
     nb = model["n_buckets"]
     b = bucket_expr("w", nb, "spark", model["hash_fn"])
     spark = df.sparkSession
-    from pythonql_spark.helpers import local_rows_df
     wrow = local_rows_df(spark, [(model["weights"],)],
                          "__qw array<double>")
     ws = _words(text_col)

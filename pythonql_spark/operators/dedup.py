@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 
 from pythonql_spark.operators.text import fingerprint
 
+from pythonql_spark.helpers import local_rows_df
+
 
 def _fan_out_small(df: DataFrame, full: bool = False) -> DataFrame:
     """Fan out a small-file input before the expensive map side — the
@@ -492,7 +494,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # The emptiness probe rides the same bounded transfer (an empty
     # head IS the no-edges answer) — a separate limit(1).count() was
     # one whole extra job on every call.
-    head = e.limit(max(driver_limit, 0) + 1).toPandas()
+    head = e.limit(max(driver_limit or 0, 0) + 1).toPandas()
     if len(head) == 0:
         # no edges: every node is its own component — skip the loop
         # (each round is 2+ jobs; a clean corpus / incremental probe
@@ -521,8 +523,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                     # attach larger root under smaller: the root of a
                     # set is always its min member id
                     parent[max(ru, rv)] = min(ru, rv)
-            from pythonql_spark.helpers import local_rows_df
-            comp = local_rows_df(pairs.sparkSession,
+                    comp = local_rows_df(pairs.sparkSession,
                                  [(x, find(x)) for x in parent],
                                  "id long, comp long")
             if nodes is not None:

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from pythonql_spark.helpers import local_rows_df
+
 
 def dot_expr(a: str, b: str, dim: int, base: int = 0) -> str:
     """Explicit sum of products — deterministic accumulation order.
@@ -257,7 +259,6 @@ def ivf_topk(df: DataFrame, query_ids, k: int = 5, *,
     probe_cells = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]
 
     spark = df.sparkSession
-    from pythonql_spark.helpers import local_rows_df
     probes = F.broadcast(local_rows_df(
         spark,
         [(int(r.q_id), int(c)) for r, cells in zip(qrows, probe_cells)
@@ -515,7 +516,6 @@ def lsh_topk(df: DataFrame, query_ids, k: int = 5, *,
                         F.posexplode(sigs).alias("t", "sig")))
     masks = _probe_masks(n_planes, probe_hamming)
     spark = df.sparkSession
-    from pythonql_spark.helpers import local_rows_df
     probes = local_rows_df(
         spark,
         [(r.q_id, t, int(s) ^ m) for r, srow in zip(qrows, q_sigs)
@@ -896,6 +896,12 @@ def _train_centroids(df: DataFrame, *, n_clusters: int, train_sample: int,
     columns."""
     pdf = (df.select(F.col(vec_col)).orderBy(F.col(id_col))
            .limit(train_sample).toPandas())
+    if pdf.empty:
+        # callers derive dim from the trained matrix (no separate
+        # _dim job), so give the empty-corpus case its clear error
+        raise ValueError(
+            f"cannot train centroids over {vec_col!r}: input has no "
+            "vectors (empty corpus?)")
     X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
     return _spherical_kmeans(X, n_clusters, kmeans_iters)
 

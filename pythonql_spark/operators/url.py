@@ -378,8 +378,8 @@ def _psl_frame(spark):
         rows = [(k, e["p2"], e["w2"], e["e2"], e["p3"], e["w3"],
                  e["e3"], e["p4"], e["w4"], e["p5"])
                 for k, e in sorted(by_key.items())]
-        frame = spark.createDataFrame(
-            spark.sparkContext.parallelize(rows, 1), schema).cache()
+        from pythonql_spark.helpers import local_rows_df
+        frame = local_rows_df(spark, rows, schema).cache()
         frame.count()                      # materialize once per session
         _PSL_FRAME_CACHE[key] = frame
     return _PSL_FRAME_CACHE[key]

@@ -32,8 +32,8 @@ def _df_from_rows(spark, rows, schema):
     front writes the same file in ~0.3 s, which is the difference
     between a state-maintenance stream being write-bound and being
     scan-bound."""
-    rdd = spark.sparkContext.parallelize([tuple(r) for r in rows], 1)
-    return spark.createDataFrame(rdd, schema)
+    from pythonql_spark.helpers import local_rows_df
+    return local_rows_df(spark, [tuple(r) for r in rows], schema)
 
 
 def dedup_ingest_stream(stream_df: DataFrame, corpus: DataFrame,
