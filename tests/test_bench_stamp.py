@@ -60,6 +60,28 @@ def test_retime_band_is_sf01_only():
                          sf=0.01) is False
 
 
+def test_retime_band_is_full_core_count_only():
+    b = _bench()
+    # the driver re-runs the bench at a LOWER $SPARK_GRAFT_CPUS to
+    # measure scaling: dedup_exact is legitimately slower on fewer
+    # cores, so the local[32]-calibrated band must not gate there —
+    # probe + loadavg alone decide, exactly like the non-sf0.1 case
+    assert b.clean_stamp(probe_pre_s=0.47, probe_post_s=0.48,
+                         ref_retime_s=0.55, loadavg1_pre=0.8,
+                         sf=0.1, ref_retime_pre_s=0.60,
+                         cpus=8) is True
+    # a genuinely loaded host still stamps false at any core count
+    assert b.clean_stamp(probe_pre_s=1.29, probe_post_s=0.48,
+                         ref_retime_s=0.55, loadavg1_pre=0.8,
+                         sf=0.1, ref_retime_pre_s=0.60,
+                         cpus=8) is False
+    # at the calibration config the band still gates (cpus defaults
+    # to 32 for artifacts written before the field existed)
+    assert b.clean_stamp(probe_pre_s=0.47, probe_post_s=0.48,
+                         ref_retime_s=0.55, loadavg1_pre=0.8,
+                         sf=0.1, ref_retime_pre_s=0.60) is False
+
+
 def test_probe_measures_host_not_spark():
     """The probe must run in-band (~0.5 s idle) and return seconds;
     a smoke bound wide enough to never flake under suite load."""
