@@ -74,11 +74,22 @@ def clean_stamp(probe_pre_s: float, probe_post_s: float | None,
     return True
 
 
-def _ref_retime(spark, QUERIES, ref_key: str, sf_dir: str) -> float | None:
+def _ref_retime(spark, QUERIES, ref_key: str, sf_dir: str,
+                warm_reps: int = 1) -> float | None:
     """Median-of-5 wall time of the (warm) reference key — the
-    scheduling-floor indicator; see clean_stamp."""
+    scheduling-floor indicator; see clean_stamp.
+
+    ``warm_reps``: the LEADING-edge call needs ~10 warm executions
+    first — a fresh JVM is still JIT-compiling the shuffle/codegen
+    paths, which alone inflates the retime ~0.12 s (measured idle:
+    median 0.474 after bench.py's two-query warmup vs 0.347 once the
+    session has run a handful of keys, identical box).  Without the
+    extra warmth the leading gate reads JVM cold-start as host load
+    and can never stamp clean.  ~10 reps cost ~3 s and cannot mask
+    the gate's target (multi-minute residual suite load)."""
     try:
-        QUERIES[ref_key](spark, sf_dir).count()   # warm
+        for _ in range(max(1, warm_reps)):
+            QUERIES[ref_key](spark, sf_dir).count()   # warm
         samples = []
         for _ in range(5):
             t0 = time.perf_counter()
@@ -173,7 +184,8 @@ def main() -> None:
     # leading-edge load gate: the end-of-run retime below cannot see
     # load that subsides MID-run (see clean_stamp docstring)
     ref_key = "dedup_exact"
-    ref_retime_pre = (_ref_retime(spark, QUERIES, ref_key, sf_dir)
+    ref_retime_pre = (_ref_retime(spark, QUERIES, ref_key, sf_dir,
+                                  warm_reps=10)
                       if ref_key in QUERIES else None)
 
     # steady-state methodology: each query runs once untimed (codegen
