@@ -523,7 +523,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                     # attach larger root under smaller: the root of a
                     # set is always its min member id
                     parent[max(ru, rv)] = min(ru, rv)
-                    comp = local_rows_df(pairs.sparkSession,
+            # built exactly ONCE from the final union-find state: every
+            # node seen in any edge (incl. self-loops) is in ``parent``
+            comp = local_rows_df(pairs.sparkSession,
                                  [(x, find(x)) for x in parent],
                                  "id long, comp long")
             if nodes is not None:

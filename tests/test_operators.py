@@ -85,6 +85,38 @@ def test_connected_components_empty_pairs(spark):
     assert comp == {7: 7, 8: 8}
 
 
+def test_connected_components_no_union_edges(spark):
+    # edges present but no union ever fires (self-loops / duplicate
+    # pairs): the driver fast path must still emit every edge node once
+    # (regression: comp was built inside the union branch -> unbound)
+    pairs = spark.createDataFrame(
+        [(5, 5), (7, 7), (5, 5)], "id_a long, id_b long")
+    comp = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert comp == {5: 5, 7: 7}
+
+
+def test_connected_components_single_frame_build(spark, monkeypatch):
+    # the driver fast path must build its result frame exactly ONCE
+    # from the final union-find state, not once per union (regression:
+    # a mis-indent made it O(unions * nodes) driver work)
+    from pythonql_spark.operators import dedup as DD
+
+    calls = {"n": 0}
+    real = DD.local_rows_df
+
+    def counting(sess, rows, schema):
+        calls["n"] += 1
+        return real(sess, rows, schema)
+
+    monkeypatch.setattr(DD, "local_rows_df", counting)
+    n = 2000  # 1999 unions in one chain
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    comp = {r.id: r.comp for r in DD.connected_components(pairs).collect()}
+    assert calls["n"] == 1
+    assert comp == {i: 0 for i in range(n)}
+
+
 def test_dedup_keep(docs):
     pairs = ngram_jaccard_pairs(docs, ["source"], ngram=1, threshold=0.5)
     kept = {r.doc_id for r in dedup_keep(docs, pairs).collect()}
