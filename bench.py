@@ -39,11 +39,15 @@ def single_thread_probe() -> float:
     return time.perf_counter() - t0
 
 
+MID_RETIME_EVERY = 20             # keys between mid-run ref retimes
+
+
 def clean_stamp(probe_pre_s: float, probe_post_s: float | None,
                 ref_retime_s: float | None, loadavg1_pre: float,
                 sf: float,
                 ref_retime_pre_s: float | None = None,
-                cpus: int = 32) -> bool:
+                cpus: int = 32,
+                mid_retimes_s: list[float] | None = None) -> bool:
     """True iff every load indicator sits in its calibrated clean
     band, so diff tooling can skip loaded artifacts mechanically.
     The ref-key band is calibrated at sf0.1 on local[32] only (the
@@ -59,7 +63,17 @@ def clean_stamp(probe_pre_s: float, probe_post_s: float | None,
     keys ~15% while the end-of-run retime and the saturating md5
     probes all read clean (observed: loadavg_15 at 9-11, retime
     0.282 in-band, total 124 s vs the 105.9 s record).  Both edges
-    of the run must sit in the band."""
+    of the run must sit in the band.
+
+    ``mid_retimes_s``: the r11 close showed host bursts SHORTER than
+    a full bench run — nine of ten runs failed an edge gate, and the
+    one run with both edges in band still carried a mid-run burst
+    that inflated single keys 3-9x (dedup_corpus_minhash 9.18 s vs
+    its 1.6-2.1 s band) invisibly to every edge indicator.  The query
+    loop therefore re-times the ref key every MID_RETIME_EVERY keys;
+    at the calibration config EVERY sample must sit in the band.
+    ``None`` (artifacts predating the gate) skips it; an empty list
+    (short runs) has nothing to violate."""
     if probe_pre_s > PROBE_CLEAN_MAX_S:
         return False
     if probe_post_s is not None and probe_post_s > PROBE_CLEAN_MAX_S:
@@ -69,6 +83,9 @@ def clean_stamp(probe_pre_s: float, probe_post_s: float | None,
     if sf == 0.1 and cpus == 32:
         lo, hi = REF_RETIME_BAND
         for r in (ref_retime_pre_s, ref_retime_s):
+            if r is None or not lo <= r <= hi:
+                return False
+        for r in (mid_retimes_s or []):
             if r is None or not lo <= r <= hi:
                 return False
     return True
@@ -196,13 +213,23 @@ def main() -> None:
     # is fenced, failures are reported per-name and the run continues
     times: dict[str, float] = {}
     failed: dict[str, str] = {}
-    for name in headline:
+    mid_retimes: list[float] = []
+    loadavg1_per_key: dict[str, float] = {}
+    for i, name in enumerate(headline):
+        # mid-run burst gate (see clean_stamp): the ref-key retime is
+        # sampled THROUGH the run, between keys — it adds wall time to
+        # the session but touches no timed region and no per-key time
+        if i and i % MID_RETIME_EVERY == 0 and ref_key in QUERIES:
+            r = _ref_retime(spark, QUERIES, ref_key, sf_dir)
+            if r is not None:
+                mid_retimes.append(r)
         try:
             QUERIES[name](spark, sf_dir).count()
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             n = df.count()
             times[name] = round(time.perf_counter() - t0, 3)
+            loadavg1_per_key[name] = round(os.getloadavg()[0], 2)
             print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
         except Exception as e:
             failed[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
@@ -239,11 +266,14 @@ def main() -> None:
         "ref_key": ref_key,
         "ref_key_retime": ref_retime,
         "ref_key_retime_pre": ref_retime_pre,
+        "ref_key_retime_mid": mid_retimes,
+        "loadavg1_per_key": loadavg1_per_key,
         "single_thread_probe_s": [probe_pre, probe_post],
         "clean": clean_stamp(probe_pre, probe_post, ref_retime,
                              loadavg_pre[0], sf,
                              ref_retime_pre_s=ref_retime_pre,
-                             cpus=cpus),
+                             cpus=cpus,
+                             mid_retimes_s=mid_retimes),
     }
     if failed:
         out["failed"] = failed

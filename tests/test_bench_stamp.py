@@ -82,6 +82,32 @@ def test_retime_band_is_full_core_count_only():
                          sf=0.1, ref_retime_pre_s=0.60) is False
 
 
+def test_mid_run_retime_gate():
+    b = _bench()
+    clean = dict(probe_pre_s=0.47, probe_post_s=0.48,
+                 ref_retime_s=0.25, loadavg1_pre=0.8, sf=0.1,
+                 ref_retime_pre_s=0.24)
+    # the r11 close failure mode: both EDGES in band, a burst mid-run
+    # (dedup_corpus_minhash 9.18 s vs its 1.6-2.1 s band while the
+    # edge retimes read 0.292/0.252) — one out-of-band mid sample
+    # must fail the stamp
+    assert b.clean_stamp(**clean, mid_retimes_s=[0.24, 0.61, 0.26]) is False
+    # every mid sample in band: clean
+    assert b.clean_stamp(**clean, mid_retimes_s=[0.24, 0.26, 0.25]) is True
+    # artifacts predating the gate (None) and short runs ([]) are
+    # judged by the edge gates alone
+    assert b.clean_stamp(**clean, mid_retimes_s=None) is True
+    assert b.clean_stamp(**clean, mid_retimes_s=[]) is True
+    # a failed mid retime is not evidence of cleanliness
+    assert b.clean_stamp(**clean, mid_retimes_s=[0.24, None]) is False
+    # off the calibration config the band is uncalibrated: mid samples
+    # do not gate (probe + loadavg still do)
+    assert b.clean_stamp(probe_pre_s=0.47, probe_post_s=0.48,
+                         ref_retime_s=0.55, loadavg1_pre=0.8,
+                         sf=0.1, ref_retime_pre_s=0.60, cpus=8,
+                         mid_retimes_s=[0.61, 0.70]) is True
+
+
 def test_probe_measures_host_not_spark():
     """The probe must run in-band (~0.5 s idle) and return seconds;
     a smoke bound wide enough to never flake under suite load."""
