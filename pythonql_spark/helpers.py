@@ -122,3 +122,18 @@ def local_rows_df(spark, rows, schema, rows_per_slice: int = 200_000):
     n = max(1, -(-len(rows) // rows_per_slice))
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, n), schema)
+
+
+def local_rows_df_infer(spark, rows, rows_per_slice: int = 200_000):
+    """:func:`local_rows_df` for callers without an explicit schema
+    (dict / namedtuple / tuple rows from the pql() front-end's bounded
+    env sequences): infer the schema exactly as ``createDataFrame``
+    would — the same full-list merge, driver-side, no job — then
+    parallelize in size-proportional slices.  Falls back to the plain
+    default-sliced path if the inference internals ever move."""
+    rows = list(rows)
+    try:
+        schema = spark._inferSchemaFromList(rows, names=None)
+    except Exception:
+        return spark.createDataFrame(rows)
+    return local_rows_df(spark, rows, schema, rows_per_slice)

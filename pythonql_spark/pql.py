@@ -1041,19 +1041,25 @@ def _as_df(spark: SparkSession, val: Any, var: str,
         return val.df(), False
     if isinstance(val, range):
         val = list(val)
+    # env-bound driver sequences are bounded by the reference API
+    # contract (in-memory lists there) — build them with
+    # size-proportional slicing: the default createDataFrame cuts even
+    # a 10-row list into defaultParallelism near-empty tasks
+    from pythonql_spark.helpers import local_rows_df, local_rows_df_infer
     if isinstance(val, (list, tuple)) and not len(val):
         # iterating an empty sequence yields zero rows (reference
         # semantics), not an unresolved-source error
         schema = (f"__pos bigint, {var} string" if with_pos
                   else f"{var} string")
-        return spark.createDataFrame([], schema), True
+        return local_rows_df(spark, [], schema), True
     if isinstance(val, (list, tuple)) and len(val):
         first = val[0]
         if isinstance(first, dict) or hasattr(first, "_fields"):
-            df = spark.createDataFrame(
+            df = local_rows_df_infer(
+                spark,
                 [{**(v if isinstance(v, dict) else v._asdict()), "__pos": i}
                  for i, v in enumerate(val)]) if with_pos \
-                else spark.createDataFrame(list(val))
+                else local_rows_df_infer(spark, list(val))
             return df, False
         if isinstance(first, (list, tuple)):
             inner = first[0] if len(first) else None
@@ -1094,7 +1100,7 @@ def _as_df(spark: SparkSession, val: Any, var: str,
                     raise ValueError(
                         "journey-shaped sources cannot order a window")
                 return df.select(var), True
-            return spark.createDataFrame(list(val)), False
+            return local_rows_df_infer(spark, list(val)), False
         vals = list(val)
         t = _sql_type(first)
         types = {type(v) for v in vals if v is not None}
@@ -1117,11 +1123,11 @@ def _as_df(spark: SparkSession, val: Any, var: str,
                 vals = [None if v is None else str(v) for v in vals]
                 t = "string"
         if with_pos:
-            return spark.createDataFrame(
-                [(i, v) for i, v in enumerate(vals)],
+            return local_rows_df(
+                spark, [(i, v) for i, v in enumerate(vals)],
                 f"__pos bigint, {var} {t}"), True
-        return spark.createDataFrame([(v,) for v in vals],
-                                     f"{var} {t}"), True
+        return local_rows_df(spark, [(v,) for v in vals],
+                             f"{var} {t}"), True
     return None, False
 
 
@@ -1586,7 +1592,9 @@ def _bare_path_expr(spark: SparkSession, query: str,
     if isinstance(val, DataFrame):
         df, col = val, val.columns[0]
     else:
-        df = spark.createDataFrame(
+        from pythonql_spark.helpers import local_rows_df
+        df = local_rows_df(
+            spark,
             [(v if isinstance(v, str) else json.dumps(v, sort_keys=True),)
              for v in val], "__v string")
         col = "__v"
@@ -1726,8 +1734,10 @@ def _match_clause(spark, q: Query, body: str, env) -> None:
     val = env[src]
     if not isinstance(val, DataFrame):
         import json
-        val = spark.createDataFrame(
-            [(json.dumps(v, sort_keys=True),) for v in val],
+
+        from pythonql_spark.helpers import local_rows_df
+        val = local_rows_df(
+            spark, [(json.dumps(v, sort_keys=True),) for v in val],
             f"{parent or 'z'} string")
         matched = match_pattern(val, val.columns[0], pattern, exact=exact)
     else:

@@ -190,7 +190,17 @@ def read_files(spark: SparkSession, path: str, fmt: str = "parquet",
 
 def from_collection(spark: SparkSession, data, schema=None) -> DataFrame:
     """Python collection → DataFrame (reference queries iterate plain
-    lists/dicts; dicts of identical shape infer a struct schema)."""
+    lists/dicts; dicts of identical shape infer a struct schema).
+    Driver-resident lists are bounded by the reference API contract,
+    so they get size-proportional slicing (helpers.local_rows_df) —
+    the default createDataFrame cuts even a tiny list into
+    defaultParallelism near-empty tasks.  Non-list inputs (pandas,
+    RDDs) keep the default path."""
+    if isinstance(data, (list, tuple)):
+        from pythonql_spark.helpers import local_rows_df, local_rows_df_infer
+        if schema is not None:
+            return local_rows_df(spark, data, schema)
+        return local_rows_df_infer(spark, data)
     return spark.createDataFrame(data, schema=schema)
 
 
