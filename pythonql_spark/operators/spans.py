@@ -78,8 +78,12 @@ def dup_span_stats(df: DataFrame, k: int = 8, *,
     WHOLE corpus (across or within documents), and the fraction of its
     token positions covered by at least one such k-gram.
     """
-    from pythonql_spark.sources.catalog import fan_out_small
-    kg = _kgram_rows(fan_out_small(df), k, id_col, text_col)
+    # no scan fan-out here (unlike winnow_fingerprints below): the
+    # k-gram head is a short explode that parallelizes through its own
+    # groupBy shuffle, and the checkpoint pins the extra exchange's
+    # cost onto every consumer — interleaved A/B measured the fanned
+    # form 1.24-1.28x SLOWER on the final r11 tree (reverted r12)
+    kg = _kgram_rows(df, k, id_col, text_col)
     kg = kg.localCheckpoint(eager=False)  # k-gram-ize once, use twice
     dup_h = (kg.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
              .filter("c > 1").select("h"))
