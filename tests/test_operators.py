@@ -1912,6 +1912,21 @@ def test_bloom_bits_bounded_and_fp_direction(spark):
     assert fp <= 2
 
 
+def test_bloom_bits_row_matches_driver_build(spark):
+    """The in-Spark one-row build (no driver collect) must produce the
+    exact word array of the driver-list path, including the empty-
+    reference case (all zeros, still one row)."""
+    from pyspark.sql import Row
+    from pythonql_spark.operators.bloom import bloom_bits, bloom_bits_row
+    ref = spark.createDataFrame([Row(v=f"item-{i}") for i in range(50)])
+    bits = bloom_bits(ref, "v", n_bits=512, k=3)
+    [row] = bloom_bits_row(ref, "v", n_bits=512, k=3).collect()
+    assert list(row["__bloom"]) == bits
+    empty = ref.filter("v = 'nope'")
+    [zrow] = bloom_bits_row(empty, "v", n_bits=512, k=3).collect()
+    assert list(zrow["__bloom"]) == [0] * 8
+
+
 # ------------------------------------------------- learned quality classifier
 
 def test_quality_classifier_separates_planted_vocab(spark):
