@@ -128,6 +128,31 @@ def test_knn_join_no_cross_product(spark, sf_dir):
     tree = plan.split("(1) Scan")[0]
     assert tree.count("MapInPandas") == 1
     assert tree.count("Exchange") == 1, tree
+    # the final per-query top-k must stay distributed: no driver-side
+    # merge (CollectLimit), no row-at-a-time Python above the
+    # exchange, and the window keeps its partial-top-k pushdown so
+    # the shuffle ships <= k rows per (query, map task)
+    assert "CollectLimit" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_ann_topk_partial_topk_shape(spark, sf_dir):
+    """brute_topk: the corpus streams past a broadcast query side
+    entirely in the JVM; the only shuffle carries candidates into a
+    WindowGroupLimit-pushed final top-k — never a CollectLimit or a
+    Python eval."""
+    plan = formatted_plan(QUERIES["ann_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "CollectLimit" not in plan, plan
+    # norm/cosine ride vectorized ArrowEvalPython (documented BLAS
+    # path); row-at-a-time Python stays banned
+    assert "BatchEvalPython" not in plan, plan
+    # partial top-k on the map side, final after ONE data exchange
+    assert "row_number(), 5, Partial" in plan, plan
+    assert "row_number(), 5, Final" in plan, plan
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Exchange (") - tree.count("BroadcastExchange (") == 1, tree
 
 
 def test_tpch_q9_star_join_shape(spark, sf_dir):
