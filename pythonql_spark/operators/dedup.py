@@ -675,6 +675,12 @@ def minhash_pairs_md5(df: DataFrame, id_col: str = "doc_id",
     (`minhash_pairs_oracle_sql`).  Same plan shape as the xxhash64
     production path: explode → hash once → num_hashes codegen'd min
     aggregates → one (band, h) shuffle → in-bucket pairs."""
+    # same fan-out as the xxhash64 path (minhash_lsh_pairs) — the md5
+    # head is ~16 md5-min aggregates per shingle, far heavier, and it
+    # ran on the scan's split count (profiled 8.7 s exec ≈ wall at
+    # sf0.1: serial).  One fan-out covers all three heavy consumers
+    # (signature head + both jaccard-verify gram builds).
+    df = _fan_out_small(df)
     gh = _gh_list_md5_spark(text_col, ngram)
     buckets = _md5_band_buckets(df, id_col, text_col,
                                 num_hashes, bands, ngram)
@@ -801,6 +807,10 @@ def minhash_bipartite_md5(new: DataFrame, corpus: DataFrame,
     (`minhash_bipartite_oracle_sql`).  Same shape as the xxhash64
     production `minhash_lsh_pairs_bipartite`: corpus buckets capped
     and grouped once, the (small) new side probes on (band, h)."""
+    # same fan-out rationale as minhash_pairs_md5: the md5 signature
+    # heads are the heavy map work and both sides immediately exchange
+    new = _fan_out_small(new)
+    corpus = _fan_out_small(corpus)
     nb = _md5_band_buckets(new, id_col, text_col,
                            num_hashes, bands, ngram)
     cb = _md5_band_buckets(corpus, id_col, text_col,
