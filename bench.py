@@ -81,12 +81,18 @@ def clean_stamp(probe_pre_s: float, probe_post_s: float | None,
     if loadavg1_pre > LOADAVG1_CLEAN_MAX:
         return False
     if sf == 0.1 and cpus == 32:
-        lo, hi = REF_RETIME_BAND
+        # high side only: load INFLATES the retime, never deflates it.
+        # Deep-warm sessions legitimately read below the calibrated
+        # floor (r12 close: mid samples 0.16-0.17 after 100+ keys of
+        # JIT warmth on an idle box) — a faster-than-band sample is
+        # evidence of an even cleaner box, not of load.  The recorded
+        # values keep the full reading either way.
+        hi = REF_RETIME_BAND[1]
         for r in (ref_retime_pre_s, ref_retime_s):
-            if r is None or not lo <= r <= hi:
+            if r is None or r > hi:
                 return False
         for r in (mid_retimes_s or []):
-            if r is None or not lo <= r <= hi:
+            if r is None or r > hi:
                 return False
     return True
 

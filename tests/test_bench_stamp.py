@@ -94,6 +94,11 @@ def test_mid_run_retime_gate():
     assert b.clean_stamp(**clean, mid_retimes_s=[0.24, 0.61, 0.26]) is False
     # every mid sample in band: clean
     assert b.clean_stamp(**clean, mid_retimes_s=[0.24, 0.26, 0.25]) is True
+    # the gate is HIGH-side only: a deep-warm session reads BELOW the
+    # calibrated floor on an idle box (r12 close: 0.16-0.17 after
+    # 100+ keys) — faster than band is cleaner, not dirtier
+    assert b.clean_stamp(**clean, mid_retimes_s=[0.16, 0.17, 0.25]) is True
+    assert b.clean_stamp(**{**clean, "ref_retime_s": 0.15}) is True
     # artifacts predating the gate (None) and short runs ([]) are
     # judged by the edge gates alone
     assert b.clean_stamp(**clean, mid_retimes_s=None) is True
