@@ -2088,7 +2088,7 @@ def dedup_corpus_cosine(spark, sf):
     from pythonql_spark.operators.dedup import dedup_keep
     from pythonql_spark.operators.similarity import cosine_pairs
     emb = load_table(spark, sf, "embeddings")
-    pairs = cosine_pairs(emb, "label", 0.8)
+    pairs = cosine_pairs(emb, "label", 0.8, dim=64)
     return dedup_keep(emb, pairs, id_col="vec_id").select("vec_id", "label")
 
 
@@ -2172,7 +2172,7 @@ def dedup_simhash(spark, sf):
 def neardup_cosine(spark, sf):
     from pythonql_spark.operators.similarity import cosine_pairs
     emb = load_table(spark, sf, "embeddings")
-    return cosine_pairs(emb, "label", 0.8)
+    return cosine_pairs(emb, "label", 0.8, dim=64)
 
 
 @q("dedup_semantic", None)  # rows-only: k-means cells are not SQL
@@ -2247,7 +2247,7 @@ def embed_project(spark, sf):
 def ann_topk(spark, sf):
     from pythonql_spark.operators.similarity import brute_topk
     emb = load_table(spark, sf, "embeddings")
-    return brute_topk(emb, query_ids=list(range(10)), k=5)
+    return brute_topk(emb, query_ids=list(range(10)), k=5, dim=64)
 
 
 @q("embed_quantize", None)  # oracle attached below (generated SQL)
@@ -2509,7 +2509,7 @@ def eval_retrieval_q(spark, sf):
     from pythonql_spark.operators.retrieval import retrieval_metrics
     from pythonql_spark.operators.similarity import brute_topk
     emb = load_table(spark, sf, "embeddings")
-    run = brute_topk(emb, query_ids=list(range(10)), k=5)
+    run = brute_topk(emb, query_ids=list(range(10)), k=5, dim=64)
     anchors = emb.filter("vec_id < 10").select(
         F.col("vec_id").alias("q_id"), F.col("label").alias("ql"))
     qrels = (anchors.join(emb.select(F.col("vec_id").alias("n_id"),

@@ -108,11 +108,15 @@ def cosine_score(a_col: str, b_col: str, a_norm: str, b_norm: str,
 
 
 def brute_topk(df: DataFrame, query_ids, k: int = 5,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dim: int | None = None) -> DataFrame:
     """Exact cosine top-k: queries × corpus (queries broadcast), then
     per-query top-k.  At 100 TB the corpus side streams; the only
-    shuffle is the final per-query top-k (tiny)."""
-    dim = _dim(df, vec_col)
+    shuffle is the final per-query top-k (tiny).  ``dim``: callers
+    that know their embedding width skip the one-job probe (the same
+    documented fast path as the trained/ivf operators)."""
+    if dim is None:
+        dim = _dim(df, vec_col)
     # norms once per vector (not per pair): the per-pair work drops to
     # one dot product + one divide
     qs = F.broadcast(
@@ -133,9 +137,12 @@ def brute_topk(df: DataFrame, query_ids, k: int = 5,
 
 
 def cosine_pairs(df: DataFrame, block_col: str, threshold: float,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Near-duplicate embedding pairs within a blocking key."""
-    dim = _dim(df, vec_col)
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: int | None = None) -> DataFrame:
+    """Near-duplicate embedding pairs within a blocking key.
+    ``dim``: known-width callers skip the one-job probe."""
+    if dim is None:
+        dim = _dim(df, vec_col)
     side = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                      F.col(block_col).alias("blk"),
                      vector_norm(vec_col, dim).alias("nrm"))
